@@ -1,38 +1,938 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2) to callables ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+
+Determinism conventions (Spark partial aggregation vs DuckDB sequential
+execution would otherwise diverge in float ULPs):
+
+- every SUM/AVG of doubles goes through an exact DECIMAL(25,6) cast on
+  both sides (per-row double arithmetic is IEEE-identical across engines;
+  decimal summation is order-independent), then back to DOUBLE;
+- every window order key includes a unique tie-breaker (event_id / scan);
+- no raw timestamps in outputs — epoch microseconds (unix_micros /
+  epoch_us) which are timezone-free in both engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(c) -> F.Column:
+    """Order-independent (exact) sum of a double expression."""
+    c = c if isinstance(c, F.Column) else F.col(c)
+    return F.sum(c.cast("decimal(25,6)")).cast("double")
+
+
+def davg(c) -> F.Column:
+    """avg via exact decimal sum / count (matches the SQL twin exactly)."""
+    c = c if isinstance(c, F.Column) else F.col(c)
+    return F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c)
+
+
+#: cast-shaped view of the events table: user_id = cast, (ts_us, event_id)
+#: = deterministic scan order, value = the physical channel.  events.parquet
+#: carries TIMESTAMP(NANOS) which Spark rejects by default; we read it as a
+#: nanosecond long and truncate to microseconds — exactly what DuckDB's
+#: parquet reader does — so both engines order and diff identical integers.
+_EV_KW = {"by": "user_id", "order": ["ts_us", "event_id"], "pressure": "value"}
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary over sf0.001."""
+    return _q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins / TPC-H-ish
+# ---------------------------------------------------------------------------
+
+def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer x orders x lineitem, top-10 orders by revenue.
+
+    Plan notes: customer is the small side -> broadcast; revenue ranking on
+    the exact decimal sum with o_orderkey tie-break for determinism.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = (
+        joined.groupBy("o_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> orders -> customer -> nation -> region star join;
+    nation/region are broadcast dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join surface: customers with (and without) open orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    with_open = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_open.select("c_custkey", F.lit("open").alias("bucket"))
+        .unionByName(without.select("c_custkey", F.lit("none").alias("bucket")))
+    )
+
+
+_SEMI_ANTI_SQL = """
+SELECT c_custkey, 'open' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'none' AS bucket FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference operators on the events "cast" (user_id / ts / value)
+# ---------------------------------------------------------------------------
+
+def _ev(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def _q_remove_above_water(spark, sf_dir):
+    from python_ctd_spark.operators.filters import remove_above_water
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "depth", F.col("value").cast("double") - F.lit(250.0)
+    )
+    out = remove_above_water(ev, pressure="depth")
+    return out.select("event_id", "user_id", "depth")
+
+
+_REMOVE_ABOVE_WATER_SQL = """
+SELECT event_id, user_id, CAST(value AS DOUBLE) - 250.0 AS depth
+FROM events WHERE CAST(value AS DOUBLE) - 250.0 >= 0
+"""
+
+
+def _q_remove_up_to(spark, sf_dir):
+    from python_ctd_spark.operators.filters import remove_up_to
+
+    out = remove_up_to(_ev(spark, sf_dir), 100.0, pressure="value")
+    return out.select("event_id", "user_id", "value")
+
+
+_REMOVE_UP_TO_SQL = """
+SELECT event_id, user_id, value FROM events WHERE value >= 100.0
+"""
+
+
+def _q_split(spark, sf_dir):
+    from python_ctd_spark.operators.ordered import split
+
+    out = split(_ev(spark, sf_dir), **_EV_KW)
+    return out.select("event_id", "user_id", "leg")
+
+
+_SPLIT_SQL = """
+WITH m AS (
+  SELECT user_id, max(value) AS mx FROM events GROUP BY user_id
+), s AS (
+  SELECT e.user_id, min(e.ts) AS split_ts
+  FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.mx
+  GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN e.ts <= s.split_ts THEN 'down' ELSE 'up' END AS leg
+FROM events e JOIN s ON e.user_id = s.user_id
+"""
+
+
+def _q_press_check(spark, sf_dir):
+    from python_ctd_spark.operators.ordered import press_check
+
+    ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
+    out = press_check(ev, cols=["v"], **_EV_KW)
+    return out.select("event_id", "user_id", "value", "v")
+
+
+_PRESS_CHECK_SQL = """
+SELECT event_id, user_id, value,
+       CASE WHEN value < max(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN NULL ELSE CAST(value AS DOUBLE) END AS v
+FROM events
+"""
+
+
+def _q_movingaverage(spark, sf_dir):
+    """Even-window boxcar (numpy 'same' centering: ROWS -2..1 for w=4),
+    decimal-exact window sum."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-2, 1)
+    ma = (
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+        / F.lit(4.0)
+    )
+    return ev.select("event_id", "user_id", ma.alias("ma4"))
+
+
+_MOVINGAVERAGE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) / 4.0 AS ma4
+FROM events
+"""
+
+
+def _with_gap(ev):
+    """NULL-injected channel: clicks lose their value (deterministic)."""
+    return ev.withColumn(
+        "v",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double")).otherwise(
+            F.col("value").cast("double")
+        ),
+    )
+
+
+_GAP_SQL = "CASE WHEN event_type = 'click' THEN NULL ELSE CAST(value AS DOUBLE) END"
+
+
+def _q_ffill(spark, sf_dir):
+    from python_ctd_spark.operators.ordered import ffill
+
+    ev = _with_gap(_ev(spark, sf_dir))
+    out = ffill(ev, cols=["v"], by="user_id", order=["ts_us", "event_id"])
+    return out.select("event_id", "user_id", "v")
+
+
+_FFILL_SQL = f"""
+SELECT event_id, user_id,
+       last_value({_GAP_SQL} IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+FROM events
+"""
+
+
+def _q_interpolate(spark, sf_dir):
+    """Linear interpolation of NULLs against time (epoch micros as the
+    physical index), interior-only — the reference's
+    interpolate(method='index', limit_area='inside')."""
+    from python_ctd_spark.operators.ordered import interpolate_index
+
+    ev = _with_gap(_ev(spark, sf_dir)).withColumn(
+        "tpos", F.col("ts_us").cast("double")
+    )
+    out = interpolate_index(
+        ev, cols=["v"], by="user_id", order=["ts_us", "event_id"], pressure="tpos"
+    )
+    return out.select("event_id", "user_id", F.round(F.col("v"), 4).alias("v"))
+
+
+_INTERPOLATE_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(epoch_us(ts) AS DOUBLE) AS tpos,
+         {_GAP_SQL} AS v
+  FROM events
+), nb AS (
+  SELECT event_id, user_id, tpos, v,
+         last_value(CASE WHEN v IS NOT NULL THEN tpos END IGNORE NULLS) OVER wp AS pp,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN tpos END IGNORE NULLS) OVER wn AS np,
+         first_value(v IGNORE NULLS) OVER wn AS nv
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              CASE WHEN np = pp THEN pv
+                   ELSE pv + (tpos - pp) * (nv - pv) / (np - pp) END
+            ELSE NULL END, 4) AS v
+FROM nb
+"""
+
+
+def _q_bindata_average(spark, sf_dir):
+    """Reference bindata(method='average') on the events cast: per-user
+    right-closed value bins from ceil(first)..floor(last), empty bins kept."""
+    from python_ctd_spark.operators.binning import bindata
+
+    ev = _ev(spark, sf_dir).withColumn("p", F.col("value").cast("double")).withColumn(
+        "ch", F.col("value").cast("double")
+    )
+    out = bindata(
+        ev, delta=50.0, method="average", cols=["ch"],
+        by="user_id", order=["ts_us", "event_id"], pressure="p",
+        exact_avg=True,
+    )
+    return out.select(
+        "user_id", F.col("p").alias("bin_center"), F.round(F.col("ch"), 4).alias("ch")
+    )
+
+
+_BINDATA_SQL = """
+WITH bounds AS (
+  SELECT user_id,
+         CAST(CEIL(first(CAST(value AS DOUBLE) ORDER BY ts, event_id)) AS DOUBLE) AS start,
+         CAST(FLOOR(last(CAST(value AS DOUBLE) ORDER BY ts, event_id)) AS DOUBLE) AS stop
+  FROM events GROUP BY user_id
+), spans AS (
+  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
+  FROM bounds
+), grid AS (
+  SELECT user_id, start, unnest(generate_series(0, nedges - 2)) AS bin
+  FROM spans WHERE nedges >= 2
+), binned AS (
+  SELECT e.user_id,
+         CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1 AS bin,
+         CAST(e.value AS DOUBLE) AS ch
+  FROM events e JOIN spans s ON e.user_id = s.user_id
+  WHERE s.nedges >= 2
+    AND CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1
+        BETWEEN 0 AND s.nedges - 2
+), aggd AS (
+  SELECT user_id, bin,
+         CAST(SUM(CAST(ch AS DECIMAL(25,6))) AS DOUBLE) / COUNT(ch) AS ch
+  FROM binned GROUP BY user_id, bin
+)
+SELECT g.user_id,
+       g.start + (g.bin + 0.5) * 50.0 AS bin_center,
+       ROUND(a.ch, 4) AS ch
+FROM grid g LEFT JOIN aggd a ON g.user_id = a.user_id AND g.bin = a.bin
+"""
+
+
+def _q_despike(spark, sf_dir):
+    """Native Wild-Edit despike (exact reference semantics incl. the
+    last-complete-window tail rule) on the events cast."""
+    from python_ctd_spark.operators.signal import despike
+
+    ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
+    out = despike(ev, n1=1.0, n2=2.0, block=10, cols=["v"], **_EV_KW)
+    return out.select("event_id", "user_id", "v")
+
+
+_DESPIKE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v,
+         row_number() OVER w0 - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(CAST(value AS DOUBLE)) OVER wf AS m1r,
+         stddev_pop(CAST(value AS DOUBLE)) OVER wf AS s1r
+  FROM events
+  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+), p1 AS (
+  SELECT *,
+         last_value(CASE WHEN rn <= n - 10 THEN m1r END IGNORE NULLS) OVER wp AS m1,
+         last_value(CASE WHEN rn <= n - 10 THEN s1r END IGNORE NULLS) OVER wp AS s1
+  FROM e
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c1 AS (
+  SELECT *, CASE WHEN abs(v - m1) > 1.0 * s1 THEN NULL ELSE v END AS v1
+  FROM p1
+), e2 AS (
+  SELECT *, avg(v1) OVER wf2 AS m2r, stddev_pop(v1) OVER wf2 AS s2r
+  FROM c1
+  WINDOW wf2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+), p2 AS (
+  SELECT *,
+         last_value(CASE WHEN rn <= n - 10 THEN m2r END IGNORE NULLS) OVER wp2 AS m2,
+         last_value(CASE WHEN rn <= n - 10 THEN s2r END IGNORE NULLS) OVER wp2 AS s2
+  FROM e2
+  WINDOW wp2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
+FROM p2
+"""
+
+
+def _q_bottle_mean(spark, sf_dir):
+    """rosette_summary bottle means (reference ctd/read.py:543-545):
+    groupBy(cast).mean() over the channel."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        davg(F.col("value").cast("double")).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_scans"),
+    )
+
+
+_BOTTLE_MEAN_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+           / COUNT(CAST(value AS DOUBLE)) AS mean_value,
+       COUNT(*) AS n_scans
+FROM events GROUP BY user_id
+"""
+
+
+def _q_maxdepth(spark, sf_dir):
+    from python_ctd_spark.operators.derive import get_maxdepth
+
+    ev = _with_gap(_ev(spark, sf_dir)).withColumn(
+        "p", F.col("value").cast("double")
+    )
+    out = get_maxdepth(ev, cols=["v"], by="user_id", pressure="p")
+    return out.select("user_id", F.col("v").alias("maxdepth"))
+
+
+_MAXDEPTH_SQL = f"""
+SELECT user_id,
+       max(CASE WHEN {_GAP_SQL} IS NOT NULL THEN CAST(value AS DOUBLE) END) AS maxdepth
+FROM events GROUP BY user_id
+"""
+
+
+def _q_nunique(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+
+
+_NUNIQUE_SQL = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id
+"""
+
+
+def _q_cell_thermal_mass(spark, sf_dir):
+    from python_ctd_spark.operators.derive import cell_thermal_mass
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "temperature", F.col("value").cast("double") / F.lit(20.0)
+    ).withColumn("conductivity", F.col("value").cast("double") / F.lit(100.0))
+    out = cell_thermal_mass(
+        ev, "temperature", "conductivity", by="user_id", order=["ts_us", "event_id"]
+    )
+    return out.select("event_id", "user_id", F.round("ctm", 6).alias("ctm"))
+
+
+def _ctm_sql() -> str:
+    alpha = 0.03
+    beta = 1.0 / 7
+    sample_interval = 1.0 / 15
+    a = 2 * alpha / (sample_interval * beta + 2)
+    b = 1 - (2 * a / alpha)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(value AS DOUBLE) / 20.0 AS t,
+         CAST(value AS DOUBLE) / 100.0 AS c
+  FROM events
+)
+SELECT event_id, user_id,
+       ROUND(-1.0 * {b!r} * c + {a!r} * (0.1 * (1.0 + 0.006 * (t - 20.0)))
+             * (t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS ctm
+FROM e
+"""
+
+
+def _q_mixed_layer_depth(spark, sf_dir):
+    from python_ctd_spark.operators.derive import mixed_layer_depth
+
+    ev = _ev(spark, sf_dir).withColumn("ct", F.col("value").cast("double") / F.lit(10.0))
+    out = mixed_layer_depth(ev, ct="ct", by="user_id", order=["ts_us", "event_id"])
+    return out.select("event_id", "user_id", F.col("MLD").alias("mld"))
+
+
+_MLD_SQL = """
+SELECT event_id, user_id,
+       (first_value(CAST(value AS DOUBLE) / 10.0) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - CAST(value AS DOUBLE) / 10.0) < 0.5 AS mld
+FROM events
+"""
+
+
+def _q_cumsum(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+    return ev.select("event_id", "user_id", run.alias("running_value"))
+
+
+_CUMSUM_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def _q_topk_per_group(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_TOPK_SQL = """
+SELECT user_id, event_id, value, CAST(rk AS INT) AS rk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: a >30-minute gap starts a new session; count
+    sessions and events per user (lag + running sum of gap flags)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.col("ts_us") - F.lag("ts_us", 1).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def _q_pivot_event_counts(spark, sf_dir):
+    """BTL Statistic-style pivot: long event rows -> one wide row per user."""
+    ev = _ev(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    return out
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: keeper = min doc_id per md5(text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_text_stats(spark, sf_dir):
+    """Token count, mean token length, alpha ratio — native string fns."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_txt"),
+        (alpha / n_chars).alias("alpha_ratio"),
+        (n_chars / n_tokens).alias("chars_per_token"),
+    )
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_txt,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+       length(text) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token
+FROM documents
+"""
+
+
+def _q_lang_id(spark, sf_dir):
+    """Stopword-hit language ID: count tokens that are English/Spanish/
+    French stopwords; predict the argmax (ties -> en > es > fr)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stops = {
+        "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+        "es": ["el", "la", "de", "y", "que", "en", "los", "por"],
+        "fr": ["le", "la", "de", "et", "que", "les", "des", "pour"],
+    }
+    cols = {}
+    for lang, words in stops.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols[f"hits_{lang}"] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+    d = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_es")) & (F.col("hits_en") >= F.col("hits_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("hits_es") >= F.col("hits_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select("doc_id", "hits_en", "hits_es", "hits_fr", pred.alias("pred_lang"))
+
+
+_LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for'))) AS hits_en,
+         len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','los','por'))) AS hits_es,
+         len(list_filter(toks, x -> x IN ('le','la','de','et','que','les','des','pour'))) AS hits_fr
+  FROM t
+)
+SELECT doc_id, hits_en, hits_es, hits_fr,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Deterministic rolling document fingerprint: polynomial hash over
+    tokens, token weight = ascii(first char)*31 + length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    p = 1_000_000_007
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * F.lit(131)
+            + F.ascii(t).cast("bigint") * F.lit(31)
+            + F.length(t).cast("bigint")
+        ) % F.lit(p),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_split_to_array(trim(text), '\s+'),
+                           t -> CAST(ascii(t) AS BIGINT) * 31 + length(t))),
+         (acc, x) -> (acc * 131 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+def _q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 10 query vectors.
+
+    Spark plan: the 10-row query side is broadcast; the dot product is
+    decimal-exact (per-element float64 products are IEEE-identical across
+    engines; decimal summation removes order sensitivity) so the ranking is
+    bit-stable vs the oracle.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    prods = F.zip_with("qe", "e", lambda a, b: (a * b).cast("decimal(30,15)"))
+    dot = F.aggregate(
+        prods, F.lit(0).cast("decimal(38,15)"), lambda acc, x: (acc + x).cast("decimal(38,15)")
+    ).cast("double")
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform("qe", lambda x: (x * x).cast("decimal(30,15)")),
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, x: (acc + x).cast("decimal(38,15)"),
+        ).cast("double")
+    )
+    enorm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: (x * x).cast("decimal(30,15)")),
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, x: (acc + x).cast("decimal(38,15)"),
+        ).cast("double")
+    )
+    scored = pairs.select(
+        "qid", "vec_id", (dot / (qnorm * enorm)).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_EMBEDDING_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+), prod AS (
+  SELECT q.qid, e.vec_id,
+         unnest(q.qe)::DOUBLE AS qv, unnest(e.embedding)::DOUBLE AS ev
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), dots AS (
+  SELECT qid, vec_id,
+         CAST(SUM(CAST(qv * ev AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(ev * ev AS DECIMAL(30,15))) AS DOUBLE) AS ee
+  FROM prod GROUP BY qid, vec_id
+), scored AS (
+  SELECT qid, vec_id, dot / (sqrt(qq) * sqrt(ee)) AS cos,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(ee)) DESC, vec_id) AS rk
+  FROM dots
+)
+SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "region_revenue": _q_region_revenue,
+        "rollup_orders": _q_rollup,
+        "semi_anti_join": _q_semi_anti,
+        "remove_above_water": _q_remove_above_water,
+        "remove_up_to": _q_remove_up_to,
+        "split_cast": _q_split,
+        "press_check": _q_press_check,
+        "movingaverage": _q_movingaverage,
+        "ffill": _q_ffill,
+        "interpolate_index": _q_interpolate,
+        "bindata_average": _q_bindata_average,
+        "despike": _q_despike,
+        "bottle_mean": _q_bottle_mean,
+        "get_maxdepth": _q_maxdepth,
+        "nunique_rowtypes": _q_nunique,
+        "cell_thermal_mass": _q_cell_thermal_mass,
+        "mixed_layer_depth": _q_mixed_layer_depth,
+        "cumsum": _q_cumsum,
+        "topk_per_group": _q_topk_per_group,
+        "sessionize": _q_sessionize,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "dedup_exact": _q_dedup_exact,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_cosine_topk": _q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "region_revenue": _REGION_REVENUE_SQL,
+        "rollup_orders": _ROLLUP_SQL,
+        "semi_anti_join": _SEMI_ANTI_SQL,
+        "remove_above_water": _REMOVE_ABOVE_WATER_SQL,
+        "remove_up_to": _REMOVE_UP_TO_SQL,
+        "split_cast": _SPLIT_SQL,
+        "press_check": _PRESS_CHECK_SQL,
+        "movingaverage": _MOVINGAVERAGE_SQL,
+        "ffill": _FFILL_SQL,
+        "interpolate_index": _INTERPOLATE_SQL,
+        "bindata_average": _BINDATA_SQL,
+        "despike": _DESPIKE_SQL,
+        "bottle_mean": _BOTTLE_MEAN_SQL,
+        "get_maxdepth": _MAXDEPTH_SQL,
+        "nunique_rowtypes": _NUNIQUE_SQL,
+        "cell_thermal_mass": _ctm_sql(),
+        "mixed_layer_depth": _MLD_SQL,
+        "cumsum": _CUMSUM_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "pivot_event_counts": _PIVOT_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "embedding_cosine_topk": _EMBEDDING_TOPK_SQL,
+    }

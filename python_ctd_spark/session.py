@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+One place to set the engine's execution posture:
+
+- AQE on (runtime re-planning: skew joins, partition coalescing, dynamic
+  broadcast) — the 100 TB story depends on it;
+- Arrow on (every pandas-UDF kernel crosses JVM<->Python via Arrow batches);
+- UTC session timezone (oracle comparisons against DuckDB's naive-UTC
+  timestamps);
+- shuffle partitions sized to cores for local mode (callers on a real
+  cluster should leave the 200+/AQE-coalesce default or size to cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pandas-UDF batches: large enough to amortize Arrow transfer, small
+    # enough to keep executor memory bounded with wide casts.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # A cast never exceeds ~1e5 rows (BASELINE.md); 128 MB split size keeps
+    # parquet scan tasks balanced at large SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "python_ctd_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, pass
+    ``master=None`` with ``spark.master`` already set and it is respected.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,137 @@
+"""Signal operators: native despike vs the exact NumPy kernel, smooth
+UDF/native, lp_filter numeric properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_ctd_spark.functions.signal_numpy import (
+    butter2_lowpass,
+    despike_kernel,
+    filtfilt2,
+    movingaverage_kernel,
+    smooth_kernel,
+)
+from python_ctd_spark.operators import signal
+from tests.conftest import collect_sorted
+
+
+# -- kernels ----------------------------------------------------------------
+
+def test_butter2_dc_gain_is_unity():
+    b, a = butter2_lowpass(0.27777)  # (1/0.15)/(24*2) — the reference default
+    assert abs(b.sum() / a.sum() - 1.0) < 1e-12
+
+
+def test_filtfilt_preserves_constant_and_line():
+    b, a = butter2_lowpass(0.2)
+    x = np.full(500, 3.14)
+    np.testing.assert_allclose(filtfilt2(b, a, x), x, rtol=1e-9)
+    # zero-phase: a straight line passes through essentially unchanged
+    x = np.linspace(0, 10, 500)
+    y = filtfilt2(b, a, x)
+    np.testing.assert_allclose(y[50:-50], x[50:-50], atol=1e-6)
+
+
+def test_filtfilt_smooths_spikes():
+    rng = np.random.RandomState(0)
+    x = np.linspace(0, 100, 2000)
+    noisy = x + rng.normal(0, 1.0, size=2000)
+    b, a = butter2_lowpass((1 / 0.15) / (24 * 2.0))
+    y = filtfilt2(b, a, noisy)
+    # filtered residual variance well below input noise variance
+    assert np.var(y[100:-100] - x[100:-100]) < 0.5 * np.var(noisy - x)
+
+
+# -- despike: native window plan == exact NumPy kernel ----------------------
+
+@pytest.mark.parametrize("block", [10, 100])
+def test_despike_native_matches_kernel(spark, multi_cast, multi_cast_pdf, block):
+    out = collect_sorted(
+        signal.despike(multi_cast, n1=2, n2=20, block=block, cols=["t090C"])
+    )
+    for cid, grp in multi_cast_pdf.groupby("cast_id"):
+        grp = grp.sort_values("scan")
+        got = out[out.cast_id == cid].t090C.to_numpy()
+        if len(grp) < block:
+            # reference kernel errors on casts shorter than the block
+            # (negative as_strided shape); the native plan passes rows
+            # through untouched — the documented divergence
+            np.testing.assert_allclose(got, grp.t090C.to_numpy(), equal_nan=True)
+            continue
+        exp = despike_kernel(grp.t090C.to_numpy(), 2, 20, block)
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+def test_despike_flags_only_spikes(spark, multi_cast, multi_cast_pdf):
+    """Reference tests/test_processing_real_data.py:25-33: non-flagged
+    values are identical to the input."""
+    out = collect_sorted(signal.despike(multi_cast, n1=2, n2=4, block=50, cols=["t090C"]))
+    merged = out.merge(
+        multi_cast_pdf[["cast_id", "scan", "t090C"]],
+        on=["cast_id", "scan"],
+        suffixes=("", "_orig"),
+    )
+    kept = merged[~merged.t090C.isna()]
+    np.testing.assert_allclose(kept.t090C.to_numpy(), kept.t090C_orig.to_numpy())
+    assert merged.t090C.isna().sum() >= 5  # the injected spikes got flagged
+
+
+def test_despike_udf_matches_native(spark, multi_cast):
+    native = collect_sorted(signal.despike(multi_cast, cols=["t090C"]))
+    udf = collect_sorted(signal.despike_udf(multi_cast, cols=["t090C"]))
+    np.testing.assert_allclose(
+        native.t090C.to_numpy(), udf.t090C.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+# -- smooth -----------------------------------------------------------------
+
+@pytest.mark.parametrize("window", ["flat", "hanning", "hamming"])
+def test_smooth_udf_matches_kernel(spark, multi_cast, multi_cast_pdf, window):
+    out = collect_sorted(
+        signal.smooth(multi_cast, window_len=11, window=window, cols=["t090C"])
+    )
+    for cid, grp in multi_cast_pdf.groupby("cast_id"):
+        grp = grp.sort_values("scan")
+        exp = smooth_kernel(grp.t090C.to_numpy(), 11, window)
+        got = out[out.cast_id == cid].t090C.to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_smooth_native_matches_kernel_interior(spark, multi_cast, multi_cast_pdf):
+    wl = 11
+    out = collect_sorted(
+        signal.smooth_native(multi_cast, window_len=wl, window="hanning", cols=["t090C"])
+    )
+    for cid, grp in multi_cast_pdf.groupby("cast_id"):
+        grp = grp.sort_values("scan")
+        exp = smooth_kernel(grp.t090C.to_numpy(), wl, "hanning")
+        got = out[out.cast_id == cid].t090C.to_numpy()
+        np.testing.assert_allclose(got[wl:-wl], exp[wl:-wl], rtol=1e-9)
+
+
+def test_smooth_short_window_identity(spark, multi_cast, multi_cast_pdf):
+    out = collect_sorted(signal.smooth(multi_cast, window_len=2, cols=["t090C"]))
+    exp = multi_cast_pdf.sort_values(["cast_id", "scan"]).t090C.to_numpy()
+    np.testing.assert_allclose(out.t090C.to_numpy(), exp)
+
+
+# -- lp_filter over Spark ---------------------------------------------------
+
+def test_lp_filter_spark_matches_kernel(spark, multi_cast, multi_cast_pdf):
+    out = collect_sorted(signal.lp_filter(multi_cast))
+    wn = (1.0 / 0.15) / (24.0 * 2.0)
+    b, a = butter2_lowpass(wn)
+    for cid, grp in multi_cast_pdf.groupby("cast_id"):
+        grp = grp.sort_values("scan")
+        exp = filtfilt2(b, a, grp.pressure.to_numpy())
+        got = out[out.cast_id == cid].pressure.to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_movingaverage_kernel_equals_convolve():
+    x = np.arange(30, dtype=float)
+    np.testing.assert_allclose(
+        movingaverage_kernel(x, 4), np.convolve(x, np.ones(4) / 4, "same")
+    )

@@ -1,0 +1,26 @@
+"""Distributed instrument-file ingestion (SURVEY.md §2.1).
+
+``parsers`` holds pure-Python per-file text parsers (run inside
+``mapInPandas`` on executors); ``readers`` wires them into Spark
+``binaryFile`` scans that emit wide cast tables + a ``cast_meta`` table.
+"""
+
+from python_ctd_spark.io.readers import (
+    from_bl,
+    from_btl,
+    from_castaway_csv,
+    from_cnv,
+    from_edf,
+    from_fsi,
+    rosette_summary,
+)
+
+__all__ = [
+    "from_cnv",
+    "from_btl",
+    "from_edf",
+    "from_fsi",
+    "from_bl",
+    "from_castaway_csv",
+    "rosette_summary",
+]

@@ -869,6 +869,234 @@ FROM scored WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
+# python_ctd_spark.operators.{dedup,similarity,text})
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = r"""
+list_distinct(list_transform(
+  range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 3, 0) + 1),
+  i -> concat_ws(' ',
+        regexp_split_to_array(lower(trim(text)), '\s+')[i + 1],
+        regexp_split_to_array(lower(trim(text)), '\s+')[i + 2],
+        regexp_split_to_array(lower(trim(text)), '\s+')[i + 3])))
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from python_ctd_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+), shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM (SELECT doc_id, unnest(sh) AS g FROM t) l
+  JOIN (SELECT doc_id, unnest(sh) AS g FROM t) r
+    ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+), sized AS (
+  SELECT s.id_a, s.id_b,
+         s.inter::DOUBLE / (ta.nsh + tb.nsh - s.inter)::DOUBLE AS j
+  FROM shared s
+  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) ta ON ta.doc_id = s.id_a
+  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) tb ON tb.doc_id = s.id_b
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM sized WHERE j >= 0.2
+"""
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    from python_ctd_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.2)
+
+
+def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
+    r = k // bands
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, sh, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
+            b=b, cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+), sigs AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM t
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ta.sh, tb.sh))::DOUBLE
+           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))::DOUBLE AS j
+  FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
+"""
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs — rows-only check (64 banded bit sums are
+    not reasonably expressible in the oracle dialect)."""
+    from python_ctd_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6, bands=4)
+
+
+_NEARDUP_PLANES = 4
+_NEARDUP_TABLES = 4
+_EMB_DIM = 64
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from python_ctd_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=0.45, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+        dim=_EMB_DIM,
+    )
+
+
+def _neardup_sql(threshold: float = 0.45) -> str:
+    """Generated oracle: inlines the deterministic Rademacher plane signs
+    (same md5 parity as the Spark side) as literal +-1 coefficients; the
+    signed sums chain left-to-right exactly like F.aggregate."""
+    from python_ctd_spark.operators.similarity import _plane_sign
+
+    def sig_expr(table: int) -> str:
+        bits = []
+        for p in range(_NEARDUP_PLANES):
+            terms = "0.0"
+            for d in range(_EMB_DIM):
+                s = _plane_sign(table * 1000 + p, d)
+                terms = f"({terms} + (embedding[{d + 1}]::DOUBLE * {float(s)!r}))"
+            bits.append(f"(CASE WHEN {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    sig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {sig_expr(t)} AS bkt FROM embeddings"
+        for t in range(_NEARDUP_TABLES)
+    )
+    return f"""
+WITH sigs AS (
+{sig_union}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sigs l JOIN sigs r
+    ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+), prod AS (
+  SELECT c.id_a, c.id_b,
+         unnest(ea.embedding)::DOUBLE AS av, unnest(eb.embedding)::DOUBLE AS bv
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+), dots AS (
+  SELECT id_a, id_b,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM prod GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
+FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= {threshold}
+"""
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (scale path of
+    embedding_cosine_topk) — rows-only check; the exact-re-rank scores are
+    verified through embedding_cosine_topk's oracle."""
+    from python_ctd_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_side = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(
+        emb, queries_side, k=5, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+        dim=_EMB_DIM,
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from python_ctd_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio",
+        "distinct_token_ratio", "quality",
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS punct
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks)::DOUBLE AS n_tok, n_chars, alpha, punct,
+         len(list_filter(ltoks, x -> x IN
+             ('the','a','of','and','to','in','is','for','that','it')))::DOUBLE AS stop_hits,
+         len(list_distinct(ltoks))::DOUBLE AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       alpha / n_chars AS alpha_ratio,
+       punct / n_chars AS punct_ratio,
+       stop_hits / n_tok AS stopword_ratio,
+       n_distinct / n_tok AS distinct_token_ratio,
+       ROUND(0.25 * least(n_tok / 100.0, 1.0)
+           + 0.25 * (alpha / n_chars)
+           + 0.2 * least(stop_hits / n_tok * 5.0, 1.0)
+           + 0.2 * (n_distinct / n_tok)
+           + 0.1 * (1.0 - least(punct / n_chars * 10.0, 1.0)), 6) AS quality
+FROM f
+"""
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    from python_ctd_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+_BPE_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -902,6 +1130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "embedding_cosine_topk": _q_embedding_topk,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "minhash_lsh_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "text_quality": _q_text_quality,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -935,4 +1170,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "embedding_cosine_topk": _EMBEDDING_TOPK_SQL,
+        "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        "minhash_lsh_dedup": _minhash_sql(),
+        "embedding_neardup": _neardup_sql(),
+        "text_quality": _TEXT_QUALITY_SQL,
+        "bpe_token_count": _BPE_TOKEN_SQL,
     }

@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (no Python workers) built
+for the shape of a 100 TB corpus:
+
+- **exact_dedup** — hash-groupBy on a content digest; map-side partial
+  aggregation, one shuffle on the digest.
+- **minhash_lsh_pairs** — shingle -> k minhashes -> banded LSH buckets ->
+  bucket-join for candidates -> exact Jaccard verification.  The only
+  shuffles are the band-bucket self-join (keys are (band, signature),
+  which LSH makes selective) and the final distinct; no O(n^2) stage.
+- **simhash_pairs** — 64-bit simhash + banded equality blocking.
+- **ngram_jaccard_pairs** — exact sparse similarity join via shared-
+  shingle inverted index (explode + join + count), the classic
+  "documents sharing >= 1 shingle" candidate generation.  Exact but
+  heavier than LSH; the oracle-checkable baseline.
+- **embedding_neardup_pairs** — cosine-over-threshold pairs on an
+  embedding column (see similarity.py for the shared kernel).
+
+Hashes are engine-deterministic (md5-derived integers), so results are
+reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer from md5 (portable across engines —
+    DuckDB computes the identical value from the same bytes)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content digest: returns one row per
+    distinct content with the keeper (min id) and the duplicate count."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature (array<bigint>): the i-th hash is
+    min over shingles of md5(i || shingle)."""
+
+    def perm_min(i: int) -> Column:
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(shingle_col, lambda s: _md5_long(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[perm_min(i) for i in range(k)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verification.
+
+    Plan: per doc compute shingles + k minhashes once; explode into
+    ``bands`` rows keyed by (band_id, band_signature); self-join on the
+    band key with ``id_a < id_b`` (each candidate pair surfaces at most
+    ``bands`` times, de-duplicated); verify with exact Jaccard on the
+    shingle arrays and keep pairs >= threshold.
+
+    At fleet scale the band join is the only wide stage and its keys are
+    ~uniform (md5-derived), so AQE's skew handling has nothing to split.
+    """
+    r = k // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via an inverted shingle index.
+
+    explode(shingles) -> equi-join on shingle -> count shared shingles per
+    pair -> |A ∩ B| / (|A| + |B| - |A ∩ B|).  Complete (no LSH recall
+    loss) but generates a candidate row per shared shingle — use
+    :func:`minhash_lsh_pairs` when the corpus is large and threshold high.
+    """
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("nsh"))
+    inv = base.select("id", F.explode("sh").alias("g"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash of whitespace tokens.
+
+    Each token contributes ±1 per bit position (sign from its md5-derived
+    integer); the fingerprint takes the sign of each bit-sum.  Expressed
+    as 64 aggregate-free array ops: tokens -> per-token 60-bit hash ->
+    per-bit contribution sums via filter+size (no UDF).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: _md5_long(t))
+    # second independent 60-bit hash stream for fingerprint bits 60..63
+    hashes_hi = F.transform(toks, lambda t: _md5_long(F.concat(F.lit("hi:"), t)))
+    total = F.size(hashes)
+
+    def bit_sum(b: int) -> Column:
+        stream = hashes if b < 60 else hashes_hi
+        mask = 1 << (b % 60)
+        ones = F.size(F.filter(stream, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        bit = (ones * 2 > total).cast("bigint")
+        return bit * F.lit(1 << b if b < 63 else -(1 << 63))
+
+    bits = [bit_sum(b) for b in range(64)]
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit fingerprint
+    into ``bands`` 16-bit blocks; two docs within ``max_hamming`` bits
+    must agree on at least one block (pigeonhole) -> block equi-join,
+    verify true Hamming distance with bit_count."""
+    width = 64 // bands
+    base = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    blocks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media are opaque ``binary`` columns with a typed metadata struct
+alongside (``media_meta``: format/width/height/duration/…).  Decode,
+feature-extract, resize, and frame-sample run as Arrow-batched
+``mapInPandas`` stages — one batch of blobs in, one batch of
+features/derived blobs out — so media work parallelizes exactly like any
+other column and never touches the driver.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
+environment, so the decode kernels are stubbed: ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic header-derived pseudo-decode runs — the Spark-side
+contract (schemas, batching, partitioning, UDF signatures) is real and
+tested; only the pixel math is fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame, blob_col: str = "blob", out_col: str = "media_meta"
+) -> DataFrame:
+    """Cheap header sniff without decoding: format from magic bytes,
+    size from length — pure JVM expressions."""
+    blob = F.col(blob_col)
+    head = F.hex(F.substring(blob, 1, 4))
+    fmt = (
+        F.when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(head.startswith("52494646"), F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn(
+        out_col,
+        F.struct(
+            fmt.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(blob).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+_FEATURE_SCHEMA = "id bigint, format string, n_bytes bigint, feat array<double>"
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    n_features: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode blobs and emit fixed-width feature vectors via mapInPandas.
+
+    With real codecs installed this is where PIL/librosa would run; here
+    the deterministic fake derives features from byte statistics so the
+    distributed plumbing (Arrow batches, schema, per-partition batching)
+    is exercised end-to-end.  ``fake=False`` raises NotImplementedError —
+    clearly marking the codec boundary.
+    """
+    if not fake:
+        msg = (
+            "Real media codecs (PIL/librosa/ffmpeg) are not available in "
+            "this environment; pass fake=True for the deterministic "
+            "pseudo-decode used in tests."
+        )
+        raise NotImplementedError(msg)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[blob_col]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                if arr.size == 0:
+                    arr = np.zeros(1)
+                chunks = np.array_split(arr, n_features)
+                feats.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+            fmt = [
+                "png" if bytes(b)[:4] == b"\x89PNG" else "raw" for b in pdf[blob_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "format": fmt,
+                    "n_bytes": pdf[blob_col].map(len).astype("int64"),
+                    "feat": feats,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(fn, _FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    every_n: int = 4,
+    frame_bytes: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling contract: one input blob -> many frame rows
+    (id, frame_idx, frame blob).  The fake treats the blob as a
+    concatenation of fixed-size frames and emits every n-th — the 1->N
+    row fan-out through mapInPandas is the part that matters."""
+    if not fake:
+        msg = "ffmpeg not available; pass fake=True for the frame-chunk fake."
+        raise NotImplementedError(msg)
+
+    schema = "id bigint, frame_idx int, frame binary"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                n_frames = max(1, len(b) // frame_bytes)
+                for k in range(0, n_frames, every_n):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(fn, schema)

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **cosine_topk** — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products as JVM higher-order functions
+  (``zip_with`` + ``aggregate``), decimal-exact so rankings are
+  bit-reproducible.  O(|queries| * |corpus|) — the baseline, and the
+  right tool when the query set is small.
+- **lsh_topk** — random-hyperplane LSH: deterministic pseudo-random
+  planes (md5-seeded signs), signature prefix buckets, candidates =
+  corpus rows sharing a bucket with the query, exact re-rank inside the
+  bucket.  Sub-linear candidate sets at fleet scale; recall controlled
+  by (n_planes, n_tables).
+
+Norms are precomputed once per row (not per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot_exact(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(30,15)"))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,15)"),
+        lambda acc, x: (acc + x).cast("decimal(38,15)"),
+    ).cast("double")
+
+
+def _norm_exact(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("decimal(30,15)")),
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, x: (acc + x).cast("decimal(38,15)"),
+        ).cast("double")
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector.
+
+    Returns (qid, id, cos, rk).  The query side is broadcast — at 100 TB
+    the corpus never shuffles; each task scores its partition against the
+    in-memory query block (classic block nested-loop with a broadcast
+    build side, which is exactly what a brute-force ANN baseline should
+    compile to).
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
+    q = q.withColumn("qnorm", _norm_exact(F.col("qe")))
+    pairs = c.join(F.broadcast(q), F.col("id") != F.col("qid"))
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm"))
+    scored = pairs.select("qid", "id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 from md5(plane:dim) parity — a fixed pseudo-random
+    hyperplane basis shared by every executor without broadcast state."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).digest()
+    return 1 if h[0] % 2 == 0 else -1
+
+
+def lsh_signature(vec_col: str, n_planes: int, dim: int, table: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign(<v, plane_p>) where the
+    plane entries are deterministic ±1 (Rademacher planes).  The dot with
+    a ±1 plane is a signed sum of coordinates — pure JVM arithmetic."""
+    v = _as_double(vec_col)
+    bits = []
+    for p in range(n_planes):
+        signs = [_plane_sign(table * 1000 + p, d) for d in range(dim)]
+        sdot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((sdot >= 0).cast("int") * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket with the
+    query in at least one hash table; exact cosine re-rank within the
+    candidate set.  Shuffles only on (table, bucket) keys."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
+    q = q.withColumn("qnorm", _norm_exact(F.col("qe")))
+
+    def bucketed(df, vc, out):
+        rows = []
+        for t in range(n_tables):
+            rows.append(
+                F.struct(
+                    F.lit(t).alias("tbl"), lsh_signature(vc, n_planes, dim, t).alias("bkt")
+                )
+            )
+        return df.withColumn(out, F.explode(F.array(*rows))).select(
+            *df.columns, F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt")
+        )
+
+    cb = bucketed(c, "e", "__b")
+    qb = bucketed(q, "qe", "__b")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("id") != F.col("qid"))
+        .dropDuplicates(["qid", "id"])
+    )
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm"))
+    scored = cand.select("qid", "id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
+    (same bucket in any table) with exact verification — the embedding
+    analog of MinHash-LSH dedup."""
+    c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    rows = []
+    for t in range(n_tables):
+        rows.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_signature("e", n_planes, dim, t).alias("bkt"))
+        )
+    b = c.withColumn("__b", F.explode(F.array(*rows))).select(
+        "id", "e", "enorm", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.e").alias("ea"),
+            F.col("r.e").alias("eb"),
+            F.col("l.enorm").alias("na"),
+            F.col("r.enorm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,175 @@
+"""Dedup / similarity / text / multimodal operator tests with planted
+ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill with great interest today"
+    )
+    near = base.replace("great interest", "mild amusement")  # near-dup of 0
+    rows = [
+        (0, base),
+        (1, near),
+        (2, base),  # exact dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "el gato duerme en la casa y el perro corre por el parque hoy"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    dup_groups = out[out.n_copies > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0].keeper_id == 0
+    assert dup_groups.iloc[0].n_copies == 2
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 2) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 1) in pairs and (1, 2) in pairs  # near dup
+    exact = out[(out.id_a == 0) & (out.id_b == 2)].jaccard.iloc[0]
+    assert exact == pytest.approx(1.0)
+    # unrelated docs absent
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_on_high_threshold(docs):
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5, k=16, bands=8).toPandas()
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    # LSH candidates verified exactly -> subset of exact pairs, and the
+    # planted exact-dup must be recalled
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    assert lsh_pairs <= exact_pairs
+    assert (0, 2) in lsh_pairs
+
+
+def test_simhash_pairs(docs):
+    out = dedup.simhash_pairs(docs, max_hamming=10).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 2) in pairs  # identical text -> hamming 0
+    h02 = out[(out.id_a == 0) & (out.id_b == 2)].hamming.iloc[0]
+    assert h02 == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(40, 16))
+    vecs[7] = vecs[3] + rng.normal(0, 0.01, size=16)  # planted near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(40, dtype="int64"), "embedding": [v.tolist() for v in vecs]}
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(df, queries, k=4, id_col="vec_id").toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        exp = np.argsort(-s, kind="stable")[:4]
+        got = out[out.qid == qid].sort_values("rk").id.to_numpy()
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_lsh_topk_recalls_planted_neardup(emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") == 3)
+    out = similarity.lsh_topk(df, queries, k=3, n_planes=6, n_tables=4, dim=16).toPandas()
+    assert 7 in set(out.id)  # the planted twin lands in the same buckets
+    assert out[out.id == 7].rk.iloc[0] == 1
+
+
+def test_embedding_neardup_pairs(emb):
+    df, _ = emb
+    out = similarity.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=6, n_tables=4, dim=16
+    ).toPandas()
+    assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(3, 7)}
+
+
+def test_quality_score_and_lang_id(docs):
+    q = text.quality_score(docs).toPandas().set_index("doc_id")
+    assert (q.alpha_ratio > 0.5).all()
+    assert q.loc[0, "n_tokens"] == 21
+    lang = text.lang_id(docs).toPandas().set_index("doc_id")
+    assert lang.loc[0, "pred_lang"] == "en"
+    assert lang.loc[4, "pred_lang"] == "es"
+
+
+def test_token_counts(docs, spark):
+    out = docs.select(
+        "doc_id",
+        text.token_count().alias("ws"),
+        text.bpe_ish_token_count().alias("bpe"),
+    ).toPandas()
+    assert (out.bpe >= out.ws).all()  # BPE pieces >= whitespace tokens
+    assert out[out.doc_id == 0].ws.iloc[0] == 21
+
+
+def test_fingerprint_deterministic(docs):
+    a = docs.select("doc_id", text.rolling_fingerprint().alias("fp")).toPandas()
+    b = docs.select("doc_id", text.rolling_fingerprint().alias("fp")).toPandas()
+    pd.testing.assert_frame_equal(a.sort_values("doc_id"), b.sort_values("doc_id"))
+    fp = a.set_index("doc_id").fp
+    assert fp.loc[0] == fp.loc[2]  # identical docs -> identical fingerprint
+    assert fp.loc[0] != fp.loc[3]
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [
+        (0, b"\x89PNG\r\n" + bytes(range(250))),
+        (1, b"RIFF" + bytes(100)),
+        (2, bytes([7] * 64)),
+    ]
+    return spark.createDataFrame(rows, "id long, blob binary")
+
+
+def test_attach_media_meta(blobs):
+    out = multimodal.attach_media_meta(blobs).toPandas().set_index("id")
+    assert out.loc[0, "media_meta"]["format"] == "png"
+    assert out.loc[1, "media_meta"]["format"] == "wav"
+    assert out.loc[2, "media_meta"]["format"] == "unknown"
+    assert out.loc[2, "media_meta"]["n_bytes"] == 64
+
+
+def test_decode_stub_gates_clearly(blobs):
+    with pytest.raises(NotImplementedError, match="codecs"):
+        multimodal.decode_and_featurize(blobs)
+
+
+def test_decode_fake_features(blobs):
+    out = multimodal.decode_and_featurize(blobs, fake=True, n_features=4).toPandas()
+    assert len(out) == 3
+    row = out[out.id == 2].iloc[0]
+    assert row["format"] == "raw"
+    np.testing.assert_allclose(row["feat"], [7.0, 7.0, 7.0, 7.0])
+    assert all(len(f) == 4 for f in out.feat)
+
+
+def test_frame_sample_fanout(blobs):
+    out = multimodal.frame_sample(blobs, every_n=2, frame_bytes=16, fake=True).toPandas()
+    # id=2: 64 bytes -> 4 frames -> sampled 0,2
+    got = out[out.id == 2].sort_values("frame_idx")
+    assert list(got.frame_idx) == [0, 2]
+    assert all(len(bytes(b)) == 16 for b in got.frame)

@@ -918,10 +918,12 @@ def _q_minhash_dedup(spark, sf_dir):
 
 
 def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
+    from python_ctd_spark.operators.dedup import MH_PRIME, mh_coeffs
+
     r = k // bands
     sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT)) AS h{i}"
-        for i in range(k)
+        f"list_min(list_transform(hm, x -> (({a} * x) + {b}) % {MH_PRIME})) AS h{i}"
+        for i, (a, b) in enumerate(mh_coeffs(k))
     )
     band_rows = "\n  UNION ALL\n".join(
         "  SELECT doc_id, sh, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
@@ -932,10 +934,14 @@ def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_PRIME}) AS hm
+  FROM t
 ), sigs AS (
   SELECT doc_id, sh,
          {sig_exprs}
-  FROM t
+  FROM hashed
 ), banded AS (
 {band_rows}
 ), cand AS (
@@ -961,7 +967,7 @@ def _q_simhash_dedup(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=6, bands=4)
 
 
-_NEARDUP_PLANES = 4
+_NEARDUP_PLANES = 6
 _NEARDUP_TABLES = 4
 _EMB_DIM = 64
 

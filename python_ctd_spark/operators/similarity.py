@@ -88,8 +88,13 @@ def _plane_sign(plane: int, dim: int) -> int:
 def lsh_signature(vec_col: str, n_planes: int, dim: int, table: int = 0) -> Column:
     """Random-hyperplane signature: bit p = sign(<v, plane_p>) where the
     plane entries are deterministic ±1 (Rademacher planes).  The dot with
-    a ±1 plane is a signed sum of coordinates — pure JVM arithmetic."""
-    v = _as_double(vec_col)
+    a ±1 plane is a signed sum of coordinates — pure JVM arithmetic.
+
+    ``vec_col`` must name an already-projected ``array<double>`` column:
+    a bound attribute is referenced cheaply by all ``n_planes`` bit
+    expressions, whereas an inline cast expression would be re-evaluated
+    once per plane."""
+    v = F.col(vec_col)
     bits = []
     for p in range(n_planes):
         signs = [_plane_sign(table * 1000 + p, d) for d in range(dim)]

@@ -1103,6 +1103,208 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# remaining reference operators: bindata(interpolate), smooth, lp_filter,
+# barrier layer thickness
+# ---------------------------------------------------------------------------
+
+def _q_bindata_interp(spark, sf_dir):
+    """Reference bindata(method='interpolate'): np.interp onto the regular
+    pressure grid, expressed natively (union grid+data, window neighbors)."""
+    from python_ctd_spark.operators.binning import bindata
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("p", F.col("value").cast("double"))
+        .withColumn("ch", F.col("value").cast("double") * 1.5 + 3.0)
+    )
+    out = bindata(
+        ev, delta=50.0, method="interpolate", cols=["ch"],
+        by="user_id", order=["ts_us", "event_id"], pressure="p",
+    )
+    return out.select("user_id", F.col("p").alias("grid_p"), F.round("ch", 4).alias("ch"))
+
+
+_BINDATA_INTERP_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DOUBLE) AS p,
+         CAST(value AS DOUBLE) * 1.5 + 3.0 AS ch
+  FROM events
+), bounds AS (
+  SELECT user_id,
+         CAST(CEIL(first(p ORDER BY ts, event_id)) AS DOUBLE) AS start,
+         CAST(FLOOR(last(p ORDER BY ts, event_id)) AS DOUBLE) AS stop
+  FROM base GROUP BY user_id
+), spans AS (
+  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS n
+  FROM bounds
+), grid AS (
+  SELECT user_id, start + unnest(generate_series(0, n - 1)) * 50.0 AS p,
+         1 AS is_grid, NULL::DOUBLE AS ch
+  FROM spans WHERE n >= 1
+), u AS (
+  SELECT user_id, p, 0 AS is_grid, ch FROM base
+  UNION ALL
+  SELECT user_id, p, is_grid, ch FROM grid
+), nb AS (
+  SELECT user_id, p, is_grid,
+         last_value(CASE WHEN is_grid = 0 THEN p END IGNORE NULLS) OVER wp AS pp,
+         last_value(CASE WHEN is_grid = 0 THEN ch END IGNORE NULLS) OVER wp AS pv,
+         first_value(CASE WHEN is_grid = 0 THEN p END IGNORE NULLS) OVER wn AS np_,
+         first_value(CASE WHEN is_grid = 0 THEN ch END IGNORE NULLS) OVER wn AS nv
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY p, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY p, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, p AS grid_p,
+       ROUND(CASE WHEN pp IS NULL THEN nv
+                  WHEN np_ IS NULL THEN pv
+                  WHEN np_ = pp THEN pv
+                  ELSE pv + (p - pp) * (nv - pv) / (np_ - pp) END, 4) AS ch
+FROM nb WHERE is_grid = 1
+"""
+
+
+def _q_lp_filter(spark, sf_dir):
+    """Zero-phase Butterworth low-pass (scipy-equivalent filtfilt kernel in
+    pure NumPy) per cast — rows-only check: a bidirectional IIR recursion
+    has no SQL equivalent."""
+    from python_ctd_spark.operators.signal import lp_filter
+
+    ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
+    out = lp_filter(
+        ev, sample_rate=24.0, time_constant=0.15, cols=["v"],
+        by="user_id", order=["ts_us", "event_id"], pressure="v",
+    )
+    return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
+
+
+def _q_smooth(spark, sf_dir):
+    """Exact reference smooth (hanning, reflect-with-pivot padding) via
+    per-cast applyInPandas — rows-only check (the edge padding rule is
+    positional, not SQL-expressible)."""
+    from python_ctd_spark.operators.signal import smooth
+
+    ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
+    out = smooth(
+        ev, window_len=11, window="hanning", cols=["v"],
+        by="user_id", order=["ts_us", "event_id"], pressure="v",
+    )
+    return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
+
+
+_SMOOTH_WINDOW_LEN = 11
+
+
+def _q_smooth_native(spark, sf_dir):
+    """JVM-native hanning smoothing (edge rows renormalize over available
+    samples) — identical to exact smooth away from the edges, 100%
+    whole-stage codegen."""
+    from python_ctd_spark.operators.signal import smooth_native
+
+    ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
+    out = smooth_native(
+        ev, window_len=_SMOOTH_WINDOW_LEN, window="hanning", cols=["v"],
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
+
+
+def _smooth_native_sql() -> str:
+    """Generated oracle: the same kernel weights as explicit lead/lag
+    terms, chained left-to-right so double accumulation order is identical
+    to the Spark expression."""
+    from python_ctd_spark.functions.signal_numpy import window_weights
+
+    wl = _SMOOTH_WINDOW_LEN
+    weights = window_weights("hanning", wl)
+    c_off = (wl - 1) // 2
+    terms, norms = [], []
+    for j, wt in enumerate(weights):
+        d = j - c_off
+        if d == 0:
+            xj = "v"
+        elif d < 0:
+            xj = f"lag(v, {-d}) OVER wo"
+        else:
+            xj = f"lead(v, {d}) OVER wo"
+        terms.append(f"COALESCE(({xj}) * {float(wt)!r}, 0.0)")
+        norms.append(f"CASE WHEN ({xj}) IS NOT NULL THEN {float(wt)!r} ELSE 0.0 END")
+    num = terms[0]
+    for t in terms[1:]:
+        num = f"({num} + {t})"
+    den = norms[0]
+    for t in norms[1:]:
+        den = f"({den} + {t})"
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v FROM events
+), sm AS (
+  SELECT event_id, user_id, {num} AS num, {den} AS den
+  FROM base
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN den > 0 THEN num / den END, 4) AS v
+FROM sm
+"""
+
+
+def _q_barrier_layer(spark, sf_dir):
+    """Barrier-layer mask over synthetic SA/CT channels derived from the
+    events value column; sigma0 is the documented linearized-EOS fallback
+    (pure arithmetic), so the oracle replicates it exactly."""
+    from python_ctd_spark.operators.derive import barrier_layer_thickness
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("sa", F.lit(35.0) + F.col("value").cast("double") / F.lit(1000.0))
+        .withColumn("ct", F.lit(28.0) - F.col("value").cast("double") / F.lit(50.0))
+    )
+    out = barrier_layer_thickness(
+        ev, sa="sa", ct="ct", out_col="BLT",
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "user_id", "BLT")
+
+
+_SIGMA0_SQL = (
+    "(1026.45 * (1.0 - (2.07e-4 + 5.0e-6 * ({ct} - 15.0)) * ({ct} - 15.0)"
+    " + 7.6e-4 * ({sa} - 35.16504)) - 1000.0)"
+)
+
+_BARRIER_LAYER_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         35.0 + CAST(value AS DOUBLE) / 1000.0 AS sa,
+         28.0 - CAST(value AS DOUBLE) / 50.0 AS ct
+  FROM events
+), l1 AS (
+  SELECT event_id, user_id, ts, sa, ct,
+         {_SIGMA0_SQL.format(sa='sa', ct='ct')} AS sig,
+         first_value(ct) OVER wa AS ct0,
+         first_value(sa) OVER wa AS sa0,
+         first_value({_SIGMA0_SQL.format(sa='sa', ct='ct')}) OVER wa AS sig0
+  FROM base
+  WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), l2 AS (
+  SELECT event_id, user_id, sa, ct, sig, ct0, sa0, sig0,
+         last_value(CASE WHEN ct0 - ct < 0.5 THEN ct END IGNORE NULLS) OVER wa AS ct_mld
+  FROM l1
+  WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       (sig - {_SIGMA0_SQL.format(sa='sa0', ct='ct_mld')})
+         < (sig0 - {_SIGMA0_SQL.format(sa='sa0', ct='ct_mld')}) AS BLT
+FROM l2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1143,6 +1345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
+        "bindata_interpolate": _q_bindata_interp,
+        "lp_filter": _q_lp_filter,
+        "smooth": _q_smooth,
+        "smooth_native": _q_smooth_native,
+        "barrier_layer_thickness": _q_barrier_layer,
     }
 
 
@@ -1181,4 +1388,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _neardup_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
+        "bindata_interpolate": _BINDATA_INTERP_SQL,
+        "smooth_native": _smooth_native_sql(),
+        "barrier_layer_thickness": _BARRIER_LAYER_SQL,
+        # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
+        # are positional, not SQL-expressible -> rows-only checks.
     }

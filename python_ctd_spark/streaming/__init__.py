@@ -1,0 +1,15 @@
+from python_ctd_spark.streaming.pipeline import (
+    event_stream,
+    run_to_memory,
+    session_windows,
+    stateful_press_check,
+    windowed_stats,
+)
+
+__all__ = [
+    "event_stream",
+    "run_to_memory",
+    "session_windows",
+    "stateful_press_check",
+    "windowed_stats",
+]

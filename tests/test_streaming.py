@@ -1,0 +1,122 @@
+"""Structured Streaming extensions: every streaming result must equal its
+batch twin on the same closed input (availableNow drain)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.streaming import (
+    event_stream,
+    run_to_memory,
+    session_windows,
+    stateful_press_check,
+    windowed_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Multi-file event archive: 3 parquet files -> 3 micro-batches.
+
+    Files are range-partitioned by time (an archive grows in arrival
+    order) so the watermark doesn't legitimately discard whole batches as
+    late data.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .repartitionByRange(3, "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    df = spark.read.parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("event_time", F.col("ts"))
+    return df.cache()
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_windowed_stats_matches_batch(spark, events_dir, batch_events):
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(
+        windowed_stats(sdf, window="1 day"), "t_win", output_mode="complete"
+    ).toPandas()
+    exp = (
+        batch_events.groupBy(F.window("event_time", "1 day").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+            "user_id", "n_events", "sum_value", "max_value",
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_sliding_window_covers_each_event_twice(spark, events_dir):
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(
+        windowed_stats(sdf, window="2 days", slide="1 day"), "t_slide",
+        output_mode="complete",
+    ).toPandas()
+    n_total = got.groupby("user_id").n_events.sum()
+    # every event lands in exactly two sliding windows
+    assert (n_total % 2 == 0).all()
+
+
+def test_session_windows_match_batch(spark, events_dir, batch_events):
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(
+        session_windows(sdf, gap="6 hours"), "t_sess", output_mode="complete"
+    ).toPandas()
+    exp = (
+        batch_events.groupBy(
+            F.session_window("event_time", "6 hours").alias("s"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("s_start"), F.col("s.end").alias("s_end"),
+            "user_id", "n_events",
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_stateful_press_check_matches_batch_operator(spark, events_dir, batch_events):
+    from python_ctd_spark.operators.ordered import press_check
+
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(stateful_press_check(sdf, "value"), "t_press").toPandas()
+
+    batch = batch_events.withColumn("pressure", F.col("value"))
+    exp = (
+        press_check(
+            batch, cols=["pressure"],
+            by="user_id", order=["event_time", "event_id"], pressure="value",
+        )
+        .select("user_id", "event_id", "pressure")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))

@@ -118,7 +118,32 @@ class CtdFrame:
             signal.smooth(self.df, window_len=window_len, window=window, cols=cols, **self._kw())
         )
 
+    def smooth_native(self, window_len: int = 11, window: str = "hanning", cols=None) -> "CtdFrame":
+        return self._wrap(
+            signal.smooth_native(
+                self.df, window_len=window_len, window=window, cols=cols,
+                by=self.by, order=self.order,
+            )
+        )
+
     # -- derived --------------------------------------------------------
+    def cell_thermal_mass(
+        self, temperature: str, conductivity: str, out_col: str = "ctm"
+    ) -> "CtdFrame":
+        return self._wrap(
+            derive.cell_thermal_mass(
+                self.df, temperature=temperature, conductivity=conductivity,
+                out_col=out_col, by=self.by, order=self.order,
+            )
+        )
+
+    def barrier_layer_thickness(self, sa: str, ct: str, out_col: str = "BLT") -> "CtdFrame":
+        return self._wrap(
+            derive.barrier_layer_thickness(
+                self.df, sa=sa, ct=ct, out_col=out_col, by=self.by, order=self.order
+            )
+        )
+
     def mixed_layer_depth(self, ct: str, out_col: str = "MLD") -> "CtdFrame":
         return self._wrap(
             derive.mixed_layer_depth(self.df, ct=ct, out_col=out_col, by=self.by, order=self.order)

@@ -93,6 +93,18 @@ def distance(lon, lat):
 # Spark column expressions (pure arithmetic, codegen'd — no Python workers)
 # --------------------------------------------------------------------------
 
+def distance_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle (haversine) distance [m] between two positions — the
+    column twin of :func:`distance` for successive stations via lag."""
+    rlon1, rlat1 = F.radians(lon1.cast("double")), F.radians(lat1.cast("double"))
+    rlon2, rlat2 = F.radians(lon2.cast("double")), F.radians(lat2.cast("double"))
+    a = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return F.lit(2.0 * _EARTH_RADIUS) * F.asin(F.sqrt(a))
+
+
 def p_from_z_col(z: Column, lat: Column) -> Column:
     depth = -z.cast("double")
     s = F.pow(F.sin(F.radians(lat.cast("double"))), 2)

@@ -32,6 +32,16 @@ def events_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(out)
     )
+    # The file source orders micro-batches by modification time; the writer
+    # stamps all parts identically, so make arrival order = time-range
+    # order explicitly (part-00000 holds the earliest ts range).
+    import glob
+    import os
+    import time
+
+    t0 = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{out}/part-*.parquet"))):
+        os.utime(f, (t0 + 10 * i, t0 + 10 * i))
     return out
 
 

@@ -1102,6 +1102,46 @@ FROM documents
 """
 
 
+def _q_brand_nation_profit(spark, sf_dir):
+    """TPC-H-Q9-flavored profit rollup: lineitem x part x supplier x
+    nation, revenue per (brand, nation).
+
+    Plan notes: part/supplier/nation are dimensions -> all three broadcast
+    (the 100 TB fact side never shuffles for the joins); one exchange for
+    the final hash aggregate with map-side combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 1200.0)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(rev).alias("revenue"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_BRAND_NATION_SQL = """
+SELECT p_brand AS brand, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_retailprice > 1200.0
+GROUP BY p_brand, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # remaining reference operators: bindata(interpolate), smooth, lp_filter,
 # barrier layer thickness
@@ -1345,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
+        "brand_nation_profit": _q_brand_nation_profit,
         "bindata_interpolate": _q_bindata_interp,
         "lp_filter": _q_lp_filter,
         "smooth": _q_smooth,
@@ -1388,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _neardup_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
+        "brand_nation_profit": _BRAND_NATION_SQL,
         "bindata_interpolate": _BINDATA_INTERP_SQL,
         "smooth_native": _smooth_native_sql(),
         "barrier_layer_thickness": _BARRIER_LAYER_SQL,

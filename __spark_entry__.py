@@ -417,18 +417,27 @@ WITH bounds AS (
 ), grid AS (
   SELECT user_id, start, unnest(generate_series(0, nedges - 2)) AS bin
   FROM spans WHERE nedges >= 2
-), binned AS (
-  SELECT e.user_id,
-         CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1 AS bin,
+), binned0 AS (
+  SELECT e.user_id, s.start, s.nedges,
+         CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1 AS bin0,
          CAST(e.value AS DOUBLE) AS ch
   FROM events e JOIN spans s ON e.user_id = s.user_id
   WHERE s.nedges >= 2
-    AND CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1
-        BETWEEN 0 AND s.nedges - 2
+), binned AS (
+  -- edge-comparison correction, mirroring the Spark operator: the
+  -- arithmetic bin index can be 1 ULP off pd.cut's direct comparisons
+  SELECT user_id, nedges,
+         CASE WHEN ch > start + (bin0 + 1) * 50.0 THEN bin0 + 1
+              WHEN ch <= start + bin0 * 50.0 THEN bin0 - 1
+              ELSE bin0 END AS bin,
+         ch
+  FROM binned0
 ), aggd AS (
   SELECT user_id, bin,
          CAST(SUM(CAST(ch AS DECIMAL(25,6))) AS DOUBLE) / COUNT(ch) AS ch
-  FROM binned GROUP BY user_id, bin
+  FROM binned
+  WHERE bin BETWEEN 0 AND nedges - 2
+  GROUP BY user_id, bin
 )
 SELECT g.user_id,
        g.start + (g.bin + 0.5) * 50.0 AS bin_center,

@@ -95,7 +95,20 @@ def _bindata_average(df, delta, cols, by, order, pressure, exact_avg=False) -> D
     n_edges = F.ceil((F.col("__stop") - F.col("__start")) / F.lit(delta)).cast("long")
     # right-closed interval index: p in (start + i*delta, start + (i+1)*delta]
     bin_idx = F.ceil((p - F.col("__start")) / F.lit(delta)).cast("long") - 1
-    d = d.withColumn("__nedges", n_edges).withColumn("__bin", bin_idx)
+    # The arithmetic form can misplace a point sitting within 1 ULP of an
+    # edge (e.g. (2.2e-16 - -2.0) rounds to exactly 2.0, flipping the
+    # ceil).  pd.cut decides by direct comparison against the edge values
+    # (edges[k] = start + k*delta), so correct the index by comparing p to
+    # its bin's edges the same way — at most one step off.
+    d = d.withColumn("__nedges", n_edges).withColumn("__bin0", bin_idx)
+    right = F.col("__start") + (F.col("__bin0") + 1) * F.lit(delta)
+    left = F.col("__start") + F.col("__bin0") * F.lit(delta)
+    corrected = (
+        F.when(p > right, F.col("__bin0") + 1)
+        .when(p <= left, F.col("__bin0") - 1)
+        .otherwise(F.col("__bin0"))
+    )
+    d = d.withColumn("__bin", corrected).drop("__bin0")
     # pd.cut drops values outside the edge span (p <= start or p > last edge)
     in_range = (F.col("__bin") >= 0) & (F.col("__bin") <= F.col("__nedges") - 2)
     aggd = (

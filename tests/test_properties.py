@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis) for the edge-semantics hard parts
+(SURVEY.md §7.5): the places where a naive Spark translation silently
+diverges from the reference — press_check's running-max-of-prior-rows
+rule with ties, bindata's right-closed bins + empty-bin grid,
+movingaverage's zero-padded edges, interior-only index interpolation.
+
+Each example builds a handful of random casts into ONE DataFrame so a
+single Spark job checks the whole batch (Spark-per-example is the cost
+ceiling; max_examples is kept modest)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from python_ctd_spark.operators.binning import bindata
+from python_ctd_spark.operators.ordered import (
+    interpolate_index,
+    movingaverage,
+    press_check,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+finite = st.floats(
+    min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+def _casts_to_pdf(casts):
+    frames = []
+    for i, vals in enumerate(casts):
+        n = len(vals)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "cast_id": f"c{i}",
+                    "scan": np.arange(n, dtype="int64"),
+                    "pressure": np.asarray(vals, dtype="float64"),
+                    "v": np.arange(n, dtype="float64") * 1.5,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+casts_strategy = st.lists(
+    st.lists(finite, min_size=3, max_size=40), min_size=1, max_size=4
+)
+
+
+@given(casts=casts_strategy)
+@SET
+def test_press_check_equals_sequential_loop(spark, casts):
+    pdf = _casts_to_pdf(casts)
+    out = (
+        press_check(spark.createDataFrame(pdf), cols=["v"])
+        .toPandas()
+        .sort_values(["cast_id", "scan"])
+        .reset_index(drop=True)
+    )
+    # oracle: NULL iff pressure < max of strictly-prior pressures
+    exp = []
+    for _, g in pdf.groupby("cast_id", sort=True):
+        mx = -math.inf
+        for p, v in zip(g.pressure, g.v):
+            exp.append(np.nan if p < mx else v)
+            mx = max(mx, p)
+    got = out.sort_values(["cast_id", "scan"]).v.to_numpy()
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(np.array(exp)))
+    np.testing.assert_allclose(got[~np.isnan(got)], np.array(exp)[~np.isnan(np.array(exp))])
+
+
+@given(casts=casts_strategy, w=st.integers(min_value=1, max_value=9))
+@SET
+def test_movingaverage_equals_zero_padded_convolve(spark, casts, w):
+    pdf = _casts_to_pdf(casts)
+    out = (
+        movingaverage(spark.createDataFrame(pdf), window_size=w, cols=["v"])
+        .toPandas()
+        .sort_values(["cast_id", "scan"])
+        .reset_index(drop=True)
+    )
+    # oracle: zero-padded centered window sum / w.  Equals
+    # np.convolve(x, ones(w)/w, 'same') whenever n >= w; for n < w
+    # convolve returns max(n, w) elements (ill-defined as a column op),
+    # where the engine keeps one output row per input row.
+    def zero_padded(x, w):
+        lo, hi = w // 2, w - w // 2 - 1
+        return np.array(
+            [x[max(0, i - lo): i + hi + 1].sum() / w for i in range(len(x))]
+        )
+
+    exp = np.concatenate(
+        [
+            zero_padded(g.v.to_numpy(), w)
+            for _, g in pdf.groupby("cast_id", sort=True)
+        ]
+    )
+    np.testing.assert_allclose(out.v.to_numpy(), exp, rtol=1e-9, atol=1e-12)
+
+
+@given(
+    casts=st.lists(
+        st.lists(finite, min_size=4, max_size=40, unique=True), min_size=1, max_size=3
+    ),
+    delta=st.sampled_from([1.0, 2.0, 5.0]),
+)
+@SET
+def test_bindata_average_matches_pandas_cut(spark, casts, delta):
+    pdf = _casts_to_pdf(casts)
+    out = (
+        bindata(spark.createDataFrame(pdf), delta=delta, cols=["v"], exact_avg=False)
+        .toPandas()
+        .sort_values(["cast_id", "pressure"])
+        .reset_index(drop=True)
+    )
+    # oracle: the reference recipe — edges arange(ceil(first), floor(last),
+    # delta), right-closed pd.cut, observed=False keeps empty bins
+    frames = []
+    for cid, g in pdf.groupby("cast_id", sort=True):
+        start = math.ceil(g.pressure.iloc[0])
+        stop = math.floor(g.pressure.iloc[-1])
+        edges = np.arange(start, stop, delta)
+        if len(edges) < 2:
+            continue
+        binned = pd.cut(g.pressure, edges, right=True)
+        m = g.groupby(binned, observed=False).v.mean()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "cast_id": cid,
+                    "pressure": edges[:-1] + delta / 2.0,
+                    "v": m.to_numpy(),
+                }
+            )
+        )
+    if not frames:
+        assert len(out) == 0
+        return
+    exp = pd.concat(frames, ignore_index=True).sort_values(
+        ["cast_id", "pressure"]
+    ).reset_index(drop=True)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose(out.pressure.to_numpy(), exp.pressure.to_numpy())
+    np.testing.assert_allclose(out.v.to_numpy(), exp.v.to_numpy(), rtol=1e-9)
+
+
+@given(
+    n=st.integers(min_value=4, max_value=40),
+    null_idx=st.sets(st.integers(min_value=0, max_value=39), min_size=1, max_size=10),
+)
+@SET
+def test_interpolate_index_matches_pandas(spark, n, null_idx):
+    rng = np.random.RandomState(n)
+    v = rng.uniform(-100, 100, size=n)
+    v[[i for i in null_idx if i < n]] = np.nan
+    pdf = pd.DataFrame(
+        {
+            "cast_id": "c0",
+            "scan": np.arange(n, dtype="int64"),
+            "pressure": np.sort(rng.uniform(0, 50, size=n)),
+            "v": v,
+        }
+    )
+    out = (
+        interpolate_index(spark.createDataFrame(pdf), cols=["v"])
+        .toPandas()
+        .sort_values("scan")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.set_index("pressure")
+        .v.interpolate(method="index", limit_direction="both", limit_area="inside")
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out.v.to_numpy(), exp, rtol=1e-9, atol=1e-12, equal_nan=True)

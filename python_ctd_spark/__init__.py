@@ -42,6 +42,7 @@ from python_ctd_spark.operators.derive import (
     barrier_layer_thickness,
     get_maxdepth,
 )
+from python_ctd_spark.operators.join import align_frames, with_meta
 
 __all__ = [
     "CtdFrame",
@@ -63,6 +64,8 @@ __all__ = [
     "mixed_layer_depth",
     "barrier_layer_thickness",
     "get_maxdepth",
+    "align_frames",
+    "with_meta",
 ]
 
 __version__ = "0.1.0"

@@ -93,6 +93,34 @@ def distance(lon, lat):
 # Spark column expressions (pure arithmetic, codegen'd — no Python workers)
 # --------------------------------------------------------------------------
 
+def register_sql_functions(spark) -> None:
+    """Register the TEOS-10 pack as SQL-callable functions (vectorized
+    pandas UDFs over the NumPy kernels) — the engine analog of the
+    reference's method-registration extension surface (SURVEY.md §2.10):
+    ``SELECT ctd_sigma0(sa, ct) FROM casts``.  Prefer the ``*_col``
+    column expressions in DataFrame code (pure JVM arithmetic); the SQL
+    names exist for ad-hoc ``spark.sql`` use.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ctd_sigma0(sa, ct):
+        return pd.Series(sigma0(sa.to_numpy(), ct.to_numpy()))
+
+    @pandas_udf("double")
+    def ctd_p_from_z(z, lat):
+        return pd.Series(p_from_z(z.to_numpy(), lat.to_numpy()))
+
+    @pandas_udf("double")
+    def ctd_z_from_p(p, lat):
+        return pd.Series(z_from_p(p.to_numpy(), lat.to_numpy()))
+
+    spark.udf.register("ctd_sigma0", ctd_sigma0)
+    spark.udf.register("ctd_p_from_z", ctd_p_from_z)
+    spark.udf.register("ctd_z_from_p", ctd_z_from_p)
+
+
 def distance_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """Great-circle (haversine) distance [m] between two positions — the
     column twin of :func:`distance` for successive stations via lag."""

@@ -1,0 +1,77 @@
+"""Alignment/metadata joins (§2.5) and the SQL function registry (§2.10)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.functions import teos10
+from python_ctd_spark.operators.join import align_frames, with_meta
+
+
+def test_align_frames_matches_pandas_alignment(spark, multi_cast, multi_cast_pdf):
+    from python_ctd_spark.operators.signal import despike
+
+    clean = despike(multi_cast, n1=1.0, n2=2.0, block=10, cols=["t090C"])
+    aligned = align_frames(multi_cast, clean, suffixes=("", "_clean"))
+    pdf = aligned.toPandas().sort_values(["cast_id", "scan"]).reset_index(drop=True)
+    assert len(pdf) == len(multi_cast_pdf)
+    # where despike kept the value, the aligned pair is identical — the
+    # reference's dirty[~spikes] == clean[~spikes] identity
+    kept = pdf.t090C_clean.notna()
+    np.testing.assert_array_equal(pdf.t090C[kept].to_numpy(), pdf.t090C_clean[kept].to_numpy())
+
+
+def test_align_frames_suffixes_only_overlapping(spark, v_cast):
+    r = v_cast.withColumn("extra", F.lit(1.0))
+    out = align_frames(v_cast, r)
+    assert "v" in out.columns and "v_r" in out.columns
+    assert "extra" in out.columns and "extra_r" not in out.columns
+
+
+def test_with_meta_broadcasts(spark, v_cast):
+    meta = spark.createDataFrame(
+        pd.DataFrame({"cast_id": ["cast_0"], "lat": [10.0], "lon": [-40.0]})
+    )
+    out = with_meta(v_cast, meta)
+    assert out.count() == v_cast.count()
+    assert out.filter(F.col("lat") == 10.0).count() == v_cast.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_function_registry_matches_numpy(spark):
+    teos10.register_sql_functions(spark)
+    pdf = pd.DataFrame(
+        {
+            "sa": np.linspace(30, 38, 50),
+            "ct": np.linspace(-2, 30, 50),
+            "z": np.linspace(-5000, 0, 50),
+            "lat": np.linspace(-60, 60, 50),
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("t_teos")
+    got = spark.sql(
+        "SELECT ctd_sigma0(sa, ct) AS s, ctd_p_from_z(z, lat) AS p, "
+        "ctd_z_from_p(ctd_p_from_z(z, lat), lat) AS z2 FROM t_teos"
+    ).toPandas()
+    np.testing.assert_allclose(
+        got.s.to_numpy(), teos10.sigma0(pdf.sa.to_numpy(), pdf.ct.to_numpy()), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        got.p.to_numpy(), teos10.p_from_z(pdf.z.to_numpy(), pdf.lat.to_numpy()), rtol=1e-12
+    )
+    # z_from_p inverts p_from_z
+    np.testing.assert_allclose(got.z2.to_numpy(), pdf.z.to_numpy(), rtol=1e-6, atol=1e-6)
+
+
+def test_sigma0_col_matches_numpy(spark):
+    pdf = pd.DataFrame({"sa": np.linspace(30, 38, 20), "ct": np.linspace(-2, 30, 20)})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(teos10.sigma0_col(F.col("sa"), F.col("ct")).alias("s"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        out.s.to_numpy(), teos10.sigma0(pdf.sa.to_numpy(), pdf.ct.to_numpy()), rtol=1e-12
+    )

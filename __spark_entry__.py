@@ -60,8 +60,9 @@ _EV_KW = {"by": "user_id", "order": ["ts_us", "event_id"], "pressure": "value"}
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H-Q1-style pricing summary over sf0.001."""
-    return _q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's canonical fluent chain (remove_up_to ->
+    split -> down leg -> press_check -> bindata) over sf0.001."""
+    return _q_ctd_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1112,90 @@ FROM documents
 """
 
 
+def _q_ctd_pipeline(spark, sf_dir):
+    """Flagship composite: the reference's canonical fluent chain
+    (README.md:39-58) end-to-end — remove_up_to -> split -> down leg ->
+    press_check -> bindata(average) — on the events cast.
+
+    Plan: every stage partitions by the same cast key, so the whole chain
+    rides ONE exchange (windows + grouped agg reuse the partitioning);
+    the bin-grid side is per-cast-tiny and joins broadcast.
+    """
+    from python_ctd_spark.operators.binning import bindata
+    from python_ctd_spark.operators.filters import remove_up_to
+    from python_ctd_spark.operators.ordered import press_check, split
+
+    ev = (
+        _ev(spark, sf_dir)
+        .withColumn("p", F.col("value").cast("double"))
+        .withColumn("ch", F.col("value").cast("double") * 0.5 + 10.0)
+    )
+    kw = {"by": "user_id", "order": ["ts_us", "event_id"], "pressure": "p"}
+    chain = remove_up_to(ev, 25.0, pressure="p")
+    chain = split(chain, **kw).filter(F.col("leg") == "down")
+    chain = press_check(chain, cols=["ch"], **kw)
+    out = bindata(chain, delta=50.0, method="average", cols=["ch"], exact_avg=True, **kw)
+    return out.select(
+        "user_id", F.col("p").alias("bin_center"), F.round("ch", 4).alias("ch")
+    )
+
+
+_CTD_PIPELINE_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS p,
+         CAST(value AS DOUBLE) * 0.5 + 10.0 AS ch
+  FROM events
+  WHERE CAST(value AS DOUBLE) >= 25.0
+), m AS (
+  SELECT user_id, max(p) AS mx FROM f GROUP BY user_id
+), s AS (
+  SELECT f.user_id, min(f.ts) AS split_ts
+  FROM f JOIN m ON f.user_id = m.user_id AND f.p = m.mx
+  GROUP BY f.user_id
+), down AS (
+  SELECT f.* FROM f JOIN s ON f.user_id = s.user_id WHERE f.ts <= s.split_ts
+), checked AS (
+  SELECT event_id, user_id, ts, p,
+         CASE WHEN p < max(p) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN NULL ELSE ch END AS ch
+  FROM down
+), bounds AS (
+  SELECT user_id,
+         CAST(CEIL(first(p ORDER BY ts, event_id)) AS DOUBLE) AS start,
+         CAST(FLOOR(last(p ORDER BY ts, event_id)) AS DOUBLE) AS stop
+  FROM checked GROUP BY user_id
+), spans AS (
+  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
+  FROM bounds
+), grid AS (
+  SELECT user_id, start, unnest(generate_series(0, nedges - 2)) AS bin
+  FROM spans WHERE nedges >= 2
+), binned0 AS (
+  SELECT c.user_id, s.start, s.nedges,
+         CAST(CEIL((c.p - s.start) / 50.0) AS BIGINT) - 1 AS bin0, c.p, c.ch
+  FROM checked c JOIN spans s ON c.user_id = s.user_id
+  WHERE s.nedges >= 2
+), binned AS (
+  SELECT user_id, nedges,
+         CASE WHEN p > start + (bin0 + 1) * 50.0 THEN bin0 + 1
+              WHEN p <= start + bin0 * 50.0 THEN bin0 - 1
+              ELSE bin0 END AS bin,
+         ch
+  FROM binned0
+), aggd AS (
+  SELECT user_id, bin,
+         CAST(SUM(CAST(ch AS DECIMAL(25,6))) AS DOUBLE) / COUNT(ch) AS ch
+  FROM binned WHERE bin BETWEEN 0 AND nedges - 2
+  GROUP BY user_id, bin
+)
+SELECT g.user_id, g.start + (g.bin + 0.5) * 50.0 AS bin_center,
+       ROUND(a.ch, 4) AS ch
+FROM grid g LEFT JOIN aggd a ON g.user_id = a.user_id AND g.bin = a.bin
+"""
+
+
 def _q_brand_nation_profit(spark, sf_dir):
     """TPC-H-Q9-flavored profit rollup: lineitem x part x supplier x
     nation, revenue per (brand, nation).
@@ -1394,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
+        "ctd_pipeline": _q_ctd_pipeline,
         "brand_nation_profit": _q_brand_nation_profit,
         "bindata_interpolate": _q_bindata_interp,
         "lp_filter": _q_lp_filter,
@@ -1438,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _neardup_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
+        "ctd_pipeline": _CTD_PIPELINE_SQL,
         "brand_nation_profit": _BRAND_NATION_SQL,
         "bindata_interpolate": _BINDATA_INTERP_SQL,
         "smooth_native": _smooth_native_sql(),

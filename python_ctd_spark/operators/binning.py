@@ -109,25 +109,45 @@ def _bindata_average(df, delta, cols, by, order, pressure, exact_avg=False) -> D
         .otherwise(F.col("__bin0"))
     )
     d = d.withColumn("__bin", corrected).drop("__bin0")
+
+    # Single-pass grid: a separate grid aggregate + left join would scan
+    # and shuffle the fact table twice (the two branches get different
+    # column prunings, so the exchange is not reusable — measured as two
+    # full subtrees in the physical plan).  Instead, attach the empty-bin
+    # grid to the row_number()==1 row of each cast (free on the window
+    # sort already paid above) and explode grid and data contributions
+    # together: one scan, one exchange, no join.
+    w = cast_window(by, order)
+    d = d.withColumn("__rn", F.row_number().over(w))
     # pd.cut drops values outside the edge span (p <= start or p > last edge)
     in_range = (F.col("__bin") >= 0) & (F.col("__bin") <= F.col("__nedges") - 2)
-    aggd = (
-        d.filter(in_range)
-        .groupBy(*by, "__bin")
-        .agg(*[_avg(c).alias(c) for c in cols])
+    struct_t = f"array<struct<b:bigint,{','.join(f'`{c}`:double' for c in cols)}>>"
+    own = F.when(
+        in_range,
+        F.array(
+            F.struct(
+                F.col("__bin").alias("b"),
+                *[F.col(c).cast("double").alias(c) for c in cols],
+            )
+        ),
+    ).otherwise(F.array().cast(struct_t))
+    null_d = F.lit(None).cast("double")
+    grid_part = F.when(
+        (F.col("__rn") == 1) & (F.col("__nedges") >= 2),
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("__nedges") - 2),
+            lambda i: F.struct(i.alias("b"), *[null_d.alias(c) for c in cols]),
+        ),
+    ).otherwise(F.array().cast(struct_t))
+    contribs = d.select(
+        *by,
+        F.col("__start"),
+        F.explode(F.concat(grid_part, own)).alias("__c"),
     )
-
-    # Per-cast bin grid (sequence+explode): keeps empty bins as NULL rows.
-    grid = (
-        d.groupBy(*by)
-        .agg(
-            F.first("__start").alias("__start"),
-            F.first("__nedges").alias("__nedges"),
-        )
-        .filter(F.col("__nedges") >= 2)
-        .withColumn("__bin", F.explode(F.sequence(F.lit(0), F.col("__nedges") - 2)))
+    out = contribs.groupBy(*by, F.col("__c.b").alias("__bin")).agg(
+        F.first("__start").alias("__start"),
+        *[_avg(f"__c.{c}").alias(c) for c in cols],
     )
-    out = grid.join(aggd, [*by, "__bin"], "left")
     center = F.col("__start") + (F.col("__bin") + F.lit(0.5)) * F.lit(delta)
     return out.withColumn(pressure, center).select(*by, pressure, *cols)
 

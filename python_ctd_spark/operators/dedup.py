@@ -250,9 +250,10 @@ def simhash64(text_col: str) -> Column:
     per-bit contribution sums via filter+size (no UDF).
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: _md5_long(t))
-    # second independent 60-bit hash stream for fingerprint bits 60..63
-    hashes_hi = F.transform(toks, lambda t: _md5_long(F.concat(F.lit("hi:"), t)))
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    hashes = F.transform(md5s, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"))
+    # second 60-bit stream from the high hex half of the same md5
+    hashes_hi = F.transform(md5s, lambda h: F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint"))
     total = F.size(hashes)
 
     def bit_sum(b: int) -> Column:
@@ -277,11 +278,21 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "sh") -> Data
     token/hash transforms inside each of the 64 bit expressions)."""
     staged = (
         df.withColumn("__toks", _tokens(text_col))
-        .withColumn("__hl", F.transform(F.col("__toks"), lambda t: _md5_long(t)))
+        # one md5 per token; both 60-bit streams come from its low/high
+        # hex halves (md5 is the expensive part — conv is cheap)
+        .withColumn("__h", F.transform(F.col("__toks"), lambda t: F.md5(t)))
+        .withColumn(
+            "__hl",
+            F.transform(
+                F.col("__h"),
+                lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+            ),
+        )
         .withColumn(
             "__hh",
             F.transform(
-                F.col("__toks"), lambda t: _md5_long(F.concat(F.lit("hi:"), t))
+                F.col("__h"),
+                lambda h: F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint"),
             ),
         )
         .withColumn("__n", F.size(F.col("__toks")))

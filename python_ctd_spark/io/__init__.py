@@ -14,8 +14,12 @@ from python_ctd_spark.io.readers import (
     from_fsi,
     rosette_summary,
 )
+from python_ctd_spark.io.sinks import read_table, write_bucketed, write_casts
 
 __all__ = [
+    "write_casts",
+    "write_bucketed",
+    "read_table",
     "from_cnv",
     "from_btl",
     "from_edf",

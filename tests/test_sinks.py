@@ -1,0 +1,44 @@
+"""Sink layouts: partition pruning and bucketed no-shuffle joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.io import sinks
+
+
+def test_write_casts_partition_pruning(spark, multi_cast, tmp_path):
+    path = str(tmp_path / "casts")
+    sinks.write_casts(multi_cast, path, partition_by="cast_id")
+    back = spark.read.parquet(path)
+    assert back.count() == multi_cast.count()
+    pruned = back.filter(F.col("cast_id") == "cast_1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the partition filter must prune at the source, not post-scan
+    assert "PartitionFilters: [isnotnull(cast_id" in plan
+    assert pruned.count() == multi_cast.filter(F.col("cast_id") == "cast_1").count()
+
+
+def test_bucketed_join_skips_exchange(spark, multi_cast):
+    # saveAsTable writes to the session's (static) warehouse dir; the
+    # DROP TABLEs below remove the managed data again.
+    name_a, name_b = "t_casts_a", "t_casts_b"
+    try:
+        sinks.write_bucketed(multi_cast, name_a, buckets=4)
+        sinks.write_bucketed(
+            multi_cast.withColumn("v2", F.col("t090C") * 2.0), name_b, buckets=4
+        )
+        a, b = sinks.read_table(spark, name_a), sinks.read_table(spark, name_b)
+        joined = a.join(
+            b.select("cast_id", "scan", "v2"), ["cast_id", "scan"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == multi_cast.count()
+        # co-bucketed equi-join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        # grouped agg on the bucket key also rides the bucketing
+        agg = a.groupBy("cast_id").agg(F.avg("t090C"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {name_b}")

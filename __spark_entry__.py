@@ -969,12 +969,63 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
 
 
 def _q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only check (64 banded bit sums are
-    not reasonably expressible in the oracle dialect)."""
+    """SimHash near-dup pairs (64-bit fingerprint, banded Hamming
+    blocking) — full SQL oracle generated from the same bit layout."""
     from python_ctd_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=6, bands=4)
+
+
+def _simhash_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    """Generated oracle for the SimHash pipeline: per-token md5 split into
+    low/high 60-bit streams, 64 majority-vote bit sums, banded block
+    equi-join, bit_count(xor) verification.  Shift-and-mask on the signed
+    fingerprint matches Spark's shiftrightunsigned because the mask cuts
+    away the sign-extension bits."""
+    width = 64 // bands
+
+    def bit_expr(b: int) -> str:
+        stream = "hl" if b < 60 else "hh2"
+        mask = 1 << (b % 60)
+        val = (1 << b) if b < 63 else -(1 << 63)
+        return (
+            f"(CASE WHEN 2 * len(list_filter({stream}, x -> (x & {mask}) != 0)) > n "
+            f"THEN {val} ELSE 0 END)"
+        )
+
+    sig_sum = "\n         + ".join(bit_expr(b) for b in range(64))
+    block_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sh, {b} AS blk, (sh >> {b * width}) & {(1 << width) - 1} AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS n, list_transform(toks, s -> md5(s)) AS hs FROM t
+), hx AS (
+  SELECT doc_id, n,
+         list_transform(hs, x -> ('0x' || substr(x, 1, 15))::BIGINT) AS hl,
+         list_transform(hs, x -> ('0x' || substr(x, 17, 15))::BIGINT) AS hh2
+  FROM h
+), sig AS (
+  SELECT doc_id,
+         {sig_sum} AS sh
+  FROM hx
+), blocks AS (
+{block_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM blocks l JOIN blocks r
+    ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
+"""
 
 
 _NEARDUP_PLANES = 6
@@ -992,24 +1043,26 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
-def _neardup_sql(threshold: float = 0.45) -> str:
-    """Generated oracle: inlines the deterministic Rademacher plane signs
-    (same md5 parity as the Spark side) as literal +-1 coefficients; the
-    signed sums chain left-to-right exactly like F.aggregate."""
+def _plane_sig_expr(table: int) -> str:
+    """Bucket-signature SQL for one LSH table: the deterministic
+    Rademacher plane signs (same md5 parity as the Spark side) inlined as
+    literal +-1 coefficients; the signed sums chain left-to-right exactly
+    like F.aggregate."""
     from python_ctd_spark.operators.similarity import _plane_sign
 
-    def sig_expr(table: int) -> str:
-        bits = []
-        for p in range(_NEARDUP_PLANES):
-            terms = "0.0"
-            for d in range(_EMB_DIM):
-                s = _plane_sign(table * 1000 + p, d)
-                terms = f"({terms} + (embedding[{d + 1}]::DOUBLE * {float(s)!r}))"
-            bits.append(f"(CASE WHEN {terms} >= 0 THEN {1 << p} ELSE 0 END)")
-        return " + ".join(bits)
+    bits = []
+    for p in range(_NEARDUP_PLANES):
+        terms = "0.0"
+        for d in range(_EMB_DIM):
+            s = _plane_sign(table * 1000 + p, d)
+            terms = f"({terms} + (embedding[{d + 1}]::DOUBLE * {float(s)!r}))"
+        bits.append(f"(CASE WHEN {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
 
+
+def _neardup_sql(threshold: float = 0.45) -> str:
     sig_union = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {t} AS tbl, {sig_expr(t)} AS bkt FROM embeddings"
+        f"  SELECT vec_id, {t} AS tbl, {_plane_sig_expr(t)} AS bkt FROM embeddings"
         for t in range(_NEARDUP_TABLES)
     )
     return f"""
@@ -1039,8 +1092,8 @@ FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= {threshold}
 
 def _q_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path of
-    embedding_cosine_topk) — rows-only check; the exact-re-rank scores are
-    verified through embedding_cosine_topk's oracle."""
+    embedding_cosine_topk): candidates share a bucket with the query in
+    any table, decimal-exact cosine re-rank — full SQL oracle."""
     from python_ctd_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1049,6 +1102,41 @@ def _q_lsh_ann_topk(spark, sf_dir):
         emb, queries_side, k=5, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
         dim=_EMB_DIM,
     )
+
+
+def _lsh_ann_sql(k: int = 5) -> str:
+    sig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {_plane_sig_expr(t)} AS bkt FROM embeddings"
+        for t in range(_NEARDUP_TABLES)
+    )
+    return f"""
+WITH sigs AS (
+{sig_union}
+), q AS (
+  SELECT vec_id AS qid, tbl, bkt FROM sigs WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.qid, s.vec_id AS id
+  FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bkt = q.bkt AND s.vec_id != q.qid
+), prod AS (
+  SELECT c.qid, c.id,
+         unnest(eq.embedding)::DOUBLE AS qv, unnest(ec.embedding)::DOUBLE AS cv
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ec ON ec.vec_id = c.id
+), dots AS (
+  SELECT qid, id,
+         CAST(SUM(CAST(qv * cv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE) AS cc
+  FROM prod GROUP BY qid, id
+), scored AS (
+  SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
+  FROM dots
+)
+SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= {k}
+"""
 
 
 def _q_text_quality(spark, sf_dir):
@@ -1521,7 +1609,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _EMBEDDING_TOPK_SQL,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "minhash_lsh_dedup": _minhash_sql(),
+        "simhash_dedup": _simhash_sql(),
         "embedding_neardup": _neardup_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
         "ctd_pipeline": _CTD_PIPELINE_SQL,

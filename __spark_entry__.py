@@ -936,7 +936,7 @@ def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
         for i, (a, b) in enumerate(mh_coeffs(k))
     )
     band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, sh, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
+        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
             b=b, cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
         )
         for b in range(bands)
@@ -945,13 +945,15 @@ def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
 WITH t AS (
   SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
 ), hashed AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_PRIME}) AS hm
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
   FROM t
+), hm_t AS (
+  SELECT doc_id, hs, list_transform(hs, x -> x % {MH_PRIME}) AS hm FROM hashed
 ), sigs AS (
-  SELECT doc_id, sh,
+  SELECT doc_id, hs,
          {sig_exprs}
-  FROM hashed
+  FROM hm_t
 ), banded AS (
 {band_rows}
 ), cand AS (
@@ -959,10 +961,12 @@ WITH t AS (
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
 ), verified AS (
+  -- Jaccard over the 60-bit shingle hashes, mirroring the Spark side
+  -- (long-array intersect; collision odds ~1e-50 per pair)
   SELECT c.id_a, c.id_b,
-         len(list_intersect(ta.sh, tb.sh))::DOUBLE
-           / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))::DOUBLE AS j
-  FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+         len(list_intersect(ta.hs, tb.hs))::DOUBLE
+           / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE AS j
+  FROM cand c JOIN hashed ta ON ta.doc_id = c.id_a JOIN hashed tb ON tb.doc_id = c.id_b
 )
 SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
 """

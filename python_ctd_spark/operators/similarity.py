@@ -144,15 +144,19 @@ def lsh_topk(
             *df.columns, F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt")
         )
 
-    cb = bucketed(c, "e", "__b")
-    qb = bucketed(q, "qe", "__b")
+    cb = bucketed(c, "e", "__b").select("id", "tbl", "bkt")
+    qb = bucketed(q, "qe", "__b").select("qid", "tbl", "bkt")
+    # bare id pairs through the dedup, vectors re-attached after (the
+    # query side is small -> broadcast on both the bucket join and fetch)
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
         .dropDuplicates(["qid", "id"])
     )
+    verified = cand.join(c, "id").join(F.broadcast(q), "qid")
     cos = _dot_exact(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm"))
-    scored = cand.select("qid", "id", cos.alias("cos"))
+    scored = verified.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -183,7 +187,11 @@ def embedding_neardup_pairs(
     b = c.withColumn("__b", F.explode(F.array(*rows))).select(
         "id", "e", "enorm", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt")
     )
-    l, r = b.alias("l"), b.alias("r")
+    # dedupe bare id pairs first (a pair surfaces once per shared table),
+    # then re-join the vectors for verification — don't shuffle the
+    # embedding arrays through the dropDuplicates
+    l = b.select("id", "tbl", "bkt").alias("l")
+    r = b.select("id", "tbl", "bkt").alias("r")
     cand = (
         l.join(
             r,
@@ -191,19 +199,20 @@ def embedding_neardup_pairs(
             & (F.col("l.bkt") == F.col("r.bkt"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.e").alias("ea"),
-            F.col("r.e").alias("eb"),
-            F.col("l.enorm").alias("na"),
-            F.col("r.enorm").alias("nb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = c.select("id", "e", "enorm")
+    verified = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("enorm").alias("na")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("enorm").alias("nb")),
+        "id_b",
     )
     cos = _dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cos", cos)
+        verified.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -51,6 +51,12 @@ def get_spark(
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+        # local mode = one JVM doing all executor work; Spark's 1g driver
+        # default hits the GC wall long before the machine does.  Only set
+        # when we chose local ourselves — on a cluster the deployer sizes it.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
 
     conf = dict(_DEFAULTS)
     if shuffle_partitions is None:

@@ -210,9 +210,21 @@ def embedding_neardup_pairs(
         vecs.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("enorm").alias("nb")),
         "id_b",
     )
+    # Two-phase verification: a plain-double dot prefilters the candidate
+    # set (its fp error on unit-ish vectors is ~1e-15, the margin is 1e-6,
+    # so no true pair is ever dropped); the order-independent decimal dot
+    # — ~100x costlier — then decides only the survivors, keeping the
+    # result bit-stable across partitionings.
+    fast_dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    fast_cos = fast_dot / (F.col("na") * F.col("nb"))
+    survivors = verified.filter(fast_cos >= F.lit(threshold - 1e-6))
     cos = _dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        verified.withColumn("cos", cos)
+        survivors.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -35,18 +35,40 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality features + a composite score:
     length, alpha ratio, punctuation density, stopword ratio, mean token
-    length, repetition (distinct/total tokens)."""
-    toks = tokens(text_col)
-    lower_toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n_tok = F.size(toks).cast("double")
-    n_chars = F.length(text_col).cast("double")
-    alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")).cast("double")
+    length, repetition (distinct/total tokens).
+
+    Tokens and per-feature counts stage through projected columns so each
+    split/regex/filter pass runs once per row, however many times the
+    composite score references it (inline expressions re-evaluate per
+    reference — same pitfall as dedup.with_shingles).
+    """
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stops, t))).cast(
-        "double"
+    lt = F.col("__lt")
+    staged = df.withColumn(
+        "__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).withColumns(
+        {
+            "__n_tok": F.size(F.col("__lt")).cast("double"),
+            "__n_chars": F.length(text_col).cast("double"),
+            "__alpha": F.length(
+                F.regexp_replace(text_col, r"[^A-Za-z]", "")
+            ).cast("double"),
+            "__punct": F.length(
+                F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")
+            ).cast("double"),
+        }
+    ).withColumns(
+        {
+            "__stop_hits": F.size(
+                F.filter(lt, lambda t: F.array_contains(en_stops, t))
+            ).cast("double"),
+            "__distinct_ratio": F.size(F.array_distinct(lt)).cast("double")
+            / F.col("__n_tok"),
+        }
     )
-    distinct_ratio = F.size(F.array_distinct(lower_toks)).cast("double") / n_tok
+    n_tok, n_chars = F.col("__n_tok"), F.col("__n_chars")
+    alpha, punct = F.col("__alpha"), F.col("__punct")
+    stop_hits, distinct_ratio = F.col("__stop_hits"), F.col("__distinct_ratio")
     score = (
         F.lit(0.25) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
         + F.lit(0.25) * (alpha / n_chars)
@@ -54,7 +76,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * distinct_ratio
         + F.lit(0.1) * (F.lit(1.0) - F.least(punct / n_chars * F.lit(10.0), F.lit(1.0)))
     )
-    return df.withColumns(
+    return staged.withColumns(
         {
             "n_tokens": n_tok.cast("bigint"),
             "alpha_ratio": alpha / n_chars,
@@ -63,26 +85,30 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "distinct_token_ratio": distinct_ratio,
             "quality": F.round(score, 6),
         }
-    )
+    ).drop("__lt", "__n_tok", "__n_chars", "__alpha", "__punct", "__stop_hits", "__distinct_ratio")
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Stopword-hit language identification (en/es/fr heuristic): count
     tokens appearing in each language's stopword list, argmax with a
     fixed precedence for ties."""
-    lower_toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hits = {}
+    staged = df.withColumn(
+        "__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    hit_cols = {}
     for lang, words in STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
-        hits[lang] = F.size(F.filter(lower_toks, lambda t: F.array_contains(arr, t)))
+        hit_cols[f"hits_{lang}"] = F.size(
+            F.filter(F.col("__lt"), lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+    staged = staged.withColumns(hit_cols)
+    en, es, fr = F.col("hits_en"), F.col("hits_es"), F.col("hits_fr")
     pred = (
-        F.when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), F.lit("en"))
-        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        F.when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
         .otherwise(F.lit("fr"))
     )
-    return df.withColumns(
-        {f"hits_{lg}": c.cast("bigint") for lg, c in hits.items()}
-    ).withColumn(out_col, pred)
+    return staged.withColumn(out_col, pred).drop("__lt")
 
 
 def rolling_fingerprint(text_col: str = "text", mod: int = 1_000_000_007) -> Column:

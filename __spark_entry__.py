@@ -813,46 +813,17 @@ FROM documents
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for 10 query vectors.
 
-    Spark plan: the 10-row query side is broadcast; the dot product is
-    decimal-exact (per-element float64 products are IEEE-identical across
-    engines; decimal summation removes order sensitivity) so the ranking is
-    bit-stable vs the oracle.
+    Spark plan: the 10-row query side is broadcast; a double-precision
+    fold scores every pair (JVM, cheap) and the decimal-exact cosine —
+    whose summation order-independence makes the ranking bit-stable vs
+    the oracle — re-scores only the per-query top-k sliver
+    (``operators.similarity.cosine_topk`` two-phase re-rank).
     """
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    prods = F.zip_with("qe", "e", lambda a, b: (a * b).cast("decimal(30,15)"))
-    dot = F.aggregate(
-        prods, F.lit(0).cast("decimal(38,15)"), lambda acc, x: (acc + x).cast("decimal(38,15)")
-    ).cast("double")
-    qnorm = F.sqrt(
-        F.aggregate(
-            F.transform("qe", lambda x: (x * x).cast("decimal(30,15)")),
-            F.lit(0).cast("decimal(38,15)"),
-            lambda acc, x: (acc + x).cast("decimal(38,15)"),
-        ).cast("double")
-    )
-    enorm = F.sqrt(
-        F.aggregate(
-            F.transform("e", lambda x: (x * x).cast("decimal(30,15)")),
-            F.lit(0).cast("decimal(38,15)"),
-            lambda acc, x: (acc + x).cast("decimal(38,15)"),
-        ).cast("double")
-    )
-    scored = pairs.select(
-        "qid", "vec_id", (dot / (qnorm * enorm)).alias("cos")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("qid", "vec_id", F.round("cos", 6).alias("cos"),
-                F.col("rk").cast("int").alias("rk"))
-    )
+    from python_ctd_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, q, k=5).withColumnRenamed("id", "vec_id")
 
 
 _EMBEDDING_TOPK_SQL = """

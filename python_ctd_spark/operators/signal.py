@@ -25,6 +25,20 @@ from python_ctd_spark.operators._util import as_list, cast_window, null_where, v
 from python_ctd_spark.schema import CAST_ID, PRESSURE, SCAN
 
 
+def _pin_partitions(df: DataFrame, by: list) -> DataFrame:
+    """Hash-partition by cast with an *explicit* partition count (the
+    session's shuffle parallelism).  A bare ``repartition(*by)`` is a
+    non-user-specified shuffle, so AQE's coalescer is free to merge the
+    tiny post-shuffle blocks into a couple of tasks — correct for JVM
+    stages, but it serializes the CPU-bound Python stage that follows
+    (measured: 2 tasks instead of 32 on local[32], 1.5x slower).  An
+    explicit count is exempt from coalescing and keeps the pandas
+    workers busy; the following groupBy.applyInPandas reuses the
+    partitioning (one exchange total)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *by)
+
+
 # ---------------------------------------------------------------------------
 # despike — native, exact
 # ---------------------------------------------------------------------------
@@ -120,7 +134,7 @@ def despike_udf(
             pdf[c] = despike_kernel(pdf[c].to_numpy(), n1=n1, n2=n2, block=block)
         return pdf
 
-    return df.repartition(*by).groupBy(*by).applyInPandas(fn, schema=schema)
+    return _pin_partitions(df, by).groupBy(*by).applyInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +172,7 @@ def lp_filter(
             pdf[c] = filtfilt2(b, a, pdf[c].to_numpy())
         return pdf
 
-    return df.repartition(*by).groupBy(*by).applyInPandas(fn, schema=schema)
+    return _pin_partitions(df, by).groupBy(*by).applyInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +206,7 @@ def smooth(
             pdf[c] = smooth_kernel(pdf[c].to_numpy(), window_len, window)
         return pdf
 
-    return df.repartition(*by).groupBy(*by).applyInPandas(fn, schema=schema)
+    return _pin_partitions(df, by).groupBy(*by).applyInPandas(fn, schema=schema)
 
 
 def smooth_native(

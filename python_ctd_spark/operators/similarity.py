@@ -44,6 +44,41 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _dot_fast(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm_fast(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+# Margin between the double-fold prefilter score and the decimal-exact
+# score.  Both fold the same 64-element products left-to-right; the double
+# path accumulates at most ~1e-13 relative error on unit-ish vectors, so
+# any candidate whose exact cosine could reach the exact kth score sits
+# within this band of the double kth score.
+_RERANK_EPS = 1e-9
+
+
+def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k from fast scores: keep every row whose double-precision
+    cosine is within ``_RERANK_EPS`` of the per-query kth fast score, then
+    let the decimal-exact cosine (computed by the caller on this surviving
+    sliver only) decide the final ranking.  Two window functions, one
+    sort — the decimal arithmetic never touches the full candidate set."""
+    w_ord = Window.partitionBy("qid").orderBy(F.col("fcos").desc(), F.col("id"))
+    w_all = Window.partitionBy("qid")
+    rn = F.row_number().over(w_ord)
+    kth = F.max(F.when(rn == k, F.col("fcos"))).over(w_all)
+    return scored.withColumn("__kth", kth).filter(
+        F.col("__kth").isNull() | (F.col("fcos") >= F.col("__kth") - _RERANK_EPS)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,15 +97,24 @@ def cosine_topk(
     """
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("qnorm", _norm_exact(F.col("qe")))
+    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
     pairs = c.join(F.broadcast(q), F.col("id") != F.col("qid"))
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm"))
-    scored = pairs.select("qid", "id", cos.alias("cos"))
+    # phase 1: double-precision scores over every pair (JVM fold, cheap);
+    # phase 2: decimal-exact cosine on the ~k survivors per query only —
+    # the decimal fold is ~100x the double fold, so it must not see the
+    # full |corpus| x |queries| cross product.
+    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
+    scored = pairs.select("qid", "id", "qe", "e", fcos.alias("fcos"))
+    survivors = _rerank_topk(scored, k)
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    rescored = survivors.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
     )
@@ -97,16 +141,16 @@ def lsh_signature(vec_col: str, n_planes: int, dim: int, table: int = 0) -> Colu
     v = F.col(vec_col)
     bits = []
     for p in range(n_planes):
-        signs = [_plane_sign(table * 1000 + p, d) for d in range(dim)]
-        sdot = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # left-associated chain of getItem adds, NOT a zip_with/aggregate
+        # fold: higher-order functions run interpreted (no whole-stage
+        # codegen), and the 24-fold signature pass dominated the LSH
+        # queries.  GetArrayItem arithmetic compiles to straight-line
+        # codegen; the chain order (0.0 + x[0]*s0 + x[1]*s1 + ...) is the
+        # same IEEE sequence as the fold and the oracle SQL.
+        sdot = F.lit(0.0)
+        for d in range(dim):
+            s = _plane_sign(table * 1000 + p, d)
+            sdot = sdot + v.getItem(d) * F.lit(float(s))
         bits.append((sdot >= 0).cast("int") * F.lit(1 << p))
     out = bits[0]
     for b in bits[1:]:
@@ -128,9 +172,9 @@ def lsh_topk(
     query in at least one hash table; exact cosine re-rank within the
     candidate set.  Shuffles only on (table, bucket) keys."""
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("qnorm", _norm_exact(F.col("qe")))
+    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
 
     def bucketed(df, vc, out):
         rows = []
@@ -155,11 +199,18 @@ def lsh_topk(
         .dropDuplicates(["qid", "id"])
     )
     verified = cand.join(c, "id").join(F.broadcast(q), "qid")
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("enorm"))
-    scored = verified.select("qid", "id", cos.alias("cos"))
+    # two-phase exactly as cosine_topk: double fold scores all candidates,
+    # decimal decides only the per-query top-k sliver
+    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
+    scored = verified.select("qid", "id", "qe", "e", fcos.alias("fcos"))
+    survivors = _rerank_topk(scored, k)
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    rescored = survivors.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
     )
@@ -178,7 +229,7 @@ def embedding_neardup_pairs(
     (same bucket in any table) with exact verification — the embedding
     analog of MinHash-LSH dedup."""
     c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("enorm", _norm_exact(F.col("e")))
+    c = c.withColumn("enorm", _norm_fast(F.col("e")))
     rows = []
     for t in range(n_tables):
         rows.append(
@@ -210,19 +261,16 @@ def embedding_neardup_pairs(
         vecs.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("enorm").alias("nb")),
         "id_b",
     )
-    # Two-phase verification: a plain-double dot prefilters the candidate
-    # set (its fp error on unit-ish vectors is ~1e-15, the margin is 1e-6,
-    # so no true pair is ever dropped); the order-independent decimal dot
-    # — ~100x costlier — then decides only the survivors, keeping the
-    # result bit-stable across partitionings.
-    fast_dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    fast_cos = fast_dot / (F.col("na") * F.col("nb"))
+    # Two-phase verification: a plain-double dot over plain-double norms
+    # prefilters the candidate set (fp error on unit-ish vectors is
+    # ~1e-13, the margin is 1e-6, so no true pair is ever dropped); the
+    # decimal-exact dot and norms — ~100x costlier — then decide only the
+    # survivors, matching the oracle's decimal arithmetic bit-for-bit.
+    fast_cos = _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     survivors = verified.filter(fast_cos >= F.lit(threshold - 1e-6))
-    cos = _dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_exact(F.col("ea"), F.col("eb")) / (
+        _norm_exact(F.col("ea")) * _norm_exact(F.col("eb"))
+    )
     return (
         survivors.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

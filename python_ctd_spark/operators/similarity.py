@@ -129,33 +129,68 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if h[0] % 2 == 0 else -1
 
 
-def lsh_signature(vec_col: str, n_planes: int, dim: int, table: int = 0) -> Column:
-    """Random-hyperplane signature: bit p = sign(<v, plane_p>) where the
-    plane entries are deterministic ±1 (Rademacher planes).  The dot with
-    a ±1 plane is a signed sum of coordinates — pure JVM arithmetic.
+def _plane_sum_sql(vec_sql: str, plane: int, dim: int) -> str:
+    """Signed coordinate sum <v, plane> for one Rademacher plane, as a
+    left-associated chain of adds/subtracts **built as a SQL string**.
+    ``x + v*1.0`` ≡ ``x + v`` and ``x + v*-1.0`` ≡ ``x - v`` bit-for-bit
+    in IEEE-754, so the chain is the same float sequence as the oracle
+    SQL's literal-coefficient form at half the expression nodes.
 
-    ``vec_col`` must name an already-projected ``array<double>`` column:
-    a bound attribute is referenced cheaply by all ``n_planes`` bit
-    expressions, whereas an inline cast expression would be re-evaluated
-    once per plane."""
-    v = F.col(vec_col)
-    bits = []
-    for p in range(n_planes):
-        # left-associated chain of getItem adds, NOT a zip_with/aggregate
-        # fold: higher-order functions run interpreted (no whole-stage
-        # codegen), and the 24-fold signature pass dominated the LSH
-        # queries.  GetArrayItem arithmetic compiles to straight-line
-        # codegen; the chain order (0.0 + x[0]*s0 + x[1]*s1 + ...) is the
-        # same IEEE sequence as the fold and the oracle SQL.
-        sdot = F.lit(0.0)
-        for d in range(dim):
-            s = _plane_sign(table * 1000 + p, d)
-            sdot = sdot + v.getItem(d) * F.lit(float(s))
-        bits.append((sdot >= 0).cast("int") * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    A string, not a Column: composing ``n_tables*n_planes*dim`` Column
+    objects is 5-8k py4j round trips (~8s of driver time per signature
+    table on local mode); one ``selectExpr`` parse is milliseconds."""
+    parts = ["0.0"]
+    for d in range(dim):
+        op = "+" if _plane_sign(plane, d) > 0 else "-"
+        parts.append(f"{op} {vec_sql}[{d}]")
+    return " ".join(parts)
+
+
+def signature_table(
+    df: DataFrame,
+    keep: list[str],
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    persist: bool = True,
+) -> DataFrame:
+    """(keep..., tbl, bkt): one row per input row per LSH hash table.
+
+    Physical shape matters more than arithmetic here:
+
+    - The ``n_tables * n_planes`` signed sums are **flat top-level
+      projection columns**, one expression each (~2*dim nodes).  Inlining
+      them into the explode's array-of-structs builds a single
+      1000+-node generator expression that blows the 64 KB codegen
+      method limit — whole-stage codegen bails (interpreted eval) and
+      every Catalyst/AQE pass re-walks the monster tree (measured: the
+      sf0.1 LSH queries spent ~20s in driver-side planning on 2000
+      rows).  Flat columns codegen-split per expression.
+    - The bucket bits are combined **above** the projection and fed to
+      ``explode`` as bound-attribute structs; the intervening Generate
+      node keeps CollapseProject from re-inlining the sums.
+    - The result is **persisted** (it is tiny: keys + two ints per row
+      per table) so self-joins and AQE replans reference an
+      InMemoryRelation instead of re-deriving the signature plan.
+    """
+    sums = [
+        f"({_plane_sum_sql(f'`{vec_col}`', t * 1000 + p, dim)}) AS __s_{t}_{p}"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    flat = df.selectExpr(*[f"`{c}`" for c in keep], *sums)
+    buckets = []
+    for t in range(n_tables):
+        bkt = " + ".join(
+            f"(CAST(__s_{t}_{p} >= 0.0 AS INT) * {1 << p})" for p in range(n_planes)
+        )
+        buckets.append(f"named_struct('tbl', {t}, 'bkt', {bkt})")
+    keep_sql = ", ".join(f"`{c}`" for c in keep)
+    out = flat.selectExpr(
+        keep_sql, f"explode(array({', '.join(buckets)})) AS __b"
+    ).selectExpr(keep_sql, "__b.tbl AS tbl", "__b.bkt AS bkt")
+    return out.persist() if persist else out
 
 
 def lsh_topk(
@@ -176,20 +211,8 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
     q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
 
-    def bucketed(df, vc, out):
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                F.struct(
-                    F.lit(t).alias("tbl"), lsh_signature(vc, n_planes, dim, t).alias("bkt")
-                )
-            )
-        return df.withColumn(out, F.explode(F.array(*rows))).select(
-            *df.columns, F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt")
-        )
-
-    cb = bucketed(c, "e", "__b").select("id", "tbl", "bkt")
-    qb = bucketed(q, "qe", "__b").select("qid", "tbl", "bkt")
+    cb = signature_table(c, ["id"], "e", n_planes, n_tables, dim)
+    qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
     # bare id pairs through the dedup, vectors re-attached after (the
     # query side is small -> broadcast on both the bucket join and fetch)
     cand = (
@@ -230,19 +253,13 @@ def embedding_neardup_pairs(
     analog of MinHash-LSH dedup."""
     c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     c = c.withColumn("enorm", _norm_fast(F.col("e")))
-    rows = []
-    for t in range(n_tables):
-        rows.append(
-            F.struct(F.lit(t).alias("tbl"), lsh_signature("e", n_planes, dim, t).alias("bkt"))
-        )
-    b = c.withColumn("__b", F.explode(F.array(*rows))).select(
-        "id", "e", "enorm", F.col("__b.tbl").alias("tbl"), F.col("__b.bkt").alias("bkt")
-    )
     # dedupe bare id pairs first (a pair surfaces once per shared table),
     # then re-join the vectors for verification — don't shuffle the
-    # embedding arrays through the dropDuplicates
-    l = b.select("id", "tbl", "bkt").alias("l")
-    r = b.select("id", "tbl", "bkt").alias("r")
+    # embedding arrays through the dropDuplicates; the persisted
+    # signature table is computed once and read by both join sides
+    b = signature_table(c, ["id"], "e", n_planes, n_tables, dim)
+    l = b.alias("l")
+    r = b.alias("r")
     cand = (
         l.join(
             r,

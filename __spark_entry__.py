@@ -1508,6 +1508,113 @@ FROM l2
 """
 
 
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 3
+
+
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF-style ANN (the second scale path beside LSH): deterministic
+    seed centroids -> cell assignment (broadcast argmax, no corpus
+    shuffle) -> probe 3 cells per query -> exact re-rank."""
+    from python_ctd_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_side = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries_side, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    )
+
+
+def _ivf_ann_sql(k: int = 5) -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), ranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM ranked WHERE rk = 1
+), probes AS (
+  SELECT id AS qid, cid AS cell FROM ranked WHERE id < 10 AND rk <= {_IVF_PROBE}
+), cand AS (
+  SELECT DISTINCT p.qid, a.id
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
+), prod AS (
+  SELECT c.qid, c.id,
+         unnest(eq.embedding)::DOUBLE AS qv, unnest(ec.embedding)::DOUBLE AS cv
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ec ON ec.vec_id = c.id
+), dots AS (
+  SELECT qid, id,
+         CAST(SUM(CAST(qv * cv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE) AS cc
+  FROM prod GROUP BY qid, id
+), scored AS (
+  SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
+  FROM dots
+)
+SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= {k}
+"""
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Multimodal plumbing end-to-end on the driver tables: document text
+    bytes stand in for an opaque media blob; header-sniff metadata (JVM
+    expressions) + the 1->N frame-sampling fan-out (mapInPandas) feed a
+    per-doc aggregate.  The fake frame chunker is deterministic, so the
+    whole pipeline has a closed-form SQL oracle."""
+    from python_ctd_spark.operators.multimodal import attach_media_meta, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    meta = attach_media_meta(docs, "blob").select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+    frames = frame_sample(
+        docs, id_col="doc_id", blob_col="blob", every_n=4, frame_bytes=16, fake=True
+    )
+    agg = frames.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.length("frame")).cast("bigint").alias("frame_bytes"),
+    )
+    return agg.join(meta, "doc_id").select(
+        "doc_id", "n_frames", "frame_bytes", "n_bytes", "format"
+    )
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), m AS (
+  SELECT doc_id, text, n, greatest(n // 16, 1) AS nf FROM b
+)
+SELECT doc_id,
+       CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
+       CAST(CASE WHEN n < 16 THEN n ELSE ((nf + 3) // 4) * 16 END AS BIGINT) AS frame_bytes,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'unknown' END AS format
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1547,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "multimodal_frames": _q_multimodal_frames,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
         "ctd_pipeline": _q_ctd_pipeline,
@@ -1594,6 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(),
         "embedding_neardup": _neardup_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _ivf_ann_sql(),
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
         "ctd_pipeline": _CTD_PIPELINE_SQL,

@@ -64,14 +64,17 @@ def _norm_fast(a: Column) -> Column:
 _RERANK_EPS = 1e-9
 
 
-def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rerank_topk(
+    scored: DataFrame, k: int, part: str = "qid", ident: str = "id"
+) -> DataFrame:
     """Exact top-k from fast scores: keep every row whose double-precision
-    cosine is within ``_RERANK_EPS`` of the per-query kth fast score, then
-    let the decimal-exact cosine (computed by the caller on this surviving
-    sliver only) decide the final ranking.  Two window functions, one
-    sort — the decimal arithmetic never touches the full candidate set."""
-    w_ord = Window.partitionBy("qid").orderBy(F.col("fcos").desc(), F.col("id"))
-    w_all = Window.partitionBy("qid")
+    cosine is within ``_RERANK_EPS`` of the per-partition kth fast score,
+    then let the decimal-exact cosine (computed by the caller on this
+    surviving sliver only) decide the final ranking.  Two window
+    functions, one sort — the decimal arithmetic never touches the full
+    candidate set."""
+    w_ord = Window.partitionBy(part).orderBy(F.col("fcos").desc(), F.col(ident))
+    w_all = Window.partitionBy(part)
     rn = F.row_number().over(w_ord)
     kth = F.max(F.when(rn == k, F.col("fcos"))).over(w_all)
     return scored.withColumn("__kth", kth).filter(
@@ -226,6 +229,88 @@ def lsh_topk(
     # decimal decides only the per-query top-k sliver
     fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
     scored = verified.select("qid", "id", "qe", "e", fcos.alias("fcos"))
+    survivors = _rerank_topk(scored, k)
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    rescored = survivors.select("qid", "id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank within the probed cells.
+
+    The centroids are **deterministic seeds** — the corpus rows with the
+    ``n_centroids`` smallest ids — rather than k-means iterates, so the
+    whole operator (assignment included) is closed-form and
+    oracle-checkable.  Swap in k-means centroids for recall at scale; the
+    plan shape is identical.
+
+    Plan shape at 100 TB: the centroid table is tiny and broadcast; cell
+    assignment is a map-side argmax (no shuffle of the corpus); the
+    probed-cell candidate join keys on ``cell`` (selective, ~1/n_centroids
+    of the corpus per probe); only candidates reach the re-rank window.
+    Assignment uses the decimal-exact dot so the cell partition is
+    bit-stable across engines; candidate scoring reuses the two-phase
+    double-prefilter + decimal re-rank of :func:`cosine_topk`.
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
+    )
+
+    def nearest_cells(side: DataFrame, key: str, vec: str, n: int) -> DataFrame:
+        """Top-n centroids per row, two-phase: double-fold scores all
+        ``n_centroids``, the decimal-exact cosine decides only the rows
+        inside the epsilon band of the fast nth score (normally exactly
+        n rows per key)."""
+        fcos = _dot_fast(F.col(vec), F.col("ce")) / (
+            _norm_fast(F.col(vec)) * _norm_fast(F.col("ce"))
+        )
+        scored = side.join(F.broadcast(cent), F.lit(True)).select(
+            key, vec, "cid", "ce", fcos.alias("fcos")
+        )
+        band = _rerank_topk(scored, n, part=key, ident="cid")
+        cos = _dot_exact(F.col(vec), F.col("ce")) / (
+            _norm_exact(F.col(vec)) * _norm_exact(F.col("ce"))
+        )
+        w = Window.partitionBy(key).orderBy(F.col("__cos").desc(), F.col("cid"))
+        return (
+            band.withColumn("__cos", cos)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .select(key, vec, F.col("cid").alias("cell"))
+        )
+
+    assigned = nearest_cells(c, "id", "e", 1)
+    q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
+    probes = nearest_cells(q, "qid", "qe", n_probe)
+    pairs = assigned.join(F.broadcast(probes), "cell").filter(F.col("id") != F.col("qid"))
+    fcos = _dot_fast(F.col("qe"), F.col("e")) / (
+        _norm_fast(F.col("qe")) * _norm_fast(F.col("e"))
+    )
+    scored = pairs.select("qid", "id", "qe", "e", fcos.alias("fcos")).dropDuplicates(
+        ["qid", "id"]
+    )
     survivors = _rerank_topk(scored, k)
     cos = _dot_exact(F.col("qe"), F.col("e")) / (
         _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))

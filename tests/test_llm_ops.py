@@ -97,6 +97,40 @@ def test_lsh_topk_recalls_planted_neardup(emb):
     assert out[out.id == 7].rk.iloc[0] == 1
 
 
+def test_ivf_topk_recalls_planted_neardup(emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") == 3)
+    out = similarity.ivf_topk(
+        df, queries, k=3, id_col="vec_id", n_centroids=8, n_probe=3
+    ).toPandas()
+    # the twin's cosine to vec 3 is ~1, so they quantize to the same cell
+    assert 7 in set(out.id)
+    assert out[out.id == 7].rk.iloc[0] == 1
+    assert list(out.sort_values("rk").rk) == [1, 2, 3]
+    # per-query ordering invariant: cos non-increasing in rk
+    assert (out.sort_values("rk").cos.diff().dropna() <= 1e-12).all()
+
+
+def test_ivf_topk_partitioning_invariant(emb):
+    """The decimal-exact ranking contract: identical output regardless of
+    physical partitioning of the corpus."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    a = (
+        similarity.ivf_topk(df, queries, k=4, id_col="vec_id", n_centroids=8)
+        .toPandas()
+        .sort_values(["qid", "rk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.ivf_topk(df.repartition(17), queries, k=4, id_col="vec_id", n_centroids=8)
+        .toPandas()
+        .sort_values(["qid", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_embedding_neardup_pairs(emb):
     df, _ = emb
     out = similarity.embedding_neardup_pairs(

@@ -42,16 +42,21 @@ def main() -> None:
     # 4.8s cold vs 1.2s warm on local[32])
     from pyspark.sql import functions as F
 
+    from python_ctd_spark.operators.signal import lp_filter
+
     n = spark.sparkContext.defaultParallelism
-    (
+    tiny = (
         spark.range(n * 64)
         .withColumn("g", F.col("id") % (n * 2))
-        .groupBy("g")
-        .applyInPandas(lambda p: p, schema="id long, g long")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
+        .withColumn("v", F.col("id").cast("double"))
     )
+    # lp_filter on a tiny frame forks every worker through the real
+    # grouped-map path: python_ctd_spark + numpy imports and the Arrow
+    # grouped-map serde all happen here instead of inside the first
+    # timed pandas-UDF query
+    lp_filter(tiny, cols=["v"], by="g", order=["id"], pressure="v").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():

@@ -1615,6 +1615,110 @@ FROM m
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Fuzzy duplicate clusters: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation) -> per-doc cluster id +
+    keeper flag.  The oracle computes the same components with a
+    recursive transitive-closure CTE over the same generated pair SQL."""
+    from python_ctd_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.5)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql()}
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+def _q_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (sort-based `percentile`, linear
+    interpolation — the same estimator as DuckDB's quantile_cont).  At
+    100 TB swap in `percentile_approx` (t-digest, single-pass partial
+    aggregation) — same plan shape, bounded memory."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = (0.25, 0.5, 0.75, 0.9)
+    # ONE array-percentile aggregate, not four scalars: each scalar
+    # percentile buffers + sorts the whole group independently (measured
+    # 5.0s vs 1.5s at sf0.1)
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in qs])).alias("ps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        *[F.round(F.col("ps")[i], 4).alias(f"p{int(p*100)}") for i, p in enumerate(qs)],
+        "n",
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event picks up the most recent prior
+    view by the same user.  Union-merge plan (one shuffle on user_id, no
+    range-join candidate explosion); oracle is DuckDB's native ASOF JOIN."""
+    from python_ctd_spark.operators.join import asof_join
+
+    ev = _ev(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts_us",
+        right_time="view_ts_us",
+        value_cols=["view_ts_us", "view_value"],
+    )
+
+
+_ASOF_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS view_ts_us, value AS view_value
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us, v.view_ts_us, v.view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1656,6 +1760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "multimodal_frames": _q_multimodal_frames,
+        "asof_join": _q_asof_join,
+        "dedup_clusters": _q_dedup_clusters,
+        "grouped_percentiles": _q_percentiles,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
         "ctd_pipeline": _q_ctd_pipeline,
@@ -1705,6 +1812,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+        "asof_join": _ASOF_JOIN_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
+        "grouped_percentiles": _PERCENTILES_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
         "ctd_pipeline": _CTD_PIPELINE_SQL,

@@ -394,3 +394,92 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until fixpoint.  Returns (node, label) for
+    every node that appears in an edge; the label is the smallest node id
+    in the component (so it is the canonical cluster id).
+
+    Iterative by nature (no closed SQL form at scale): each round is one
+    join + one min-aggregate, both keyed on the node — on a cluster the
+    rounds reuse a single hash partitioning.  Convergence takes at most
+    the graph diameter; near-dup graphs are clique-ish (tiny diameters).
+    Each round's result is persisted and the previous round unpersisted,
+    so lineage stays O(1) deep instead of O(iterations).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nl").alias("min_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("min_nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy duplicate *clusters*: MinHash-LSH near-dup pairs grouped into
+    connected components; every document gets a cluster id (the smallest
+    doc id in its component — singletons are their own cluster) and a
+    keeper flag.  This is the full "which rows do I drop" answer a
+    training-data dedup pass needs, not just the pairs."""
+    edges = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands, threshold=threshold
+    ).select("id_a", "id_b")
+    cc = connected_components(edges)
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        cc.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    )
+    cluster = F.coalesce("label", "doc_id")
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )

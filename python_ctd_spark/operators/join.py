@@ -18,7 +18,7 @@ side-channel lookup.  The engine makes both first-class:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from python_ctd_spark.operators._util import as_list
 from python_ctd_spark.schema import CAST_ID, SCAN
@@ -63,3 +63,69 @@ def with_meta(
     if meta_cols is not None:
         meta = meta.select(*by, *as_list(meta_cols))
     return df.join(F.broadcast(meta), by, "left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_time: str,
+    right_time: str,
+    value_cols=None,
+    right_order=None,
+) -> DataFrame:
+    """As-of (most-recent-at-or-before) join: for every left row, attach
+    the right row with the greatest ``right_time <= left_time`` within the
+    same ``on`` key group — the time-series enrichment join the reference's
+    pandas world gets from ``merge_asof``.
+
+    Implementation is the union-merge pattern, NOT a range join: tag both
+    sides, union on (key, time), and carry the right side's values forward
+    with ``last(..., ignorenulls=True)`` over
+    ``Window.partitionBy(on).orderBy(time, side)``.  One shuffle on the
+    key, O(n log n) in the partition — a range join would generate
+    O(left x right) candidates per key before filtering, which is the
+    classic 100 TB trap.  Right rows sort before left rows at equal
+    timestamps (side 0 < 1), making the match inclusive; ties between
+    right rows at the same timestamp are broken by ``right_order``
+    (last one wins).
+
+    Returns all left columns plus ``value_cols`` from the right (null
+    when no right row precedes the left row).
+    """
+    on = as_list(on)
+    value_cols = as_list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in on and c != right_time
+    ]
+    tiebreak = as_list(right_order) if right_order is not None else []
+
+    carried = [f"__v_{c}" for c in value_cols]
+    rsel = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreak],
+    )
+    lsel = left.select(
+        "*",
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(t.dataType).alias(a)
+          for t, a in zip([right.schema[c] for c in value_cols], carried)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+          for c in tiebreak],
+    )
+    merged = lsel.unionByName(rsel, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side", *[F.col(f"__tb_{c}").asc_nulls_last() for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged.select(
+        "*", *[F.last(a, ignorenulls=True).over(w).alias(f"__c_{a}") for a in carried]
+    )
+    keep = [c for c in left.columns] + [
+        F.col(f"__c___v_{c}").alias(c) for c in value_cols
+    ]
+    return out.filter(F.col("__side") == 1).select(*keep)

@@ -75,3 +75,56 @@ def test_sigma0_col_matches_numpy(spark):
     np.testing.assert_allclose(
         out.s.to_numpy(), teos10.sigma0(pdf.sa.to_numpy(), pdf.ct.to_numpy()), rtol=1e-12
     )
+
+
+def test_asof_join_backward_semantics(spark):
+    from python_ctd_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2], "t": [5, 10, 3, 7], "lv": list("abcd")})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "rt": [4, 10, 9], "rv": [40.0, 100.0, 90.0]})
+    )
+    out = (
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  value_cols=["rt", "rv"])
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # t=3: no right row at/before -> nulls; t=5 -> rt=4; t=10 -> rt=10
+    # (inclusive match); k=2 t=7 -> rt=9 is after -> nulls
+    assert out.loc[out.t == 3, "rv"].isna().all()
+    assert out.loc[out.t == 5, "rt"].iloc[0] == 4
+    assert out.loc[out.t == 10, "rt"].iloc[0] == 10
+    assert out.loc[out.t == 10, "rv"].iloc[0] == 100.0
+    assert out.loc[out.k == 2, "rv"].isna().all()
+
+
+def test_asof_join_tiebreak_last_wins(spark):
+    from python_ctd_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rt": [10, 10], "seq": [1, 2], "rv": [1.0, 2.0]})
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["rv"], right_order="seq",
+    ).toPandas()
+    assert out.rv.iloc[0] == 2.0  # greatest seq at the tied timestamp
+
+
+def test_connected_components_chain_and_clique(spark):
+    from python_ctd_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [1, 2, 10, 10, 11, 20], "id_b": [2, 3, 11, 12, 12, 21]}
+        )
+    )
+    out = connected_components(edges).toPandas().set_index("node").label
+    assert out.loc[1] == out.loc[2] == out.loc[3] == 1
+    assert out.loc[10] == out.loc[11] == out.loc[12] == 10
+    assert out.loc[20] == out.loc[21] == 20

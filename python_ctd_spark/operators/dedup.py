@@ -418,10 +418,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # seed labels at the one-hop minimum (this IS round 1, fused into the
+    # init aggregate); each loop round then carries the previous label
+    # in-frame so the convergence check is a filter on the round's own
+    # output, not an extra self-join
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
         .persist()
     )
     for _ in range(max_iter):
@@ -438,18 +442,13 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("min_nl", "label")).alias("label"),
+                F.col("label").alias("__old"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()

@@ -59,3 +59,56 @@ def null_where(col: str, cond: Column) -> Column:
     """``df[mask] = NaN`` (reference ctd/processing.py:108,162,179) as an
     expression: NULL where cond holds, else the original value."""
     return F.when(cond, F.lit(None).cast("double")).otherwise(F.col(col).cast("double"))
+
+
+#: aggregates that decompose into (partial, final) pairs for two-stage
+#: salted aggregation.  sum/count combine with sum; min/max are idempotent.
+_SALTABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys,
+    aggs: dict,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 aggregates on
+    ``(keys..., salt)`` where the salt is a uniform hash of the full row
+    spread across ``n_salts`` buckets, stage 2 combines the partials on
+    the true keys.  A single hot key becomes ``n_salts`` map-side groups
+    instead of one straggler reducer.
+
+    ``aggs`` maps output column name -> ('sum'|'count'|'min'|'max', col).
+    Only algebraic aggregates decompose this way — avg must be expressed
+    as sum/count by the caller (and exact decimal sums survive the
+    two-stage combine unchanged, since decimal addition is associative).
+
+    Spark's AQE handles skewed *joins* at runtime; skewed *aggregations*
+    already get map-side partial aggregation for free, so reach for this
+    only when the partial-agg hash table thrashes (billions of distinct
+    (key, value) combinations per task) — the classic 100 TB case is a
+    high-cardinality count-distinct-ish rollup under a hot key.
+    """
+    keys = as_list(keys)
+    unknown = {kind for kind, _ in aggs.values()} - set(_SALTABLE)
+    if unknown:
+        msg = f"salted_agg supports {sorted(_SALTABLE)}, got {sorted(unknown)}"
+        raise ValueError(msg)
+    salt = (F.hash(*[F.col(c) for c in df.columns]) % n_salts).alias("__salt")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[
+            _SALTABLE[kind][0](F.col(col)).alias(f"__p_{out}")
+            for out, (kind, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _SALTABLE[kind][1](F.col(f"__p_{out}")).alias(out)
+            for out, (kind, col) in aggs.items()
+        ]
+    )

@@ -128,3 +128,51 @@ def test_connected_components_chain_and_clique(spark):
     assert out.loc[1] == out.loc[2] == out.loc[3] == 1
     assert out.loc[10] == out.loc[11] == out.loc[12] == 10
     assert out.loc[20] == out.loc[21] == 20
+
+
+def test_salted_agg_matches_direct(spark):
+    from python_ctd_spark.operators._util import salted_agg
+
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame(
+        {
+            # skewed: 90% of rows share one key
+            "k": np.where(rng.rand(5000) < 0.9, 0, rng.randint(1, 50, 5000)),
+            "v": rng.randint(0, 1000, 5000).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        salted_agg(
+            df,
+            "k",
+            {
+                "total": ("sum", "v"),
+                "n": ("count", "v"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+            },
+            n_salts=8,
+        )
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.groupby("k")
+        .agg(total=("v", "sum"), n=("v", "count"), lo=("v", "min"), hi=("v", "max"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n": "int64"}), exp.astype({"n": "int64"}), check_like=True
+    )
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    from python_ctd_spark.operators._util import salted_agg
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        salted_agg(df, "id", {"a": ("avg", "id")})

@@ -63,6 +63,11 @@ def main() -> None:
         t0 = time.perf_counter()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators persist intermediates (LSH signatures, CC rounds);
+        # drop them between queries — CacheManager canonicalizes every new
+        # plan against every cached entry, so leaked giant-expression
+        # plans slow down ALL later queries' analysis
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -181,3 +181,63 @@ def test_interpolate_index_matches_pandas(spark, n, null_idx):
         .to_numpy()
     )
     np.testing.assert_allclose(out.v.to_numpy(), exp, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+@given(
+    n_left=st.integers(1, 40),
+    n_right=st.integers(0, 40),
+    seed=st.integers(0, 10_000),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, seed):
+    from python_ctd_spark.operators.join import asof_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, n_left).astype("int64"),
+            "t": rng.randint(0, 30, n_left).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, n_right).astype("int64"),
+            # distinct (k, rt) pairs: merge_asof picks the LAST right row
+            # among equal keys, which is only deterministic without ties
+            "rt": np.arange(n_right, dtype="int64") * 2,
+            "rv": rng.uniform(-5, 5, n_right),
+        }
+    )
+    out = (
+        asof_join(
+            spark.createDataFrame(left, schema="k bigint, t bigint"),
+            spark.createDataFrame(right, schema="k bigint, rt bigint, rv double"),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            value_cols=["rt", "rv"],
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+        )
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # left rows are not unique on (k, t): both engines assign every such
+    # row the same match, so sorting by (k, t) aligns them
+    np.testing.assert_allclose(
+        out.rv.to_numpy(dtype=float), exp.rv.to_numpy(dtype=float), equal_nan=True
+    )
+    np.testing.assert_allclose(
+        out.rt.to_numpy(dtype=float), exp.rt.to_numpy(dtype=float), equal_nan=True
+    )

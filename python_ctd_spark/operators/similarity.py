@@ -262,13 +262,18 @@ def ivf_topk(
     oracle-checkable.  Swap in k-means centroids for recall at scale; the
     plan shape is identical.
 
-    Plan shape at 100 TB: the centroid table is tiny and broadcast; cell
-    assignment is a map-side argmax (no shuffle of the corpus); the
-    probed-cell candidate join keys on ``cell`` (selective, ~1/n_centroids
-    of the corpus per probe); only candidates reach the re-rank window.
-    Assignment uses the decimal-exact dot so the cell partition is
-    bit-stable across engines; candidate scoring reuses the two-phase
-    double-prefilter + decimal re-rank of :func:`cosine_topk`.
+    Plan shape at 100 TB: the coarse quantizer (centroid list) is driver
+    state, as in any IVF index — collected once, inlined as literal
+    coefficients.  Cell assignment is then a pure **map-side argmax**:
+    flat fast-cosine columns, `greatest`, a CASE pick — the corpus never
+    shuffles for assignment (a window/groupBy formulation would shuffle
+    corpus x n_centroids rows).  Rows whose top two fast scores sit
+    within the epsilon band (measure-zero in practice) are resolved
+    exactly by the broadcast decimal re-rank in a second, equally
+    map-side pass over that sliver.  Probing and candidate scoring reuse
+    the two-phase double-prefilter + decimal re-rank of
+    :func:`cosine_topk`; the probed-cell candidate join broadcasts the
+    (small) query side.
     """
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
@@ -277,12 +282,113 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
     )
+    # the coarse quantizer is driver state by design (tiny); cids come
+    # back sorted ascending so "first CASE match" == "smallest cid"
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cids = [int(r["cid"]) for r in cent_rows]
+    cvecs = [[float(x) for x in r["ce"]] for r in cent_rows]
+    dim = len(cvecs[0])
+
+    def _fold_sq(v):  # left fold, same IEEE sequence as _norm_fast
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return acc
+
+    import math
+
+    cnorms = [math.sqrt(_fold_sq(v)) for v in cvecs]
+
+    # Fast scores: one compact fold per centroid, ALL funneled through ONE
+    # array column.  Two dead ends are documented here so they stay dead:
+    # (1) 16 separate straight-line chain columns are an optimizer bomb —
+    # the chains re-inline into every downstream reference (greatest /
+    # band count / argmax CASE, a 16x16 fan-out) and Catalyst's fixpoint
+    # batches walk a ~100k-node tree for minutes; (2) one array() of 16
+    # straight-line chains is a codegen bomb — a single non-splittable
+    # expression whose generated method "grows beyond 64 KB", and the
+    # slow Janino failure repeats for every stage that embeds it.
+    # aggregate/zip_with folds are CodegenFallback (interpreted) but ~10
+    # plan nodes each and the same left-to-right IEEE sequence — the
+    # per-row cost is n_centroids*dim multiply-adds either way.
+    def _dlit(x: float) -> str:
+        return f"{x!r}D"
+
+    dots = ", ".join(
+        "aggregate(zip_with(e, array("
+        + ", ".join(_dlit(x) for x in cv)
+        + "), (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+        f" / (__enorm * {_dlit(cn)})"
+        for cv, cn in zip(cvecs, cnorms)
+    )
+    enorm_sql = "sqrt(aggregate(transform(e, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+    staged = c.selectExpr("id", "e", f"{enorm_sql} AS __enorm").selectExpr(
+        "id", "e", f"array({dots}) AS __farr"
+    )
+    cids_arr = "array(" + ", ".join(f"{cid}L" for cid in cids) + ")"
+    flagged = staged.selectExpr(
+        "id", "e", "__farr", "array_max(__farr) AS __fmax"
+    ).selectExpr(
+        "id",
+        "e",
+        f"size(filter(__farr, x -> x >= __fmax - {_RERANK_EPS!r})) AS __nband",
+        f"element_at({cids_arr}, CAST(array_position(__farr, __fmax) AS INT)) AS __cfast",
+    )
+
+    # Epsilon-ambiguous rows (measure-zero in practice) are settled
+    # in-row by the decimal-exact cosine, CASE-guarded so the decimal
+    # folds evaluate only where needed.  NO filter ever touches a
+    # computed column here: splitting ambiguous rows into a separate
+    # branch plants a Filter(__nband > 1) that predicate pushdown
+    # rewrites through the projections, re-inlining the whole fold array
+    # into a per-row filter condition (measured 6s for a 0-row sliver).
+    def _dec_dot(vec_sql: str, lits: str) -> str:
+        prods = f"zip_with({vec_sql}, array({lits}), (x, c) -> CAST(x * c AS DECIMAL(30,15)))"
+        return (
+            f"CAST(aggregate({prods}, CAST(0 AS DECIMAL(38,15)), "
+            "(acc, x) -> CAST(acc + x AS DECIMAL(38,15))) AS DOUBLE)"
+        )
+
+    def _dec_norm(vec_sql: str) -> str:
+        sq = f"transform({vec_sql}, x -> CAST(x * x AS DECIMAL(30,15)))"
+        return (
+            f"sqrt(CAST(aggregate({sq}, CAST(0 AS DECIMAL(38,15)), "
+            "(acc, x) -> CAST(acc + x AS DECIMAL(38,15))) AS DOUBLE))"
+        )
+
+    dec_cosines = ", ".join(
+        f"{_dec_dot('e', ', '.join(_dlit(x) for x in cv))}"
+        f" / (__dne * {_dec_norm('array(' + ', '.join(_dlit(x) for x in cv) + ')')})"
+        for cv in cvecs
+    )
+    assigned = (
+        flagged.selectExpr(
+            "id", "e", "__nband", "__cfast",
+            f"CASE WHEN __nband > 1 THEN {_dec_norm('e')} END AS __dne",
+        )
+        .selectExpr(
+            "id", "e", "__cfast",
+            f"CASE WHEN __nband > 1 THEN array({dec_cosines}) END AS __darr",
+        )
+        .selectExpr(
+            "id",
+            "e",
+            "CASE WHEN __darr IS NULL THEN __cfast ELSE "
+            f"element_at({cids_arr}, CAST(array_position(__darr, array_max(__darr)) AS INT)) "
+            "END AS cell",
+            # non-deterministic barrier: keeps downstream inferred filters
+            # (isnotnull(cell), join-key pushdowns) from being rewritten
+            # through these projections, which would clone the fold
+            # expressions into per-row filter conditions
+            "rand() AS __nd",
+        )
+        .select("id", "e", "cell")
+    )
 
     def nearest_cells(side: DataFrame, key: str, vec: str, n: int) -> DataFrame:
-        """Top-n centroids per row, two-phase: double-fold scores all
-        ``n_centroids``, the decimal-exact cosine decides only the rows
-        inside the epsilon band of the fast nth score (normally exactly
-        n rows per key)."""
+        """Top-n centroids per (small) query row, two-phase: double-fold
+        scores all ``n_centroids``, the decimal-exact cosine decides only
+        the rows inside the epsilon band of the fast nth score."""
         fcos = _dot_fast(F.col(vec), F.col("ce")) / (
             _norm_fast(F.col(vec)) * _norm_fast(F.col("ce"))
         )
@@ -301,7 +407,6 @@ def ivf_topk(
             .select(key, vec, F.col("cid").alias("cell"))
         )
 
-    assigned = nearest_cells(c, "id", "e", 1)
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
     probes = nearest_cells(q, "qid", "qe", n_probe)
     pairs = assigned.join(F.broadcast(probes), "cell").filter(F.col("id") != F.col("qid"))

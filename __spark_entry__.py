@@ -1648,6 +1648,44 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def _q_salted_rollup(spark, sf_dir):
+    """Two-stage salted aggregation over a 3-value (maximally hot) group
+    key: stage 1 on (key, salt), stage 2 combines partials — the explicit
+    skew tool when map-side partial aggregation isn't enough.  Decimal
+    sums are associative, so the two-stage combine is value-identical to
+    the direct aggregate (and the oracle's)."""
+    from python_ctd_spark.operators._util import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__dq", F.col("l_quantity").cast("decimal(25,6)")
+    )
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "sum_qty": ("sum", "__dq"),
+            "n": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n", "min_price", "max_price",
+    )
+
+
+_SALTED_ROLLUP_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       COUNT(l_orderkey) AS n,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _q_percentiles(spark, sf_dir):
     """Exact grouped percentiles (sort-based `percentile`, linear
     interpolation — the same estimator as DuckDB's quantile_cont).  At
@@ -1763,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "dedup_clusters": _q_dedup_clusters,
         "grouped_percentiles": _q_percentiles,
+        "salted_rollup": _q_salted_rollup,
         "text_quality": _q_text_quality,
         "bpe_token_count": _q_bpe_token_count,
         "ctd_pipeline": _q_ctd_pipeline,
@@ -1815,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_JOIN_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
         "grouped_percentiles": _PERCENTILES_SQL,
+        "salted_rollup": _SALTED_ROLLUP_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "bpe_token_count": _BPE_TOKEN_SQL,
         "ctd_pipeline": _CTD_PIPELINE_SQL,

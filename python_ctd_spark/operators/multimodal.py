@@ -139,3 +139,47 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(fn, schema)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    target_w: int = 8,
+    target_h: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Image-resize contract: blob in -> (smaller) blob + new dims out,
+    one row per input, via mapInPandas.  With PIL installed this is where
+    `Image.resize` would run; the deterministic fake treats the payload
+    as a row-major byte grid and strided-samples it down to
+    ``target_w * target_h`` bytes, so batching, schema, and the
+    blob->blob Arrow round-trip are exercised for real."""
+    if not fake:
+        msg = "PIL not available; pass fake=True for the byte-stride fake."
+        raise NotImplementedError(msg)
+
+    schema = "id bigint, width int, height int, resized binary"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, out = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                n = target_w * target_h
+                if len(b) == 0:
+                    sampled = b""
+                else:
+                    step = max(1, len(b) // n)
+                    sampled = b[::step][:n]
+                ids.append(int(i))
+                ws.append(target_w)
+                hs.append(target_h)
+                out.append(sampled)
+            yield pd.DataFrame(
+                {"id": ids, "width": ws, "height": hs, "resized": out}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(fn, schema)

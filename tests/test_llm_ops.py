@@ -207,3 +207,20 @@ def test_frame_sample_fanout(blobs):
     got = out[out.id == 2].sort_values("frame_idx")
     assert list(got.frame_idx) == [0, 2]
     assert all(len(bytes(b)) == 16 for b in got.frame)
+
+
+def test_resize_image_fake_strides(spark, blobs):
+    out = multimodal.resize_image(blobs, fake=True, target_w=4, target_h=2).toPandas()
+    assert set(out.columns) == {"id", "width", "height", "resized"}
+    assert (out.width == 4).all() and (out.height == 2).all()
+    assert (out.resized.map(len) <= 8).all()
+    # deterministic: same input -> same bytes
+    again = multimodal.resize_image(blobs, fake=True, target_w=4, target_h=2).toPandas()
+    a = out.sort_values("id").resized.map(bytes).tolist()
+    b = again.sort_values("id").resized.map(bytes).tolist()
+    assert a == b
+
+
+def test_resize_image_without_codec_raises(blobs):
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(blobs)

@@ -4,6 +4,7 @@ UDF/native, lp_filter numeric properties."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from python_ctd_spark.functions.signal_numpy import (
     butter2_lowpass,
@@ -134,4 +135,65 @@ def test_movingaverage_kernel_equals_convolve():
     x = np.arange(30, dtype=float)
     np.testing.assert_allclose(
         movingaverage_kernel(x, 4), np.convolve(x, np.ones(4) / 4, "same")
+    )
+
+
+# -- vendor-golden regression (reference tests/test_processing_real_data.py)
+
+
+def test_lp_filter_matches_seabird_golden(spark):
+    """The reference's strongest external check
+    (tests/test_processing_real_data.py:36-42): low-pass filtering the
+    spiked cast's pressure matches Sea-Bird's own filtered output of the
+    same cast to 1 decimal, on the downcast leg."""
+    from pathlib import Path
+
+    from python_ctd_spark.io.readers import from_cnv
+    from python_ctd_spark.operators.ordered import split
+
+    data = Path("/root/reference/tests/data")
+    unf, _ = from_cnv(spark, str(data / "CTD-spiked-unfiltered.cnv.bz2"))
+    fil, _ = from_cnv(spark, str(data / "CTD-spiked-filtered.cnv.bz2"))
+
+    from python_ctd_spark.operators.signal import lp_filter
+
+    ours = (
+        lp_filter(
+            unf.select("cast_id", "scan", "pressure"),
+            sample_rate=24.0,
+            time_constant=0.15,
+            cols=["pressure"],
+        )
+        .toPandas()
+        .sort_values("scan")
+    )
+    down = split(fil).filter(F.col("leg") == "down")
+    theirs = down.select("scan", "pressure").toPandas().sort_values("scan")
+    merged = ours.merge(theirs, on="scan", suffixes=("_ours", "_sbe"))
+    assert len(merged) == len(theirs) > 10_000
+    np.testing.assert_array_almost_equal(
+        merged.pressure_ours.to_numpy(), merged.pressure_sbe.to_numpy(), decimal=1
+    )
+
+
+def test_press_check_idempotent_on_clean_cast(spark):
+    """Reference tests/test_processing_real_data.py:45-52: press_check on
+    already-monotonic (filtered, downcast) data changes nothing."""
+    from pathlib import Path
+
+    from python_ctd_spark.io.readers import from_cnv
+    from python_ctd_spark.operators.ordered import press_check, split
+
+    data = Path("/root/reference/tests/data")
+    fil, _ = from_cnv(spark, str(data / "CTD-spiked-filtered.cnv.bz2"))
+    down = split(fil).filter(F.col("leg") == "down").select(
+        "cast_id", "scan", "pressure", "t090C"
+    )
+    checked = press_check(down, cols=["t090C"])
+    a = down.orderBy("scan").toPandas()
+    b = checked.orderBy("scan").toPandas()[a.columns]
+    rev = (a.pressure.cummax().shift(1) > a.pressure).fillna(False)
+    # rows that are not pressure reversals must be untouched
+    np.testing.assert_array_equal(
+        a.loc[~rev, "t090C"].to_numpy(), b.loc[~rev, "t090C"].to_numpy()
     )

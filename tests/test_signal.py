@@ -197,3 +197,29 @@ def test_press_check_idempotent_on_clean_cast(spark):
     np.testing.assert_array_equal(
         a.loc[~rev, "t090C"].to_numpy(), b.loc[~rev, "t090C"].to_numpy()
     )
+
+
+def test_despike_real_cast_untouched_values_bit_identical(spark):
+    """Reference tests/test_processing_real_data.py:25-33: despiking the
+    spiked conductivity channel NULLs the spikes and leaves every other
+    value bit-identical."""
+    from pathlib import Path
+
+    from python_ctd_spark.io.readers import from_cnv
+    from python_ctd_spark.operators.ordered import split
+
+    data = Path("/root/reference/tests/data")
+    unf, _ = from_cnv(spark, str(data / "CTD-spiked-unfiltered.cnv.bz2"))
+    down = split(unf).filter(F.col("leg") == "down").select(
+        "cast_id", "scan", "pressure", "c0S_m"
+    )
+    clean = (
+        signal.despike(down, cols=["c0S_m"])
+        .orderBy("scan")
+        .toPandas()
+    )
+    dirty = down.orderBy("scan").toPandas()
+    spikes = clean["c0S_m"].isna() & dirty["c0S_m"].notna()
+    assert spikes.any()  # the planted spikes are flagged
+    keep = ~clean["c0S_m"].isna()
+    assert (dirty.loc[keep, "c0S_m"] == clean.loc[keep, "c0S_m"]).all()

@@ -95,9 +95,12 @@ class CtdFrame:
 
     # -- binning --------------------------------------------------------
     def bindata(self, delta: float = 1.0, method: str = "average", cols=None) -> "CtdFrame":
-        return self._wrap(
-            binning.bindata(self.df, delta=delta, method=method, cols=cols, **self._kw())
-        )
+        out = binning.bindata(self.df, delta=delta, method=method, cols=cols, **self._kw())
+        # the binned frame is keyed by the bin grid: the original scan
+        # order is gone and the pressure column IS the order — chained
+        # ordered ops (the reference's canonical .bindata().smooth())
+        # sort by it
+        return CtdFrame(out, by=self.by, order=self.pressure, pressure=self.pressure)
 
     # -- signal ---------------------------------------------------------
     def despike(self, n1: float = 2, n2: float = 20, block: int = 100, cols=None) -> "CtdFrame":

@@ -107,6 +107,12 @@ def smooth_kernel(data: np.ndarray, window_len: int, window: str) -> np.ndarray:
     data = np.asarray(data, dtype=float)
     if window_len < 3:
         return data.copy()
+    if data.size < window_len:
+        # reference raises ValueError for vectors shorter than the window
+        # (ctd/processing.py:206-207); in a multi-cast frame one short
+        # cast must not kill the job — pass it through untouched (the
+        # documented divergence, same policy as despike on short casts)
+        return data.copy()
     s = np.r_[
         2 * data[0] - data[window_len:1:-1],
         data,

@@ -75,3 +75,31 @@ def test_derived_methods_compose(spark, multi_cast):
     assert pdf.ctm.notna().sum() > 0
     md = CtdFrame(multi_cast).get_maxdepth(cols=["t090C"]).toPandas()
     assert len(md) == 3
+
+
+def test_full_chain_on_real_cast(spark):
+    """Reference tests/test_processing_real_data.py:55-66: the canonical
+    README chain runs end-to-end on the real 71k-scan cast and produces a
+    regular pressure grid."""
+    from python_ctd_spark.io.readers import from_cnv
+
+    data, _ = from_cnv(
+        spark, "/root/reference/tests/data/CTD-spiked-unfiltered.cnv.bz2"
+    )
+    out = (
+        CtdFrame(data.select("cast_id", "scan", "pressure", "t090C"))
+        .remove_above_water()
+        .split()
+        .down()
+        .despike(n1=2, n2=20, block=100, cols=["t090C"])
+        .lp_filter()
+        .press_check(cols=["t090C"])
+        .interpolate_index(cols=["t090C"])
+        .bindata(delta=1.0, cols=["t090C"])
+        .smooth(window_len=21, window="hanning", cols=["t090C"])
+        .df.toPandas()
+    )
+    assert len(out) > 100
+    diffs = np.diff(np.sort(out.pressure.to_numpy()))
+    np.testing.assert_allclose(diffs, 1.0, atol=1e-9)  # regular 1-dbar grid
+    assert out.t090C.notna().sum() > 100

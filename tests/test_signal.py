@@ -223,3 +223,23 @@ def test_despike_real_cast_untouched_values_bit_identical(spark):
     assert spikes.any()  # the planted spikes are flagged
     keep = ~clean["c0S_m"].isna()
     assert (dirty.loc[keep, "c0S_m"] == clean.loc[keep, "c0S_m"]).all()
+
+
+def test_smooth_short_cast_passes_through(spark):
+    """Casts shorter than the window pass through untouched (the
+    reference raises, ctd/processing.py:206-207 — documented divergence:
+    one short cast must not kill a multi-cast job)."""
+    pdf = pd.DataFrame(
+        {
+            "cast_id": ["a", "a", "a", "b"],
+            "scan": [0, 1, 2, 0],
+            "pressure": [1.0, 2.0, 3.0, 1.0],
+            "t090C": [10.0, 11.0, 12.0, 99.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = collect_sorted(signal.smooth(df, window_len=11, cols=["t090C"]))
+    got_b = out[out.cast_id == "b"].t090C.to_numpy()
+    np.testing.assert_allclose(got_b, [99.0])
+    got_a = out[out.cast_id == "a"].t090C.to_numpy()
+    np.testing.assert_allclose(got_a, [10.0, 11.0, 12.0])  # 3 < 11 -> untouched

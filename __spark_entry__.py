@@ -1757,6 +1757,73 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+_STREAM_RUN_COUNTER = [0]
+_STREAM_STAGE_CACHE: dict[str, str] = {}
+
+
+def _q_streaming_windowed(spark, sf_dir):
+    """Structured Streaming surface in the driver contract: the event
+    archive replayed through ``readStream`` (one file per micro-batch),
+    event-time 1-day tumbling windows per user with a watermark, drained
+    with an availableNow trigger into a memory sink.
+
+    Complete output mode, so on a closed input the streaming result is
+    *exactly* the batch aggregation — which is the oracle (the streaming
+    == batch twin law that tests/test_streaming.py asserts per operator).
+    Window starts are epoch-aligned; emitted as epoch microseconds so the
+    oracle compare is timestamp-representation-free.
+    """
+    import glob
+    import os
+    import tempfile
+
+    from python_ctd_spark.streaming import event_stream, run_to_memory, windowed_stats
+
+    # The file stream source replays a *directory* in file-arrival order;
+    # stage the closed archive as 3 time-ranged parts (earliest range
+    # first) so the drain exercises real incremental micro-batches, the
+    # same growing-archive layout tests/test_streaming.py uses.
+    stage = _STREAM_STAGE_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartitionByRange(3, "ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        t0 = os.path.getmtime(stage) - 1000
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+        _STREAM_STAGE_CACHE[sf_dir] = stage
+
+    sdf = event_stream(spark, stage)
+    res = windowed_stats(sdf, window="1 day", watermark="1 hour")
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(
+        res, f"stream_win_stats_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+    )
+    return tbl.select(
+        F.unix_micros(F.col("w_start")).alias("w_start_us"),
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "max_value",
+    )
+
+
+_STREAMING_WINDOWED_SQL = """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS w_start_us,
+       user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1811,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth": _q_smooth,
         "smooth_native": _q_smooth_native,
         "barrier_layer_thickness": _q_barrier_layer,
+        "streaming_windowed_stats": _q_streaming_windowed,
     }
 
 
@@ -1862,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "bindata_interpolate": _BINDATA_INTERP_SQL,
         "smooth_native": _smooth_native_sql(),
         "barrier_layer_thickness": _BARRIER_LAYER_SQL,
+        "streaming_windowed_stats": _STREAMING_WINDOWED_SQL,
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
         # are positional, not SQL-expressible -> rows-only checks.
     }

@@ -401,16 +401,22 @@ def _q_bindata_average(spark, sf_dir):
         by="user_id", order=["ts_us", "event_id"], pressure="p",
         exact_avg=True,
     )
-    return out.select(
-        "user_id", F.col("p").alias("bin_center"), F.round(F.col("ch"), 4).alias("ch")
-    )
+    # no rounding: exact_avg's decimal sum + IEEE division is bit-identical
+    # to the oracle's, while ROUND itself is not (Spark rounds the exact
+    # decimal expansion HALF_UP, DuckDB rounds in float) — a value near a
+    # .00005 boundary can flip between the two.
+    return out.select("user_id", F.col("p").alias("bin_center"), "ch")
 
 
 _BINDATA_SQL = """
 WITH bounds AS (
   SELECT user_id,
-         CAST(CEIL(first(CAST(value AS DOUBLE) ORDER BY ts, event_id)) AS DOUBLE) AS start,
-         CAST(FLOOR(last(CAST(value AS DOUBLE) ORDER BY ts, event_id)) AS DOUBLE) AS stop
+         -- direction-insensitive bounds (the operator binds least/greatest
+         -- of the endpoint values so the upcast bins too)
+         CAST(CEIL(LEAST(first(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                         last(CAST(value AS DOUBLE) ORDER BY ts, event_id))) AS DOUBLE) AS start,
+         CAST(FLOOR(GREATEST(first(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             last(CAST(value AS DOUBLE) ORDER BY ts, event_id))) AS DOUBLE) AS stop
   FROM events GROUP BY user_id
 ), spans AS (
   SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
@@ -442,7 +448,7 @@ WITH bounds AS (
 )
 SELECT g.user_id,
        g.start + (g.bin + 0.5) * 50.0 AS bin_center,
-       ROUND(a.ch, 4) AS ch
+       a.ch AS ch
 FROM grid g LEFT JOIN aggd a ON g.user_id = a.user_id AND g.bin = a.bin
 """
 
@@ -1226,8 +1232,10 @@ WITH f AS (
   FROM down
 ), bounds AS (
   SELECT user_id,
-         CAST(CEIL(first(p ORDER BY ts, event_id)) AS DOUBLE) AS start,
-         CAST(FLOOR(last(p ORDER BY ts, event_id)) AS DOUBLE) AS stop
+         CAST(CEIL(LEAST(first(p ORDER BY ts, event_id),
+                         last(p ORDER BY ts, event_id))) AS DOUBLE) AS start,
+         CAST(FLOOR(GREATEST(first(p ORDER BY ts, event_id),
+                             last(p ORDER BY ts, event_id))) AS DOUBLE) AS stop
   FROM checked GROUP BY user_id
 ), spans AS (
   SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
@@ -1329,8 +1337,10 @@ WITH base AS (
   FROM events
 ), bounds AS (
   SELECT user_id,
-         CAST(CEIL(first(p ORDER BY ts, event_id)) AS DOUBLE) AS start,
-         CAST(FLOOR(last(p ORDER BY ts, event_id)) AS DOUBLE) AS stop
+         CAST(CEIL(LEAST(first(p ORDER BY ts, event_id),
+                         last(p ORDER BY ts, event_id))) AS DOUBLE) AS start,
+         CAST(FLOOR(GREATEST(first(p ORDER BY ts, event_id),
+                             last(p ORDER BY ts, event_id))) AS DOUBLE) AS stop
   FROM base GROUP BY user_id
 ), spans AS (
   SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS n
@@ -1366,8 +1376,10 @@ FROM nb WHERE is_grid = 1
 
 def _q_lp_filter(spark, sf_dir):
     """Zero-phase Butterworth low-pass (scipy-equivalent filtfilt kernel in
-    pure NumPy) per cast — rows-only check: a bidirectional IIR recursion
-    has no SQL equivalent."""
+    pure NumPy) per cast.  Value-checked against a kernel-golden parquet
+    (tools/make_golden.py runs the identical NumPy kernel — itself
+    vendor-validated in tests/test_signal.py — over the same input in the
+    same order; bit-identical float64, so no rounding on either side)."""
     from python_ctd_spark.operators.signal import lp_filter
 
     # project before the Python boundary: applyInPandas ships its declared
@@ -1380,13 +1392,13 @@ def _q_lp_filter(spark, sf_dir):
         ev, sample_rate=24.0, time_constant=0.15, cols=["v"],
         by="user_id", order=["ts_us", "event_id"], pressure="v",
     )
-    return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
+    return out.select("event_id", "user_id", "v")
 
 
 def _q_smooth(spark, sf_dir):
     """Exact reference smooth (hanning, reflect-with-pivot padding) via
-    per-cast applyInPandas — rows-only check (the edge padding rule is
-    positional, not SQL-expressible)."""
+    per-cast applyInPandas.  Value-checked against a kernel-golden parquet
+    (see _q_lp_filter / tools/make_golden.py)."""
     from python_ctd_spark.operators.signal import smooth
 
     ev = _ev(spark, sf_dir).select(
@@ -1396,7 +1408,17 @@ def _q_smooth(spark, sf_dir):
         ev, window_len=11, window="hanning", cols=["v"],
         by="user_id", order=["ts_us", "event_id"], pressure="v",
     )
-    return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
+    return out.select("event_id", "user_id", "v")
+
+
+def _golden_sql(name: str) -> str:
+    """Oracle over a kernel-golden parquet: expected values precomputed by
+    the pure-NumPy reference kernels (tools/make_golden.py).  Only valid at
+    sf0.01 — the scale the driver's correctness gate runs at."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
+    return f"SELECT event_id, user_id, v FROM read_parquet('{p}/{name}_sf0.01.parquet')"
 
 
 _SMOOTH_WINDOW_LEN = 11
@@ -1932,5 +1954,9 @@ def oracle_sql() -> dict[str, str]:
         "barrier_layer_thickness": _BARRIER_LAYER_SQL,
         "streaming_windowed_stats": _STREAMING_WINDOWED_SQL,
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
-        # are positional, not SQL-expressible -> rows-only checks.
+        # are positional, not SQL-expressible — their oracles are
+        # kernel-golden parquet files precomputed by tools/make_golden.py
+        # from the vendor-validated NumPy kernels.
+        "lp_filter": _golden_sql("lp_filter"),
+        "smooth": _golden_sql("smooth"),
     }

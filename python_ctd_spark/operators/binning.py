@@ -33,9 +33,15 @@ def _with_bin_bounds(df: DataFrame, by, order, pressure: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     p = F.col(pressure).cast("double")
+    # Direction-insensitive bounds: the reference reverses the upcast before
+    # binning so its index always ascends; our split() keeps scan order
+    # (deep-to-shallow on the up leg), so take least/greatest of the two
+    # endpoint values.  Identical to first/last on a downcast.
+    first_p = F.first(p).over(w_all)
+    last_p = F.last(p).over(w_all)
     return (
-        df.withColumn("__start", F.ceil(F.first(p).over(w_all)).cast("double"))
-        .withColumn("__stop", F.floor(F.last(p).over(w_all)).cast("double"))
+        df.withColumn("__start", F.ceil(F.least(first_p, last_p)).cast("double"))
+        .withColumn("__stop", F.floor(F.greatest(first_p, last_p)).cast("double"))
     )
 
 

@@ -62,10 +62,15 @@ def with_shingles(
     0.36s for 5k docs)."""
     toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # try_element_at, not element_at: Spark 4 runs ANSI mode by default, so
+    # an index past the end (any doc shorter than n tokens) would abort the
+    # whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  try_element_at
+    # yields NULL there and concat_ws skips it, so a short doc produces a
+    # single shingle of all its tokens.
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
     return (
@@ -92,7 +97,7 @@ def shingles(text_col: str, n: int = 3) -> Column:
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
     return F.array_distinct(grams)

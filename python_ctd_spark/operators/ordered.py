@@ -104,7 +104,9 @@ def movingaverage(
     count(*)) to reproduce NaN propagation.
     """
     by, order = as_list(by), as_list(order)
-    cols = value_columns(df, cols, by, order, None)
+    # pressure is the physical index, never a data channel: the reference
+    # convolves only the data columns (ctd/processing.py:243-262).
+    cols = value_columns(df, cols, by, order, pressure)
     w_int = int(window_size)
     frame = cast_window(by, order).rowsBetween(-(w_int // 2), w_int - w_int // 2 - 1)
     out = {}

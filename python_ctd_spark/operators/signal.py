@@ -168,8 +168,13 @@ def lp_filter(
     def fn(pdf):
         pdf = pdf.sort_values(order, kind="mergesort")
         b, a = butter2_lowpass(wn)
-        for c in target_cols:
-            pdf[c] = filtfilt2(b, a, pdf[c].to_numpy())
+        padlen = 3 * max(len(a), len(b))
+        # Casts too short to pad pass through unchanged — same documented
+        # short-series policy as despike_kernel/smooth_kernel; raising here
+        # would abort the whole distributed job for one stub cast.
+        if len(pdf) > padlen:
+            for c in target_cols:
+                pdf[c] = filtfilt2(b, a, pdf[c].to_numpy())
         return pdf
 
     return _pin_partitions(df, by).groupBy(*by).applyInPandas(fn, schema=schema)

@@ -109,3 +109,28 @@ def test_bindata_interpolate_matches_np_interp(spark, delta):
         got = out[out.cast_id == cid]
         np.testing.assert_allclose(got.pressure.to_numpy(), exp.index.to_numpy())
         np.testing.assert_allclose(got.t090C.to_numpy(), exp.to_numpy(), rtol=1e-12)
+
+
+def test_bindata_upcast_matches_reversed_reference(spark, v_cast, v_cast_pdf):
+    """The reference reverses the upcast before binning (split returns the
+    up leg ascending); our split keeps scan order, so bindata's bounds must
+    be direction-insensitive.  Regression for the r1 advice finding where
+    the up leg silently binned to an empty frame."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.filters import remove_above_water
+
+    up = ordered.split(remove_above_water(v_cast))
+    up = up.filter(F.col("leg") == "up").drop("leg")
+    out = collect_sorted(
+        binning.bindata(up, delta=1.0, cols=["v"]), order=("cast_id", "pressure")
+    )
+    # oracle: reference filters, splits at argmax+1, REVERSES the up leg
+    pdf = v_cast_pdf[v_cast_pdf.pressure >= 0].reset_index(drop=True)
+    argmax = int(pdf.pressure.to_numpy().argmax())
+    up_ref = pdf.iloc[argmax + 1 :].iloc[::-1]
+    s = up_ref.set_index("pressure").v
+    exp = _bindata_oracle(s, 1.0, "average")
+    assert len(out) > 0
+    np.testing.assert_allclose(out.pressure.to_numpy(), exp.index.to_numpy())
+    np.testing.assert_allclose(out.v.to_numpy(), exp.to_numpy(), equal_nan=True)

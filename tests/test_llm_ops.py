@@ -224,3 +224,31 @@ def test_resize_image_fake_strides(spark, blobs):
 def test_resize_image_without_codec_raises(blobs):
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(blobs)
+
+
+def test_short_docs_do_not_crash_shingles(spark):
+    """Spark 4 runs ANSI mode by default, so ``element_at`` past the token
+    array's end (any doc shorter than n tokens) used to abort the whole job
+    with INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  ``try_element_at`` makes a
+    short doc shingle to a single gram of all its tokens."""
+    rows = [
+        (0, "one two"),
+        (1, "single"),
+        (2, ""),
+        (3, "a normal length document with plenty of tokens to shingle"),
+        (4, "a normal length document with plenty of tokens to shingle"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = (
+        dedup.with_shingles(df, n=3)
+        .select("doc_id", "sh")
+        .toPandas()
+        .set_index("doc_id")
+        .sh
+    )
+    assert list(sh[0]) == ["one two"]
+    assert list(sh[1]) == ["single"]
+    # and the full pipelines survive short/empty docs end-to-end
+    lsh = dedup.minhash_lsh_pairs(df, threshold=0.5).toPandas()
+    assert (3, 4) in set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()

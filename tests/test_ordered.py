@@ -160,3 +160,14 @@ def test_cumsum(multi_cast, multi_cast_pdf):
         .to_numpy()
     )
     np.testing.assert_allclose(out.t090C_cumsum.to_numpy(), exp, rtol=1e-9)
+
+
+def test_movingaverage_leaves_pressure_alone(spark, multi_cast, multi_cast_pdf):
+    """Default cols must exclude the physical index: the reference convolves
+    only data columns (ctd/processing.py:243-262).  Regression for the r1
+    advice finding where pressure was boxcar-averaged too."""
+    out = collect_sorted(ordered.movingaverage(multi_cast, window_size=4))
+    pdf = multi_cast_pdf.sort_values(["cast_id", "scan"], kind="mergesort")
+    np.testing.assert_array_equal(out.pressure.to_numpy(), pdf.pressure.to_numpy())
+    # the data channel really was averaged
+    assert not np.allclose(out.t090C.to_numpy(), pdf.t090C.to_numpy())

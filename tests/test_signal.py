@@ -243,3 +243,27 @@ def test_smooth_short_cast_passes_through(spark):
     np.testing.assert_allclose(got_b, [99.0])
     got_a = out[out.cast_id == "a"].t090C.to_numpy()
     np.testing.assert_allclose(got_a, [10.0, 11.0, 12.0])  # 3 < 11 -> untouched
+
+
+def test_lp_filter_short_cast_passes_through(spark, multi_cast_pdf):
+    """One cast shorter than the filtfilt pad length must not abort the
+    distributed job (r1 advice): it passes through unchanged, same policy
+    as despike/smooth, while long casts in the same frame are filtered."""
+    tiny = pd.DataFrame(
+        {
+            "cast_id": "tiny",
+            "scan": np.arange(1, 4, dtype="int64"),
+            "pressure": [1.0, 2.5, 3.5],
+            "t090C": [20.0, 19.9, 19.8],
+            "c0S_m": [4.0, 4.0, 4.0],
+            "sbeox0Mm_Kg": [200.0, 201.0, 202.0],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([multi_cast_pdf, tiny], ignore_index=True))
+    out = collect_sorted(signal.lp_filter(df))
+    got_tiny = out[out.cast_id == "tiny"].sort_values("scan")
+    np.testing.assert_array_equal(got_tiny.pressure.to_numpy(), [1.0, 2.5, 3.5])
+    # a long cast in the same frame really was filtered
+    got_long = out[out.cast_id == "cast_0"].sort_values("scan")
+    orig_long = multi_cast_pdf[multi_cast_pdf.cast_id == "cast_0"].sort_values("scan")
+    assert not np.allclose(got_long.pressure.to_numpy(), orig_long.pressure.to_numpy())

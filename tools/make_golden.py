@@ -1,0 +1,96 @@
+"""Generate kernel-golden parquet oracles for the two non-SQL-expressible
+signal queries (``lp_filter``, ``smooth``).
+
+The driver's correctness gate compares each Spark query against a DuckDB
+SQL oracle at sf0.01.  A bidirectional IIR (filtfilt) and a pivot-reflect
+padded convolution have no SQL equivalent, so these two were rows-only in
+round 1.  This script runs the *same pure-NumPy kernels* (independently
+validated against Sea-Bird-filtered vendor CNV data in
+``tests/test_signal.py``) over the sf0.01 events table in the exact group
+/ sort order the Spark queries use, and writes the expected output as
+parquet.  The oracle SQL then becomes ``SELECT ... FROM read_parquet(...)``
+— a full value-level check.
+
+Determinism: the Spark queries run the identical kernel on the identical
+float64 input per group (Arrow preserves bits), so outputs are
+bit-identical — no rounding needed on either side.
+
+Run from the repo root:  python tools/make_golden.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from python_ctd_spark.functions.signal_numpy import (  # noqa: E402
+    butter2_lowpass,
+    filtfilt2,
+    smooth_kernel,
+)
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "data" / "golden"
+
+
+def load_events(sf_dir: str) -> pd.DataFrame:
+    """Replicate ``__spark_entry__._ev`` + the signal queries' projection:
+    ts is raw int64 nanoseconds (nanosAsLong), ts_us = ts div 1000."""
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    pdf = pd.DataFrame(
+        {
+            "event_id": tbl["event_id"].to_numpy(),
+            "user_id": tbl["user_id"].to_numpy(),
+            "ts_us": tbl["ts"].cast(pa.int64()).to_numpy() // 1000,
+            "v": tbl["value"].to_numpy().astype("float64"),
+        }
+    )
+    return pdf
+
+
+def apply_per_group(pdf: pd.DataFrame, kernel) -> pd.DataFrame:
+    """Same contract as the operators' applyInPandas fn: per user_id group,
+    sort by (ts_us, event_id) with a stable sort, run the kernel over v."""
+    parts = []
+    for _, grp in pdf.groupby("user_id", sort=False):
+        grp = grp.sort_values(["ts_us", "event_id"], kind="mergesort").copy()
+        grp["v"] = kernel(grp["v"].to_numpy())
+        parts.append(grp)
+    out = pd.concat(parts, ignore_index=True)
+    return out[["event_id", "user_id", "v"]]
+
+
+def lp_kernel(x: np.ndarray) -> np.ndarray:
+    """lp_filter(sample_rate=24, time_constant=0.15) on the v channel,
+    short casts pass through (same policy as operators/signal.py)."""
+    wn = (1.0 / 0.15) / (24.0 * 2.0)
+    b, a = butter2_lowpass(wn)
+    padlen = 3 * max(len(a), len(b))
+    if x.shape[0] <= padlen:
+        return x
+    return filtfilt2(b, a, x)
+
+
+def smooth_k(x: np.ndarray) -> np.ndarray:
+    return smooth_kernel(x, 11, "hanning")
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    ev = load_events(sf_dir)
+    tag = pathlib.Path(sf_dir).name
+    for name, kernel in [("lp_filter", lp_kernel), ("smooth", smooth_k)]:
+        out = apply_per_group(ev, kernel)
+        path = GOLDEN_DIR / f"{name}_{tag}.parquet"
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+        print(f"wrote {path} ({len(out)} rows)")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

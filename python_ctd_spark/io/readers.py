@@ -9,8 +9,11 @@ that also yields the ``cast_meta`` table — one row per file, so it is
 always driver-small and broadcast-joinable.
 
 Scale model: files are casts (<= a few MB each); 100 TB = millions of
-files, embarrassingly parallel.  The only driver-side state is the
-per-file metadata list and the unioned channel schema.
+files, embarrassingly parallel.  Discovery is fully distributed: the
+driver materializes only the unioned channel schema (one row per distinct
+column) and the duplicate-stem renames (one row per collision) — both
+bounded by data shape, never by file count.  ``cast_meta`` is pure column
+expressions over the discovery frame, no createDataFrame round-trip.
 """
 
 from __future__ import annotations
@@ -21,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from python_ctd_spark.functions.teos10 import p_from_z_col
 from python_ctd_spark.io import parsers
-from python_ctd_spark.schema import CAST_META_SCHEMA
 
 _SPECIAL_TYPES = {"bool": T.BooleanType(), "int64": T.LongType()}
 
@@ -50,14 +52,46 @@ _DISCOVER_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType()),
         T.StructField("meta_json", T.StringType()),
         T.StructField("columns_json", T.StringType()),
+        T.StructField("datacols_json", T.StringType()),
         T.StructField("coltypes_json", T.StringType()),
     ]
 )
 
+#: shape of the executor-cooked meta_json — everything CAST_META_SCHEMA
+#: needs, already stringified/naive so the meta table is pure column
+#: expressions over the discovery frame (no driver round-trip).
+_META_JSON_TYPE = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("time_iso", T.StringType()),
+        T.StructField("reset_iso", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("header", T.StringType()),
+        T.StructField("config", T.StringType()),
+        T.StructField("serial", T.StringType()),
+        T.StructField("units", T.ArrayType(T.StringType())),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
 
-def _discover(spark: SparkSession, paths, fmt: str) -> list[dict]:
-    """Pass 1: parse every file on executors, return per-file schema+meta
-    (one small row per file)."""
+
+def _naive_iso(dt) -> str | None:
+    """Wall-clock ISO string with the zone dropped (the reference keeps
+    instrument-local times as-is)."""
+    if dt is None:
+        return None
+    try:
+        dt = dt.replace(tzinfo=None)
+    except (TypeError, AttributeError):
+        pass
+    return dt.isoformat()
+
+
+def _discover(spark: SparkSession, paths, fmt: str) -> DataFrame:
+    """Pass 1: parse every file on executors; one small row per file with
+    the fully-cooked meta (JSON) and the data column names/types.  Returns
+    a DataFrame — nothing is materialized on the driver here."""
     parse = parsers.PARSERS[fmt]
 
     def fn(it):
@@ -68,17 +102,30 @@ def _discover(spark: SparkSession, paths, fmt: str) -> list[dict]:
             for _, row in pdf.iterrows():
                 parsed = parse(row["path"], row["content"])
                 meta = dict(parsed.meta)
-                time = meta.pop("time", None)
-                reset = meta.pop("time_of_reset", None)
-                meta["_time_iso"] = time.isoformat() if time else None
-                meta["_reset_iso"] = reset.isoformat() if reset else None
+                extra = {str(k): str(v) for k, v in (meta.get("extra") or {}).items()}
+                for k in ("prkey", "source_path", "index_name"):
+                    if meta.get(k) is not None:
+                        extra[k] = str(meta[k])
+                cooked = {
+                    "name": meta.get("name"),
+                    "time_iso": _naive_iso(meta.get("time")),
+                    "reset_iso": _naive_iso(meta.get("time_of_reset")),
+                    "lat": meta.get("lat"),
+                    "lon": meta.get("lon"),
+                    "header": meta.get("header"),
+                    "config": meta.get("config"),
+                    "serial": meta.get("serial"),
+                    "units": meta.get("units"),
+                    "extra": extra,
+                }
                 out.append(
                     {
                         "path": row["path"],
                         "cast_id": parsed.cast_id,
                         "n_rows": len(parsed.data),
-                        "meta_json": json.dumps(meta, default=str),
+                        "meta_json": json.dumps(cooked, default=str),
                         "columns_json": json.dumps(parsed.columns),
+                        "datacols_json": json.dumps(list(parsed.data.columns)),
                         "coltypes_json": json.dumps(
                             {c: _dtype_tag(t) for c, t in parsed.data.dtypes.items()}
                         ),
@@ -87,81 +134,85 @@ def _discover(spark: SparkSession, paths, fmt: str) -> list[dict]:
             yield pd.DataFrame(out, columns=[f.name for f in _DISCOVER_SCHEMA.fields])
 
     files = _scan_files(spark, paths).select("path", "content")
-    return [r.asDict() for r in files.mapInPandas(fn, _DISCOVER_SCHEMA).collect()]
+    return files.mapInPandas(fn, _DISCOVER_SCHEMA)
 
 
-def _unique_cast_ids(infos: list[dict]) -> dict[str, str]:
-    """path -> unique cast_id (duplicate stems get a numeric suffix)."""
-    seen: dict[str, int] = {}
-    out = {}
-    for info in sorted(infos, key=lambda x: x["path"]):
-        cid = info["cast_id"]
-        if cid in seen:
-            seen[cid] += 1
-            cid = f"{cid}_{seen[cid]}"
-        else:
-            seen[cid] = 0
-        out[info["path"]] = cid
-    return out
+def _with_unique_ids(disc: DataFrame) -> DataFrame:
+    """Duplicate file stems get a numeric suffix, first (by path) keeps the
+    bare name — same rule as the reference's dict-of-casts keying, computed
+    with a window instead of a driver loop."""
+    w = Window.partitionBy("cast_id").orderBy("path")
+    idx = F.row_number().over(w) - 1
+    return disc.withColumn("__dup_idx", idx).withColumn(
+        "final_cast_id",
+        F.when(idx == 0, F.col("cast_id")).otherwise(
+            F.concat_ws("_", F.col("cast_id"), idx.cast("string"))
+        ),
+    )
 
 
-def _union_schema(infos: list[dict]) -> T.StructType:
+def _union_schema_distributed(disc: DataFrame) -> T.StructType:
+    """Fleet-wide schema union as a distributed aggregate: explode each
+    file's (position, column) pairs, reduce to one row per *distinct
+    column* (first-seen position for ordering, the set of type tags for
+    widening).  The driver receives only the union — bounded by schema
+    width, never by file count."""
+    pairs = disc.select(
+        "path",
+        F.from_json("coltypes_json", "map<string,string>").alias("__types"),
+        F.posexplode(F.from_json("datacols_json", "array<string>")).alias("pos", "col"),
+    ).select(
+        "col",
+        F.struct("path", "pos").alias("first_seen"),
+        F.col("__types")[F.col("col")].alias("tag"),
+    )
+    rows = (
+        pairs.groupBy("col")
+        .agg(F.min("first_seen").alias("first_seen"), F.collect_set("tag").alias("tags"))
+        .collect()
+    )
     fields: list[T.StructField] = [T.StructField("cast_id", T.StringType(), False)]
-    seen: dict[str, T.DataType] = {}
-    order: list[str] = []
-    for info in infos:
-        for col, tag in json.loads(info["coltypes_json"]).items():
+    for r in sorted(rows, key=lambda r: (r["first_seen"]["path"], r["first_seen"]["pos"])):
+        tags = set(r["tags"])
+        if len(tags) == 1:
+            tag = next(iter(tags))
             dt = _SPECIAL_TYPES.get(tag, T.StringType() if tag == "string" else T.DoubleType())
-            if col not in seen:
-                seen[col] = dt
-                order.append(col)
-            elif seen[col] != dt:
-                seen[col] = T.DoubleType() if "string" not in (str(seen[col]), str(dt)) else T.StringType()
-    fields += [T.StructField(c, seen[c], True) for c in order]
+        elif "string" in tags:
+            dt = T.StringType()
+        else:
+            dt = T.DoubleType()
+        fields.append(T.StructField(r["col"], dt, True))
     return T.StructType(fields)
 
 
-def _build_meta(spark: SparkSession, infos: list[dict], cast_ids: dict[str, str]) -> DataFrame:
-    rows = []
-    for info in infos:
-        meta = json.loads(info["meta_json"])
-        extra = meta.get("extra") or {}
-        extra = {str(k): str(v) for k, v in extra.items()}
-        for k in ("prkey", "source_path", "index_name"):
-            if meta.get(k) is not None:
-                extra[k] = str(meta[k])
-        rows.append(
-            {
-                "cast_id": cast_ids[info["path"]],
-                "name": meta.get("name"),
-                "time": _iso(meta.get("_time_iso")),
-                "lat": meta.get("lat"),
-                "lon": meta.get("lon"),
-                "header": meta.get("header"),
-                "config": meta.get("config"),
-                "serial": meta.get("serial"),
-                "time_of_reset": _iso(meta.get("_reset_iso")),
-                "columns": json.loads(info["columns_json"]),
-                "units": meta.get("units"),
-                "extra": extra,
-            }
-        )
-    return spark.createDataFrame(rows, CAST_META_SCHEMA)
-
-
-def _iso(s):
-    import datetime
-
-    if not s:
-        return None
-    dt = datetime.datetime.fromisoformat(s)
-    return dt.replace(tzinfo=None) if dt.tzinfo else dt
+def _build_meta(disc: DataFrame) -> DataFrame:
+    """cast_meta straight from the discovery frame — column expressions
+    only, no createDataFrame round-trip through driver lists."""
+    m = F.from_json("meta_json", _META_JSON_TYPE)
+    return disc.select(
+        F.col("final_cast_id").alias("cast_id"),
+        m["name"].alias("name"),
+        F.to_timestamp(m["time_iso"]).alias("time"),
+        m["lat"].alias("lat"),
+        m["lon"].alias("lon"),
+        m["header"].alias("header"),
+        m["config"].alias("config"),
+        m["serial"].alias("serial"),
+        F.to_timestamp(m["reset_iso"]).alias("time_of_reset"),
+        F.from_json("columns_json", "map<string,string>").alias("columns"),
+        m["units"].alias("units"),
+        m["extra"].alias("extra"),
+    )
 
 
 def _read_with_schema(
-    spark: SparkSession, paths, fmt: str, schema: T.StructType, cast_ids: dict[str, str]
+    spark: SparkSession, paths, fmt: str, schema: T.StructType, dup_ids: dict[str, str]
 ) -> DataFrame:
-    """Pass 2: full distributed parse aligned to the unioned schema."""
+    """Pass 2: full distributed parse aligned to the unioned schema.
+
+    ``dup_ids`` maps *only* the duplicate-stem paths to their suffixed
+    cast_ids — driver state bounded by the number of stem collisions, not
+    by file count (a million unique files ships an empty dict)."""
     parse = parsers.PARSERS[fmt]
     colnames = [f.name for f in schema.fields]
     coltypes = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -175,7 +226,7 @@ def _read_with_schema(
                 parsed = parse(row["path"], row["content"])
                 data = parsed.data
                 out = pd.DataFrame(index=data.index)
-                out["cast_id"] = cast_ids.get(row["path"], parsed.cast_id)
+                out["cast_id"] = dup_ids.get(row["path"], parsed.cast_id)
                 for c in colnames:
                     if c == "cast_id":
                         continue
@@ -195,14 +246,20 @@ def _read_with_schema(
 
 
 def _read_format(spark, paths, fmt) -> tuple[DataFrame, DataFrame]:
-    infos = _discover(spark, paths, fmt)
-    if not infos:
+    disc = _with_unique_ids(_discover(spark, paths, fmt)).persist()
+    # The only driver materializations are (a) the schema union — one row
+    # per distinct column — and (b) the duplicate-stem renames — one row
+    # per collision.  Both are bounded by data shape, not file count.
+    schema = _union_schema_distributed(disc)
+    if len(schema.fields) <= 1 and disc.isEmpty():
         msg = f"No files matched {paths!r}"
         raise ValueError(msg)
-    cast_ids = _unique_cast_ids(infos)
-    schema = _union_schema(infos)
-    data = _read_with_schema(spark, paths, fmt, schema, cast_ids)
-    meta = _build_meta(spark, infos, cast_ids)
+    dup_ids = {
+        r["path"]: r["final_cast_id"]
+        for r in disc.filter(F.col("__dup_idx") > 0).select("path", "final_cast_id").collect()
+    }
+    data = _read_with_schema(spark, paths, fmt, schema, dup_ids)
+    meta = _build_meta(disc)
     return data, meta
 
 

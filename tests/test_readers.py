@@ -175,3 +175,23 @@ def test_rosette_bottle_means_golden(spark):
     means = readers.bottle_means(ros, cols=["pressure"]).orderBy(F.desc("pressure"))
     got = [int(r["pressure"]) for r in means.collect()]
     assert got == [835, 806, 705, 604, 503, 404, 303, 201, 151, 100, 51, 1]
+
+
+def test_duplicate_stems_get_suffixed_ids(spark, tmp_path):
+    """Two files with the same stem in different directories: the first (by
+    path) keeps the bare cast_id, the second gets a numeric suffix — the
+    rename is computed by a distributed window, with only the collision
+    shipped to executors."""
+    import shutil
+
+    for sub in ("a", "b"):
+        (tmp_path / sub).mkdir()
+        shutil.copy(DATA / "XBT.EDF", tmp_path / sub / "XBT.EDF")
+    data, meta = readers.from_edf(
+        spark, [str(tmp_path / "a" / "XBT.EDF"), str(tmp_path / "b" / "XBT.EDF")]
+    )
+    ids = sorted(r["cast_id"] for r in meta.select("cast_id").collect())
+    assert ids == ["XBT", "XBT_1"]
+    counts = {r["cast_id"]: r["n"] for r in data.groupBy("cast_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"XBT", "XBT_1"}
+    assert counts["XBT"] == counts["XBT_1"] > 0

@@ -23,7 +23,7 @@ reproducible across runs, partitionings, and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _md5_long(col: Column) -> Column:
@@ -229,41 +229,88 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 4096,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via an inverted shingle index.
+    """Exact n-gram Jaccard similarity join via an inverted shingle index
+    with stop-shingle pruning.
 
-    explode(shingles) -> equi-join on shingle -> count shared shingles per
-    pair -> |A ∩ B| / (|A| + |B| - |A ∩ B|).  Complete (no LSH recall
-    loss) but generates a candidate row per shared shingle — use
-    :func:`minhash_lsh_pairs` when the corpus is large and threshold high.
+    A shingle appearing in ``d`` documents generates ``d*(d-1)/2``
+    candidate rows — one hot phrase in a near-dup-heavy 100 TB corpus is
+    a quadratic blowup.  Standard fix (the prefix-filter family): drop
+    shingles with document frequency > ``max_df`` from *candidate
+    generation only*; verification recomputes the exact intersection from
+    the full arrays, so every reported jaccard is exact.  The only loss is
+    a pair whose shared shingles are ALL stop-shingles — at any useful
+    threshold such a pair is boilerplate overlap, not near-duplication.
+    When no shingle exceeds ``max_df`` (e.g. any corpus with fewer than
+    ``max_df`` docs) the result is identical to the unpruned join —
+    property-tested in tests/test_llm_ops.py.
+
+    ``max_df=None`` restores the single-phase unpruned plan (explode ->
+    equi-join -> per-pair count), which avoids shipping the arrays but has
+    no guard against hot shingles.
     """
-    base = with_shingles(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, n
-    ).select("id", "sh")
-    sizes = base.select("id", F.size("sh").alias("nsh"))
+    ids = df.select(F.col(id_col).alias("id"), text_col)
+    # 60-bit hashes instead of shingle strings: long-array intersect is
+    # ~4x faster and the exploded index rows are fixed-width.
+    base = (
+        with_shingles(ids, text_col, n)
+        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .select("id", "hsh")
+    )
     # explode_outer, not explode: shingle arrays are never empty (>=1 gram
     # even for short docs), so the semantics are identical — but plain
     # explode triggers InferFiltersFromGenerate, which pushes a size(sh)>0
     # filter below the token projection and re-inlines the whole shingle
     # expression into a per-row filter (~20x slower; verified in the
     # physical plan).
-    inv = base.select("id", F.explode_outer("sh").alias("g"))
-    l, r = inv.alias("l"), inv.alias("r")
-    shared = (
-        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+    inv = base.select("id", F.explode_outer("hsh").alias("g"))
+
+    if max_df is None:
+        sizes = base.select("id", F.size("hsh").alias("nsh"))
+        l, r = inv.alias("l"), inv.alias("r")
+        shared = (
+            l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # document frequency via a partition-only window: one shuffle on the
+    # shingle hash, and the band self-join below reuses that partitioning.
+    w_g = Window.partitionBy("g")
+    pruned = inv.withColumn("__df", F.count(F.lit(1)).over(w_g)).filter(
+        F.col("__df") <= int(max_df)
+    )
+    l, r = pruned.alias("l"), pruned.alias("r")
+    cand = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hs = base.select("id", "hsh")
+    verified = cand.join(
+        hs.select(F.col("id").alias("id_a"), F.col("hsh").alias("h_a")), "id_a"
+    ).join(hs.select(F.col("id").alias("id_b"), F.col("hsh").alias("h_b")), "id_b")
+    inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b"))).cast("double")
+    jac = inter / (F.size("h_a") + F.size("h_b") - inter).cast("double")
+    return (
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

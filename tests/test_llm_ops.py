@@ -252,3 +252,35 @@ def test_short_docs_do_not_crash_shingles(spark):
     lsh = dedup.minhash_lsh_pairs(df, threshold=0.5).toPandas()
     assert (3, 4) in set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
     dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+
+
+def test_ngram_jaccard_pruning_is_noop_below_max_df(docs):
+    """Stop-shingle pruning must be invisible when no shingle's document
+    frequency exceeds max_df — same pairs, same exact jaccard values."""
+    pruned = dedup.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    unpruned = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).toPandas()
+    key = ["id_a", "id_b"]
+    a = pruned.sort_values(key).reset_index(drop=True)
+    b = unpruned.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_jaccard_stop_shingle_pruning_on_skewed_corpus(spark):
+    """One hot shingle shared by every doc: with a small max_df the hot
+    posting list is dropped from candidate generation (quadratic blowup
+    avoided), while the planted near-dup pair — which shares rare shingles
+    — is still found with its exact jaccard."""
+    hot = "lorem ipsum dolor"  # the hot 3-gram every doc starts with
+    rows = [(i, f"{hot} unique tail number {i} content piece {i}") for i in range(40)]
+    rows.append((100, "the planted pair shares these rare words exactly alike"))
+    rows.append((101, "the planted pair shares these rare words exactly alike"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=5).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in pairs
+    assert out[(out.id_a == 100) & (out.id_b == 101)].jaccard.iloc[0] == pytest.approx(1.0)
+    # hot-shingle-only pairs are below threshold anyway: pruning changed
+    # candidate generation, not the reported result
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=None).toPandas()
+    assert set(map(tuple, exact[["id_a", "id_b"]].to_numpy())) == pairs

@@ -101,7 +101,13 @@ def section_long(
 
 def plot_cast(df: DataFrame, channels=None, cast_id=None, secondary_y=None, **kw):
     """Draw a cast profile: y = physical index, inverted axis (reference
-    ``plot_cast``, ctd/plotting.py:12-58)."""
+    ``plot_cast``, ctd/plotting.py:12-58).
+
+    ``secondary_y`` names the channel(s) drawn on a twin x-axis sharing
+    the inverted y — the reference's ``ax.twiny()`` dual-axis behavior
+    (ctd/plotting.py:39-41) for channels with incomparable units (e.g.
+    temperature vs fluorescence).
+    """
     plt = _mpl()
     pdf = cast_to_pandas(df, cast_id=cast_id, **{
         k: v for k, v in kw.items() if k in ("by", "order", "pressure")
@@ -109,30 +115,79 @@ def plot_cast(df: DataFrame, channels=None, cast_id=None, secondary_y=None, **kw
     channels = as_list(channels) if channels else [
         c for c in pdf.columns if pdf[c].dtype.kind == "f"
     ]
+    sec = [c for c in as_list(secondary_y) if c in pdf.columns] if secondary_y else []
+    prim = [c for c in channels if c not in sec]
     fig, ax = plt.subplots()
-    for c in channels:
+    for c in prim:
         ax.plot(pdf[c].to_numpy(), pdf.index.to_numpy(), label=c)
     ax.invert_yaxis()
     ax.set_ylabel(pdf.index.name or "pressure")
-    ax.legend()
+    if prim:
+        ax.set_xlabel(", ".join(prim))
+        ax.legend()
+    if sec:
+        ax2 = ax.twiny()
+        for c in sec:
+            ax2.plot(pdf[c].to_numpy(), pdf.index.to_numpy(), linestyle="--", label=c)
+        ax2.set_xlabel(", ".join(sec))
+        ax2.legend()
     return ax
 
 
 def plot_section(
-    df: DataFrame, meta: DataFrame, channel: str, levels: int = 10, **kw
+    df: DataFrame,
+    meta: DataFrame,
+    channel: str,
+    levels: int = 10,
+    filled: bool = False,
+    topomask: bool = False,
+    dx: float = 1.0,
+    **kw,
 ):
     """Contour a transect: x = along-track distance, y = pressure
     (inverted), z = channel (reference ``plot_section``,
     ctd/extras.py:155-259).  Engine computes the long-form section; the
-    pivot + contourf happen client-side on the small result."""
+    pivot + contourf happen client-side on the small result.
+
+    ``filled`` fills the shadow zone with the reference's extrap_sec blend
+    (w1=0.97, w2=0.03, ctd/extras.py:180-182).  ``topomask`` overlays the
+    seafloor line from the deepest scan per station
+    (ctd/extras.py:212-215).
+    """
     plt = _mpl()
+    by = kw.get("by", CAST_ID)
+    pressure = kw.get("pressure", PRESSURE)
     pdf = section_long(df, meta, channel, **kw).toPandas()
     pivot = pdf.pivot_table(
-        index=kw.get("pressure", PRESSURE), columns="distance_m", values=channel
+        index=pressure, columns="distance_m", values=channel
     ).sort_index()
+    grid = pivot.to_numpy()
+    if filled:
+        from python_ctd_spark.functions.extras_numpy import extrap_sec_kernel
+
+        grid = extrap_sec_kernel(
+            grid, pivot.columns.to_numpy(dtype=float),
+            pivot.index.to_numpy(dtype=float), w1=0.97, w2=0.03,
+        )
     fig, ax = plt.subplots()
-    cs = ax.contourf(pivot.columns.to_numpy(), pivot.index.to_numpy(),
-                     pivot.to_numpy(), levels=levels)
+    cs = ax.contourf(pivot.columns.to_numpy(), pivot.index.to_numpy(), grid,
+                     levels=levels)
+    if topomask:
+        from python_ctd_spark.functions.extras_numpy import gen_topomask_kernel
+
+        stations = (
+            df.groupBy(by)
+            .agg(F.max(F.col(pressure)).alias("maxdepth"))
+            .join(meta.select(by, "lon", "lat"), by)
+            .orderBy("lon")
+            .toPandas()
+        )
+        xm, hm = gen_topomask_kernel(
+            stations["maxdepth"].to_numpy(), stations["lon"].to_numpy(),
+            stations["lat"].to_numpy(), dx=dx,
+        )
+        ax.plot(xm, hm, color="black")
+        ax.fill_between(xm, hm, y2=hm.max(), color="0.9")
     ax.invert_yaxis()
     fig.colorbar(cs, ax=ax)
     return ax

@@ -74,3 +74,70 @@ def test_draw_functions_gate_on_matplotlib(section):
         plotting.plot_cast(data, cast_id="s1")
     with pytest.raises(ImportError, match="matplotlib is required"):
         plotting.plot_section(data, meta, "t")
+
+
+class _FakeAxes:
+    def __init__(self):
+        self.calls = []
+        self.twins = []
+
+    def __getattr__(self, name):
+        def record(*args, **kwargs):
+            self.calls.append((name, args, kwargs))
+            if name == "twiny":
+                twin = _FakeAxes()
+                self.twins.append(twin)
+                return twin
+            return None
+
+        return record
+
+
+def _install_fake_mpl(monkeypatch):
+    import sys
+    import types
+
+    axes = []
+    fake_plt = types.ModuleType("matplotlib.pyplot")
+
+    def subplots(**kw):
+        ax = _FakeAxes()
+        axes.append(ax)
+        fig = _FakeAxes()
+        return fig, ax
+
+    fake_plt.subplots = subplots
+    fake_mpl = types.ModuleType("matplotlib")
+    fake_mpl.pyplot = fake_plt
+    monkeypatch.setitem(sys.modules, "matplotlib", fake_mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", fake_plt)
+    return axes
+
+
+def test_plot_cast_secondary_y_twins_axis(section, monkeypatch):
+    """secondary_y channels draw on a twin x-axis (reference
+    ctd/plotting.py:39-41), primaries on the main inverted axis."""
+    data, _ = section
+    axes = _install_fake_mpl(monkeypatch)
+    ax = plotting.plot_cast(data, channels=["t"], cast_id="s1", secondary_y="t")
+    main = axes[0]
+    assert main.twins, "secondary_y did not create a twiny axis"
+    twin = main.twins[0]
+    twin_plots = [c for c in twin.calls if c[0] == "plot"]
+    assert len(twin_plots) == 1
+    # the channel moved to the twin: the main axis drew nothing
+    assert not any(c[0] == "plot" for c in main.calls if c[0] == "plot")
+    assert any(c[0] == "invert_yaxis" for c in main.calls)
+    xlabel = [c for c in twin.calls if c[0] == "set_xlabel"]
+    assert xlabel and xlabel[0][1][0] == "t"
+
+
+def test_plot_section_filled_topomask(section, monkeypatch):
+    data, meta = section
+    axes = _install_fake_mpl(monkeypatch)
+    plotting.plot_section(data, meta, "t", filled=True, topomask=True, dx=5.0)
+    main = axes[0]
+    names = [c[0] for c in main.calls]
+    assert "contourf" in names
+    assert "plot" in names  # topomask seafloor line
+    assert "fill_between" in names

@@ -37,10 +37,17 @@ def split(
 
     Plan: two stacked window functions over the same partitioning (single
     shuffle, no join): max pressure per cast, then min order-key among rows
-    attaining it.
+    attaining it.  The windows carry the cast ORDER with an explicit
+    whole-partition frame — same result as a partition-only window, but
+    the required sort (cast, order) is shared with every downstream
+    ordered operator, so a chain like split -> press_check -> bindata
+    sorts ONCE (a bare partition-only window forces its own sort-by-key
+    pass first; verified in the physical plan, tests/test_plans.py).
     """
     by, order = as_list(by), as_list(order)
-    w_cast = Window.partitionBy(*by)
+    w_cast = cast_window(by, order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     # first row (in scan order) attaining the cast's max pressure
     ord0 = order[0]
     df = df.withColumn("__maxp", F.max(pressure).over(w_cast))

@@ -73,7 +73,10 @@ def despike(
     w_ord = cast_window(by, order)
     w_fwd = w_ord.rowsBetween(0, block - 1)
     w_fill = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy(*by)
+    # whole-partition frame on the ORDERED window (not a bare
+    # partition-only one) so the cast count shares the single sort with
+    # the rolling frames — see split() and tests/test_plans.py
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     df = df.withColumn("__rn", F.row_number().over(w_ord) - 1).withColumn(
         "__n", F.count(F.lit(1)).over(w_all)

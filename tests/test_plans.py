@@ -1,0 +1,58 @@
+"""Physical-plan audits: the shapes we promise at 100 TB are asserted
+here, not just claimed in docstrings.
+
+The flagship chain (remove_up_to -> split -> down -> press_check ->
+bindata) must ride ONE exchange and ONE sort: every stage windows or
+aggregates on the same cast key, the grouped agg's ClusteredDistribution
+is satisfied by the window's hash partitioning (key subset rule), and
+every window declares the same (cast, order) sort.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, pat: str) -> int:
+    return len(re.findall(pat, plan))
+
+
+def test_ctd_pipeline_single_exchange_single_sort(spark):
+    out = entrymod.queries()["ctd_pipeline"](spark, SF_DIR)
+    plan = _plan(out)
+    n_exchange = _count(plan, r"Exchange hashpartitioning")
+    n_sort = _count(plan, r"\+- Sort \[")
+    assert n_exchange == 1, f"expected 1 exchange, plan has {n_exchange}:\n{plan}"
+    assert n_sort == 1, f"expected 1 shared sort, plan has {n_sort}:\n{plan}"
+
+
+def test_despike_single_sort(spark):
+    out = entrymod.queries()["despike"](spark, SF_DIR)
+    plan = _plan(out)
+    assert _count(plan, r"Exchange hashpartitioning") == 1
+    assert _count(plan, r"\+- Sort \[") == 1, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """remove_up_to's predicate must reach the parquet scan."""
+    out = entrymod.queries()["remove_above_water"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "PushedFilters: [" in plan
+    # the pushed filter list is non-empty (value column predicate)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan
+
+
+def test_broadcast_join_in_flagship_joins(spark):
+    """q3's dimension joins must broadcast, not sort-merge."""
+    out = entrymod.queries()["q3_top_orders"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan

@@ -122,11 +122,14 @@ def test_bindata_average_matches_pandas_cut(spark, casts, delta):
         .reset_index(drop=True)
     )
     # oracle: the reference recipe — edges arange(ceil(first), floor(last),
-    # delta), right-closed pd.cut, observed=False keeps empty bins
+    # delta), right-closed pd.cut, observed=False keeps empty bins.
+    # Bounds are direction-insensitive (least/greatest of the endpoints):
+    # the reference reverses the upcast before binning so its index always
+    # ascends; our split() keeps scan order, so the operator normalizes.
     frames = []
     for cid, g in pdf.groupby("cast_id", sort=True):
-        start = math.ceil(g.pressure.iloc[0])
-        stop = math.floor(g.pressure.iloc[-1])
+        start = math.ceil(min(g.pressure.iloc[0], g.pressure.iloc[-1]))
+        stop = math.floor(max(g.pressure.iloc[0], g.pressure.iloc[-1]))
         edges = np.arange(start, stop, delta)
         if len(edges) < 2:
             continue

@@ -224,7 +224,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderst
 def _ev(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        # nanosecond-long parquet timestamps: truncate to micros
+        return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    # timestamp[us] parquet: naive micros since epoch, matching DuckDB's
+    # epoch_us(ts) (session timezone is pinned to UTC in session._DEFAULTS)
+    return ev.withColumn("ts_us", F.expr("unix_micros(cast(ts as timestamp))"))
 
 
 def _q_remove_above_water(spark, sf_dir):

@@ -49,9 +49,10 @@ def davg(c) -> F.Column:
 
 #: cast-shaped view of the events table: user_id = cast, (ts_us, event_id)
 #: = deterministic scan order, value = the physical channel.  events.parquet
-#: carries TIMESTAMP(NANOS) which Spark rejects by default; we read it as a
-#: nanosecond long and truncate to microseconds — exactly what DuckDB's
-#: parquet reader does — so both engines order and diff identical integers.
+#: may carry TIMESTAMP(NANOS) — read as a nanosecond long (nanosAsLong) and
+#: truncated to micros, exactly DuckDB's behavior — or timestamp[us], which
+#: Spark reads as TIMESTAMP_NTZ and _ev converts to naive epoch micros via a
+#: UTC-pinned cast; either way both engines order and diff identical integers.
 _EV_KW = {"by": "user_id", "order": ["ts_us", "event_id"], "pressure": "value"}
 
 
@@ -223,6 +224,11 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderst
 
 def _ev(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the timestamp[us] branch below casts TIMESTAMP_NTZ -> TIMESTAMP, which
+    # reads the naive value in the *session* timezone; entry()/queries()
+    # accept externally built sessions, so pin it rather than assume
+    # session.get_spark was the builder.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         # nanosecond-long parquet timestamps: truncate to micros

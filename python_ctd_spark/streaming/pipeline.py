@@ -33,11 +33,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 #: event-time column: nanosecond-long parquet timestamps get the same
-#: `ts div 1000` truncation the batch path uses; already-typed timestamps
-#: pass through.
+#: `ts div 1000` truncation the batch path uses; TIMESTAMP_NTZ (the
+#: timestamp[us] parquet encoding) is cast to TIMESTAMP because watermarks
+#: require an instant type — the cast interprets the naive value in the
+#: session timezone, which event_stream pins to UTC so the instant equals
+#: the naive micros (and DuckDB's epoch_us); typed timestamps pass through.
 def _with_event_time(df: DataFrame) -> DataFrame:
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("event_time", F.col("ts").cast("timestamp"))
     return df.withColumn("event_time", F.col("ts"))
 
 
@@ -46,6 +52,8 @@ def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     growing-archive layout).  One file per trigger, so even a closed test
     directory exercises real incremental micro-batches."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ->TIMESTAMP cast in _with_event_time depends on this:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_dir).schema
     sdf = (
         spark.readStream.schema(schema)

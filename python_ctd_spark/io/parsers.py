@@ -74,15 +74,28 @@ def decompress(name: str, content: bytes) -> bytes:
     return fn(content) if fn else content
 
 
+#: cp1252 leaves exactly these five bytes unmapped; their presence in a
+#: non-UTF-8 file is the byte-level signal to prefer latin-1 (where they
+#: are C1 controls) over cp1252, which would otherwise replace them.
+_CP1252_HOLES = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+
+
 def sniff_decode(content: bytes) -> str:
     """Decode with a light encoding sniff (the reference uses chardet,
     ctd/read.py:88-91; not available here).  UTF-8 strict first; on
-    failure fall back to cp1252 (covers the reference's cp1252 BTL corpus,
-    tests/test_read.py:67-74) with replacement."""
+    failure pick between the two dominant single-byte instrument encodings
+    by byte frequency: cp1252 (covers the reference's cp1252 BTL corpus,
+    tests/test_read.py:67-74) unless bytes in cp1252's unmapped holes
+    appear, in which case latin-1 decodes every byte losslessly.  Final
+    decode still uses errors="replace" (matching the reference's policy)
+    so no input can ever raise."""
     try:
         return content.decode("utf-8")
     except UnicodeDecodeError:
-        return content.decode("cp1252", errors="replace")
+        pass
+    if _CP1252_HOLES.intersection(content):
+        return content.decode("latin-1", errors="replace")
+    return content.decode("cp1252", errors="replace")
 
 
 def read_text(name: str, content: bytes) -> str:

@@ -166,6 +166,35 @@ def test_btl_blank_line_header(spark):
     assert data.count() > 0
 
 
+# -- encoding sniff (reference uses chardet, ctd/read.py:88-91) --------------
+
+def test_sniff_decode_utf8_cp1252_latin1():
+    from python_ctd_spark.io.parsers import sniff_decode
+
+    assert sniff_decode("sigma-é00".encode("utf-8")) == "sigma-é00"
+    # cp1252: 0x94 is a smart quote, not valid utf-8
+    assert sniff_decode(b"t090C \x94") == "t090C ”"
+    # bytes in cp1252's unmapped holes flip the fallback to latin-1,
+    # which decodes every byte losslessly instead of replacing
+    raw = b"PRES \x90\xe9"
+    assert sniff_decode(raw) == raw.decode("latin-1")
+    assert "�" not in sniff_decode(raw)
+
+
+def test_latin1_cnv_roundtrip(spark, tmp_path):
+    """A latin-1 instrument file (with a byte cp1252 cannot map) loads with
+    its data intact — the reference's chardet intent."""
+    src = (DATA / "press-pass-prDE.cnv").read_bytes()
+    # graft a latin-1-only byte sequence into a comment header line
+    tampered = src.replace(b"*END*", b"* latin \x90\xe9 comment\r\n*END*", 1)
+    p = tmp_path / "latin.cnv"
+    p.write_bytes(tampered)
+    base, _ = readers.from_cnv(spark, str(DATA / "press-pass-prDE.cnv"))
+    got, meta = readers.from_cnv(spark, str(p))
+    assert got.count() == base.count() > 0
+    assert "�" not in meta.collect()[0]["header"]
+
+
 # -- ROS / rosette summary ---------------------------------------------------
 
 def test_rosette_bottle_means_golden(spark):

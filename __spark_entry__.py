@@ -1794,6 +1794,31 @@ _STREAM_RUN_COUNTER = [0]
 _STREAM_STAGE_CACHE: dict[str, str] = {}
 
 
+def _stream_stage(spark, sf_dir: str) -> str:
+    """Stage the closed event archive as 3 time-ranged parquet parts
+    (earliest range first, arrival order = mtime order) so file-source
+    streams replay real incremental micro-batches."""
+    import glob
+    import os
+    import tempfile
+
+    stage = _STREAM_STAGE_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartitionByRange(3, "ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        t0 = os.path.getmtime(stage) - 1000
+        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+        _STREAM_STAGE_CACHE[sf_dir] = stage
+    return stage
+
+
 def _q_streaming_windowed(spark, sf_dir):
     """Structured Streaming surface in the driver contract: the event
     archive replayed through ``readStream`` (one file per micro-batch),
@@ -1816,22 +1841,7 @@ def _q_streaming_windowed(spark, sf_dir):
     # stage the closed archive as 3 time-ranged parts (earliest range
     # first) so the drain exercises real incremental micro-batches, the
     # same growing-archive layout tests/test_streaming.py uses.
-    stage = _STREAM_STAGE_CACHE.get(sf_dir)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="events_stream_")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartitionByRange(3, "ts")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        t0 = os.path.getmtime(stage) - 1000
-        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
-            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
-        _STREAM_STAGE_CACHE[sf_dir] = stage
-
-    sdf = event_stream(spark, stage)
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = windowed_stats(sdf, window="1 day", watermark="1 hour")
     _STREAM_RUN_COUNTER[0] += 1
     tbl = run_to_memory(
@@ -1844,6 +1854,105 @@ def _q_streaming_windowed(spark, sf_dir):
         F.round("sum_value", 4).alias("sum_value"),
         "max_value",
     )
+
+
+def _q_streaming_bindata(spark, sf_dir):
+    """Streaming bindata: complete-mode (cast, pressure-bin) rollup over
+    the replayed event archive — the incremental twin of the batch
+    bindata aggregate (reference ctd/processing.py:112-129), with
+    delta-aligned right-closed bins (a cast-relative origin is not a
+    streaming quantity; state stays one row per (cast, bin)).  On the
+    closed input the drain equals the identical batch aggregation, which
+    is the oracle."""
+    from python_ctd_spark.streaming import event_stream, run_to_memory, streaming_bindata
+
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
+    res = streaming_bindata(sdf, delta=100.0)
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(
+        res, f"stream_bindata_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+    )
+    # no rounding: the decimal sum and integer count are engine-identical,
+    # so the IEEE division is bit-identical too — rounding can only
+    # *introduce* half-ULP tie disagreements
+    return tbl.select("user_id", "bin_center", "n", "mean_value")
+
+
+_STREAMING_BINDATA_SQL = """
+SELECT user_id,
+       (CAST(ceil(CAST(value AS DOUBLE) / 100.0) AS BIGINT) - 1) * 100.0 + 50.0
+           AS bin_center,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value)
+           AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_stateful_despike(spark, sf_dir):
+    """Streaming Wild-Edit despike: per-cast bounded buffering via
+    applyInPandasWithState (state = last 2*block rows per cast); emits a
+    row once 2*block-1 rows of lookahead exist, at which point the
+    verdict is provably identical to the batch kernel's — so the oracle
+    is the batch despike SQL restricted to the stable prefix of each
+    cast.  Flagged (and originally-NULL) values surface as NULL, matching
+    the batch operator's output convention."""
+    from python_ctd_spark.streaming import event_stream, run_to_memory, stateful_despike
+
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
+    res = stateful_despike(sdf, n1=1.0, n2=2.0, block=10)
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(res, f"stream_despike_{_STREAM_RUN_COUNTER[0]}")
+    return tbl.select(
+        "event_id",
+        "user_id",
+        F.when(~F.isnan("despiked"), F.col("despiked")).alias("v"),
+    )
+
+
+# the batch despike oracle (see _DESPIKE_SQL) with block=10, filtered to
+# each cast's stable prefix: rows with at least 2*block-1 = 19 rows of
+# lookahead (rn <= n - 20)
+_STATEFUL_DESPIKE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v,
+         row_number() OVER w0 - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         avg(CAST(value AS DOUBLE)) OVER wf AS m1r,
+         stddev_pop(CAST(value AS DOUBLE)) OVER wf AS s1r
+  FROM events
+  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+), p1 AS (
+  SELECT *,
+         last_value(CASE WHEN rn <= n - 10 THEN m1r END IGNORE NULLS) OVER wp AS m1,
+         last_value(CASE WHEN rn <= n - 10 THEN s1r END IGNORE NULLS) OVER wp AS s1
+  FROM e
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c1 AS (
+  SELECT *, CASE WHEN abs(v - m1) > 1.0 * s1 THEN NULL ELSE v END AS v1
+  FROM p1
+), e2 AS (
+  SELECT *, avg(v1) OVER wf2 AS m2r, stddev_pop(v1) OVER wf2 AS s2r
+  FROM c1
+  WINDOW wf2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+), p2 AS (
+  SELECT *,
+         last_value(CASE WHEN rn <= n - 10 THEN m2r END IGNORE NULLS) OVER wp2 AS m2,
+         last_value(CASE WHEN rn <= n - 10 THEN s2r END IGNORE NULLS) OVER wp2 AS s2
+  FROM e2
+  WINDOW wp2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
+FROM p2
+WHERE rn <= n - 20
+"""
 
 
 _STREAMING_WINDOWED_SQL = """
@@ -1912,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_native": _q_smooth_native,
         "barrier_layer_thickness": _q_barrier_layer,
         "streaming_windowed_stats": _q_streaming_windowed,
+        "streaming_bindata": _q_streaming_bindata,
+        "streaming_despike": _q_stateful_despike,
     }
 
 
@@ -1964,6 +2075,8 @@ def oracle_sql() -> dict[str, str]:
         "smooth_native": _smooth_native_sql(),
         "barrier_layer_thickness": _BARRIER_LAYER_SQL,
         "streaming_windowed_stats": _STREAMING_WINDOWED_SQL,
+        "streaming_bindata": _STREAMING_BINDATA_SQL,
+        "streaming_despike": _STATEFUL_DESPIKE_SQL,
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
         # are positional, not SQL-expressible — their oracles are
         # kernel-golden parquet files precomputed by tools/make_golden.py

@@ -2,7 +2,9 @@ from python_ctd_spark.streaming.pipeline import (
     event_stream,
     run_to_memory,
     session_windows,
+    stateful_despike,
     stateful_press_check,
+    streaming_bindata,
     windowed_stats,
 )
 
@@ -10,6 +12,8 @@ __all__ = [
     "event_stream",
     "run_to_memory",
     "session_windows",
+    "stateful_despike",
     "stateful_press_check",
+    "streaming_bindata",
     "windowed_stats",
 ]

@@ -158,6 +158,120 @@ def stateful_press_check(sdf: DataFrame, pressure: str = "value") -> DataFrame:
     )
 
 
+def streaming_bindata(
+    sdf: DataFrame,
+    delta: float = 100.0,
+    value_col: str = "value",
+    by: str = "user_id",
+    pressure: str = "value",
+) -> DataFrame:
+    """Streaming pressure-bin averages: the incremental twin of the batch
+    ``bindata`` aggregate (reference ctd/processing.py:112-129).
+
+    Bins are right-closed ``(a, a+delta]`` exactly like the batch
+    operator's pd.cut semantics, but **delta-aligned to a global origin**
+    instead of each cast's first pressure — a cast's start is a
+    stream-order quantity no windowless aggregate can see, and the
+    aligned grid is what an incremental rollup needs anyway: state is one
+    row per (cast, bin), updatable in any arrival order, no tail rule.
+    Empty-bin rows (a batch-side grid join) have no streaming meaning and
+    are deliberately absent.
+
+    Aggregates use the engine's decimal-sum/count form, so on a closed
+    input the complete-mode result is bit-identical to the same batch
+    aggregation (the streaming==batch twin law, tested per operator).
+    """
+    p = F.col(pressure).cast("double")
+    # right-closed: p in (a, a+delta] -> bin index ceil(p/delta) - 1
+    left = (F.ceil(p / F.lit(float(delta))) - 1).cast("double") * F.lit(float(delta))
+    return (
+        sdf.withColumn("bin_center", left + F.lit(float(delta) / 2.0))
+        .groupBy(by, "bin_center")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double")
+                / F.count(F.col(value_col))
+            ).alias("mean_value"),
+        )
+    )
+
+
+def stateful_despike(
+    sdf: DataFrame,
+    n1: float = 2.0,
+    n2: float = 20.0,
+    block: int = 100,
+    pressure: str = "value",
+) -> DataFrame:
+    """Streaming Sea-Bird Wild-Edit despike via bounded per-cast
+    buffering (reference ctd/processing.py:146-194 incrementally).
+
+    The kernel's two forward-looking rolling windows mean a row's verdict
+    is final only once ``2*block - 1`` later rows exist: pass 2's stats
+    at position ``i`` read pass-1-cleaned values through
+    ``i + 2*block - 2``, and the tail rule ("reuse the last complete
+    window's stats") depends on where the cast *ends*.  So state per cast
+    is a ring of the last ``2*block`` rows; each trigger appends the new
+    rows, runs the exact batch kernel
+    (functions/signal_numpy.despike_kernel) over the buffer, emits every
+    position old enough that appends can no longer change it, and keeps
+    the rest buffered.  Emitted verdicts are therefore *identical* to the
+    batch operator's on the same prefix — the twin law tested in
+    tests/test_streaming.py — and the final ``2*block`` rows of a cast
+    finalize when the cast closes (a batch close-out over the archive
+    tail, the same late-finalization contract as any watermarked sink).
+
+    State is O(block) doubles per live cast; at fleet scale that is
+    ~3 KB per cast for the default block=100.
+    """
+    from python_ctd_spark.functions.signal_numpy import despike_kernel
+
+    out_schema = "user_id bigint, event_id bigint, value double, despiked double"
+    state_schema = "eid array<bigint>, tsu array<bigint>, v array<double>"
+
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            eid, tsu, v = state.get
+            eid, tsu, v = list(eid), list(tsu), list(v)
+        else:
+            eid, tsu, v = [], [], []
+        # one sort over the whole trigger's rows: the group's Arrow chunks
+        # carry no cross-chunk order guarantee
+        new = pd.concat(list(pdfs), ignore_index=True)
+        if len(new):
+            new = new.sort_values(["event_time", "event_id"], kind="mergesort")
+            eid.extend(int(x) for x in new["event_id"])
+            tsu.extend(int(x.value) for x in pd.to_datetime(new["event_time"]))
+            v.extend(float(x) for x in new[pressure])
+        n = len(v)
+        # positions < n - (2*block - 1) can't be changed by later appends
+        stable = max(0, n - (2 * block - 1))
+        if stable > 0:
+            cleaned = despike_kernel(np.asarray(v, dtype=float), n1=n1, n2=n2, block=block)
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * stable,
+                    "event_id": eid[:stable],
+                    "value": v[:stable],
+                    "despiked": cleaned[:stable],
+                }
+            )
+        state.update((eid[stable:], tsu[stable:], v[stable:]))
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

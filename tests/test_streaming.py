@@ -9,7 +9,9 @@ from python_ctd_spark.streaming import (
     event_stream,
     run_to_memory,
     session_windows,
+    stateful_despike,
     stateful_press_check,
+    streaming_bindata,
     windowed_stats,
 )
 
@@ -111,6 +113,66 @@ def test_session_windows_match_batch(spark, events_dir, batch_events):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_streaming_bindata_matches_batch(spark, events_dir, batch_events):
+    """Complete-mode bin rollup on a closed input == the identical batch
+    aggregation (delta-aligned right-closed bins, decimal-avg)."""
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(
+        streaming_bindata(sdf, delta=100.0), "t_bindata", output_mode="complete"
+    ).toPandas()
+    p = F.col("value").cast("double")
+    left = (F.ceil(p / F.lit(100.0)) - 1).cast("double") * F.lit(100.0)
+    exp = (
+        batch_events.withColumn("bin_center", left + F.lit(50.0))
+        .groupBy("user_id", "bin_center")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                / F.count(F.col("value"))
+            ).alias("mean_value"),
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_stateful_despike_matches_batch_prefix(spark, events_dir, batch_events):
+    """Every emitted row's verdict equals the batch kernel's on the same
+    cast; emitted rows are exactly the positions with 2*block-1 rows of
+    lookahead at the end of the drain (the stable prefix per cast)."""
+    import numpy as np
+
+    from python_ctd_spark.functions.signal_numpy import despike_kernel
+
+    block = 10
+    sdf = event_stream(spark, events_dir)
+    got = run_to_memory(
+        stateful_despike(sdf, n1=1.0, n2=2.0, block=block), "t_despike"
+    ).toPandas()
+    assert len(got) > 0
+
+    batch = batch_events.orderBy("user_id", "event_time", "event_id").toPandas()
+    exp_rows = []
+    for uid, grp in batch.groupby("user_id"):
+        vals = grp["value"].astype(float).to_numpy()
+        stable = max(0, len(vals) - (2 * block - 1))
+        cleaned = despike_kernel(vals, n1=1.0, n2=2.0, block=block)
+        for i in range(stable):
+            exp_rows.append(
+                (int(uid), int(grp["event_id"].iloc[i]), float(vals[i]), cleaned[i])
+            )
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "event_id", "value", "despiked"])
+    assert len(got) == len(exp)
+    g = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g["event_id"].to_numpy(), e["event_id"].to_numpy())
+    np.testing.assert_allclose(
+        g["despiked"].to_numpy(), e["despiked"].to_numpy(), rtol=0, atol=0
+    )
 
 
 def test_stateful_press_check_matches_batch_operator(spark, events_dir, batch_events):

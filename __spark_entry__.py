@@ -1967,6 +1967,308 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# engine-surface extensions: json / ranking / range frames / grouping sets /
+# set ops / unpivot (absent from the reference — SURVEY.md §2.10 — but part
+# of a complete engine) and pipeline ops (sampling, tf-idf, redaction,
+# dedup apply)
+# ---------------------------------------------------------------------------
+
+def _q_json_extract(spark, sf_dir):
+    """JSON column handling: extract props.k (native get_json_object,
+    JVM-side), filter on it, aggregate per event_type.  The filter prunes
+    before the aggregate, so the scan ships only (event_type, props)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("k").cast("double")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(25,6))) AS DOUBLE) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+"""
+
+
+def _q_window_ranks(spark, sf_dir):
+    """The ranking-function surface (rank/dense_rank/percent_rank/
+    cume_dist/ntile) the reference never needed (SURVEY.md §2.6) — one
+    sort per cast serves all five frames.  rank-family orders are
+    tie-stable by construction; ntile needs the event_id tie-break for a
+    total order."""
+    ev = _ev(spark, sf_dir)
+    v = F.col("value").cast("double")
+    w = Window.partitionBy("user_id").orderBy(v.desc())
+    wt = Window.partitionBy("user_id").orderBy(v.desc(), F.col("event_id"))
+    return ev.filter(v.isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+_WINDOW_RANKS_SQL = """
+SELECT event_id, user_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       ntile(4) OVER wt AS quartile
+FROM events
+WHERE CAST(value AS DOUBLE) IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC),
+       wt AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC, event_id)
+"""
+
+
+def _q_range_window(spark, sf_dir):
+    """RANGE-frame window (value-distance, not row-count — the frame shape
+    SURVEY.md §2.6 lists as unused by the reference): per cast, the mean
+    over all rows within 100 pressure units below the current row.
+    Decimal sum / count, because a RANGE frame's membership is
+    order-key-deterministic but its *iteration order over ties* is not —
+    order-independent accumulation is the only cross-engine-stable form."""
+    ev = _ev(spark, sf_dir)
+    v = F.col("value").cast("double")
+    return (
+        ev.filter(v.isNotNull())
+        .withColumn("v", v)
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "v",
+            "CAST(sum(CAST(v AS DECIMAL(25,6))) OVER "
+            "(PARTITION BY user_id ORDER BY v "
+            "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "/ count(v) OVER (PARTITION BY user_id ORDER BY v "
+            "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS trailing_mean",
+        )
+    )
+
+
+_RANGE_WINDOW_SQL = """
+SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+       CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) OVER w AS DOUBLE)
+           / count(CAST(value AS DOUBLE)) OVER w AS trailing_mean
+FROM events
+WHERE CAST(value AS DOUBLE) IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE)
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_cube_events(spark, sf_dir):
+    """CUBE over (event_type, user bucket) with GROUPING() flags — the
+    grouping-sets surface (free in Spark, absent in the reference,
+    SURVEY.md §2.4).  2^2 grouping sets in one pass: Spark expands to a
+    single aggregate with a grouping-id column, no re-scan per set."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.col("user_id") % 10).alias("bucket")
+    return (
+        ev.select("event_type", b, "value")
+        .cube("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value").cast("double")).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("bucket").cast("int").alias("g_bucket"),
+        )
+    )
+
+
+_CUBE_EVENTS_SQL = """
+SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+def _q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (SURVEY.md §2.7 lists them absent
+    from the reference): heavy clickers who are also heavy viewers, minus
+    anyone with a high-value error.  Spark plans each set op as a
+    distinct-aggregate + join — no driver round trip."""
+    ev = _t(spark, sf_dir, "events")
+
+    def heavy(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 15)
+            .select("user_id")
+        )
+
+    bad = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value").cast("double") > 240)
+    ).select("user_id")
+    return heavy("click").intersect(heavy("view")).subtract(bad)
+
+
+_SET_OPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+GROUP BY user_id HAVING COUNT(*) >= 15
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+GROUP BY user_id HAVING COUNT(*) >= 15
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND CAST(value AS DOUBLE) > 240
+"""
+
+
+def _q_unpivot_lineitem(spark, sf_dir):
+    """unpivot/melt: the four lineitem measures to long form (the tidy
+    layout SURVEY.md §1.4 recommends for schema-varying fleets).  Native
+    Expand node — each input row fans to 4 output rows in one pass, no
+    shuffle, no UNION re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+#: per-event-type keep rates: drop most views/clicks, keep every error —
+#: the classic class-rebalancing shape of a training-data sampler.
+_SAMPLE_RATES = {"view": 0.1, "click": 0.25, "error": 1.0}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: the keep decision is a pure
+    function of md5(event_id), so retries, repartitioning, and the
+    DuckDB oracle all select the identical subset (rand()-based sampling
+    cannot be oracle-checked at all).  Map-side predicate, no shuffle."""
+    from python_ctd_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev, "event_id", "event_type", _SAMPLE_RATES, default_rate=0.5
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{v}' THEN {r!r}"
+        for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < (CASE {cases} ELSE 0.5 END)
+"""
+
+
+def _q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (rational idf — see
+    operators/text.py:tfidf_top_terms for why not log)."""
+    from python_ctd_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """Digit-run redaction over the raw JSON props (the PII-scrub shape:
+    one regexp_replace pass rewrites, one regexp_extract_all pass
+    counts), native JVM regex on both sides."""
+    from python_ctd_spark.operators.text import redact_numbers
+
+    ev = _t(spark, sf_dir, "events")
+    out = redact_numbers(ev, "props")
+    return out.select("event_id", "redacted", "n_redacted")
+
+
+_PII_REDACT_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+FROM events
+"""
+
+
+def _q_dedup_apply(spark, sf_dir):
+    """End-to-end fuzzy dedup: LSH pairs -> connected components ->
+    keep one representative per cluster; emits the kept corpus with the
+    number of duplicates each keeper absorbed.  This is the materialize
+    step a training pipeline actually runs after `dedup_clusters`."""
+    from python_ctd_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = dedup_clusters(docs, threshold=0.5)
+    return (
+        cl.groupBy(F.col("cluster_id").alias("doc_id"))
+        .agg((F.count(F.lit(1)) - 1).alias("n_dups_removed"))
+    )
+
+
+def _dedup_apply_sql() -> str:
+    return f"""
+WITH clustered AS (
+{_dedup_clusters_sql()}
+)
+SELECT cluster_id AS doc_id, COUNT(*) - 1 AS n_dups_removed
+FROM clustered GROUP BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2023,6 +2325,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_stats": _q_streaming_windowed,
         "streaming_bindata": _q_streaming_bindata,
         "streaming_despike": _q_stateful_despike,
+        "json_extract_stats": _q_json_extract,
+        "window_ranks": _q_window_ranks,
+        "range_window_mean": _q_range_window,
+        "cube_events": _q_cube_events,
+        "set_ops_users": _q_set_ops,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_topterms,
+        "pii_redact": _q_pii_redact,
+        "dedup_apply": _q_dedup_apply,
     }
 
 
@@ -2077,6 +2389,16 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_stats": _STREAMING_WINDOWED_SQL,
         "streaming_bindata": _STREAMING_BINDATA_SQL,
         "streaming_despike": _STATEFUL_DESPIKE_SQL,
+        "json_extract_stats": _JSON_EXTRACT_SQL,
+        "window_ranks": _WINDOW_RANKS_SQL,
+        "range_window_mean": _RANGE_WINDOW_SQL,
+        "cube_events": _CUBE_EVENTS_SQL,
+        "set_ops_users": _SET_OPS_SQL,
+        "unpivot_lineitem": _UNPIVOT_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "tfidf_top_terms": _TFIDF_SQL,
+        "pii_redact": _PII_REDACT_SQL,
+        "dedup_apply": _dedup_apply_sql(),
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
         # are positional, not SQL-expressible — their oracles are
         # kernel-golden parquet files precomputed by tools/make_golden.py

@@ -1,0 +1,56 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`rand()`-based sampling is useless in a data pipeline that must be
+reproducible across runs, retries, partitionings, and engines — a task
+retry would sample a different subset.  These operators derive the
+sampling decision from **md5 of the row key**, so the same row always
+makes the same decision everywhere (Spark and the DuckDB oracle compute
+the identical integer from the identical bytes).
+
+All decisions are map-side row-local predicates: no shuffle, no state,
+perfect pushdown past the filter at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: 16^8 — the hash-uniform denominator: 8 md5 hex chars as an integer in
+#: [0, 2^32), giving ~9.3e-10 rate granularity.
+_U32 = float(1 << 32)
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from a key column: the first 8 md5
+    hex chars as an integer over 2^32.  Engine-portable (DuckDB:
+    ``('0x' || substr(md5(k), 1, 8))::BIGINT / 4294967296.0``)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(_U32)
+    )
+
+
+def bernoulli_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep each row with probability ``rate``, decided by the row key's
+    hash — reproducible under retries and repartitioning, unlike
+    ``df.sample`` (whose seed interacts with partition layout)."""
+    return df.filter(hash_uniform(F.col(key_col)) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with deterministic hash decisions:
+    ``rates`` maps stratum value -> keep probability (e.g. downsample the
+    dominant 'view' events, keep every 'error').  Rows in strata missing
+    from ``rates`` use ``default_rate``.
+
+    The predicate is a CASE over literal rates — fully map-side, pushed
+    into the scan, zero shuffle at any corpus size.
+    """
+    u = hash_uniform(F.col(key_col))
+    rate: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)

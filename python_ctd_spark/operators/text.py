@@ -111,6 +111,62 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     return staged.withColumn(out_col, pred).drop("__lt")
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document over a corpus.
+
+    Plan: explode tokens -> (doc, term) counts (one shuffle, map-side
+    combine) -> document frequency per term (aggregate of the *already
+    aggregated* tf table, so the second shuffle moves one row per
+    distinct (doc, term), not one per token) -> score -> per-doc top-k
+    window.  The idf is the **rational** form ``tf * N / df`` rather than
+    a logarithm: same ranking for fixed N, and exactly reproducible
+    across engines (libm log implementations differ in the last ulp,
+    which is enough to flip a rank tie).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df").cast("double"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def redact_numbers(
+    df: DataFrame, col: str, out: str = "redacted", marker: str = "#"
+) -> DataFrame:
+    """Redact digit runs (the shape of phone numbers / ids / zip codes in
+    a PII-scrubbing pass) and count what was removed — one regex pass for
+    the rewrite, one for the count, both native JVM."""
+    return df.withColumns(
+        {
+            out: F.regexp_replace(F.col(col), "[0-9]+", marker),
+            "n_redacted": F.size(
+                F.regexp_extract_all(F.col(col), F.lit("[0-9]+"), 0)
+            ).cast("bigint"),
+        }
+    )
+
+
 def rolling_fingerprint(text_col: str = "text", mod: int = 1_000_000_007) -> Column:
     """Deterministic polynomial rolling hash over tokens (document
     fingerprint): acc = (acc*131 + ascii(tok[0])*31 + len(tok)) % mod."""

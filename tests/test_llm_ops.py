@@ -284,3 +284,66 @@ def test_ngram_jaccard_stop_shingle_pruning_on_skewed_corpus(spark):
     # candidate generation, not the reported result
     exact = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=None).toPandas()
     assert set(map(tuple, exact[["id_a", "id_b"]].to_numpy())) == pairs
+
+
+# -- deterministic sampling ---------------------------------------------------
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    from python_ctd_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "stratum"]))
+    rates = {"a": 0.5, "b": 0.1, "c": 1.0}
+    got1 = set(r["id"] for r in stratified_sample(df, "id", "stratum", rates).collect())
+    got2 = set(
+        r["id"]
+        for r in stratified_sample(df.repartition(7), "id", "stratum", rates).collect()
+    )
+    assert got1 == got2  # decision is a pure function of the key
+    by_stratum = {
+        s: sum(1 for i in got1 if ["a", "b", "c"][i % 3] == s) / 1000
+        for s in ("a", "b", "c")
+    }
+    assert by_stratum["c"] == 1.0  # rate-1.0 keeps everything
+    assert 0.4 < by_stratum["a"] < 0.6
+    assert 0.05 < by_stratum["b"] < 0.16
+
+
+def test_bernoulli_sample_subset_semantics(spark):
+    from python_ctd_spark.operators.sampling import bernoulli_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    small = set(r["k"] for r in bernoulli_sample(df, "k", 0.1).collect())
+    large = set(r["k"] for r in bernoulli_sample(df, "k", 0.3).collect())
+    assert small <= large  # nested samples: same hash, higher threshold
+    assert 100 < len(small) < 320 and 450 < len(large) < 750
+
+
+# -- tf-idf and redaction -----------------------------------------------------
+
+def test_tfidf_unique_term_ranks_first(spark):
+    from python_ctd_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (0, "shared shared unicorn"),
+        (1, "shared shared shared words"),
+        (2, "shared words words words"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).toPandas()
+    top0 = out[(out.doc_id == 0) & (out.rk == 1)].iloc[0]
+    assert top0["term"] == "unicorn"  # 1*3/1 = 3 beats shared's 2*3/3 = 2
+    assert top0["df"] == 1
+
+
+def test_redact_numbers(spark):
+    from python_ctd_spark.operators.text import redact_numbers
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "call 555 0199 now"), (1, "no digits")], columns=["id", "t"])
+    )
+    out = {r["id"]: r for r in redact_numbers(df, "t").collect()}
+    assert out[0]["redacted"] == "call # # now"
+    assert out[0]["n_redacted"] == 2
+    assert out[1]["redacted"] == "no digits"
+    assert out[1]["n_redacted"] == 0

@@ -56,3 +56,49 @@ def test_broadcast_join_in_flagship_joins(spark):
     out = entrymod.queries()["q3_top_orders"](spark, SF_DIR)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_window_ranks_single_sort_per_order(spark):
+    """Five ranking functions over two orderings -> at most 2 sorts and
+    ONE exchange (both windows hash-partition on the same cast key)."""
+    out = entrymod.queries()["window_ranks"](spark, SF_DIR)
+    plan = _plan(out)
+    assert _count(plan, r"Exchange hashpartitioning") == 1, plan
+    assert _count(plan, r"\+- Sort \[") <= 2, plan
+
+
+def test_json_extract_prunes_columns(spark):
+    """The JSON aggregate must scan only the columns it touches."""
+    out = entrymod.queries()["json_extract_stats"](spark, SF_DIR)
+    plan = _plan(out)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"event_type", "props"}, cols
+
+
+def test_unpivot_uses_expand_not_union(spark):
+    """unpivot compiles to one Expand over one scan — not a UNION that
+    re-reads the fact table four times."""
+    out = entrymod.queries()["unpivot_lineitem"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Expand" in plan, plan
+    assert _count(plan, r"Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan  # map-side only
+
+
+def test_stratified_sample_predicate_is_map_side(spark):
+    """The sampling decision is a scan-side filter: no exchange, no
+    aggregate anywhere in the plan."""
+    out = entrymod.queries()["stratified_sample"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_cube_single_scan(spark):
+    """CUBE expands grouping sets in one pass over one scan."""
+    out = entrymod.queries()["cube_events"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Expand" in plan, plan
+    assert _count(plan, r"Scan parquet") == 1, plan

@@ -2243,6 +2243,111 @@ FROM events
 """
 
 
+def _shingle_sql(n: int) -> str:
+    """DuckDB twin of dedup.with_shingles for word-``n``-grams: distinct
+    n-grams, out-of-range indices yield NULL and concat_ws skips them,
+    so a short doc produces one shingle of all its tokens."""
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    parts = ",\n        ".join(f"{toks}[i + {j + 1}]" for j in range(n))
+    return f"""
+list_distinct(list_transform(
+  range(0, greatest(len({toks}) - {n}, 0) + 1),
+  i -> concat_ws(' ',
+        {parts})))
+"""
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of the corpus against
+    a benchmark subset (doc_id % 5 == 0), per-doc contaminated-shingle
+    counts.  Benchmark hashes broadcast; the corpus never shuffles for
+    the probe."""
+    from python_ctd_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return contamination_report(corpus, bench, n=5)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingle_sql(5)} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM sh
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS g FROM hashed WHERE doc_id % 5 = 0
+), inv AS (
+  SELECT doc_id, unnest(hs) AS g FROM hashed WHERE doc_id % 5 != 0
+)
+SELECT inv.doc_id, COUNT(*) AS n_contaminated
+FROM inv JOIN bench USING (g)
+GROUP BY inv.doc_id
+"""
+
+
+#: domain-mix targets (docs per source): downsample two sources hard,
+#: keep one whole (target above its count), drop every unlisted source.
+_MIX_TARGETS = {"src0": 10.0, "src1": 40.0, "src2": 1e6, "src3": 12.0}
+
+
+def _q_domain_mix(spark, sf_dir):
+    """Mixture weighting: per-domain keep rate min(1, target/count),
+    md5-keyed Bernoulli decisions (deterministic, oracle-checkable);
+    unlisted domains drop — the exhaustive-mixture contract."""
+    from python_ctd_spark.operators.assemble import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix(docs, _MIX_TARGETS)
+    return out.select("doc_id", "source")
+
+
+def _domain_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {t!r}" for s, t in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), rated AS (
+  -- CASE without ELSE yields NULL for unlisted domains; keep it NULL
+  -- (u < NULL is false -> dropped) instead of feeding least(), which
+  -- ignores NULLs and would resurrect them at rate 1.0
+  SELECT source,
+         CASE WHEN (CASE {cases} END) IS NOT NULL
+              THEN least(1.0, (CASE {cases} END) / CAST(n AS DOUBLE)) END AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rated r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < r.rate
+"""
+
+
+def _q_pack_documents(spark, sf_dir):
+    """Concat-and-chunk context packing: per source, docs laid end to
+    end and cut into 2048-token windows; one exchange + one sort."""
+    from python_ctd_spark.operators.assemble import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, max_tokens=2048)
+
+
+_PACK_DOCUMENTS_SQL = r"""
+SELECT source, doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       // 2048 AS pack_id
+FROM documents
+"""
+
+
 def _q_dedup_apply(spark, sf_dir):
     """End-to-end fuzzy dedup: LSH pairs -> connected components ->
     keep one representative per cluster; emits the kept corpus with the
@@ -2335,6 +2440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_topterms,
         "pii_redact": _q_pii_redact,
         "dedup_apply": _q_dedup_apply,
+        "decontaminate": _q_decontaminate,
+        "domain_mix": _q_domain_mix,
+        "pack_documents": _q_pack_documents,
     }
 
 
@@ -2399,6 +2507,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "dedup_apply": _dedup_apply_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "domain_mix": _domain_mix_sql(),
+        "pack_documents": _PACK_DOCUMENTS_SQL,
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
         # are positional, not SQL-expressible — their oracles are
         # kernel-golden parquet files precomputed by tools/make_golden.py

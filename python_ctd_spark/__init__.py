@@ -25,6 +25,7 @@ in this package collects data to the driver except explicit sinks.
 
 from python_ctd_spark.session import get_spark, stop_spark
 from python_ctd_spark.api import CtdFrame
+from python_ctd_spark.corpus import Corpus
 from python_ctd_spark.operators.filters import remove_above_water, remove_up_to
 from python_ctd_spark.operators.ordered import (
     split,
@@ -46,6 +47,7 @@ from python_ctd_spark.operators.join import align_frames, with_meta
 
 __all__ = [
     "CtdFrame",
+    "Corpus",
     "get_spark",
     "stop_spark",
     "remove_above_water",

@@ -1,0 +1,118 @@
+"""Fluent corpus pipeline — the training-data analog of ``CtdFrame``.
+
+``Corpus`` wraps a document DataFrame (``doc_id``, ``text``, optional
+``source``) and chains the cleaning -> dedup -> mix -> pack stages a
+large-scale pipeline actually runs, each step lazily extending the
+Catalyst plan:
+
+    clean = (Corpus(docs)
+             .quality_score().filter("quality > 0.5")
+             .redact_numbers()
+             .decontaminate(benchmark_docs, n=13)
+             .dedup()                       # fuzzy, cluster keepers
+             .domain_mix({"web": 1e9, "code": 2e8})
+             .pack(max_tokens=2048))
+    clean.df.write.parquet("out/")          # still lazy until here
+
+Chainable steps return a new ``Corpus``; point analyses that produce a
+different row shape (pair tables, reports, top-k) return plain
+DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from python_ctd_spark.operators import assemble, dedup, sampling, text
+
+
+class Corpus:
+    """Chainable, lazy view over a document-table DataFrame."""
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 domain_col: str = "source"):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+        self.domain_col = domain_col
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.id_col, self.text_col, self.domain_col)
+
+    # -- chainable pipeline stages --------------------------------------
+    def filter(self, condition) -> "Corpus":
+        return self._wrap(self.df.filter(condition))
+
+    def quality_score(self) -> "Corpus":
+        return self._wrap(text.quality_score(self.df, self.text_col))
+
+    def lang_id(self, out_col: str = "pred_lang") -> "Corpus":
+        return self._wrap(text.lang_id(self.df, self.text_col, out_col))
+
+    def redact_numbers(self, out: str = "redacted", marker: str = "#") -> "Corpus":
+        return self._wrap(text.redact_numbers(self.df, self.text_col, out, marker))
+
+    def sample(self, rate: float) -> "Corpus":
+        return self._wrap(sampling.bernoulli_sample(self.df, self.id_col, rate))
+
+    def stratified_sample(self, rates: dict, default_rate: float = 0.0) -> "Corpus":
+        return self._wrap(
+            sampling.stratified_sample(
+                self.df, self.id_col, self.domain_col, rates, default_rate
+            )
+        )
+
+    def decontaminate(self, benchmark: DataFrame, n: int = 13) -> "Corpus":
+        return self._wrap(
+            dedup.decontaminate(self.df, benchmark, self.text_col, self.id_col, n)
+        )
+
+    def dedup_exact(self) -> "Corpus":
+        """Keep one document per exact content hash (the min-id keeper)."""
+        keepers = dedup.exact_dedup(self.df, self.text_col, self.id_col).select(
+            "keeper_id"
+        )
+        return self._wrap(
+            self.df.join(
+                keepers.withColumnRenamed("keeper_id", self.id_col), self.id_col, "semi"
+            )
+        )
+
+    def dedup(self, threshold: float = 0.5) -> "Corpus":
+        """Fuzzy dedup: MinHash-LSH pairs -> connected components -> keep
+        one representative per cluster."""
+        clusters = dedup.dedup_clusters(
+            self.df, text_col=self.text_col, id_col=self.id_col, threshold=threshold
+        )
+        keepers = clusters.filter("is_keeper").select(self.id_col)
+        return self._wrap(self.df.join(keepers, self.id_col, "semi"))
+
+    def domain_mix(self, targets: dict) -> "Corpus":
+        return self._wrap(
+            assemble.domain_mix(self.df, targets, self.id_col, self.domain_col)
+        )
+
+    def pack(self, max_tokens: int = 2048) -> "Corpus":
+        return self._wrap(
+            assemble.pack_documents(
+                self.df, max_tokens, self.text_col, self.id_col, self.domain_col
+            )
+        )
+
+    # -- point analyses (different row shape -> plain DataFrames) --------
+    def duplicate_pairs(self, threshold: float = 0.5) -> DataFrame:
+        return dedup.minhash_lsh_pairs(
+            self.df, self.text_col, self.id_col, threshold=threshold
+        )
+
+    def contamination_report(self, benchmark: DataFrame, n: int = 13) -> DataFrame:
+        return dedup.contamination_report(
+            self.df, benchmark, self.text_col, self.id_col, n
+        )
+
+    def tfidf_top_terms(self, k: int = 3) -> DataFrame:
+        return text.tfidf_top_terms(self.df, self.text_col, self.id_col, k)
+
+    # -- escape hatch ----------------------------------------------------
+    def transform(self, fn, *args, **kwargs) -> "Corpus":
+        return self._wrap(fn(self.df, *args, **kwargs))

@@ -316,6 +316,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination scan: per corpus document, how many of
+    its distinct word-``n``-grams appear in ANY benchmark document.
+
+    Standard training-data hygiene (13-gram overlap is the conventional
+    width): a doc sharing even one long n-gram with an eval benchmark is
+    suspect.  Plan: the benchmark's distinct shingle hashes are a small
+    table -> broadcast; the corpus's exploded shingle index joins it
+    map-side and aggregates per doc.  The corpus never shuffles for the
+    probe — only the per-doc count aggregate is wide.  Returns
+    ``(id_col, n_contaminated)`` for contaminated docs only.
+    """
+    corp = (
+        with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
+        .select("id", F.explode_outer(
+            F.transform(F.col("sh"), lambda s: _md5_long(s))
+        ).alias("g"))
+    )
+    bench_g = (
+        with_shingles(benchmark.select(text_col), text_col, n)
+        .select(F.explode_outer(
+            F.transform(F.col("sh"), lambda s: _md5_long(s))
+        ).alias("g"))
+        .distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench_g), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(F.col("id").alias(id_col), "n_contaminated")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Drop every corpus document sharing at least one ``n``-gram with
+    the benchmark set (anti-join against :func:`contamination_report`)."""
+    hits = contamination_report(df, benchmark, text_col, id_col, n).select(id_col)
+    return df.join(hits, id_col, "left_anti")
+
+
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash of whitespace tokens.
 

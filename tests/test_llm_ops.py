@@ -347,3 +347,102 @@ def test_redact_numbers(spark):
     assert out[0]["n_redacted"] == 2
     assert out[1]["redacted"] == "no digits"
     assert out[1]["n_redacted"] == 0
+
+
+# -- dataset assembly ---------------------------------------------------------
+
+def test_decontaminate_removes_benchmark_overlaps(spark):
+    from python_ctd_spark.operators.dedup import contamination_report, decontaminate
+
+    bench = spark.createDataFrame(
+        pd.DataFrame([(100, "the quick brown fox jumps over the lazy dog")],
+                     columns=["doc_id", "text"])
+    )
+    corpus = spark.createDataFrame(pd.DataFrame([
+        (0, "prefix words the quick brown fox jumps over something else"),
+        (1, "totally unrelated content about training data pipelines"),
+        (2, "quick brown fox jumps over the lazy dog word for word tail"),
+    ], columns=["doc_id", "text"]))
+    rep = {r["doc_id"]: r["n_contaminated"]
+           for r in contamination_report(corpus, bench, n=5).collect()}
+    assert 0 in rep and 2 in rep and 1 not in rep
+    assert rep[2] > rep[0]  # longer overlap -> more shared 5-grams
+    clean = decontaminate(corpus, bench, n=5)
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+
+
+def test_domain_mix_rates_and_exhaustive_contract(spark):
+    from python_ctd_spark.operators.assemble import domain_mix
+
+    rows = [(i, "a" if i < 1000 else "b") for i in range(1500)]
+    rows += [(9000 + i, "c") for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = domain_mix(df, {"a": 100, "b": 1e9}, key_col="doc_id", domain_col="source")
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert "c" not in by            # unlisted domain dropped
+    assert by["b"] == 500           # target above count keeps everything
+    assert 60 < by["a"] < 140       # ~10% of 1000
+    # deterministic under repartitioning
+    out2 = domain_mix(df.repartition(7), {"a": 100, "b": 1e9})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_pack_documents_fixed_boundary_semantics(spark):
+    from python_ctd_spark.operators.assemble import pack_documents
+
+    docs = [(i, "s", " ".join(["w"] * 30)) for i in range(10)]  # 30 tokens each
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "source", "text"]))
+    out = pack_documents(df, max_tokens=100, id_col="doc_id", by="source").toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # starts: 0,30,60,90,120,... -> packs 0,0,0,0,1,1,1,2,2,2
+    assert out["pack_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert (out["n_tokens"] == 30).all()
+
+
+# -- fluent corpus pipeline ---------------------------------------------------
+
+def test_corpus_end_to_end_pipeline(spark):
+    """The full cleaning -> dedup -> mix -> pack chain through the
+    fluent wrapper stays lazy and lands the right rows."""
+    from python_ctd_spark.corpus import Corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base, "web"),
+        (1, base, "web"),                                   # exact dup
+        (2, base.replace("lazy", "sleepy"), "web"),         # near dup
+        (3, "completely different prose about engines and container ships", "web"),
+        (4, "short low effort", "web"),
+        (5, "benchmark sentence that must never appear in training data at all", "code"),
+        (6, "some benchmark sentence that must never appear in training data at all ok", "code"),
+        (7, "clean code documentation with words and sentences of reasonable size", "code"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    bench = df.filter("doc_id = 5").select("text")
+    out = (
+        Corpus(df)
+        .decontaminate(bench, n=5)      # drops 5 and 6 (shared 5-grams)
+        .dedup(threshold=0.5)           # drops 1 and 2 (cluster keeper 0)
+        .domain_mix({"web": 1e9, "code": 1e9})
+        .pack(max_tokens=1000)
+    )
+    got = out.df.toPandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [0, 3, 4, 7]
+    assert set(got.columns) == {"source", "doc_id", "n_tokens", "pack_id"}
+    assert (got["pack_id"] == 0).all()  # everything fits one window per source
+
+
+def test_corpus_dedup_exact_keeps_min_id(spark):
+    from python_ctd_spark.corpus import Corpus
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(3, "same text"), (1, "same text"), (2, "other text")],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = sorted(r["doc_id"] for r in Corpus(df).dedup_exact().df.collect())
+    assert got == [1, 2]

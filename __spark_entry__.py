@@ -1660,9 +1660,11 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _dedup_clusters_sql() -> str:
+    # threshold must track the Spark side's dedup_clusters(threshold=0.5);
+    # band shape tracks the operator default (k=16, bands=8 -> r=2)
     return f"""
 WITH RECURSIVE pairs AS (
-{_minhash_sql()}
+{_minhash_sql(threshold=0.5)}
 ), sym AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION

@@ -137,7 +137,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     threshold: float = 0.5,
     materialize: bool = True,
 ) -> DataFrame:
@@ -150,6 +150,13 @@ def minhash_lsh_pairs(
     60-bit shingle-hash arrays (collision odds ~1e-50 per pair; the
     long-array intersect is ~4x faster than string arrays) and keep
     pairs >= threshold.
+
+    Default band shape is k=16 split into bands=8 rows of r=2: candidate
+    recall at Jaccard J is ``1 - (1 - J^r)^bands``, so J=0.5 -> ~90% and
+    J=0.6 -> ~97%.  (The old r=4/bands=4 shape caught only ~43% at J=0.6
+    — same signature cost, far worse recall near the default threshold.)
+    Verification is exact, so extra candidates cost time, never
+    precision.
 
     At fleet scale the band join is the only wide stage and its keys are
     ~uniform (md5-derived), so AQE's skew handling has nothing to split.
@@ -565,7 +572,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Fuzzy duplicate *clusters*: MinHash-LSH near-dup pairs grouped into

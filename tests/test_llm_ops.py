@@ -404,6 +404,37 @@ def test_pack_documents_fixed_boundary_semantics(spark):
 
 # -- fluent corpus pipeline ---------------------------------------------------
 
+def test_lsh_recall_meets_band_bound(spark):
+    """Empirical LSH recall at a known Jaccard level tracks the banding
+    bound ``1 - (1 - J^r)^bands``.  Planted pairs share exactly 30 of 50
+    union tokens (J = 0.6 at word-shingle level, n=1); at the default
+    shape (k=16, bands=8, r=2) the bound is ~0.97 and the deterministic
+    md5 family lands within a few points of it.  The old r=4/bands=4
+    shape caught only ~43% of the same pairs — this test pins the default
+    against that regression by construction."""
+    n_pairs, shared, uniq = 60, 30, 10  # J = 30 / (30 + 10 + 10) = 0.6
+    rows = []
+    for p in range(n_pairs):
+        common = [f"p{p}s{i}" for i in range(shared)]
+        rows.append((2 * p, " ".join(common + [f"p{p}a{i}" for i in range(uniq)])))
+        rows.append((2 * p + 1, " ".join(common + [f"p{p}b{i}" for i in range(uniq)])))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    def recall(bands: int) -> float:
+        out = dedup.minhash_lsh_pairs(
+            docs, n=1, k=16, bands=bands, threshold=0.5
+        ).toPandas()
+        pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+        return sum((2 * p, 2 * p + 1) in pairs for p in range(n_pairs)) / n_pairs
+
+    j, r, bands = 0.6, 2, 8
+    bound = 1.0 - (1.0 - j**r) ** bands  # ~0.972
+    got = recall(bands)
+    assert got >= bound - 0.05, f"recall {got} below band bound {bound}"
+    # the default shape must dominate the old low-recall shape
+    assert got > recall(4) + 0.3
+
+
 def test_corpus_end_to_end_pipeline(spark):
     """The full cleaning -> dedup -> mix -> pack chain through the
     fluent wrapper stays lazy and lands the right rows."""

@@ -127,16 +127,26 @@ def tfidf_top_terms(
     a logarithm: same ranking for fixed N, and exactly reproducible
     across engines (libm log implementations differ in the last ulp,
     which is enough to flip a rank tie).
+
+    The corpus size N stays in-plan as a one-row aggregate broadcast
+    into a cross join (mirroring the oracle's ``CROSS JOIN n``) — no
+    eager ``collect`` at plan-construction time, no extra driver-side
+    job; the id-only count scans a single pruned column.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
-    scored = tf.join(dfreq, "term").withColumn(
-        "score",
-        (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df").cast("double"),
+    n = df.agg(F.countDistinct(id_col).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df").cast("double"),
+        )
+        .drop("__n_docs")
     )
     from pyspark.sql import Window
 

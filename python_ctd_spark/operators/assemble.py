@@ -60,32 +60,138 @@ def pack_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     by: str = "source",
+    strategy: str = "fixed",
+    num_buckets: int | None = None,
+    greedy_chunk: int = 1 << 20,
 ) -> DataFrame:
-    """Concat-and-chunk context packing: within each ``by`` stream
-    (ordered by ``id_col``), documents are laid end to end and the token
-    stream is cut into ``max_tokens``-sized context windows; a document
-    is assigned the window its first token lands in.
+    """Context packing: within each ``by`` stream (ordered by
+    ``id_col``), assign every document a ``pack_id`` context window.
 
-    This is the fixed-boundary packing used by concat-then-chunk
-    pretraining preprocessors.  (First-fit *greedy* packing — close each
-    window early when the next doc doesn't fit — is a sequential
-    decision per stream; if needed, run it per-domain with the bounded
-    buffering pattern of streaming.stateful_despike.)
+    ``strategy="fixed"`` (default) is concat-and-chunk: documents are
+    laid end to end and the token stream is cut into ``max_tokens``-sized
+    windows; a document belongs to the window its first token lands in.
+    ``strategy="greedy"`` is first-fit: a window closes early when the
+    next document would overflow it, so documents never straddle windows
+    (see :func:`_greedy_pack_ids`).
 
-    Plan: token counts are a map-side projection; the start offset is an
-    exclusive-prefix running sum on the (domain, id) window — one
-    exchange, one sort, then the window assignment is integer division.
+    Fixed-strategy plan — a **two-level exclusive prefix sum**, never a
+    single window partition per domain (which would funnel a dominant
+    domain's entire running sum through one task at 100 TB):
+
+    1. project ``(by, id, n_tokens)`` map-side and range-partition on
+       ``(by, id)`` — each domain occupies a contiguous, *ordered* run of
+       buckets, and every bucket is sized by the shuffle, not the domain;
+    2. per-``(bucket, domain)`` token sums aggregate to a tiny table; an
+       exclusive cumsum over buckets (per domain) turns them into bucket
+       start offsets, broadcast back;
+    3. the in-bucket exclusive cumsum runs in a ``(bucket, domain)``
+       window whose partitions are bounded by bucket size, and the global
+       start is ``bucket_offset + local_prefix``; ``pack_id`` is integer
+       division by ``max_tokens``.
+
+    The narrow projection is persisted between steps 2 and 3 so both
+    consumers see the *same* sample-derived range boundaries (bucket ids
+    must mean the same thing in the partial-sum and join branches; the
+    values are boundary-invariant, the bucketing is not).  ``id_col``
+    must be unique within a domain — the usual doc-id contract.
     """
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    w = Window.partitionBy(by).orderBy(id_col)
-    start = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("bigint"),
+    staged = df.select(
+        F.col(by), F.col(id_col), n_tok.alias("n_tokens")
     )
+    if strategy == "greedy":
+        return _greedy_pack(staged, max_tokens, id_col, by, greedy_chunk)
+    if strategy != "fixed":
+        raise ValueError(f"unknown packing strategy: {strategy!r}")
+
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = (
+        staged.repartitionByRange(nb, F.col(by), F.col(id_col))
+        .withColumn("__bkt", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_off = (
+        Window.partitionBy(by)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__bkt", by)
+        .agg(F.sum("n_tokens").alias("__bkt_sum"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__bkt_sum").over(w_off), F.lit(0).cast("bigint")),
+        )
+        .select("__bkt", by, "__off")
+    )
+    w_local = (
+        Window.partitionBy("__bkt", by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0).cast("bigint"))
     return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("__start", start)
+        bucketed.join(F.broadcast(offsets), ["__bkt", by])
+        .withColumn("__start", F.col("__off") + local)
         .selectExpr(
             by, id_col, "n_tokens", f"__start div {int(max_tokens)} AS pack_id"
         )
+    )
+
+
+def _greedy_pack(
+    staged: DataFrame, max_tokens: int, id_col: str, by: str, chunk: int
+) -> DataFrame:
+    """First-fit greedy packing within deterministic id-range chunks.
+
+    Exact greedy is a sequential recurrence (each window's fill depends
+    on every prior document), so a faithful distributed version scopes
+    the recurrence: documents are grouped into chunks of ``chunk``
+    consecutive ids per domain (``id div chunk`` — a pure function of the
+    row, so the grouping is identical under any input partitioning), each
+    chunk is packed greedily by an Arrow-batched grouped kernel, and a
+    chunk boundary forces a pack break.  With ``chunk`` spanning the
+    whole id range this IS exact greedy; at scale it is the standard
+    shard-local greedy used by packing preprocessors, with deterministic
+    shards instead of partition-dependent ones.
+
+    ``pack_id = chunk_idx * chunk + local_pack`` — unique and monotone
+    per domain because a chunk of ``chunk`` ids can open at most
+    ``chunk`` packs.  Requires an integral ``id_col``.
+    """
+    import pandas as pd
+
+    out_fields = [f for f in staged.schema.fields]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(out_fields + [StructField("pack_id", LongType(), False)])
+    cap = int(max_tokens)
+    span = int(chunk)
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        chunk_idx = int(pdf["__chunk"].iloc[0])
+        fill, local = 0, -1
+        packs = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if local < 0 or fill + n > cap:
+                local += 1
+                fill = n
+            else:
+                fill += n
+            packs.append(chunk_idx * span + local)
+        pdf["pack_id"] = packs
+        return pdf.drop(columns=["__chunk"])
+
+    chunked = staged.withColumn(
+        "__chunk", F.expr(f"CAST(`{id_col}` AS BIGINT) div {span}")
+    )
+    return (
+        chunked.groupBy(by, "__chunk")
+        .applyInPandas(pack_group, schema=schema)
+        .select(by, id_col, "n_tokens", "pack_id")
     )

@@ -107,3 +107,24 @@ def test_cube_single_scan(spark):
     plan = _plan(out)
     assert "Expand" in plan, plan
     assert _count(plan, r"Scan parquet") == 1, plan
+
+
+def test_pack_documents_no_per_domain_window(spark):
+    """pack_documents' prefix sum must never put a whole domain's rows
+    in one window partition: the row-level cumsum (the window ordered by
+    doc_id) is keyed by (bucket, domain), riding a range exchange.  The
+    only window partitioned by domain alone is the bucket-offset cumsum
+    over the per-bucket aggregate — one row per (bucket, domain), tiny
+    by construction (it orders by the bucket id, not by doc_id).  (A
+    dominant domain at 100 TB would serialize through the r3
+    partitionBy(source)-only row window this guards against.)"""
+    out = entrymod.queries()["pack_documents"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange rangepartitioning" in plan, plan
+    # physical Window prints: Window [exprs], [partition keys], [order keys]
+    for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        part_keys, order_keys = m.group(2), m.group(3)
+        if "doc_id" in order_keys:
+            assert "__bkt" in part_keys, (
+                f"row-level window partitioned by [{part_keys}] without bucket key:\n{plan}"
+            )

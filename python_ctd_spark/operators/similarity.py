@@ -242,6 +242,66 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(
+    c: DataFrame,
+    seed_vecs: list[list[float]],
+    dim: int,
+    iters: int = 4,
+    sample: float | None = None,
+) -> list[list[float]]:
+    """Spherical-ish Lloyd iterations as DataFrame aggregates.
+
+    Assignment reuses the same literal-coefficient fold array as the IVF
+    cell assignment (map-side argmax over cosine scores, corpus never
+    shuffles); the update step is one ``groupBy(cell)`` over ``dim``
+    column sums — partial aggregation makes the shuffled payload
+    ``n_centroids x dim`` doubles, and the new centroids come back as a
+    tiny collect (centroids are driver state in any IVF index).  Init is
+    the deterministic seed set, so runs differ only by float-sum
+    partition order (sub-ulp).  ``sample`` trains on a deterministic
+    md5-keyed subset — the standard move when the corpus is 100 TB but
+    the quantizer needs only a sketch of the distribution.
+    """
+    import math
+
+    from .sampling import hash_uniform
+
+    train = c if sample is None else c.filter(hash_uniform(F.col("id")) < sample)
+    cvecs = [list(v) for v in seed_vecs]
+    enorm_sql = "sqrt(aggregate(transform(e, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+    for _ in range(int(iters)):
+        cnorms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cvecs]
+        dots = ", ".join(
+            "aggregate(zip_with(e, array("
+            + ", ".join(f"{x!r}D" for x in cv)
+            + "), (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+            f" / (__enorm * {cn!r}D)"
+            for cv, cn in zip(cvecs, cnorms)
+        )
+        assigned = (
+            train.selectExpr("e", f"{enorm_sql} AS __enorm")
+            .selectExpr("e", f"array({dots}) AS __farr")
+            .selectExpr(
+                "e",
+                "CAST(array_position(__farr, array_max(__farr)) AS INT) AS __cell",
+            )
+        )
+        stats = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(F.col("e")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in stats:
+            idx = int(r["__cell"]) - 1
+            n = float(r["__n"])
+            cvecs[idx] = [float(r[f"s{i}"]) / n for i in range(dim)]
+        # empty cells keep their previous centroid (classic Lloyd)
+    return cvecs
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,16 +311,21 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 3,
     query_id_col: str | None = None,
+    centroids: str = "seed",
+    kmeans_iters: int = 4,
+    kmeans_sample: float | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
     exact cosine re-rank within the probed cells.
 
-    The centroids are **deterministic seeds** — the corpus rows with the
-    ``n_centroids`` smallest ids — rather than k-means iterates, so the
-    whole operator (assignment included) is closed-form and
-    oracle-checkable.  Swap in k-means centroids for recall at scale; the
-    plan shape is identical.
+    ``centroids="seed"`` (default): the centroids are **deterministic
+    seeds** — the corpus rows with the ``n_centroids`` smallest ids — so
+    the whole operator (assignment included) is closed-form and
+    oracle-checkable.  ``centroids="kmeans"``: the seeds are refined by
+    ``kmeans_iters`` Lloyd iterations (:func:`_kmeans_centroids`) for
+    recall at scale; the plan shape downstream of the quantizer is
+    identical, only the literal coefficients change.
 
     Plan shape at 100 TB: the coarse quantizer (centroid list) is driver
     state, as in any IVF index — collected once, inlined as literal
@@ -288,6 +353,23 @@ def ivf_topk(
     cids = [int(r["cid"]) for r in cent_rows]
     cvecs = [[float(x) for x in r["ce"]] for r in cent_rows]
     dim = len(cvecs[0])
+    if centroids == "kmeans":
+        cvecs = _kmeans_centroids(
+            c, cvecs, dim, iters=kmeans_iters, sample=kmeans_sample
+        )
+        from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+        cent = corpus.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in zip(cids, cvecs)],
+            StructType(
+                [
+                    StructField("cid", LongType(), False),
+                    StructField("ce", ArrayType(DoubleType(), False), False),
+                ]
+            ),
+        )
+    elif centroids != "seed":
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
 
     def _fold_sq(v):  # left fold, same IEEE sequence as _norm_fast
         acc = 0.0

@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from python_ctd_spark.operators import dedup, multimodal, similarity, text
+from python_ctd_spark.operators import assemble, dedup, multimodal, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -111,6 +111,43 @@ def test_ivf_topk_recalls_planted_neardup(emb):
     assert (out.sort_values("rk").cos.diff().dropna() <= 1e-12).all()
 
 
+def test_ivf_kmeans_centroids_beat_bad_seeds(spark):
+    """Lloyd-refined centroids recover from pathological seeds.  The
+    corpus is four well-separated planted clusters, but the seed
+    centroids (smallest ids) are four near-identical points inside ONE
+    cluster — the worst quantizer the seed rule can produce.  With
+    n_probe=1 the seed index misses cross-cell neighbors; k-means spreads
+    the centroids back onto the true clusters and recall@5 against the
+    brute-force oracle jumps."""
+    rng = np.random.RandomState(0)
+    dim, n_clu, per = 16, 4, 100
+    centers = rng.normal(size=(n_clu, dim)) * 8
+    rows, vid = [], 0
+    for _ in range(4):  # adversarial seeds: all in cluster 0
+        v = centers[0] + rng.normal(size=dim) * 0.01
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    for i in range(4, n_clu * per):
+        v = centers[i % n_clu] + rng.normal(size=dim) * 0.6
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb_df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = emb_df.filter(F.col("vec_id").between(50, 89))
+    gt = similarity.cosine_topk(emb_df, q, k=5).toPandas()
+    gtset = {(r.qid, r.id) for r in gt.itertuples()}
+
+    def recall(mode: str) -> float:
+        out = similarity.ivf_topk(
+            emb_df, q, k=5, n_centroids=4, n_probe=1,
+            centroids=mode, kmeans_iters=6,
+        ).toPandas()
+        return sum((r.qid, r.id) in gtset for r in out.itertuples()) / len(gtset)
+
+    seed_r, km_r = recall("seed"), recall("kmeans")
+    assert km_r >= seed_r + 0.05, (seed_r, km_r)
+    assert km_r >= 0.9, km_r
+
+
 def test_ivf_topk_partitioning_invariant(emb):
     """The decimal-exact ranking contract: identical output regardless of
     physical partitioning of the corpus."""
@@ -187,9 +224,12 @@ def test_attach_media_meta(blobs):
     assert out.loc[2, "media_meta"]["n_bytes"] == 64
 
 
-def test_decode_stub_gates_clearly(blobs):
-    with pytest.raises(NotImplementedError, match="codecs"):
-        multimodal.decode_and_featurize(blobs)
+def test_decode_real_gates_non_png_clearly(blobs):
+    """fake=False decodes PNG for real (tests/test_png_numpy.py); any
+    other format must fail loudly at execution — the codec boundary for
+    JPEG/audio/video is still env-blocked."""
+    with pytest.raises(Exception, match="PNG"):
+        multimodal.decode_and_featurize(blobs).collect()
 
 
 def test_decode_fake_features(blobs):
@@ -400,6 +440,78 @@ def test_pack_documents_fixed_boundary_semantics(spark):
     # starts: 0,30,60,90,120,... -> packs 0,0,0,0,1,1,1,2,2,2
     assert out["pack_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
     assert (out["n_tokens"] == 30).all()
+
+
+def test_pack_documents_two_level_prefix_matches_single_window(spark):
+    """The two-level prefix sum is value-identical to the naive
+    per-domain window formulation, across multiple domains, uneven doc
+    lengths, and more buckets than rows in some domains."""
+    rows = []
+    rng = np.random.RandomState(7)
+    for d, nd in (("web", 37), ("code", 11), ("tiny", 1)):
+        for i in range(nd):
+            rows.append((i * 3 + 1, d, " ".join(["w"] * int(rng.randint(1, 40)))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    got = (
+        assemble.pack_documents(df, max_tokens=64, num_buckets=8)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # naive reference: exclusive cumsum per domain in pandas
+    ref = got[["source", "doc_id", "n_tokens"]].copy()
+    starts = (
+        ref.groupby("source")["n_tokens"].cumsum() - ref["n_tokens"]
+    )
+    assert got["pack_id"].tolist() == (starts // 64).tolist()
+
+
+def test_pack_documents_greedy_first_fit(spark):
+    """Greedy packing closes a window early when the next doc would
+    overflow; docs never straddle windows."""
+    from python_ctd_spark.operators.assemble import pack_documents
+
+    sizes = [60, 50, 40, 30, 120, 10, 90, 10]  # cap 100
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    out = (
+        pack_documents(df, max_tokens=100, strategy="greedy", greedy_chunk=1000)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # fills: 60 | 50+40 | 30 | 120(oversized alone) | 10+90? no: 10 then
+    # 90 -> 100 fits exactly; then 10 -> new
+    # doc0:pack0(60); doc1:pack1(50); doc2:pack1(90); doc3:pack2? 90+30>100
+    # wait doc2 joined pack1 at 90; doc3: 90+30>100 -> pack2(30);
+    # doc4: 30+120>100 -> pack3(120, oversized); doc5: 120+10>100 -> pack4(10);
+    # doc6: 10+90=100 fits -> pack4; doc7: 100+10>100 -> pack5
+    assert out["pack_id"].tolist() == [0, 1, 1, 2, 3, 4, 4, 5]
+    # per-pack totals never exceed cap except single oversized docs
+    tot = out.groupby("pack_id").agg(n=("n_tokens", "sum"), c=("n_tokens", "count"))
+    assert ((tot["n"] <= 100) | (tot["c"] == 1)).all()
+
+
+def test_pack_documents_greedy_deterministic_under_repartitioning(spark):
+    from python_ctd_spark.operators.assemble import pack_documents
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), ("a" if i % 3 else "b"), " ".join(["w"] * int(rng.randint(1, 80))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    a = (
+        pack_documents(df, max_tokens=128, strategy="greedy", greedy_chunk=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_documents(df.repartition(13), max_tokens=128, strategy="greedy", greedy_chunk=64)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a["pack_id"].tolist() == b["pack_id"].tolist()
+    # chunk boundaries force a pack break: no pack spans ids 63/64
+    merged = a.assign(chunk=a["doc_id"] // 64)
+    assert merged.groupby("pack_id")["chunk"].nunique().max() == 1
 
 
 # -- fluent corpus pipeline ---------------------------------------------------

@@ -203,6 +203,7 @@ def stateful_despike(
     n2: float = 20.0,
     block: int = 100,
     pressure: str = "value",
+    max_disorder_us: int | None = None,
 ) -> DataFrame:
     """Streaming Sea-Bird Wild-Edit despike via bounded per-cast
     buffering (reference ctd/processing.py:146-194 incrementally).
@@ -222,35 +223,102 @@ def stateful_despike(
     finalize when the cast closes (a batch close-out over the archive
     tail, the same late-finalization contract as any watermarked sink).
 
+    **Out-of-order arrival.**  Count-based stability ("2*block-1 rows
+    exist after me") is only valid for append-only arrival: a later
+    *insertion* inside an emitted row's lookahead would falsify its
+    verdict.  Two modes, chosen by ``max_disorder_us``:
+
+    - ``None`` (default): the ordered-archive precondition — each cast's
+      rows arrive in nondecreasing ``(event_time, event_id)`` order
+      across triggers (in-trigger disorder is always fine; every trigger
+      is sorted and merge-inserted).  A row arriving behind the emitted
+      frontier is **discarded**, exactly as a watermarked aggregate
+      discards late rows — never given a wrong verdict.  (A NULL-verdict
+      flag would collide with the kernel's own spike-NULLs, so the
+      discard is silent; an auditing pipeline should count frontier
+      violations upstream.)
+    - ``D`` microseconds: bounded-disorder mode, the per-cast watermark
+      contract.  Rows with ``event_time <= max_seen - D`` are discarded
+      at arrival; everything younger is merge-inserted.  A position is
+      emitted only when its entire ``2*block - 1`` lookahead lies in the
+      *sealed* region (keys ``<= max_seen - D``), which no future row
+      can enter — so emitted verdicts equal the batch kernel over the
+      fully sorted archive for ANY arrival order whose disorder stays
+      within ``D``.  Emission lags arrival by ``D`` of event time, the
+      usual latency/completeness trade.
+
     State is O(block) doubles per live cast; at fleet scale that is
     ~3 KB per cast for the default block=100.
     """
     from python_ctd_spark.functions.signal_numpy import despike_kernel
 
     out_schema = "user_id bigint, event_id bigint, value double, despiked double"
-    state_schema = "eid array<bigint>, tsu array<bigint>, v array<double>"
+    state_schema = (
+        "eid array<bigint>, tsu array<bigint>, v array<double>, "
+        "lts bigint, leid bigint, mxts bigint"
+    )
+    horizon = 2 * block - 1
+    # buffer timestamps are pandas .value epoch-NANOseconds; the API
+    # takes the disorder bound in event-time MICROseconds (the parquet
+    # resolution), so scale once here
+    disorder_ns = None if max_disorder_us is None else int(max_disorder_us) * 1000
 
     def fn(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        import bisect
+
         import numpy as np
 
         if state.exists:
-            eid, tsu, v = state.get
+            eid, tsu, v, lts, leid, mxts = state.get
             eid, tsu, v = list(eid), list(tsu), list(v)
         else:
-            eid, tsu, v = [], [], []
+            eid, tsu, v, lts, leid, mxts = [], [], [], None, None, None
         # one sort over the whole trigger's rows: the group's Arrow chunks
         # carry no cross-chunk order guarantee
         new = pd.concat(list(pdfs), ignore_index=True)
         if len(new):
             new = new.sort_values(["event_time", "event_id"], kind="mergesort")
-            eid.extend(int(x) for x in new["event_id"])
-            tsu.extend(int(x.value) for x in pd.to_datetime(new["event_time"]))
-            v.extend(float(x) for x in new[pressure])
+            nts = [int(x.value) for x in pd.to_datetime(new["event_time"])]
+            neid = [int(x) for x in new["event_id"]]
+            nv = [float(x) for x in new[pressure]]
+            if max_disorder_us is None and lts is not None:
+                # ordered-archive mode: discard rows behind the emitted
+                # frontier rather than emit a wrong verdict
+                fresh = [(t, e) > (lts, leid) for t, e in zip(nts, neid)]
+            elif disorder_ns is not None and mxts is not None:
+                # bounded-disorder mode: discard rows behind the sealed
+                # boundary of the PREVIOUS trigger (what emissions used)
+                seal = mxts - disorder_ns
+                fresh = [t > seal for t in nts]
+            else:
+                fresh = [True] * len(nts)
+            if not all(fresh):
+                nts = [t for t, f in zip(nts, fresh) if f]
+                neid = [e for e, f in zip(neid, fresh) if f]
+                nv = [x for x, f in zip(nv, fresh) if f]
+            if nts:
+                mxts = max(mxts, nts[-1]) if mxts is not None else nts[-1]
+            # merge-insert: the buffer holds O(block) rows, so a full
+            # re-sort is cheap and makes cross-trigger reordering inside
+            # the accepted region a no-op
+            merged = sorted(zip(tsu, eid, v))
+            merged.extend(zip(nts, neid, nv))
+            merged.sort()
+            tsu = [m[0] for m in merged]
+            eid = [m[1] for m in merged]
+            v = [m[2] for m in merged]
         n = len(v)
-        # positions < n - (2*block - 1) can't be changed by later appends
-        stable = max(0, n - (2 * block - 1))
+        if max_disorder_us is None:
+            # append-only: positions < n - horizon can't change later
+            stable = max(0, n - horizon)
+        else:
+            # a position is final once its whole lookahead is sealed
+            # (no future arrival can sort at or before the seal)
+            seal = (mxts - disorder_ns) if mxts is not None else None
+            sealed = bisect.bisect_right(tsu, seal) if seal is not None else 0
+            stable = max(0, sealed - horizon)
         if stable > 0:
             cleaned = despike_kernel(np.asarray(v, dtype=float), n1=n1, n2=n2, block=block)
             yield pd.DataFrame(
@@ -261,7 +329,8 @@ def stateful_despike(
                     "despiked": cleaned[:stable],
                 }
             )
-        state.update((eid[stable:], tsu[stable:], v[stable:]))
+            lts, leid = tsu[stable - 1], eid[stable - 1]
+        state.update((eid[stable:], tsu[stable:], v[stable:], lts, leid, mxts))
 
     return sdf.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -192,3 +192,79 @@ def test_stateful_press_check_matches_batch_operator(spark, events_dir, batch_ev
     )
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_stateful_despike_out_of_order_across_triggers(spark, tmp_path):
+    """Bounded-disorder mode: rows arriving out of event-time order
+    across triggers are merged into the buffer and sealed-region
+    emission keeps verdicts equal to the batch kernel over the fully
+    sorted archive; a row older than the disorder bound is discarded —
+    the watermark contract — instead of corrupting finalized verdicts.
+
+    Timeline: one cast, events at 1 s spacing.  Trigger 1 delivers
+    ids 0-39 except 30 and 33; trigger 2 delivers 30, 33 (insertions
+    within the 15 s disorder bound), ids 40-59, and one row at t=5.5 s
+    (behind the seal — discarded).  With D=15 s the final seal is
+    t(59)-15 = t(44), so positions 0..(45 - (2*block-1) - 1) = 0..35
+    finalize; the rest awaits close-out."""
+    import glob
+    import os
+    import time
+
+    import numpy as np
+
+    from python_ctd_spark.functions.signal_numpy import despike_kernel
+
+    block = 5  # lookahead horizon 2*block - 1 = 9
+    rng = np.random.RandomState(3)
+    vals = rng.uniform(0, 100, 60)
+    base_us = 1_700_000_000_000_000
+
+    def rows(ids):
+        return pd.DataFrame(
+            {
+                "event_id": [int(i) for i in ids],
+                "ts": pd.to_datetime([base_us + int(i) * 1_000_000 for i in ids], unit="us"),
+                "user_id": [1] * len(ids),
+                "value": [float(vals[i % 60]) if i < 60 else 55.5 for i in ids],
+            }
+        )
+
+    held = {30, 33}
+    f1_ids = [i for i in range(40) if i not in held]
+    late_id = 1000  # event-time of position 5 -> behind the frontier
+    f2 = rows(sorted(held) + list(range(40, 60)))
+    f2 = pd.concat(
+        [f2, rows([late_id]).assign(ts=pd.to_datetime([base_us + 5_500_000], unit="us"))],
+        ignore_index=True,
+    )
+
+    out = str(tmp_path / "ooo_events")
+    t0 = time.time() - 100
+    for i, pdf in enumerate((rows(f1_ids), f2)):
+        before = set(glob.glob(f"{out}/part-*.parquet"))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(out)
+        for f in set(glob.glob(f"{out}/part-*.parquet")) - before:
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+    got = run_to_memory(
+        stateful_despike(
+            event_stream(spark, out),
+            n1=1.0,
+            n2=2.0,
+            block=block,
+            max_disorder_us=15_000_000,
+        ),
+        "t_despike_ooo",
+    ).toPandas()
+
+    assert late_id not in set(got["event_id"])  # sealed-boundary discard
+
+    verdicts = got.sort_values("event_id")
+    cleaned = despike_kernel(vals, n1=1.0, n2=2.0, block=block)
+    sealed = 45  # events with t <= t(59) - 15s, i.e. ids 0..44
+    stable = sealed - (2 * block - 1)
+    assert verdicts["event_id"].tolist() == list(range(stable))
+    np.testing.assert_allclose(
+        verdicts["despiked"].to_numpy(), cleaned[:stable], rtol=0, atol=0
+    )

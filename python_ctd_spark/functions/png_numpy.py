@@ -1,0 +1,141 @@
+"""Pure stdlib+NumPy PNG decoding — no PIL in this environment.
+
+PNG is the one raster format fully decodable with ``zlib`` + array math:
+chunk walk -> IDAT inflate -> per-scanline un-filter (the five filter
+types of the PNG spec §9) -> (H, W, C) uint8 array.  This removes the
+``fake=True`` asterisk from the image path of
+:mod:`python_ctd_spark.operators.multimodal`; JPEG/audio/video stay
+honestly codec-gated.
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelmingly common
+shapes.  Un-filtering is O(pixels) with per-scanline NumPy ops (Sub and
+Paeth carry a sequential dependency along the line, walked per byte;
+fine for the feature-extraction batch sizes this backs).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string to an (H, W, C) uint8 array.
+
+    Raises ``ValueError`` on malformed input or unsupported shapes
+    (bit depth != 8, interlaced).
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (8 only)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    ch = _CHANNELS[color]
+
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decompressed size mismatch")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
+            np.intp
+        )
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub
+            recon = line.copy()
+            for i in range(ch, stride):
+                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (recon[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                ul = int(prev[i - ch]) if i >= ch else 0
+                recon[i] = (recon[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+
+    img = out.reshape(height, width, ch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette image without PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit grayscale or RGB, filter 0) — enough to
+    build self-contained test fixtures without PIL."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

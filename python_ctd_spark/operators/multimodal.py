@@ -7,12 +7,15 @@ feature-extract, resize, and frame-sample run as Arrow-batched
 features/derived blobs out — so media work parallelizes exactly like any
 other column and never touches the driver.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
-environment, so the decode kernels are stubbed: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic header-derived pseudo-decode runs — the Spark-side
-contract (schemas, batching, partitioning, UDF signatures) is real and
-tested; only the pixel math is fake.
+PNG images decode for REAL via a pure stdlib+NumPy decoder
+(``functions/png_numpy.py`` — zlib inflate + spec §9 un-filtering), so
+``decode_and_featurize(fake=False)`` produces true pixel features for
+PNG blobs.  The remaining codecs (JPEG via PIL, audio via librosa,
+video via ffmpeg) are NOT available in this environment and stay
+honestly stubbed behind ``NotImplementedError`` unless ``fake=True``,
+whose deterministic header-derived pseudo-decode exercises the
+Spark-side contract (schemas, batching, partitioning, UDF signatures)
+end-to-end.
 """
 
 from __future__ import annotations
@@ -65,39 +68,46 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Decode blobs and emit fixed-width feature vectors via mapInPandas.
 
-    With real codecs installed this is where PIL/librosa would run; here
-    the deterministic fake derives features from byte statistics so the
-    distributed plumbing (Arrow batches, schema, per-partition batching)
-    is exercised end-to-end.  ``fake=False`` raises NotImplementedError —
-    clearly marking the codec boundary.
+    ``fake=True`` derives features from raw byte statistics — the
+    deterministic pseudo-decode the driver oracle checks.  ``fake=False``
+    REALLY decodes PNG blobs (pure stdlib+NumPy,
+    :func:`python_ctd_spark.functions.png_numpy.decode_png`) and builds
+    features from pixel values; non-PNG formats raise
+    ``NotImplementedError`` inside the worker — JPEG/audio codecs
+    genuinely aren't in this environment, and only that boundary stays
+    stubbed.
     """
-    if not fake:
-        msg = (
-            "Real media codecs (PIL/librosa/ffmpeg) are not available in "
-            "this environment; pass fake=True for the deterministic "
-            "pseudo-decode used in tests."
-        )
-        raise NotImplementedError(msg)
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
+        from python_ctd_spark.functions.png_numpy import decode_png
+
         for pdf in batches:
-            feats = []
+            feats, fmts = [], []
             for blob in pdf[blob_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                b = bytes(blob)
+                is_png = b[:4] == b"\x89PNG"
+                fmts.append("png" if is_png else "raw")
+                if fake:
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                elif is_png:
+                    arr = decode_png(b).astype(np.float64).ravel()
+                else:
+                    raise NotImplementedError(
+                        "real decode supports PNG only (no PIL/librosa/"
+                        "ffmpeg in this environment); pass fake=True for "
+                        "the byte-statistics pseudo-decode"
+                    )
                 if arr.size == 0:
                     arr = np.zeros(1)
                 chunks = np.array_split(arr, n_features)
                 feats.append([float(c.mean()) if c.size else 0.0 for c in chunks])
-            fmt = [
-                "png" if bytes(b)[:4] == b"\x89PNG" else "raw" for b in pdf[blob_col]
-            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "format": fmt,
+                    "format": fmts,
                     "n_bytes": pdf[blob_col].map(len).astype("int64"),
                     "feat": feats,
                 }

@@ -2226,6 +2226,71 @@ WHERE rk <= 3
 """
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style rules on
+    whitespace tokens): distinct-token fraction, duplicate-bigram
+    fraction, top-token frequency share — boilerplate/looping-generation
+    detection the length/punct heuristics miss.  All native array
+    expressions, map-side at any corpus size."""
+    from python_ctd_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS lt FROM documents
+), s AS (
+  SELECT doc_id, lt, len(lt) AS n,
+         list_transform(range(0, greatest(len(lt) - 2, 0) + 1),
+                        i -> concat_ws(' ', lt[i + 1], lt[i + 2])) AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(lt))::DOUBLE / n, 6) AS distinct_token_frac,
+       ROUND(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6) AS dup_bigram_frac,
+       ROUND(list_max(list_transform(list_distinct(lt),
+                      x -> len(list_filter(lt, y -> y = x))))::DOUBLE / n, 6)
+         AS top_token_frac
+FROM s
+"""
+
+
+def _q_pack_greedy(spark, sf_dir):
+    """First-fit greedy packing (close a window early when the next doc
+    would overflow): the sequential per-stream recurrence runs in
+    deterministic id-range chunks via an Arrow grouped kernel; with one
+    chunk spanning the whole id range (as here) it is exact greedy.  The
+    oracle replays the same recurrence as a recursive CTE."""
+    from python_ctd_spark.operators.assemble import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
+
+
+_PACK_GREEDY_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), g(source, doc_id, n_tokens, rn, fill, pack_id) AS (
+  SELECT source, doc_id, n_tokens, rn, n_tokens, CAST(0 AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN g.fill + t.n_tokens > 128 THEN t.n_tokens
+              ELSE g.fill + t.n_tokens END,
+         CASE WHEN g.fill + t.n_tokens > 128 THEN g.pack_id + 1
+              ELSE g.pack_id END
+  FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
+)
+SELECT source, doc_id, n_tokens, pack_id FROM g
+"""
+
+
 def _q_pii_redact(spark, sf_dir):
     """Digit-run redaction over the raw JSON props (the PII-scrub shape:
     one regexp_replace pass rewrites, one regexp_extract_all pass
@@ -2388,6 +2453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not first-time coverage.
     return {
         # -- newest surface (no driver stamp yet), cheap -> slow --------
+        "repetition_stats": _q_repetition_stats,
+        "pack_greedy": _q_pack_greedy,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
@@ -2459,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "repetition_stats": _REPETITION_SQL,
+        "pack_greedy": _PACK_GREEDY_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

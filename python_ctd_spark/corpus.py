@@ -92,10 +92,11 @@ class Corpus:
             assemble.domain_mix(self.df, targets, self.id_col, self.domain_col)
         )
 
-    def pack(self, max_tokens: int = 2048) -> "Corpus":
+    def pack(self, max_tokens: int = 2048, strategy: str = "fixed") -> "Corpus":
         return self._wrap(
             assemble.pack_documents(
-                self.df, max_tokens, self.text_col, self.id_col, self.domain_col
+                self.df, max_tokens, self.text_col, self.id_col, self.domain_col,
+                strategy=strategy,
             )
         )
 
@@ -112,6 +113,9 @@ class Corpus:
 
     def tfidf_top_terms(self, k: int = 3) -> DataFrame:
         return text.tfidf_top_terms(self.df, self.text_col, self.id_col, k)
+
+    def repetition_stats(self) -> DataFrame:
+        return text.repetition_stats(self.df, self.text_col, self.id_col)
 
     # -- escape hatch ----------------------------------------------------
     def transform(self, fn, *args, **kwargs) -> "Corpus":

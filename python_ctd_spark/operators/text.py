@@ -161,6 +161,55 @@ def tfidf_top_terms(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style repetition
+    rules, adapted to whitespace tokens): distinct-token fraction,
+    duplicate word-bigram fraction, and the frequency share of the most
+    repeated token.  High duplicate-n-gram fractions flag boilerplate /
+    looping generations that length and punctuation heuristics miss.
+
+    All native array expressions, staged through projected columns (the
+    split runs once per row).  The top-token count is an O(u * n) fold
+    per document — u distinct tokens; fine for natural documents whose
+    token counts are bounded, and entirely map-side at any corpus size.
+    """
+    lt = F.col("__lt")
+    n = F.col("__n").cast("double")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(lt) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(lt, (i + 1).cast("int")),
+            F.try_element_at(lt, (i + 2).cast("int")),
+        ),
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(lt),
+            lambda x: F.size(F.filter(lt, lambda y: y == x)),
+        )
+    ).cast("double")
+    return (
+        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .withColumn("__n", F.size(F.col("__lt")))
+        .withColumn("__bg", bigrams)
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.round(F.size(F.array_distinct(lt)).cast("double") / n, 6).alias(
+                "distinct_token_frac"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col("__bg"))).cast("double")
+                / F.size(F.col("__bg")).cast("double"),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.round(top_count / n, 6).alias("top_token_frac"),
+        )
+    )
+
+
 def redact_numbers(
     df: DataFrame, col: str, out: str = "redacted", marker: str = "#"
 ) -> DataFrame:

@@ -204,6 +204,27 @@ def test_fingerprint_deterministic(docs):
     assert fp.loc[0] != fp.loc[3]
 
 
+
+def test_repetition_stats_planted(spark):
+    """A looping document scores high on dup-bigram fraction and
+    top-token share; a distinct-word document scores zero duplicates."""
+    from python_ctd_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a b " * 20),                 # "a b a b ..." -> bigrams repeat
+        (1, " ".join(f"w{i}" for i in range(30))),  # all distinct
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = repetition_stats(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "distinct_token_frac"] == pytest.approx(2 / 40)
+    # 39 bigrams, only 2 distinct ("a b", "b a")
+    assert got.loc[0, "dup_bigram_frac"] == pytest.approx(1 - 2 / 39)
+    assert got.loc[0, "top_token_frac"] == pytest.approx(0.5)
+    assert got.loc[1, "distinct_token_frac"] == 1.0
+    assert got.loc[1, "dup_bigram_frac"] == 0.0
+    assert got.loc[1, "top_token_frac"] == pytest.approx(1 / 30, abs=1e-6)
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 @pytest.fixture(scope="module")

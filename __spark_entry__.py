@@ -908,6 +908,37 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM sized WHERE j >= 0.2
 """
 
 
+def _q_containment_dedup(spark, sf_dir):
+    """Asymmetric near-containment pairs |A∩B|/min(|A|,|B|) over 3-gram
+    shingles — the doc-inside-doc duplicates symmetric Jaccard misses.
+    Same inverted-index candidate plan as ngram_jaccard; the oracle
+    recomputes the containment exactly from the same shingle sets."""
+    from python_ctd_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.4)
+
+
+_CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+), shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM (SELECT doc_id, unnest(sh) AS g FROM t) l
+  JOIN (SELECT doc_id, unnest(sh) AS g FROM t) r
+    ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+), sized AS (
+  SELECT s.id_a, s.id_b,
+         s.inter::DOUBLE / least(ta.nsh, tb.nsh)::DOUBLE AS c
+  FROM shared s
+  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) ta ON ta.doc_id = s.id_a
+  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) tb ON tb.doc_id = s.id_b
+)
+SELECT id_a, id_b, ROUND(c, 6) AS containment FROM sized WHERE c >= 0.4
+"""
+
+
 def _q_minhash_dedup(spark, sf_dir):
     from python_ctd_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2455,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest surface (no driver stamp yet), cheap -> slow --------
         "repetition_stats": _q_repetition_stats,
         "pack_greedy": _q_pack_greedy,
+        "containment_dedup": _q_containment_dedup,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
@@ -2528,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
+        "containment_dedup": _CONTAINMENT_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -106,6 +106,11 @@ class Corpus:
             self.df, self.text_col, self.id_col, threshold=threshold
         )
 
+    def containment_pairs(self, threshold: float = 0.9) -> DataFrame:
+        return dedup.containment_pairs(
+            self.df, self.text_col, self.id_col, threshold=threshold
+        )
+
     def contamination_report(self, benchmark: DataFrame, n: int = 13) -> DataFrame:
         return dedup.contamination_report(
             self.df, benchmark, self.text_col, self.id_col, n

@@ -323,6 +323,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = 4096,
+) -> DataFrame:
+    """Near-containment pairs: ``|A ∩ B| / min(|A|, |B|)`` over distinct
+    word-``n``-gram shingles.  Catches the asymmetric duplicates
+    symmetric Jaccard misses — a document embedded in a larger page
+    (boilerplate wrapper, quoted article, concatenated shard) scores
+    containment ~1 while its Jaccard can be arbitrarily low.
+
+    Same physical shape as :func:`ngram_jaccard_pairs`: inverted shingle
+    index with stop-shingle pruning for candidates, exact verification
+    over the full hash arrays — reported containment is always exact.
+    Returns ``(id_a, id_b, containment)`` with ``id_a < id_b``.
+    """
+    ids = df.select(F.col(id_col).alias("id"), text_col)
+    base = (
+        with_shingles(ids, text_col, n)
+        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .select("id", "hsh")
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = base.select("id", F.explode_outer("hsh").alias("g"))
+    if max_df is not None:
+        w_g = Window.partitionBy("g")
+        inv = inv.withColumn("__df", F.count(F.lit(1)).over(w_g)).filter(
+            F.col("__df") <= int(max_df)
+        )
+    l, r = inv.alias("l"), inv.alias("r")
+    cand = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hs = base.select("id", "hsh")
+    verified = cand.join(
+        hs.select(F.col("id").alias("id_a"), F.col("hsh").alias("h_a")), "id_a"
+    ).join(hs.select(F.col("id").alias("id_b"), F.col("hsh").alias("h_b")), "id_b")
+    inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b"))).cast("double")
+    containment = inter / F.least(F.size("h_a"), F.size("h_b")).cast("double")
+    return (
+        verified.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

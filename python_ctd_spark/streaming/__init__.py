@@ -1,6 +1,7 @@
 from python_ctd_spark.streaming.pipeline import (
     event_stream,
     run_to_memory,
+    run_to_parquet,
     session_windows,
     stateful_despike,
     stateful_press_check,
@@ -11,6 +12,7 @@ from python_ctd_spark.streaming.pipeline import (
 __all__ = [
     "event_stream",
     "run_to_memory",
+    "run_to_parquet",
     "session_windows",
     "stateful_despike",
     "stateful_press_check",

@@ -341,6 +341,34 @@ def stateful_despike(
     )
 
 
+def run_to_parquet(
+    result: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drain a streaming DataFrame into a parquet archive with an
+    availableNow trigger and a durable checkpoint — the incremental
+    production sink.
+
+    The checkpoint carries the file-source offsets, watermark, and
+    window state across drains, so re-running against a GROWN archive
+    processes only the new files and append-mode windows emit **exactly
+    once** — rerun, crash, or scheduler retry never duplicates a row in
+    the sink (file sink + checkpoint is Spark's transactional pairing).
+    Watermark-bounded aggregates emit a window only once the watermark
+    passes its end; the final windows of a closed archive emit on the
+    next drain that advances the watermark past them (or a close-out
+    batch query over the archive tail — the same late-finalization
+    contract as stateful_despike)."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -56,6 +56,25 @@ def test_minhash_lsh_matches_exact_on_high_threshold(docs):
     assert (0, 2) in lsh_pairs
 
 
+def test_containment_pairs_finds_embedded_doc(spark):
+    """A document embedded verbatim in a larger page scores containment
+    ~1.0 even though symmetric Jaccard is low."""
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wrapper = "nav home login " + inner + " footer contact terms privacy " + \
+        "copyright sitemap about careers press blog help status api docs"
+    rows = [(0, inner), (1, wrapper), (2, "totally unrelated words here okay then")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = dedup.containment_pairs(df, threshold=0.9).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs
+    assert out[(out.id_a == 0) & (out.id_b == 1)].containment.iloc[0] == pytest.approx(1.0)
+    assert not any(2 in p for p in pairs)
+    # the same pair's Jaccard is well below the containment
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.0).toPandas()
+    j01 = jac[(jac.id_a == 0) & (jac.id_b == 1)].jaccard.iloc[0]
+    assert j01 < 0.5
+
+
 def test_simhash_pairs(docs):
     out = dedup.simhash_pairs(docs, max_hamming=10).toPandas()
     pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))

@@ -268,3 +268,82 @@ def test_stateful_despike_out_of_order_across_triggers(spark, tmp_path):
     np.testing.assert_allclose(
         verdicts["despiked"].to_numpy(), cleaned[:stable], rtol=0, atol=0
     )
+
+
+def test_windowed_stats_parquet_sink_exactly_once(spark, tmp_path):
+    """The checkpointed parquet sink across two drains of a growing
+    archive: the second drain processes only the new files, append-mode
+    windows emit exactly once (no duplicates across drains), and every
+    emitted row equals the batch aggregate over the full archive."""
+    import glob
+    import os
+    import time
+
+    from python_ctd_spark.streaming.pipeline import run_to_parquet
+
+    base_us = 1_700_000_000_000_000
+    day = 86_400_000_000
+
+    def mk(ids_days):
+        return pd.DataFrame(
+            {
+                "event_id": [i for i, _ in ids_days],
+                "ts": pd.to_datetime(
+                    [base_us + int(d * day) for _, d in ids_days], unit="us"
+                ),
+                "user_id": [1] * len(ids_days),
+                "value": [float(i) for i, _ in ids_days],
+            }
+        )
+
+    src = str(tmp_path / "arch")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = time.time() - 100
+
+    def append_file(pdf, i):
+        before = set(glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+    # phase 1: events on days 0 and 1 -> watermark passes day-0 window
+    append_file(mk([(1, 0.1), (2, 0.4)]), 0)
+    append_file(mk([(3, 1.5)]), 1)
+    run_to_parquet(
+        windowed_stats(event_stream(spark, src), window="1 day", watermark="1 hour"),
+        sink, ckpt,
+    )
+    first = spark.read.parquet(sink).toPandas()
+    assert len(first) >= 1  # day-0 window sealed by the day-1 event
+
+    # phase 2: a day-3 event seals the day-1 window; same checkpoint
+    append_file(mk([(4, 3.2)]), 2)
+    run_to_parquet(
+        windowed_stats(event_stream(spark, src), window="1 day", watermark="1 hour"),
+        sink, ckpt,
+    )
+    got = spark.read.parquet(sink).toPandas()
+    # exactly once: no window emitted twice across the two drains
+    assert not got.duplicated(subset=["w_start", "user_id"]).any()
+    assert len(got) > len(first)  # the second drain made progress
+
+    # every emitted row equals the batch aggregate over the full archive
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+            "user_id", "n_events", "sum_value", "max_value",
+        )
+        .toPandas()
+    )
+    merged = got.merge(batch, on=["w_start", "user_id"], suffixes=("", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_events"] == merged["n_events_b"]).all()
+    assert (merged["sum_value"] == merged["sum_value_b"]).all()

@@ -2484,9 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not first-time coverage.
     return {
         # -- newest surface (no driver stamp yet), cheap -> slow --------
-        "repetition_stats": _q_repetition_stats,
         "pack_greedy": _q_pack_greedy,
-        "containment_dedup": _q_containment_dedup,
+        "repetition_stats": _q_repetition_stats,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
@@ -2500,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_topterms,
         "decontaminate": _q_decontaminate,
         "dedup_apply": _q_dedup_apply,
+        "containment_dedup": _q_containment_dedup,
         "streaming_despike": _q_stateful_despike,
         # -- stamped in r1-r3, fast ------------------------------------
         "remove_up_to": _q_remove_up_to,

@@ -1889,6 +1889,50 @@ def _q_streaming_windowed(spark, sf_dir):
     )
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Native streaming session windows (F.session_window): a session
+    closes after 6 hours of inactivity; complete-mode drain over the
+    replayed archive equals the batch session assignment, which the
+    oracle recomputes with the classic lag-gap + running-sum
+    sessionization (break when the gap is >= the window's [start, end)
+    exclusive bound; session end = last event + gap)."""
+    from python_ctd_spark.streaming import event_stream, run_to_memory, session_windows
+
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
+    res = session_windows(sdf, gap="6 hours", watermark="1 hour")
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(
+        res, f"stream_sessions_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+    )
+    return tbl.select(
+        F.unix_micros(F.col("s_start")).alias("s_start_us"),
+        F.unix_micros(F.col("s_end")).alias("s_end_us"),
+        "user_id",
+        "n_events",
+    )
+
+
+_STREAMING_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS s_start_us,
+       CAST(MAX(epoch_us(ts)) + 21600000000 AS BIGINT) AS s_end_us,
+       user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _q_streaming_bindata(spark, sf_dir):
     """Streaming bindata: complete-mode (cast, pressure-bin) rollup over
     the replayed event archive — the incremental twin of the batch
@@ -2500,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_apply": _q_dedup_apply,
         "containment_dedup": _q_containment_dedup,
+        "streaming_sessions": _q_streaming_sessions,
         "streaming_despike": _q_stateful_despike,
         # -- stamped in r1-r3, fast ------------------------------------
         "remove_up_to": _q_remove_up_to,
@@ -2561,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,
+        "streaming_sessions": _STREAMING_SESSIONS_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -1,4 +1,5 @@
 from python_ctd_spark.streaming.pipeline import (
+    despike_closeout,
     event_stream,
     run_to_memory,
     run_to_parquet,
@@ -10,6 +11,7 @@ from python_ctd_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "despike_closeout",
     "event_stream",
     "run_to_memory",
     "run_to_parquet",

@@ -341,6 +341,51 @@ def stateful_despike(
     )
 
 
+def despike_closeout(
+    batch_df: DataFrame,
+    n1: float = 2.0,
+    n2: float = 20.0,
+    block: int = 100,
+    pressure: str = "value",
+) -> DataFrame:
+    """Batch close-out for :func:`stateful_despike`: verdicts for the
+    final ``2*block - 1`` rows of each cast, which the streaming
+    operator rightly holds back (their verdicts depend on where the
+    cast ends).  Run it over the closed archive once the cast stops
+    growing; ``stateful_despike`` emissions ∪ ``despike_closeout`` ==
+    the batch despike over the full archive, row for row (tested).
+
+    One ``applyInPandas`` per cast over the batch archive — same
+    physical shape as every other per-cast kernel in the engine.
+    """
+    from python_ctd_spark.functions.signal_numpy import despike_kernel
+
+    out_schema = "user_id bigint, event_id bigint, value double, despiked double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["event_time", "event_id"], kind="mergesort")
+        vals = pdf[pressure].astype(float).to_numpy()
+        cleaned = despike_kernel(np.asarray(vals), n1=n1, n2=n2, block=block)
+        stable = max(0, len(vals) - (2 * block - 1))
+        tail = pdf.iloc[stable:]
+        return pd.DataFrame(
+            {
+                "user_id": tail["user_id"].astype("int64"),
+                "event_id": tail["event_id"].astype("int64"),
+                "value": vals[stable:],
+                "despiked": cleaned[stable:],
+            }
+        )
+
+    return (
+        batch_df.select("user_id", "event_id", "event_time", pressure)
+        .groupBy("user_id")
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def run_to_parquet(
     result: DataFrame, path: str, checkpoint: str
 ) -> None:

@@ -128,3 +128,21 @@ def test_pack_documents_no_per_domain_window(spark):
             assert "__bkt" in part_keys, (
                 f"row-level window partitioned by [{part_keys}] without bucket key:\n{plan}"
             )
+
+
+def test_repetition_stats_is_map_side(spark):
+    """Per-document repetition stats are pure projections: no exchange,
+    no aggregate — the corpus never shuffles."""
+    out = entrymod.queries()["repetition_stats"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_pack_greedy_single_exchange(spark):
+    """Greedy packing shuffles once — the (domain, chunk) grouping for
+    the Arrow kernel — with deterministic chunk keys derived from ids."""
+    out = entrymod.queries()["pack_greedy"](spark, SF_DIR)
+    plan = _plan(out)
+    assert _count(plan, r"Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan, plan

@@ -347,3 +347,43 @@ def test_windowed_stats_parquet_sink_exactly_once(spark, tmp_path):
     assert len(merged) == len(got)
     assert (merged["n_events"] == merged["n_events_b"]).all()
     assert (merged["sum_value"] == merged["sum_value_b"]).all()
+
+
+def test_despike_closeout_completes_the_stream(spark, events_dir, batch_events):
+    """stateful_despike emissions plus the batch close-out equal the
+    batch kernel over the whole archive, cast by cast, row for row —
+    the late-finalization contract closed end to end."""
+    import numpy as np
+
+    from python_ctd_spark.functions.signal_numpy import despike_kernel
+    from python_ctd_spark.streaming import despike_closeout
+
+    block = 10
+    emitted = run_to_memory(
+        stateful_despike(event_stream(spark, events_dir), n1=1.0, n2=2.0, block=block),
+        "t_despike_close",
+    ).toPandas()
+    tail = despike_closeout(batch_events, n1=1.0, n2=2.0, block=block).toPandas()
+
+    got = (
+        pd.concat([emitted, tail], ignore_index=True)
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    batch = batch_events.orderBy("user_id", "event_time", "event_id").toPandas()
+    exp_rows = []
+    for uid, grp in batch.groupby("user_id"):
+        vals = grp["value"].astype(float).to_numpy()
+        cleaned = despike_kernel(vals, n1=1.0, n2=2.0, block=block)
+        for i in range(len(vals)):
+            exp_rows.append((int(uid), int(grp["event_id"].iloc[i]), cleaned[i]))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["user_id", "event_id", "despiked"])
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)  # no overlap, no gap
+    np.testing.assert_array_equal(got["event_id"].to_numpy(), exp["event_id"].to_numpy())
+    np.testing.assert_allclose(
+        got["despiked"].to_numpy(), exp["despiked"].to_numpy(), rtol=0, atol=0
+    )

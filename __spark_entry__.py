@@ -2333,6 +2333,48 @@ FROM s
 """
 
 
+def _q_domain_stats(spark, sf_dir):
+    """Per-domain corpus dashboard — the aggregate a curation pipeline
+    reads before choosing mixture weights: doc/token/char totals, exact
+    token-count percentiles (one array-percentile aggregate; swap
+    percentile_approx at 100 TB, same plan shape), and a decimal-summed
+    mean (order-independent, so it hash-matches any engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    staged = docs.select(
+        "source", nt.alias("nt"), F.length("text").cast("bigint").alias("nc")
+    )
+    qs = (0.5, 0.9)
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        (
+            F.sum(F.col("nt").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_tokens"),
+        F.percentile("nt", F.array(*[F.lit(p) for p in qs])).alias("ps"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_chars",
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        *[F.round(F.col("ps")[i], 4).alias(f"p{int(p*100)}_tokens") for i, p in enumerate(qs)],
+    )
+
+
+_DOMAIN_STATS_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars,
+       ROUND(CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_tokens,
+       ROUND(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.5), 4)
+         AS p50_tokens,
+       ROUND(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.9), 4)
+         AS p90_tokens
+FROM documents GROUP BY source
+"""
+
+
 def _q_pack_greedy(spark, sf_dir):
     """First-fit greedy packing (close a window early when the next doc
     would overflow): the sequential per-stream recurrence runs in
@@ -2530,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest surface (no driver stamp yet), cheap -> slow --------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
+        "domain_stats": _q_domain_stats,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
@@ -2607,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
+        "domain_stats": _DOMAIN_STATS_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

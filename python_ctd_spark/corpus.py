@@ -122,6 +122,24 @@ class Corpus:
     def repetition_stats(self) -> DataFrame:
         return text.repetition_stats(self.df, self.text_col, self.id_col)
 
+    def domain_stats(self) -> DataFrame:
+        """Per-domain doc/char totals, decimal-summed mean tokens, and
+        exact token percentiles (swap percentile_approx at scale)."""
+        from pyspark.sql import functions as F
+
+        nt = F.size(F.split(F.trim(F.col(self.text_col)), r"\s+")).cast("double")
+        staged = self.df.select(
+            self.domain_col, nt.alias("nt"),
+            F.length(self.text_col).cast("bigint").alias("nc"),
+        )
+        return staged.groupBy(self.domain_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+            (F.sum(F.col("nt").cast("decimal(25,6)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_tokens"),
+            F.percentile("nt", F.array(F.lit(0.5), F.lit(0.9))).alias("token_pcts"),
+        )
+
     # -- escape hatch ----------------------------------------------------
     def transform(self, fn, *args, **kwargs) -> "Corpus":
         return self._wrap(fn(self.df, *args, **kwargs))

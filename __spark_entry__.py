@@ -2333,6 +2333,40 @@ FROM s
 """
 
 
+def _q_dup_passages(spark, sf_dir):
+    """Cross-document duplicated-passage detection: fraction of each
+    doc's positional token 5-grams shared with >=2 documents, plus the
+    doc's widest-spread passage (max n-gram doc frequency).  The
+    passage-level complement of doc-level MinHash dedup (ExactSubstr-lite
+    aggregate); operator shuffles 8-byte gram hashes, never strings, and
+    every exchange is keyed with map-side combine."""
+    from python_ctd_spark.operators.dedup import cross_doc_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_doc_ngram_stats(docs, n=5, min_docs=2)
+
+
+_DUP_PASSAGES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 5 + 2)) AS i) ix
+),
+pdg AS (SELECT doc_id, g, count(*) AS c FROM pos GROUP BY 1, 2),
+gdf AS (SELECT g, count(*) AS n_docs FROM pdg GROUP BY 1)
+SELECT p.doc_id,
+       CAST(SUM(p.c) AS BIGINT) AS n_ngrams,
+       ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN p.c ELSE 0 END) * 1.0 / SUM(p.c), 6)
+         AS dup_ngram_frac,
+       MAX(f.n_docs) AS max_ngram_df
+FROM pdg p JOIN gdf f USING (g)
+GROUP BY 1
+"""
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-domain corpus dashboard — the aggregate a curation pipeline
     reads before choosing mixture weights: doc/token/char totals, exact
@@ -2573,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
+        "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
@@ -2651,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_dedup": _CONTAINMENT_SQL,
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
+        "dup_passage_stats": _DUP_PASSAGES_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -122,6 +122,14 @@ class Corpus:
     def repetition_stats(self) -> DataFrame:
         return text.repetition_stats(self.df, self.text_col, self.id_col)
 
+    def dup_passage_stats(self, n: int = 5, min_docs: int = 2) -> DataFrame:
+        """Cross-document duplicated-passage fractions (passage-level
+        complement of doc-level dedup): per doc, the share of positional
+        token n-grams shared with >= min_docs documents."""
+        return dedup.cross_doc_ngram_stats(
+            self.df, self.text_col, self.id_col, n=n, min_docs=min_docs
+        )
+
     def domain_stats(self) -> DataFrame:
         """Per-domain doc/char totals, decimal-summed mean tokens, and
         exact token percentiles (swap percentile_approx at scale)."""

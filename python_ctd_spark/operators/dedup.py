@@ -646,3 +646,67 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("is_keeper"),
     )
+
+
+def cross_doc_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-passage detection: for every document, the fraction of
+    its positional token ``n``-grams that also occur in at least
+    ``min_docs`` distinct documents (ExactSubstr-lite — the aggregate
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", computed at n-gram granularity instead of
+    suffix arrays).  Doc-level MinHash misses a boilerplate paragraph
+    pasted into thousands of otherwise-distinct pages; this operator is
+    the passage-level complement.
+
+    Returns ``(doc_id, n_ngrams, dup_ngram_frac, max_ngram_df)`` for
+    every document with at least ``n`` tokens.  ``max_ngram_df`` is the
+    widest spread of any single n-gram in the doc (how many documents
+    share its most-shared passage).
+
+    Scale shape: the n-gram stream is hashed to 64-bit before it ever
+    shuffles (8-byte keys, not 30-byte strings; xxhash64 collisions at
+    corpus scale are ~|grams|^2 / 2^65 — immaterial for counting).  Plan
+    is aggregate-first: positional grams partially combine map-side into
+    per-(gram, doc) counts (shuffle 1, the only full-stream exchange),
+    the gram->doc-frequency table reduces from that (shuffle 2, distinct
+    grams only), and the join back runs on the already-(gram)-keyed
+    tables before the final per-doc reduce.  No O(n^2) stage, no driver
+    state; every exchange is keyed and combine happens before the wire.
+    """
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        F.col("__idx"),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    pos = (
+        df.withColumn("__toks", _tokens(text_col))
+        .withColumn("__idx", idx)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("h"))
+    )
+    per_doc_gram = pos.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    gram_df = per_doc_gram.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.when(F.col("n_docs") >= min_docs, F.col("c")).otherwise(F.lit(0))
+    return (
+        per_doc_gram.join(gram_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.round(
+                F.sum(shared).cast("double") / F.sum("c").cast("double"), 6
+            ).alias("dup_ngram_frac"),
+            F.max("n_docs").alias("max_ngram_df"),
+        )
+    )

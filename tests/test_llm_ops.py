@@ -244,6 +244,29 @@ def test_repetition_stats_planted(spark):
     assert got.loc[1, "top_token_frac"] == pytest.approx(1 / 30, abs=1e-6)
 
 
+def test_cross_doc_ngram_stats_planted(spark):
+    """Hand-checkable passage sharing: a 5-gram pasted into two docs is
+    flagged in both; sub-5-token docs drop out; a within-doc repeated
+    gram is repetition, not cross-doc duplication."""
+    rows = [
+        (0, "a b c d e f"),            # grams: "a b c d e", "b c d e f"
+        (1, "x y a b c d e z"),        # 4 grams, shares "a b c d e" with 0
+        (2, "p q r s"),                # < 5 tokens -> no grams -> absent
+        (3, "m m m m m m"),            # 2 positions of the SAME gram, 1 doc
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.cross_doc_ngram_stats(df, n=5).toPandas().set_index("doc_id")
+    assert sorted(got.index) == [0, 1, 3]
+    assert got.loc[0, "n_ngrams"] == 2
+    assert got.loc[0, "dup_ngram_frac"] == pytest.approx(0.5)
+    assert got.loc[0, "max_ngram_df"] == 2
+    assert got.loc[1, "n_ngrams"] == 4
+    assert got.loc[1, "dup_ngram_frac"] == pytest.approx(0.25)
+    assert got.loc[3, "n_ngrams"] == 2
+    assert got.loc[3, "dup_ngram_frac"] == 0.0
+    assert got.loc[3, "max_ngram_df"] == 1
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -2333,6 +2333,46 @@ FROM s
 """
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText hard quality rules with named per-rule
+    verdicts (filter + audit in one pass); all native expressions,
+    map-side at any corpus size."""
+    from python_ctd_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS lt
+  FROM documents
+), s AS (
+  SELECT doc_id, len(lt) AS n,
+    CAST(list_aggregate(list_transform(lt, w -> length(w)), 'sum') AS DOUBLE) AS wlen,
+    CAST(length(text) - length(replace(text, '#', ''))
+         + len(string_split_regex(text, '\.\.\.')) - 1 AS DOUBLE) AS symbols,
+    CAST(len(list_filter(lt, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_words,
+    len(list_filter(lt, w -> list_contains(['the','a','of','and','to','in','is','for','that','it'], w))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  ROUND(wlen / n, 6) AS mean_word_len,
+  ROUND(symbols / n, 6) AS symbol_word_ratio,
+  ROUND(alpha_words / n, 6) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  (n >= 50 AND n <= 100000) AS rule_word_count,
+  (wlen / n >= 3.0 AND wlen / n <= 10.0) AS rule_mean_word_len,
+  (symbols / n <= 0.1) AS rule_symbol_ratio,
+  (alpha_words / n >= 0.8) AS rule_alpha_words,
+  (stop_hits >= 2) AS rule_stopwords,
+  (n >= 50 AND n <= 100000 AND wlen / n >= 3.0 AND wlen / n <= 10.0
+   AND symbols / n <= 0.1 AND alpha_words / n >= 0.8 AND stop_hits >= 2) AS keep
+FROM s
+"""
+
+
 def _q_dup_passages(spark, sf_dir):
     """Cross-document duplicated-passage detection: fraction of each
     doc's positional token 5-grams shared with >=2 documents, plus the
@@ -2607,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
+        "gopher_rules": _q_gopher_rules,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
@@ -2687,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
         "dup_passage_stats": _DUP_PASSAGES_SQL,
+        "gopher_rules": _GOPHER_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -122,6 +122,14 @@ class Corpus:
     def repetition_stats(self) -> DataFrame:
         return text.repetition_stats(self.df, self.text_col, self.id_col)
 
+    def gopher_rules(self, min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+        """Gopher-style hard quality rules: named boolean verdicts per
+        rule plus the conjunction (filter + audit in one pass)."""
+        return text.gopher_rules(
+            self.df, self.text_col, self.id_col,
+            min_words=min_words, max_words=max_words,
+        )
+
     def dup_passage_stats(self, n: int = 5, min_docs: int = 2) -> DataFrame:
         """Cross-document duplicated-passage fractions (passage-level
         complement of doc-level dedup): per doc, the share of positional

@@ -238,3 +238,76 @@ def rolling_fingerprint(text_col: str = "text", mod: int = 1_000_000_007) -> Col
         )
         % F.lit(mod),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, MassiveText
+    filtering, adapted to whitespace tokens): named boolean verdicts per
+    rule plus the conjunction, so a pipeline can both filter and audit
+    *why* documents fall.  Complements ``quality_score`` (a soft score)
+    with the published hard-rule form.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; >= 80% of
+    words contain an alphabetic character; >= 2 English stopword hits.
+
+    Entirely native expressions, map-side at any scale; the token array
+    and per-feature counts stage through projected columns so each
+    split/filter pass runs once per row.
+    """
+    lt = F.col("__lt")
+    n = F.col("__n").cast("double")
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    staged = (
+        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .withColumn("__n", F.size(F.col("__lt")))
+        .withColumns(
+            {
+                "__wlen": F.aggregate(
+                    F.transform(lt, lambda w: F.length(w)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double"),
+                "__symbols": (
+                    F.length(F.col(text_col))
+                    - F.length(F.regexp_replace(text_col, r"#", ""))
+                    + F.size(F.split(F.col(text_col), r"\.\.\.")) - 1
+                ).cast("double"),
+                "__alpha_words": F.size(
+                    F.filter(lt, lambda w: w.rlike("[a-z]"))
+                ).cast("double"),
+                "__stop_hits": F.size(
+                    F.filter(lt, lambda w: F.array_contains(en_stops, w))
+                ),
+            }
+        )
+    )
+    mean_wlen = F.col("__wlen") / n
+    sym_ratio = F.col("__symbols") / n
+    alpha_frac = F.col("__alpha_words") / n
+    rules = {
+        "rule_word_count": (F.col("__n") >= min_words) & (F.col("__n") <= max_words),
+        "rule_mean_word_len": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "rule_symbol_ratio": sym_ratio <= 0.1,
+        "rule_alpha_words": alpha_frac >= 0.8,
+        "rule_stopwords": F.col("__stop_hits") >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return staged.select(
+        F.col(id_col),
+        F.col("__n").cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.col("__stop_hits").cast("bigint").alias("stop_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

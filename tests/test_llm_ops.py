@@ -244,6 +244,28 @@ def test_repetition_stats_planted(spark):
     assert got.loc[1, "top_token_frac"] == pytest.approx(1 / 30, abs=1e-6)
 
 
+def test_gopher_rules_planted(spark):
+    """Each rule falls on exactly the planted pathology: a good doc
+    passes all, a symbol-heavy doc fails the symbol ratio, a numeric
+    table fails alpha-words, a short snippet fails word count."""
+    from python_ctd_spark.operators.text import gopher_rules
+
+    good = "the cat sat on a warm mat and it was happy that " * 5  # 60 words
+    rows = [
+        (0, good),
+        (1, good + "# " * 20),                      # symbols/words > 0.1
+        (2, " ".join(str(i) for i in range(60)) + " the it is"),  # digits
+        (3, "the quick brown fox is here"),          # 6 words < 50
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = gopher_rules(df).toPandas().set_index("doc_id")
+    assert bool(got.loc[0, "keep"])
+    assert not got.loc[1, "rule_symbol_ratio"] and not got.loc[1, "keep"]
+    assert not got.loc[2, "rule_alpha_words"] and not got.loc[2, "keep"]
+    assert not got.loc[3, "rule_word_count"] and not got.loc[3, "keep"]
+    assert got.loc[3, "rule_stopwords"]  # "the"+"is" -> 2 hits
+
+
 def test_cross_doc_ngram_stats_planted(spark):
     """Hand-checkable passage sharing: a 5-gram pasted into two docs is
     flagged in both; sub-5-token docs drop out; a within-doc repeated

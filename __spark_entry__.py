@@ -141,6 +141,62 @@ LIMIT 10
 """
 
 
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    supplier share a nation, per nation of one region, one order year.
+
+    Plan notes: the only shuffle join is lineitem x orders (both big,
+    orders pre-filtered to the year so the probe side shrinks first);
+    customer, supplier, nation, region are all broadcast — the
+    c_nationkey = s_nationkey equality rides the broadcast joins as a
+    post-join filter, never a shuffle key.  Revenue is the exact decimal
+    sum so the ranking is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> orders -> customer -> nation -> region star join;
     nation/region are broadcast dimensions."""
@@ -2648,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
         "gopher_rules": _q_gopher_rules,
+        "q5_local_supplier": _q5_local_supplier,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
@@ -2729,6 +2786,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_SQL,
         "dup_passage_stats": _DUP_PASSAGES_SQL,
         "gopher_rules": _GOPHER_SQL,
+        "q5_local_supplier": _Q5_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

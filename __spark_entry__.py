@@ -1924,7 +1924,9 @@ def _q_streaming_windowed(spark, sf_dir):
     import os
     import tempfile
 
-    from python_ctd_spark.streaming import event_stream, run_to_memory, windowed_stats
+    from python_ctd_spark.streaming import (
+        event_stream, run_to_memory, state_partitions, windowed_stats,
+    )
 
     # The file stream source replays a *directory* in file-arrival order;
     # stage the closed archive as 3 time-ranged parts (earliest range
@@ -1933,9 +1935,10 @@ def _q_streaming_windowed(spark, sf_dir):
     sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = windowed_stats(sdf, window="1 day", watermark="1 hour")
     _STREAM_RUN_COUNTER[0] += 1
-    tbl = run_to_memory(
-        res, f"stream_win_stats_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-    )
+    with state_partitions(spark):
+        tbl = run_to_memory(
+            res, f"stream_win_stats_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+        )
     return tbl.select(
         F.unix_micros(F.col("w_start")).alias("w_start_us"),
         "user_id",
@@ -1957,9 +1960,12 @@ def _q_streaming_sessions(spark, sf_dir):
     sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = session_windows(sdf, gap="6 hours", watermark="1 hour")
     _STREAM_RUN_COUNTER[0] += 1
-    tbl = run_to_memory(
-        res, f"stream_sessions_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-    )
+    from python_ctd_spark.streaming import state_partitions
+
+    with state_partitions(spark):
+        tbl = run_to_memory(
+            res, f"stream_sessions_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+        )
     return tbl.select(
         F.unix_micros(F.col("s_start")).alias("s_start_us"),
         F.unix_micros(F.col("s_end")).alias("s_end_us"),
@@ -2002,9 +2008,12 @@ def _q_streaming_bindata(spark, sf_dir):
     sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = streaming_bindata(sdf, delta=100.0)
     _STREAM_RUN_COUNTER[0] += 1
-    tbl = run_to_memory(
-        res, f"stream_bindata_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-    )
+    from python_ctd_spark.streaming import state_partitions
+
+    with state_partitions(spark):
+        tbl = run_to_memory(
+            res, f"stream_bindata_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
+        )
     # no rounding: the decimal sum and integer count are engine-identical,
     # so the IEEE division is bit-identical too — rounding can only
     # *introduce* half-ULP tie disagreements
@@ -2036,7 +2045,13 @@ def _q_stateful_despike(spark, sf_dir):
     sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = stateful_despike(sdf, n1=1.0, n2=2.0, block=10)
     _STREAM_RUN_COUNTER[0] += 1
-    tbl = run_to_memory(res, f"stream_despike_{_STREAM_RUN_COUNTER[0]}")
+    from python_ctd_spark.streaming import state_partitions
+
+    # 16, not the pure-JVM drains' 8: the pandas state kernel does real
+    # per-row Python work, so worker parallelism still pays at local[32]
+    # (measured sf0.1: 32 -> 6.1s, 16 -> 4.6s, 8 -> 5.7s, 4 -> 8.4s)
+    with state_partitions(spark, 16):
+        tbl = run_to_memory(res, f"stream_despike_{_STREAM_RUN_COUNTER[0]}")
     return tbl.select(
         "event_id",
         "user_id",

@@ -4,6 +4,7 @@ from python_ctd_spark.streaming.pipeline import (
     run_to_memory,
     run_to_parquet,
     session_windows,
+    state_partitions,
     stateful_despike,
     stateful_press_check,
     streaming_bindata,
@@ -16,6 +17,7 @@ __all__ = [
     "run_to_memory",
     "run_to_parquet",
     "session_windows",
+    "state_partitions",
     "stateful_despike",
     "stateful_press_check",
     "streaming_bindata",

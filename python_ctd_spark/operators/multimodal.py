@@ -8,14 +8,16 @@ features/derived blobs out — so media work parallelizes exactly like any
 other column and never touches the driver.
 
 PNG images decode for REAL via a pure stdlib+NumPy decoder
-(``functions/png_numpy.py`` — zlib inflate + spec §9 un-filtering), so
-``decode_and_featurize(fake=False)`` produces true pixel features for
-PNG blobs.  The remaining codecs (JPEG via PIL, audio via librosa,
-video via ffmpeg) are NOT available in this environment and stay
-honestly stubbed behind ``NotImplementedError`` unless ``fake=True``,
-whose deterministic header-derived pseudo-decode exercises the
-Spark-side contract (schemas, batching, partitioning, UDF signatures)
-end-to-end.
+(``functions/png_numpy.py`` — zlib inflate + spec §9 un-filtering), and
+PCM WAV audio via ``functions/wav_numpy.py`` (stdlib ``wave`` +
+vectorized dtype view, mono mixdown), so
+``decode_and_featurize(fake=False)`` produces true pixel/sample
+features for both.  The remaining codecs (JPEG via PIL, compressed
+audio via librosa, video via ffmpeg) are NOT available in this
+environment and stay honestly stubbed behind ``NotImplementedError``
+unless ``fake=True``, whose deterministic header-derived pseudo-decode
+exercises the Spark-side contract (schemas, batching, partitioning,
+UDF signatures) end-to-end.
 """
 
 from __future__ import annotations
@@ -71,11 +73,12 @@ def decode_and_featurize(
     ``fake=True`` derives features from raw byte statistics — the
     deterministic pseudo-decode the driver oracle checks.  ``fake=False``
     REALLY decodes PNG blobs (pure stdlib+NumPy,
-    :func:`python_ctd_spark.functions.png_numpy.decode_png`) and builds
-    features from pixel values; non-PNG formats raise
-    ``NotImplementedError`` inside the worker — JPEG/audio codecs
-    genuinely aren't in this environment, and only that boundary stays
-    stubbed.
+    :func:`python_ctd_spark.functions.png_numpy.decode_png`; features
+    from pixel values) and PCM WAV blobs
+    (:func:`python_ctd_spark.functions.wav_numpy.decode_wav`; features
+    from mono samples); other formats raise ``NotImplementedError``
+    inside the worker — JPEG/compressed-audio/video codecs genuinely
+    aren't in this environment, and only that boundary stays stubbed.
     """
 
     def fn(batches):
@@ -83,22 +86,26 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.png_numpy import decode_png
+        from python_ctd_spark.functions.wav_numpy import decode_wav
 
         for pdf in batches:
             feats, fmts = [], []
             for blob in pdf[blob_col]:
                 b = bytes(blob)
                 is_png = b[:4] == b"\x89PNG"
-                fmts.append("png" if is_png else "raw")
+                is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                fmts.append("png" if is_png else "wav" if is_wav else "raw")
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                 elif is_png:
                     arr = decode_png(b).astype(np.float64).ravel()
+                elif is_wav:
+                    arr, _rate = decode_wav(b)
                 else:
                     raise NotImplementedError(
-                        "real decode supports PNG only (no PIL/librosa/"
-                        "ffmpeg in this environment); pass fake=True for "
-                        "the byte-statistics pseudo-decode"
+                        "real decode supports PNG and PCM WAV only (no "
+                        "PIL/librosa/ffmpeg in this environment); pass "
+                        "fake=True for the byte-statistics pseudo-decode"
                     )
                 if arr.size == 0:
                     arr = np.zeros(1)

@@ -146,3 +146,39 @@ def test_pack_greedy_single_exchange(spark):
     plan = _plan(out)
     assert _count(plan, r"Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan, plan
+
+
+def test_dup_passage_stats_shuffles_hashes_not_strings(spark):
+    """The n-gram stream must hash to 64-bit BEFORE the first exchange:
+    no string column crosses the wire, every exchange is keyed (no
+    round-robin), and partial aggregation runs below the full-stream
+    shuffle (map-side combine before the wire)."""
+    out = entrymod.queries()["dup_passage_stats"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "RoundRobin" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys, f"text column shuffled: {keys}\n{plan}"
+    # partial (merge-less) aggregate appears below the exchange
+    assert _count(plan, r"HashAggregate") >= 2, plan
+
+
+def test_q5_broadcasts_every_dimension(spark):
+    """Q5's four dimension joins broadcast; no cartesian/nested-loop
+    join sneaks in via the two-table nation equality."""
+    out = entrymod.queries()["q5_local_supplier"](spark, SF_DIR)
+    plan = _plan(out)
+    assert _count(plan, r"BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gopher_rules_is_map_side(spark):
+    """Per-document rules are pure projections over one scan: no
+    exchange, no aggregate — the corpus never shuffles."""
+    out = entrymod.queries()["gopher_rules"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert _count(plan, r"Scan parquet") == 1, plan

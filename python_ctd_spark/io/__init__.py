@@ -5,6 +5,13 @@
 ``binaryFile`` scans that emit wide cast tables + a ``cast_meta`` table.
 """
 
+from python_ctd_spark.io.corpus_sources import (
+    DOCUMENTS_SCHEMA,
+    corrupt_records,
+    read_documents_csv,
+    read_documents_jsonl,
+    valid_records,
+)
 from python_ctd_spark.io.readers import (
     from_bl,
     from_btl,
@@ -17,6 +24,11 @@ from python_ctd_spark.io.readers import (
 from python_ctd_spark.io.sinks import read_table, write_bucketed, write_casts
 
 __all__ = [
+    "DOCUMENTS_SCHEMA",
+    "read_documents_jsonl",
+    "read_documents_csv",
+    "corrupt_records",
+    "valid_records",
     "write_casts",
     "write_bucketed",
     "read_table",

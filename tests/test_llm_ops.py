@@ -674,3 +674,17 @@ def test_corpus_dedup_exact_keeps_min_id(spark):
     )
     got = sorted(r["doc_id"] for r in Corpus(df).dedup_exact().df.collect())
     assert got == [1, 2]
+
+
+def test_cross_doc_ngram_stats_partition_invariant(spark):
+    """The dup-passage stats are a pure function of the corpus content:
+    identical under repartitioning and row order (the property that makes
+    the operator safe to run on any cluster layout)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = dedup.cross_doc_ngram_stats(docs).toPandas().sort_values("doc_id")
+    b = (
+        dedup.cross_doc_ngram_stats(docs.repartition(7, "source"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

@@ -2404,6 +2404,30 @@ FROM s
 """
 
 
+def _q_sketch_accuracy(spark, sf_dir):
+    """Sketch aggregates (HLL++ distinct, approx percentiles) run beside
+    their exact twins and reduced to per-group verdict booleans — the
+    oracle asserts the exact columns and that every declared error bound
+    holds, so the sketches are value-checked without requiring
+    cross-engine sketch-internal equality."""
+    from python_ctd_spark.operators.sketches import sketch_accuracy_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return sketch_accuracy_report(docs)
+
+
+_SKETCH_ACCURACY_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct_texts,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM documents
+GROUP BY source
+"""
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText hard quality rules with named per-rule
     verdicts (filter + audit in one pass); all native expressions,
@@ -2719,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
         "gopher_rules": _q_gopher_rules,
+        "sketch_accuracy": _q_sketch_accuracy,
         "q5_local_supplier": _q5_local_supplier,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
@@ -2802,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_passage_stats": _DUP_PASSAGES_SQL,
         "gopher_rules": _GOPHER_SQL,
         "q5_local_supplier": _Q5_SQL,
+        "sketch_accuracy": _SKETCH_ACCURACY_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

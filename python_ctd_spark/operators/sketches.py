@@ -1,0 +1,101 @@
+"""Sketch aggregates for 100 TB-scale summaries: HyperLogLog++ distinct
+counts and t-digest-style approximate percentiles.
+
+At corpus scale the exact forms stop being an option: exact distinct
+counts shuffle every distinct value, and exact percentiles materialize
+per-group value arrays.  The sketch forms aggregate into O(KB)
+mergeable state per group — constant-size partial aggregates over any
+row count — at a declared, testable accuracy:
+
+- ``approx_count_distinct(col, rsd)`` — HLL++ with relative standard
+  deviation ``rsd`` (~1.04/sqrt(2^p)); error is ~normal, so 3*rsd is a
+  practical hard bound.
+- ``percentile_approx(col, p, accuracy)`` — guarantees *rank* error at
+  most ``1/accuracy`` of the group size.
+
+``sketch_accuracy_report`` turns those promises into data: it runs the
+sketch and its exact twin side by side and emits per-group booleans —
+the self-checking form the driver query uses (the oracle asserts the
+exact columns and that every bound holds).  Run it on a sample before
+trusting a sketch configuration on a new distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def approx_corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    rsd: float = 0.05,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group corpus summary in one sketch pass: doc count, HLL++
+    distinct-content estimate, and approximate token-count percentiles.
+    This is the 100 TB form of ``domain_stats`` — every aggregate is
+    constant-size mergeable state."""
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    staged = df.select(group_col, F.col(text_col).alias("__t"), nt.alias("__nt"))
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("__t", rsd).alias("approx_distinct_texts"),
+        F.percentile_approx("__nt", F.array(F.lit(0.5), F.lit(0.9)), accuracy).alias(
+            "approx_token_pcts"
+        ),
+    )
+
+
+def sketch_accuracy_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    rsd: float = 0.05,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Sketches vs their exact twins, reduced to per-group verdicts.
+
+    Emits ``(group, n_docs, exact_distinct_texts, hll_ok, p50_ok,
+    p90_ok)`` where ``hll_ok`` = HLL++ estimate within 3*rsd of the
+    exact distinct count, and ``pXX_ok`` = the approximate percentile's
+    *rank* lies within ``n/accuracy`` positions of the target rank (the
+    documented guarantee, checked against the exact sorted order via
+    counts of values <= the approximate answer).  Exact columns and
+    verdicts are engine-reproducible, so the whole report is
+    oracle-checkable even though sketch internals are not.
+    """
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    staged = df.select(group_col, F.col(text_col).alias("__t"), nt.alias("__nt"))
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__t").alias("exact_distinct_texts"),
+        F.approx_count_distinct("__t", rsd).alias("__hll"),
+        F.percentile_approx("__nt", F.array(F.lit(0.5), F.lit(0.9)), accuracy).alias(
+            "__apx"
+        ),
+        F.sort_array(F.collect_list("__nt")).alias("__vals"),
+    )
+    n = F.col("n_docs").cast("double")
+    rank_tol = n / accuracy + F.lit(1.0)
+
+    def rank_ok(p: float, i: int):
+        # with ties the returned value occupies a rank INTERVAL
+        # [#(v < apx) + 1, #(v <= apx)]; the guarantee holds if that
+        # interval overlaps [p*n - tol, p*n + tol]
+        apx = F.col("__apx")[i]
+        lo = F.size(F.filter(F.col("__vals"), lambda v: v < apx)).cast("double") + 1
+        hi = F.size(F.filter(F.col("__vals"), lambda v: v <= apx)).cast("double")
+        return (lo <= p * n + rank_tol) & (hi >= p * n - rank_tol)
+
+    hll_err = F.abs(F.col("__hll") - F.col("exact_distinct_texts")) / F.col(
+        "exact_distinct_texts"
+    ).cast("double")
+    return agg.select(
+        group_col,
+        "n_docs",
+        "exact_distinct_texts",
+        (hll_err <= 3 * rsd).alias("hll_ok"),
+        rank_ok(0.5, 0).alias("p50_ok"),
+        rank_ok(0.9, 1).alias("p90_ok"),
+    )

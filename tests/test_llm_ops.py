@@ -688,3 +688,35 @@ def test_cross_doc_ngram_stats_partition_invariant(spark):
         .sort_values("doc_id")
     )
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_sketch_accuracy_bounds_hold(spark):
+    """Every declared sketch bound holds on the driver corpus, and the
+    production sketch (approx_corpus_stats) is internally consistent:
+    percentiles within the group's value range, distinct <= count."""
+    from python_ctd_spark.operators.sketches import (
+        approx_corpus_stats,
+        sketch_accuracy_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = sketch_accuracy_report(docs).toPandas()
+    assert rep.hll_ok.all() and rep.p50_ok.all() and rep.p90_ok.all()
+    prod = approx_corpus_stats(docs).toPandas()
+    assert (prod.approx_distinct_texts <= prod.n_docs * 1.2).all()
+    for _, r in prod.iterrows():
+        p50, p90 = r.approx_token_pcts
+        assert p50 <= p90
+
+
+def test_sketch_rank_interval_handles_ties(spark):
+    """A group that is one giant tie must pass the rank check: the tied
+    value's rank interval spans every target rank."""
+    from python_ctd_spark.operators.sketches import sketch_accuracy_report
+
+    rows = [(i, "w " * 10, "tied") for i in range(100)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    rep = sketch_accuracy_report(df).toPandas()
+    assert rep.p50_ok.all() and rep.p90_ok.all()

@@ -720,3 +720,18 @@ def test_sketch_rank_interval_handles_ties(spark):
     )
     rep = sketch_accuracy_report(df).toPandas()
     assert rep.p50_ok.all() and rep.p90_ok.all()
+
+
+def test_optimal_band_shape_tracks_threshold(docs):
+    """The S-curve optimizer deepens rows as the threshold rises, keeps
+    the recall-biased package default at t=0.5, and the auto mode feeds
+    a working pair query (planted exact dup still recalled)."""
+    shapes = {t: dedup.optimal_band_shape(16, t) for t in (0.3, 0.5, 0.8)}
+    assert shapes[0.5] == (8, 2)          # the package default shape
+    assert shapes[0.3][1] <= 2            # low threshold -> shallow rows
+    assert shapes[0.8][1] >= 4            # high threshold -> deep rows
+    # monotone: r never decreases as threshold rises
+    rs = [shapes[t][1] for t in (0.3, 0.5, 0.8)]
+    assert rs == sorted(rs)
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.5, bands="auto").toPandas()
+    assert (0, 2) in set(map(tuple, out[["id_a", "id_b"]].to_numpy()))

@@ -197,6 +197,51 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold (group-HAVING semi-join feeding a top-N).
+
+    Plan notes: the HAVING aggregate reduces lineitem to one row per
+    qualifying order BEFORE anything joins — the semi-join side is the
+    already-aggregated sliver, never raw lineitem; customer broadcasts;
+    the top-100 rides a TakeOrderedAndProject (no global sort
+    materialization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 250.0
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> orders -> customer -> nation -> region star join;
     nation/region are broadcast dimensions."""
@@ -2103,6 +2148,40 @@ WHERE rn <= n - 20
 """
 
 
+def _q_despike_closeout(spark, sf_dir):
+    """Batch close-out of the streaming despike: verdicts for each
+    cast's final 2*block-1 rows — the positions streaming rightly holds
+    back because their verdicts depend on where the cast ends.  Oracle
+    is the batch despike SQL restricted to the complement of the
+    streaming query's stable prefix, so streaming emissions ∪ this
+    query == the batch kernel row for row."""
+    from python_ctd_spark.streaming import despike_closeout
+
+    ev = _ev(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    out = despike_closeout(ev, n1=1.0, n2=2.0, block=10)
+    return out.select(
+        "user_id", "event_id", "value",
+        F.when(~F.isnan("despiked"), F.col("despiked")).alias("despiked"),
+    )
+
+
+# the batch despike oracle restricted to each cast's TAIL (rn > n - 20):
+# exactly the rows the streaming query's stable-prefix filter excludes
+_DESPIKE_CLOSEOUT_SQL = _STATEFUL_DESPIKE_SQL.replace(
+    """SELECT event_id, user_id,
+       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
+FROM p2
+WHERE rn <= n - 20""",
+    """SELECT user_id, event_id, v AS value,
+       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS despiked
+FROM p2
+WHERE rn > n - 20""",
+)
+assert "WHERE rn > n - 20" in _DESPIKE_CLOSEOUT_SQL
+
+
 _STREAMING_WINDOWED_SQL = """
 SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS w_start_us,
        user_id,
@@ -2745,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "sketch_accuracy": _q_sketch_accuracy,
         "q5_local_supplier": _q5_local_supplier,
+        "q18_large_orders": _q18_large_orders,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
@@ -2761,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _q_dedup_apply,
         "containment_dedup": _q_containment_dedup,
         "streaming_sessions": _q_streaming_sessions,
+        "despike_closeout": _q_despike_closeout,
         "streaming_despike": _q_stateful_despike,
         # -- stamped in r1-r3, fast ------------------------------------
         "remove_up_to": _q_remove_up_to,
@@ -2828,6 +2909,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _GOPHER_SQL,
         "q5_local_supplier": _Q5_SQL,
         "sketch_accuracy": _SKETCH_ACCURACY_SQL,
+        "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
+        "q18_large_orders": _Q18_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

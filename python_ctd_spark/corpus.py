@@ -39,6 +39,23 @@ class Corpus:
     def _wrap(self, df: DataFrame) -> "Corpus":
         return Corpus(df, self.id_col, self.text_col, self.domain_col)
 
+    @classmethod
+    def from_jsonl(cls, spark, path: str, schema=None, **kw) -> "Corpus":
+        """Corpus over JSONL shards: explicit-schema read, malformed
+        lines quarantined and dropped (archive them separately via
+        io.corrupt_records if needed)."""
+        from python_ctd_spark.io import read_documents_jsonl, valid_records
+
+        return cls(valid_records(read_documents_jsonl(spark, path, schema)), **kw)
+
+    @classmethod
+    def from_csv(cls, spark, path: str, schema=None, **kw) -> "Corpus":
+        """Corpus over CSV shards (multiline-quoted documents), same
+        quarantine contract as :meth:`from_jsonl`."""
+        from python_ctd_spark.io import read_documents_csv, valid_records
+
+        return cls(valid_records(read_documents_csv(spark, path, schema)), **kw)
+
     # -- chainable pipeline stages --------------------------------------
     def filter(self, condition) -> "Corpus":
         return self._wrap(self.df.filter(condition))
@@ -136,6 +153,17 @@ class Corpus:
         token n-grams shared with >= min_docs documents."""
         return dedup.cross_doc_ngram_stats(
             self.df, self.text_col, self.id_col, n=n, min_docs=min_docs
+        )
+
+    def approx_domain_stats(self, rsd: float = 0.05, accuracy: int = 1000) -> DataFrame:
+        """The 100 TB form of :meth:`domain_stats`: HLL++ distinct
+        estimate + approximate percentiles, constant-size mergeable
+        state per group (see operators/sketches.py for the
+        accuracy-report twin)."""
+        from python_ctd_spark.operators.sketches import approx_corpus_stats
+
+        return approx_corpus_stats(
+            self.df, self.domain_col, self.text_col, rsd=rsd, accuracy=accuracy
         )
 
     def domain_stats(self) -> DataFrame:

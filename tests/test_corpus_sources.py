@@ -86,3 +86,23 @@ def test_csv_multiline_quoted(spark, tmp_path):
     ok = valid_records(df).orderBy("doc_id").collect()
     assert len(ok) == 2
     assert ok[1].text == 'quoted "multi\nline" doc'
+
+
+def test_corpus_from_jsonl_chains(spark, jsonl_dir):
+    """The fluent Corpus API runs a real pipeline stage straight off a
+    JSONL source (quarantined rows already dropped)."""
+    from python_ctd_spark.corpus import Corpus
+
+    c = Corpus.from_jsonl(spark, jsonl_dir)
+    out = c.quality_score().df
+    assert out.agg({"doc_id": "count"}).first()[0] == 3
+    assert "quality" in out.columns
+
+
+def test_corpus_approx_domain_stats(spark):
+    from python_ctd_spark.corpus import Corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = Corpus(docs).approx_domain_stats().toPandas()
+    assert {"n_docs", "approx_distinct_texts", "approx_token_pcts"} <= set(out.columns)
+    assert (out.n_docs > 0).all()

@@ -2148,6 +2148,40 @@ WHERE rn <= n - 20
 """
 
 
+def _q_streaming_join(spark, sf_dir):
+    """Stream-stream inner join (attribution shape): purchases joined to
+    the same user's clicks within the preceding 6 hours, drained over
+    the replayed archive.  The event-time bound in the join condition is
+    what lets Spark evict join state; on the closed input the drain
+    equals the identical batch join, which is the oracle."""
+    from python_ctd_spark.streaming import (
+        event_stream, run_to_memory, state_partitions, stream_stream_join,
+    )
+
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
+    res = stream_stream_join(sdf, within="6 hours", watermark="12 hours")
+    _STREAM_RUN_COUNTER[0] += 1
+    with state_partitions(spark):
+        tbl = run_to_memory(res, f"stream_join_{_STREAM_RUN_COUNTER[0]}")
+    return tbl.select(
+        "user_id", "l_id", "r_id",
+        F.unix_micros(F.col("l_time")).alias("l_time_us"),
+        (F.unix_micros(F.col("r_time")) - F.unix_micros(F.col("l_time"))).alias("lag_us"),
+    )
+
+
+_STREAMING_JOIN_SQL = """
+SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS l_time_us,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
 def _q_despike_closeout(spark, sf_dir):
     """Batch close-out of the streaming despike: verdicts for each
     cast's final 2*block-1 rows — the positions streaming rightly holds
@@ -2841,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _q_dedup_apply,
         "containment_dedup": _q_containment_dedup,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_join": _q_streaming_join,
         "despike_closeout": _q_despike_closeout,
         "streaming_despike": _q_stateful_despike,
         # -- stamped in r1-r3, fast ------------------------------------
@@ -2911,6 +2946,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_accuracy": _SKETCH_ACCURACY_SQL,
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
+        "streaming_join": _STREAMING_JOIN_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -5,6 +5,7 @@ from python_ctd_spark.streaming.pipeline import (
     run_to_parquet,
     session_windows,
     state_partitions,
+    stream_stream_join,
     stateful_despike,
     stateful_press_check,
     streaming_bindata,
@@ -18,6 +19,7 @@ __all__ = [
     "run_to_parquet",
     "session_windows",
     "state_partitions",
+    "stream_stream_join",
     "stateful_despike",
     "stateful_press_check",
     "streaming_bindata",

@@ -452,3 +452,55 @@ def state_partitions(spark: SparkSession, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def stream_stream_join(
+    sdf: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition —
+    the attribution shape (every ``right_type`` event joined to the
+    ``left_type`` events of the same user in the preceding ``within``).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, which is what lets Spark EVICT join state: a
+    left row can only match rights in ``[l_time, l_time + within]``, so
+    once the watermark passes that bound the row leaves the state store.
+    Unbounded stream-stream joins (no time bound) grow state forever —
+    the 100 TB trap this operator's signature makes unrepresentable.
+
+    ``watermark`` must be >= ``within`` or in-order matches could be
+    evicted before their partner arrives; on the closed, time-ordered
+    archive the drain then equals the identical batch join (the
+    streaming == batch twin law; inner-join emission is not gated on the
+    watermark, only state cleanup is)."""
+    l = (
+        sdf.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("l_id"),
+            F.col("event_time").alias("l_time"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    r = (
+        sdf.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("event_time").alias("r_time"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).drop("r_user")

@@ -387,3 +387,33 @@ def test_despike_closeout_completes_the_stream(spark, events_dir, batch_events):
     np.testing.assert_allclose(
         got["despiked"].to_numpy(), exp["despiked"].to_numpy(), rtol=0, atol=0
     )
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, batch_events):
+    """The attribution join drained over the replayed archive equals the
+    identical batch join — inner-join emission is not watermark-gated,
+    so the closed input yields every match."""
+    from python_ctd_spark.streaming import event_stream, run_to_memory, stream_stream_join
+
+    sdf = event_stream(spark, events_dir)
+    res = stream_stream_join(sdf, within="6 hours", watermark="12 hours")
+    got = run_to_memory(res, "tss_join").select(
+        "user_id", "l_id", "r_id", "l_time", "r_time"
+    ).toPandas()
+
+    b = batch_events
+    l = b.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("event_time").alias("l_time")
+    )
+    r = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ru"), F.col("event_id").alias("r_id"),
+        F.col("event_time").alias("r_time"),
+    )
+    want = l.join(
+        r,
+        (F.col("user_id") == F.col("ru"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr("INTERVAL 6 HOURS")),
+    ).drop("ru").toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+    assert len(got) > 0

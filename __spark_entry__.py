@@ -2148,6 +2148,57 @@ WHERE rn <= n - 20
 """
 
 
+_STREAM_DUP_CACHE: dict = {}
+
+
+def _stream_stage_dup(spark, sf_dir):
+    """The staged archive with every part file REDELIVERED: arrival
+    order f1, f1', f2, f2', f3, f3' (mtime-ordered), simulating an
+    at-least-once transport that re-sends each shard once."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = _STREAM_DUP_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        src = _stream_stage(spark, sf_dir)
+        stage = tempfile.mkdtemp(prefix="events_stream_dup_")
+        t0 = os.path.getmtime(src) - 2000
+        for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
+            orig = os.path.join(stage, f"a{i:02d}.parquet")
+            redeliver = os.path.join(stage, f"b{i:02d}.parquet")
+            shutil.copy(f, orig)
+            shutil.copy(f, redeliver)
+            os.utime(orig, (t0 + 20 * i, t0 + 20 * i))
+            os.utime(redeliver, (t0 + 20 * i + 10, t0 + 20 * i + 10))
+        _STREAM_DUP_CACHE[sf_dir] = stage
+    return stage
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Exactly-once ingest from an at-least-once transport: the archive
+    arrives with every shard redelivered once, and
+    dropDuplicatesWithinWatermark (bounded key state — the watermark
+    evicts keys, unlike plain streaming dropDuplicates) restores the
+    original event set.  Oracle: the clean events table, verbatim."""
+    from python_ctd_spark.streaming import (
+        dedup_stream, event_stream, run_to_memory, state_partitions,
+    )
+
+    sdf = event_stream(spark, _stream_stage_dup(spark, sf_dir))
+    res = dedup_stream(sdf, keys=["event_id"], watermark="12 hours")
+    _STREAM_RUN_COUNTER[0] += 1
+    with state_partitions(spark):
+        tbl = run_to_memory(res, f"stream_dedup_{_STREAM_RUN_COUNTER[0]}")
+    return tbl.select("event_id", "user_id", "event_type", "value")
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def _q_streaming_join(spark, sf_dir):
     """Stream-stream inner join (attribution shape): purchases joined to
     the same user's clicks within the preceding 6 hours, drained over
@@ -2876,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": _q_containment_dedup,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_join": _q_streaming_join,
+        "streaming_dedup": _q_streaming_dedup,
         "despike_closeout": _q_despike_closeout,
         "streaming_despike": _q_stateful_despike,
         # -- stamped in r1-r3, fast ------------------------------------
@@ -2947,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
+        "streaming_dedup": _STREAMING_DEDUP_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_orders": _Q3_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -1,4 +1,5 @@
 from python_ctd_spark.streaming.pipeline import (
+    dedup_stream,
     despike_closeout,
     event_stream,
     run_to_memory,
@@ -13,6 +14,7 @@ from python_ctd_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "dedup_stream",
     "despike_closeout",
     "event_stream",
     "run_to_memory",

@@ -504,3 +504,24 @@ def stream_stream_join(
         & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {within}")),
         "inner",
     ).drop("r_user")
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    keys: Iterable[str] = ("event_id",),
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop re-deliveries of the same event
+    across micro-batches (at-least-once transport -> exactly-once
+    pipeline input).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and holds
+    key state only until the watermark passes the first sighting —
+    bounded state, unlike a plain streaming ``dropDuplicates`` whose key
+    set grows forever.  The contract this buys: duplicates arriving
+    within ``watermark`` of the original are dropped; re-deliveries
+    later than that would pass (size the watermark to the transport's
+    maximum redelivery lag)."""
+    return sdf.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -417,3 +417,33 @@ def test_stream_stream_join_matches_batch(spark, events_dir, batch_events):
     ).drop("ru").toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
     assert len(got) > 0
+
+
+def test_dedup_stream_restores_original_from_redelivered_archive(spark, events_dir, batch_events):
+    """Every shard redelivered once -> the raw drain doubles the rows,
+    dropDuplicatesWithinWatermark restores the original set exactly."""
+    import glob
+    import os
+    import shutil
+
+    from python_ctd_spark.streaming import dedup_stream, event_stream, run_to_memory
+
+    dup_dir = events_dir + "_dup"
+    if not os.path.isdir(dup_dir):
+        os.makedirs(dup_dir)
+        t0 = os.path.getmtime(events_dir) - 2000
+        for i, f in enumerate(sorted(glob.glob(f"{events_dir}/part-*.parquet"))):
+            a, b = f"{dup_dir}/a{i:02d}.parquet", f"{dup_dir}/b{i:02d}.parquet"
+            shutil.copy(f, a), shutil.copy(f, b)
+            os.utime(a, (t0 + 20 * i,) * 2)
+            os.utime(b, (t0 + 20 * i + 10,) * 2)
+
+    n_orig = batch_events.count()
+    raw = run_to_memory(event_stream(spark, dup_dir), "tsd_raw")
+    assert raw.count() == 2 * n_orig  # redelivery really doubles the input
+    deduped = run_to_memory(
+        dedup_stream(event_stream(spark, dup_dir), keys=["event_id"]), "tsd_dedup"
+    )
+    got = deduped.select("event_id").toPandas().event_id.sort_values().to_numpy()
+    want = batch_events.select("event_id").toPandas().event_id.sort_values().to_numpy()
+    assert (got == want).all()

@@ -5,6 +5,7 @@
 ``binaryFile`` scans that emit wide cast tables + a ``cast_meta`` table.
 """
 
+from python_ctd_spark.io.cnv_datasource import register_cnv_source
 from python_ctd_spark.io.corpus_sources import (
     DOCUMENTS_SCHEMA,
     corrupt_records,
@@ -24,6 +25,7 @@ from python_ctd_spark.io.readers import (
 from python_ctd_spark.io.sinks import read_table, write_bucketed, write_casts
 
 __all__ = [
+    "register_cnv_source",
     "DOCUMENTS_SCHEMA",
     "read_documents_jsonl",
     "read_documents_csv",

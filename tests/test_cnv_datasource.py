@@ -1,0 +1,48 @@
+"""The ``cnv`` Python DataSource: spark.read.format("cnv") over
+reference fixture files, parity with the wide mapInPandas reader."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.io import readers
+from python_ctd_spark.io.cnv_datasource import register_cnv_source
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_cnv_source(spark)
+
+
+def test_single_file_matches_wide_reader(spark):
+    df = spark.read.format("cnv").load(f"{DATA}/small.cnv.bz2")
+    wide, _ = readers.from_cnv(spark, f"{DATA}/small.cnv.bz2")
+    n_scans = wide.count()
+    ch = [c for c in wide.columns if c not in ("cast_id", "scan", "pressure")]
+    assert df.select("channel").distinct().count() == len(ch)
+    a = (
+        df.filter(F.col("channel") == ch[0]).orderBy("scan")
+        .select("value").toPandas().value.to_numpy()
+    )
+    b = wide.orderBy("scan").select(ch[0]).toPandas()[ch[0]].to_numpy()
+    assert len(a) == n_scans
+    np.testing.assert_allclose(a, b.astype(float), equal_nan=True)
+
+
+def test_directory_read_parallelizes_per_file(spark, tmp_path):
+    import shutil
+
+    d = tmp_path / "casts"
+    d.mkdir()
+    shutil.copy(f"{DATA}/press-pass-prDE.cnv", d / "a.cnv")
+    shutil.copy(f"{DATA}/CTD_with_sigma_e00.cnv", d / "b.cnv")
+    df = spark.read.format("cnv").load(str(d))
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    assert df.select("cast_id").distinct().count() == 2
+
+
+def test_missing_path_raises(spark, tmp_path):
+    with pytest.raises(Exception, match="no .cnv files"):
+        spark.read.format("cnv").load(str(tmp_path)).count()

@@ -103,3 +103,22 @@ class CnvDataSource(DataSource):
 def register_cnv_source(spark) -> None:
     """Register the ``cnv`` format on this session."""
     spark.dataSource.register(CnvDataSource)
+
+
+def long_to_wide(df, channels: list[str] | None = None):
+    """Pivot the long ``(cast_id, scan, pressure, channel, value)``
+    layout back to the wide cast table ``from_cnv`` produces — the
+    bridge from ``spark.read.format("cnv")`` into the ``CtdFrame``
+    pipeline.
+
+    Pass ``channels`` explicitly on a big archive: Spark's pivot
+    otherwise runs one extra collect-distinct job over the stream to
+    learn the column set (bounded by the channel vocabulary, but a full
+    pass).  The pivot itself is a single (cast, scan)-keyed aggregate —
+    one shuffle, same key the downstream per-cast operators use.
+    """
+    from pyspark.sql import functions as F
+
+    p = df.groupBy("cast_id", "scan", "pressure")
+    piv = p.pivot("channel", channels) if channels else p.pivot("channel")
+    return piv.agg(F.first("value")).orderBy("cast_id", "scan")

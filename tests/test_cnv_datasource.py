@@ -46,3 +46,20 @@ def test_directory_read_parallelizes_per_file(spark, tmp_path):
 def test_missing_path_raises(spark, tmp_path):
     with pytest.raises(Exception, match="no .cnv files"):
         spark.read.format("cnv").load(str(tmp_path)).count()
+
+
+def test_long_to_wide_roundtrips_to_from_cnv(spark):
+    """read long -> pivot wide == the wide mapInPandas reader, for every
+    shared channel column."""
+    from python_ctd_spark.io.cnv_datasource import long_to_wide
+
+    path = f"{DATA}/press-pass-prDE.cnv"
+    wide, _ = readers.from_cnv(spark, path)
+    long = spark.read.format("cnv").load(path)
+    ch = [c for c in wide.columns if c not in ("cast_id", "scan", "pressure")]
+    back = long_to_wide(long, channels=ch).toPandas().sort_values("scan")
+    want = wide.orderBy("scan").toPandas()
+    for c in ch:
+        np.testing.assert_allclose(
+            back[c].to_numpy(), want[c].to_numpy().astype(float), equal_nan=True
+        )

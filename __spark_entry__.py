@@ -2897,10 +2897,11 @@ FROM clustered GROUP BY cluster_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is deliberate: the round-3 correctness harness
     # recorded exactly the first 50 entries, so (a) queries added most
-    # recently run FIRST — they are the ones still missing a driver
-    # stamp — and (b) the most expensive, longest-stamped queries run
-    # LAST, so any cap or time-budget truncation costs redundant stamps,
-    # not first-time coverage.
+    # recently (rounds 3-4; everything above remove_up_to) run FIRST —
+    # they are the ones still missing a driver stamp — and (b) the most
+    # expensive, longest-stamped queries run LAST, so any cap or
+    # time-budget truncation costs redundant stamps, not first-time
+    # coverage.
     return {
         # -- newest surface (no driver stamp yet), cheap -> slow --------
         "pack_greedy": _q_pack_greedy,

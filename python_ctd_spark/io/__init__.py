@@ -1,8 +1,15 @@
-"""Distributed instrument-file ingestion (SURVEY.md §2.1).
+"""Sources and sinks.
 
-``parsers`` holds pure-Python per-file text parsers (run inside
-``mapInPandas`` on executors); ``readers`` wires them into Spark
-``binaryFile`` scans that emit wide cast tables + a ``cast_meta`` table.
+Instrument ingestion (SURVEY.md §2.1): ``parsers`` holds pure-Python
+per-file text parsers (run inside ``mapInPandas`` on executors);
+``readers`` wires them into Spark ``binaryFile`` scans that emit wide
+cast tables + a ``cast_meta`` table; ``cnv_datasource`` additionally
+exposes CNV as a native ``spark.read.format("cnv")`` source.
+
+Corpus ingestion: ``corpus_sources`` reads JSONL/CSV document shards
+with explicit schemas and a corrupt-record quarantine.
+
+``sinks``: partition-pruned parquet layouts and bucketed tables.
 """
 
 from python_ctd_spark.io.cnv_datasource import register_cnv_source

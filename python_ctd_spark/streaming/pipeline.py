@@ -356,9 +356,22 @@ def despike_closeout(
     growing; ``stateful_despike`` emissions ∪ ``despike_closeout`` ==
     the batch despike over the full archive, row for row (tested).
 
-    One ``applyInPandas`` per cast over the batch archive — same
-    physical shape as every other per-cast kernel in the engine.
+    Scale shape: the archive is TRIMMED to each cast's last ``2*block``
+    rows JVM-side before anything crosses into Python.  This is exact,
+    not approximate: a tail row's pass-1 stats come from its own anchor
+    or the carry anchor at position n - block (windows covering rows
+    n - 2*block .. n-1), and its pass-2 stats from pass-1 values of
+    those same rows — the carry (``last_value ignore nulls``) can never
+    reach further back because the anchor at n - block always has a
+    full, non-null window.  So the kernel over the trimmed cast equals
+    the full-cast kernel on every emitted row (tested against the
+    full-archive oracle), and the close-out ships 2*block rows per cast
+    at any archive size instead of the whole history.  The trim window
+    rides the same cast-key partitioning the kernel's groupBy uses —
+    one exchange total.
     """
+    from pyspark.sql import Window
+
     from python_ctd_spark.functions.signal_numpy import despike_kernel
 
     out_schema = "user_id bigint, event_id bigint, value double, despiked double"
@@ -380,11 +393,16 @@ def despike_closeout(
             }
         )
 
-    return (
-        batch_df.select("user_id", "event_id", "event_time", pressure)
-        .groupBy("user_id")
-        .applyInPandas(fn, out_schema)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("event_time").desc(), F.col("event_id").desc()
     )
+    trimmed = (
+        batch_df.select("user_id", "event_id", "event_time", pressure)
+        .withColumn("__rev", F.row_number().over(w))
+        .filter(F.col("__rev") <= 2 * block)
+        .drop("__rev")
+    )
+    return trimmed.groupBy("user_id").applyInPandas(fn, out_schema)
 
 
 def run_to_parquet(

@@ -2212,7 +2212,11 @@ def _q_streaming_join(spark, sf_dir):
     sdf = event_stream(spark, _stream_stage(spark, sf_dir))
     res = stream_stream_join(sdf, within="6 hours", watermark="12 hours")
     _STREAM_RUN_COUNTER[0] += 1
-    with state_partitions(spark):
+    # 4, not the aggregate drains' 8: a stream-stream join runs TWO
+    # state stores (left/right buffers) per partition per trigger, so
+    # the per-task overhead doubles (measured sf0.1: 16 -> 7.8s,
+    # 8 -> 4.4s, 4 -> 3.2s, 2 -> 3.0s; identical rows)
+    with state_partitions(spark, 4):
         tbl = run_to_memory(res, f"stream_join_{_STREAM_RUN_COUNTER[0]}")
     return tbl.select(
         "user_id", "l_id", "r_id",

@@ -2933,8 +2933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_join": _q_streaming_join,
         "streaming_dedup": _q_streaming_dedup,
-        "despike_closeout": _q_despike_closeout,
         "streaming_despike": _q_stateful_despike,
+        "despike_closeout": _q_despike_closeout,
         # -- stamped in r1-r3, fast ------------------------------------
         "remove_up_to": _q_remove_up_to,
         "remove_above_water": _q_remove_above_water,

@@ -182,3 +182,15 @@ def test_gopher_rules_is_map_side(spark):
     assert "Exchange" not in plan, plan
     assert "HashAggregate" not in plan, plan
     assert _count(plan, r"Scan parquet") == 1, plan
+
+
+def test_despike_closeout_trims_before_python(spark):
+    """The close-out must filter each cast to its tail JVM-side BEFORE
+    the pandas kernel: a Filter on the reverse row number sits between
+    the Window and FlatMapGroupsInPandas, and the whole plan rides one
+    hash exchange (trim window and kernel groupBy share the cast key)."""
+    out = entrymod.queries()["despike_closeout"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert re.search(r"Filter .*__rev", plan), plan
+    assert _count(plan, r"Exchange hashpartitioning") == 1, plan

@@ -2596,6 +2596,36 @@ GROUP BY source
 """
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Canonical text cleanup (control strip, whitespace collapse, trim,
+    lower) — the stage that makes dedup hashes comparable across
+    sources; single map-side regexp chain."""
+    from python_ctd_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length("text_norm").cast("bigint").alias("n_after"),
+        "text_norm",
+    )
+
+
+_TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length(t) AS BIGINT) AS n_after,
+       t AS text_norm
+FROM (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g'))) AS t
+  FROM documents
+)
+"""
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText hard quality rules with named per-rule
     verdicts (filter + audit in one pass); all native expressions,
@@ -2911,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
         "domain_stats": _q_domain_stats,
+        "text_normalize": _q_text_normalize,
         "gopher_rules": _q_gopher_rules,
         "sketch_accuracy": _q_sketch_accuracy,
         "q5_local_supplier": _q5_local_supplier,
@@ -2999,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _DOMAIN_STATS_SQL,
         "dup_passage_stats": _DUP_PASSAGES_SQL,
         "gopher_rules": _GOPHER_SQL,
+        "text_normalize": _TEXT_NORMALIZE_SQL,
         "q5_local_supplier": _Q5_SQL,
         "sketch_accuracy": _SKETCH_ACCURACY_SQL,
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,

@@ -60,6 +60,15 @@ class Corpus:
     def filter(self, condition) -> "Corpus":
         return self._wrap(self.df.filter(condition))
 
+    def normalize(self, lowercase: bool = True) -> "Corpus":
+        """Control-char strip + whitespace collapse + trim (+ lower),
+        REPLACING the text column — run first so downstream hashes and
+        features are comparable across sources."""
+        out = text.normalize_text(
+            self.df, self.text_col, out_col="__norm", lowercase=lowercase
+        ).drop(self.text_col).withColumnRenamed("__norm", self.text_col)
+        return self._wrap(out)
+
     def quality_score(self) -> "Corpus":
         return self._wrap(text.quality_score(self.df, self.text_col))
 

@@ -311,3 +311,31 @@ def gopher_rules(
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text cleanup before tokenizing/hashing: strip control
+    characters, collapse all whitespace runs to single spaces, trim, and
+    (by default) lowercase.  Dedup signatures and quality features are
+    only comparable across sources after this — two crawls of the same
+    page differing in \\r\\n vs \\n or trailing tabs must hash
+    identically.
+
+    One native regexp chain per row, map-side at any scale.  (Unicode
+    NFC normalization is deliberately NOT attempted: Spark SQL has no
+    built-in normalizer, and a Python UDF in this hot path would cost
+    more than it cleans — run NFC upstream at ingest if the corpus
+    needs it.)
+    """
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

@@ -735,3 +735,28 @@ def test_optimal_band_shape_tracks_threshold(docs):
     assert rs == sorted(rs)
     out = dedup.minhash_lsh_pairs(docs, threshold=0.5, bands="auto").toPandas()
     assert (0, 2) in set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+
+
+def test_normalize_text_planted(spark):
+    """Control chars stripped, whitespace runs collapsed, trimmed,
+    lowered — and two crawls of the same page that differ only in line
+    endings hash identically afterwards."""
+    from python_ctd_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "  Hello\r\n\tWorld \x07 again  "),
+        (1, "Hello World again"),            # the same page, other crawl
+        (2, "unchanged text"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = normalize_text(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "text_norm"] == "hello world  again".replace("  ", " ", 1)
+    assert got.loc[0, "text_norm"] == got.loc[1, "text_norm"]
+    assert got.loc[2, "text_norm"] == "unchanged text"
+    # fluent form replaces the text column in place
+    from python_ctd_spark.corpus import Corpus
+
+    c = Corpus(df).normalize()
+    assert c.df.columns == ["doc_id", "text"]
+    vals = {r.doc_id: r.text for r in c.df.collect()}
+    assert vals[0] == vals[1]

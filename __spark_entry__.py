@@ -197,6 +197,66 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions, per year — the disjunctive (OR-of-pairs) join condition.
+
+    Plan notes: both nation copies broadcast and the OR condition
+    evaluates as a post-join filter on the broadcast results, so the
+    disjunction never forces a cartesian or blocks pushdown; the only
+    shuffle joins are the fact-fact pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
+)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders whose total quantity
     exceeds a threshold (group-HAVING semi-join feeding a top-N).
@@ -2946,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": _q_sketch_accuracy,
         "q5_local_supplier": _q5_local_supplier,
         "q18_large_orders": _q18_large_orders,
+        "q7_volume_shipping": _q7_volume_shipping,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
@@ -3035,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_accuracy": _SKETCH_ACCURACY_SQL,
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
+        "q7_volume_shipping": _Q7_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "q1_pricing_summary": _Q1_SQL,

@@ -148,6 +148,21 @@ class Corpus:
     def repetition_stats(self) -> DataFrame:
         return text.repetition_stats(self.df, self.text_col, self.id_col)
 
+    def drop_duplicated_passages(
+        self, max_dup_frac: float = 0.5, n: int = 5, min_docs: int = 2
+    ) -> "Corpus":
+        """Drop documents whose shared-passage fraction exceeds
+        ``max_dup_frac`` (boilerplate-heavy pages that doc-level dedup
+        keeps because the page as a whole is unique).  Left-anti join on
+        the flagged ids — documents shorter than ``n`` tokens have no
+        passages and always survive."""
+        from pyspark.sql import functions as F
+
+        flagged = self.dup_passage_stats(n=n, min_docs=min_docs).filter(
+            F.col("dup_ngram_frac") > max_dup_frac
+        ).select(F.col("doc_id").alias(self.id_col))
+        return self._wrap(self.df.join(flagged, self.id_col, "left_anti"))
+
     def gopher_rules(self, min_words: int = 50, max_words: int = 100_000) -> DataFrame:
         """Gopher-style hard quality rules: named boolean verdicts per
         rule plus the conjunction (filter + audit in one pass)."""

@@ -760,3 +760,24 @@ def test_normalize_text_planted(spark):
     assert c.df.columns == ["doc_id", "text"]
     vals = {r.doc_id: r.text for r in c.df.collect()}
     assert vals[0] == vals[1]
+
+
+def test_corpus_drop_duplicated_passages(spark):
+    """A boilerplate-heavy page (most of its 5-grams shared) is dropped;
+    pages with a small shared footer survive; short docs survive."""
+    boiler = "subscribe to our newsletter for updates and offers every day"
+    rows = [
+        (0, boiler + " plus nothing else of note here"),   # mostly boilerplate
+        (1, boiler),                                        # the template itself
+        (2, " ".join(f"w{i}" for i in range(40)) + " " + boiler),  # small footer
+        (3, "tiny doc"),                                    # < 5 tokens
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    from python_ctd_spark.corpus import Corpus
+
+    kept = sorted(
+        r.doc_id for r in Corpus(df).drop_duplicated_passages(0.4).df.collect()
+    )
+    assert 3 in kept           # no passages -> survives
+    assert 2 in kept           # footer is a minority of its grams
+    assert 0 not in kept and 1 not in kept

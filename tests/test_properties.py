@@ -244,3 +244,24 @@ def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, seed):
     np.testing.assert_allclose(
         out.rt.to_numpy(dtype=float), exp.rt.to_numpy(dtype=float), equal_nan=True
     )
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) — the property that makes
+    it safe to run the stage defensively at multiple pipeline points."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "  A\r\n\tB \x07 c  "),
+        (1, "already clean text"),
+        (2, "MIXED  Case\twith\nstuff"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    once = normalize_text(df).select("doc_id", F.col("text_norm").alias("text"))
+    twice = normalize_text(once).select("doc_id", "text_norm")
+    joined = once.join(twice, "doc_id")
+    assert joined.filter(F.col("text") != F.col("text_norm")).count() == 0

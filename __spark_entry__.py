@@ -197,6 +197,31 @@ ORDER BY revenue DESC, n_name
 """
 
 
+_CORRELATED_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           / COUNT(*)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def _q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders more
+    than twice their customer's average.  Catalyst decorrelates this to
+    an aggregate + join (no per-row re-execution — verify in the plan:
+    one Aggregate over orders, one join, no nested-loop), and the
+    identical SQL text runs on DuckDB as the oracle.  The inner average
+    is the exact decimal sum / count so the comparison is engine-stable.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
 def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations in both
     directions, per year — the disjunctive (OR-of-pairs) join condition.
@@ -3007,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": _q5_local_supplier,
         "q18_large_orders": _q18_large_orders,
         "q7_volume_shipping": _q7_volume_shipping,
+        "correlated_subquery": _q_correlated_subquery,
         "dup_passage_stats": _q_dup_passages,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
@@ -3097,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
         "q7_volume_shipping": _Q7_SQL,
+        "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,
         "q1_pricing_summary": _Q1_SQL,

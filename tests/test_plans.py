@@ -194,3 +194,13 @@ def test_despike_closeout_trims_before_python(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert re.search(r"Filter .*__rev", plan), plan
     assert _count(plan, r"Exchange hashpartitioning") == 1, plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery to an
+    aggregate + join — never a per-row nested-loop re-execution."""
+    out = entrymod.queries()["correlated_subquery"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "NestedLoop" not in plan, plan
+    assert _count(plan, r"HashAggregate") >= 2, plan
+    assert _count(plan, r"SortMergeJoin|BroadcastHashJoin") >= 1, plan

@@ -2816,7 +2816,9 @@ def _q_domain_stats(spark, sf_dir):
 _DOMAIN_STATS_SQL = r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars,
+       -- DuckDB SUM(BIGINT) widens to HUGEINT (surfaces as float64 in
+       -- Arrow) while Spark stays BIGINT; pin the oracle to BIGINT.
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        ROUND(CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DECIMAL(25,6))) AS DOUBLE)
              / COUNT(*), 6) AS mean_tokens,
        ROUND(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.5), 4)
@@ -2976,10 +2978,12 @@ def _q_pack_documents(spark, sf_dir):
 _PACK_DOCUMENTS_SQL = r"""
 SELECT source, doc_id,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                OVER (PARTITION BY source ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       // 2048 AS pack_id
+       -- windowed SUM widens to HUGEINT in DuckDB; pin the quotient to
+       -- BIGINT so the value hash matches Spark's bigint pack_id
+       CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048 AS BIGINT) AS pack_id
 FROM documents
 """
 

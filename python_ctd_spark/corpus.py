@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from python_ctd_spark.operators import assemble, dedup, sampling, text
+from python_ctd_spark.operators._util import WS_RE
 
 
 class Corpus:
@@ -195,7 +196,7 @@ class Corpus:
         exact token percentiles (swap percentile_approx at scale)."""
         from pyspark.sql import functions as F
 
-        nt = F.size(F.split(F.trim(F.col(self.text_col)), r"\s+")).cast("double")
+        nt = F.size(F.split(F.trim(F.col(self.text_col)), WS_RE)).cast("double")
         staged = self.df.select(
             self.domain_col, nt.alias("nt"),
             F.length(self.text_col).cast("bigint").alias("nc"),

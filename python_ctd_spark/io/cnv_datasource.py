@@ -25,6 +25,8 @@ Compression (.gz/.bz2/.zip) and encoding sniffing ride the same
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 _SCHEMA = "cast_id string, scan bigint, pressure double, channel string, value double"
@@ -41,6 +43,10 @@ class CnvDataSourceReader(DataSourceReader):
         if not self.path:
             raise ValueError("cnv source requires a path: .load('/dir/or/file')")
 
+    #: a file qualifies only by suffix — bare ``.cnv`` or ``.cnv`` plus a
+    #: compression codec extension (``foo.cnv.bak`` does not qualify)
+    _SUFFIX_RE = re.compile(r"\.cnv(\.(gz|bz2|zip))?$", re.IGNORECASE)
+
     def partitions(self):
         import glob
         import os
@@ -50,7 +56,7 @@ class CnvDataSourceReader(DataSourceReader):
             files = sorted(
                 f
                 for f in glob.glob(os.path.join(p, "*"))
-                if ".cnv" in os.path.basename(f).lower()
+                if self._SUFFIX_RE.search(os.path.basename(f))
             )
         else:
             files = [p]
@@ -59,7 +65,11 @@ class CnvDataSourceReader(DataSourceReader):
         return [CnvFilePartition(f) for f in files]
 
     def read(self, partition: CnvFilePartition):
-        # executor side: parse one file, melt to the long layout, ship Arrow
+        # executor side: parse one file, melt to the long layout, ship Arrow.
+        # NOTE: paths are opened with local open(), so on a real cluster the
+        # source requires a filesystem shared between driver and executors
+        # (NFS/FUSE-mounted object store); for pure object-store layouts,
+        # fetch the blob and feed read_text()/from_cnv instead.
         import pandas as pd
         import pyarrow as pa
 

@@ -21,6 +21,18 @@ from pyspark.sql.window import WindowSpec
 
 NUMERIC_TYPES = ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
 
+#: Tokenizer whitespace class, written out instead of ``\s``: Java regex
+#: ``\s`` also matches U+000B (vertical tab) while the DuckDB/RE2
+#: oracles' ``\s`` does not, so a document containing \x0B would
+#: tokenize differently across engines.  This class is exactly RE2's
+#: ``\s`` ([ \t\n\f\r]); documents are expected to pass through
+#: ``normalize_text`` (which strips \x0B with the other controls) before
+#: token-sensitive dedup anyway.
+WS_RE = r"[ \t\n\f\r]+"
+#: Same class escaped for embedding in a Spark SQL string literal
+#: (SQL literal backslashes are themselves escaped).
+WS_SQL = r"[ \\t\\n\\f\\r]+"
+
 
 def as_list(x) -> list:
     if x is None:

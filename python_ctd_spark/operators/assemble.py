@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._util import WS_RE
 from .sampling import hash_uniform
 
 
@@ -95,7 +96,7 @@ def pack_documents(
     values are boundary-invariant, the bucketing is not).  ``id_col``
     must be unique within a domain — the usual doc-id contract.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint")
     staged = df.select(
         F.col(by), F.col(id_col), n_tok.alias("n_tokens")
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._util import WS_RE, WS_SQL
+
 
 def _md5_long(col: Column) -> Column:
     """Deterministic 60-bit integer from md5 (portable across engines —
@@ -48,7 +50,7 @@ def mh_coeffs(k: int) -> list[tuple[int, int]]:
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
 
 
 def with_shingles(
@@ -92,7 +94,7 @@ def exact_dedup(
 
 def shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
@@ -477,7 +479,7 @@ def simhash64(text_col: str) -> Column:
     as 64 aggregate-free array ops: tokens -> per-token 60-bit hash ->
     per-bit contribution sums via filter+size (no UDF).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
     md5s = F.transform(toks, lambda t: F.md5(t))
     hashes = F.transform(md5s, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"))
     # second 60-bit stream from the high hex half of the same md5
@@ -511,7 +513,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "sh") -> Data
     aggregate-count fold (not ``size(filter(...))``) avoids allocating a
     filtered array per bit (measured ~2x across the 64 bits)."""
     staged = (
-        df.selectExpr("*", f"split(trim(lower(`{text_col}`)), '\\\\s+') AS __toks")
+        df.selectExpr("*", f"split(trim(lower(`{text_col}`)), '{WS_SQL}') AS __toks")
         # one md5 per token; both 60-bit streams come from its low/high
         # hex halves (md5 is the expensive part — conv is cheap)
         .selectExpr("*", "transform(__toks, t -> md5(t)) AS __h")

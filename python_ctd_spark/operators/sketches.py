@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._util import WS_RE
+
 
 def approx_corpus_stats(
     df: DataFrame,
@@ -36,7 +38,7 @@ def approx_corpus_stats(
     distinct-content estimate, and approximate token-count percentiles.
     This is the 100 TB form of ``domain_stats`` — every aggregate is
     constant-size mergeable state."""
-    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    nt = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("double")
     staged = df.select(group_col, F.col(text_col).alias("__t"), nt.alias("__nt"))
     return staged.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -65,7 +67,7 @@ def sketch_accuracy_report(
     verdicts are engine-reproducible, so the whole report is
     oracle-checkable even though sketch internals are not.
     """
-    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    nt = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("double")
     staged = df.select(group_col, F.col(text_col).alias("__t"), nt.alias("__nt"))
     agg = staged.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

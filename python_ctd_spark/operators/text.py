@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._util import WS_RE
+
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "for", "that", "it"],
     "es": ["el", "la", "de", "y", "que", "en", "los", "por", "un", "con"],
@@ -14,7 +16,7 @@ STOPWORDS = {
 
 
 def tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.split(F.trim(F.col(text_col)), WS_RE)
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -45,7 +47,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     lt = F.col("__lt")
     staged = df.withColumn(
-        "__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        "__lt", F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
     ).withColumns(
         {
             "__n_tok": F.size(F.col("__lt")).cast("double"),
@@ -93,7 +95,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
     tokens appearing in each language's stopword list, argmax with a
     fixed precedence for ties."""
     staged = df.withColumn(
-        "__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        "__lt", F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
     )
     hit_cols = {}
     for lang, words in STOPWORDS.items():
@@ -190,7 +192,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         )
     ).cast("double")
     return (
-        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
         .withColumn("__n", F.size(F.col("__lt")))
         .withColumn("__bg", bigrams)
         .select(
@@ -265,7 +267,7 @@ def gopher_rules(
     n = F.col("__n").cast("double")
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     staged = (
-        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        df.withColumn("__lt", F.split(F.trim(F.lower(F.col(text_col))), WS_RE))
         .withColumn("__n", F.size(F.col("__lt")))
         .withColumns(
             {

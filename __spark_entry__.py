@@ -1313,16 +1313,27 @@ def _q_lsh_ann_topk(spark, sf_dir):
     )
 
 
-def _lsh_ann_sql(k: int = 5) -> str:
+def _lsh_ann_sql(k: int = 5, masks: list[int] | None = None) -> str:
     sig_union = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {t} AS tbl, {_plane_sig_expr(t)} AS bkt FROM embeddings"
         for t in range(_NEARDUP_TABLES)
     )
+    if masks:
+        # multiprobe: each query probes its bucket plus every Hamming-
+        # neighbor bucket given by the XOR masks (same list the Spark
+        # operator derives from probe_masks())
+        probe_list = ", ".join(f"xor(bkt, {m})" for m in masks)
+        q_cte = (
+            f"  SELECT vec_id AS qid, tbl, unnest([{probe_list}]) AS bkt\n"
+            "  FROM sigs WHERE vec_id < 10"
+        )
+    else:
+        q_cte = "  SELECT vec_id AS qid, tbl, bkt FROM sigs WHERE vec_id < 10"
     return f"""
 WITH sigs AS (
 {sig_union}
 ), q AS (
-  SELECT vec_id AS qid, tbl, bkt FROM sigs WHERE vec_id < 10
+{q_cte}
 ), cand AS (
   SELECT DISTINCT q.qid, s.vec_id AS id
   FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bkt = q.bkt AND s.vec_id != q.qid
@@ -1819,6 +1830,63 @@ WITH cent AS (
 )
 SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
 FROM scored WHERE rk <= {k}
+"""
+
+
+def _q_ann_recall(spark, sf_dir):
+    """Recall@5 audit of both ANN paths (IVF + LSH) against brute-force
+    cosine ground truth — the ANN twin of ``sketch_accuracy``: per
+    (method, query) hit counts, recall, and a verdict boolean, all
+    engine-reproducible because every side (exact, IVF, LSH) already has
+    a closed-form oracle; the report just composes them."""
+    from python_ctd_spark.operators.similarity import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ann_recall_report(
+        emb, q, k=5, min_recall=0.6,
+        ivf_kwargs=dict(n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE),
+        # near-dup plane/table shape + 1-bit multiprobe: the bare-bucket
+        # form recalls ~0.12 on general top-k (buckets are tuned for
+        # cos>=0.95 collisions); probing Hamming-1 buckets lifts it
+        # without touching the corpus index
+        lsh_kwargs=dict(
+            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES, dim=_EMB_DIM,
+            n_probe_bits=1,
+        ),
+    )
+
+
+def _ann_recall_sql() -> str:
+    """Composes the three already-verified ANN oracles (exact, IVF, LSH)
+    into the recall report — the oracle is the same joins/aggregates the
+    Spark operator runs, over the same three sub-results."""
+    from python_ctd_spark.operators.similarity import probe_masks as _pm
+    return f"""
+WITH exact AS (
+  SELECT qid, vec_id AS id FROM ({_EMBEDDING_TOPK_SQL}) x
+), ivf AS (
+  SELECT qid, id FROM ({_ivf_ann_sql()}) x
+), lsh AS (
+  SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, 1))}) x
+), approx AS (
+  SELECT 'ivf' AS method, qid, id FROM ivf
+  UNION ALL
+  SELECT 'lsh' AS method, qid, id FROM lsh
+), hits AS (
+  SELECT a.method, a.qid, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
+  GROUP BY a.method, a.qid
+), base AS (
+  SELECT m.method, e.qid, COUNT(*) AS n_exact
+  FROM exact e CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+  GROUP BY m.method, e.qid
+)
+SELECT b.method, b.qid, b.n_exact,
+       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall,
+       COALESCE(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE >= 0.6 AS recall_ok
+FROM base b LEFT JOIN hits h ON h.method = b.method AND h.qid = b.qid
 """
 
 
@@ -3018,18 +3086,56 @@ FROM clustered GROUP BY cluster_id
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is deliberate: the round-3 correctness harness
-    # recorded exactly the first 50 entries, so (a) queries added most
-    # recently (rounds 3-4; everything above remove_up_to) run FIRST —
-    # they are the ones still missing a driver stamp — and (b) the most
-    # expensive, longest-stamped queries run LAST, so any cap or
-    # time-budget truncation costs redundant stamps, not first-time
-    # coverage.
+    # Registry order is deliberate: the correctness harness records
+    # exactly the first 50 entries per round, so the front of the dict
+    # carries (a) the 30 queries whose last stamp predates the r4 tree
+    # (despike family, CTD chain, TPC-H q1/q3, the ANN/dedup-pairs
+    # family), (b) queries whose engine or oracle changed this round
+    # (domain_stats / pack_documents oracle typing, despike_closeout
+    # archive pruning), and (c) queries new in r5.  The 47 rows stamped
+    # green in r4 on this same tree run last — truncation costs
+    # redundant stamps, never first-time coverage.
     return {
-        # -- newest surface (no driver stamp yet), cheap -> slow --------
+        # -- last stamped r3; tree has changed since -------------------
+        "despike": _q_despike,
+        "bindata_average": _q_bindata_average,
+        "bindata_interpolate": _q_bindata_interp,
+        "ctd_pipeline": _q_ctd_pipeline,
+        "smooth": _q_smooth,
+        "smooth_native": _q_smooth_native,
+        "lp_filter": _q_lp_filter,
+        "split_cast": _q_split,
+        "interpolate_index": _q_interpolate,
+        "ffill": _q_ffill,
+        "cell_thermal_mass": _q_cell_thermal_mass,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "region_revenue": _q_region_revenue,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "rollup_orders": _q_rollup,
+        "salted_rollup": _q_salted_rollup,
+        "grouped_percentiles": _q_percentiles,
+        "multimodal_frames": _q_multimodal_frames,
+        "lang_id": _q_lang_id,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "minhash_lsh_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "streaming_windowed_stats": _q_streaming_windowed,
+        "streaming_bindata": _q_streaming_bindata,
+        "dedup_clusters": _q_dedup_clusters,
+        # -- engine/oracle changed in r5 -------------------------------
+        "domain_stats": _q_domain_stats,
+        "pack_documents": _q_pack_documents,
+        "despike_closeout": _q_despike_closeout,
+        # -- new in r5 -------------------------------------------------
+        "ann_recall": _q_ann_recall,
+        # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
-        "domain_stats": _q_domain_stats,
         "text_normalize": _q_text_normalize,
         "gopher_rules": _q_gopher_rules,
         "sketch_accuracy": _q_sketch_accuracy,
@@ -3041,7 +3147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem": _q_unpivot_lineitem,
         "stratified_sample": _q_stratified_sample,
         "pii_redact": _q_pii_redact,
-        "pack_documents": _q_pack_documents,
         "set_ops_users": _q_set_ops,
         "cube_events": _q_cube_events,
         "domain_mix": _q_domain_mix,
@@ -3056,8 +3161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": _q_streaming_join,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_despike": _q_stateful_despike,
-        "despike_closeout": _q_despike_closeout,
-        # -- stamped in r1-r3, fast ------------------------------------
         "remove_up_to": _q_remove_up_to,
         "remove_above_water": _q_remove_above_water,
         "doc_fingerprint": _q_fingerprint,
@@ -3078,37 +3181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "movingaverage": _q_movingaverage,
         "barrier_layer_thickness": _q_barrier_layer,
         "text_quality": _q_text_quality,
-        "pivot_event_counts": _q_pivot_event_counts,
-        "rollup_orders": _q_rollup,
-        "ffill": _q_ffill,
-        "cell_thermal_mass": _q_cell_thermal_mass,
-        "smooth_native": _q_smooth_native,
-        "split_cast": _q_split,
-        "smooth": _q_smooth,
-        "salted_rollup": _q_salted_rollup,
-        "multimodal_frames": _q_multimodal_frames,
-        "interpolate_index": _q_interpolate,
-        "ctd_pipeline": _q_ctd_pipeline,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "despike": _q_despike,
-        "bindata_average": _q_bindata_average,
-        "q3_top_orders": _q3_top_orders,
-        "region_revenue": _q_region_revenue,
-        # -- stamped in r1-r3, expensive (sacrificial under truncation) -
-        "embedding_cosine_topk": _q_embedding_topk,
-        "lp_filter": _q_lp_filter,
-        "grouped_percentiles": _q_percentiles,
-        "lang_id": _q_lang_id,
-        "minhash_lsh_dedup": _q_minhash_dedup,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "bindata_interpolate": _q_bindata_interp,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "simhash_dedup": _q_simhash_dedup,
-        "ngram_jaccard_dedup": _q_ngram_jaccard,
-        "streaming_windowed_stats": _q_streaming_windowed,
-        "streaming_bindata": _q_streaming_bindata,
-        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -3164,6 +3236,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _neardup_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
+        "ann_recall": _ann_recall_sql(),
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "asof_join": _ASOF_JOIN_SQL,
         "dedup_clusters": _dedup_clusters_sql(),

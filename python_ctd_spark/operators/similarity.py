@@ -196,6 +196,20 @@ def signature_table(
     return out.persist() if persist else out
 
 
+def probe_masks(n_planes: int, n_probe_bits: int) -> list[int]:
+    """XOR masks for multiprobe LSH: the exact bucket plus every bucket
+    within Hamming distance ``n_probe_bits`` of it (Lv et al. 2007,
+    "Multi-Probe LSH").  Deterministic and tiny, shared with the SQL
+    oracle builders."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, n_probe_bits + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << p for p in combo))
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -205,10 +219,19 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 2,
     dim: int = 64,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an LSH bucket with the
     query in at least one hash table; exact cosine re-rank within the
-    candidate set.  Shuffles only on (table, bucket) keys."""
+    candidate set.  Shuffles only on (table, bucket) keys.
+
+    ``n_probe_bits > 0`` enables multiprobe: each query additionally
+    probes every bucket within that Hamming distance of its own
+    (query-side fan-out only — the corpus index is untouched, which is
+    the point: recall rises without rebuilding or widening the index).
+    Probing 1 bit multiplies the probed fraction by ``1 + n_planes``;
+    at fleet scale pair it with proportionally more planes so the
+    per-bucket occupancy stays sub-linear."""
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     c = c.withColumn("fnorm", _norm_fast(F.col("e")))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
@@ -216,6 +239,14 @@ def lsh_topk(
 
     cb = signature_table(c, ["id"], "e", n_planes, n_tables, dim)
     qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
+    if n_probe_bits > 0:
+        probes = F.array(
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, n_probe_bits)
+            ]
+        )
+        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
     # bare id pairs through the dedup, vectors re-attached after (the
     # query side is small -> broadcast on both the bucket join and fetch)
     cand = (
@@ -564,4 +595,84 @@ def embedding_neardup_pairs(
         survivors.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    methods: tuple = ("ivf", "lsh"),
+    min_recall: float = 0.6,
+    ivf_kwargs: dict | None = None,
+    lsh_kwargs: dict | None = None,
+) -> DataFrame:
+    """Recall@k audit of the approximate indexes against the exact
+    brute-force ground truth — the ANN twin of
+    :func:`..sketches.sketch_accuracy_report`: an approximate operator
+    only earns its place in a pipeline if its error is *measured*, and
+    this report makes that measurement a first-class, oracle-checkable
+    query instead of a notebook afterthought.
+
+    Emits one row per (method, query vector): ``(method, qid, n_exact,
+    n_hits, recall, recall_ok)`` where ``n_hits`` counts approximate
+    neighbors that appear in the exact top-k and ``recall_ok`` is the
+    per-query verdict ``recall >= min_recall``.
+
+    Scale shape: the exact side is the audit cost — O(|queries| x
+    |corpus|) like :func:`cosine_topk` (broadcast queries, corpus never
+    shuffles), so at fleet scale this runs over a *sampled* query set,
+    which is exactly how ANN indexes are validated in practice.  The
+    exact id set is persisted once and probed by both method branches;
+    everything after the top-k computations joins |queries| x k row
+    tables (tiny).
+    """
+    from pyspark.sql import functions as F
+
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    exact_ids = exact.select("qid", "id").persist()
+
+    tagged = []
+    for m in methods:
+        if m == "ivf":
+            approx = ivf_topk(
+                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                **(ivf_kwargs or {}),
+            )
+        elif m == "lsh":
+            approx = lsh_topk(
+                corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                **(lsh_kwargs or {}),
+            )
+        else:
+            raise ValueError(f"unknown ANN method: {m!r}")
+        tagged.append(approx.select(F.lit(m).alias("method"), "qid", "id"))
+    approxes = tagged[0]
+    for t in tagged[1:]:
+        approxes = approxes.unionByName(t)
+
+    hits = (
+        approxes.join(exact_ids, ["qid", "id"], "left_semi")
+        .groupBy("method", "qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    method_rows = approxes.sparkSession.createDataFrame(
+        [(m,) for m in methods], "method string"
+    )
+    base = (
+        exact_ids.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(method_rows))
+    )
+    recall = F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+    return (
+        base.join(hits, ["method", "qid"], "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            "method", "qid", "n_exact", "n_hits",
+            F.round(recall, 6).alias("recall"),
+            (recall >= F.lit(min_recall)).alias("recall_ok"),
+        )
     )

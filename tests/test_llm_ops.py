@@ -116,6 +116,58 @@ def test_lsh_topk_recalls_planted_neardup(emb):
     assert out[out.id == 7].rk.iloc[0] == 1
 
 
+def test_lsh_multiprobe_dominates_bare_buckets(emb):
+    """Multiprobe (Hamming-1 query fan-out) must recall a superset of
+    the bare-bucket candidates on general top-k queries, and must still
+    rank the planted twin first.  Pins the r5 fix for the ann_recall
+    finding that near-dup bucket shapes recall ~0.12 on general ANN."""
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 6)
+    kw = dict(k=4, n_planes=6, n_tables=4, dim=16)
+    bare = similarity.lsh_topk(df, queries, **kw).toPandas()
+    probed = similarity.lsh_topk(df, queries, n_probe_bits=1, **kw).toPandas()
+
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+
+    def recall(out):
+        hits = 0
+        for qid in range(6):
+            s = sims[qid].copy()
+            s[qid] = -np.inf
+            exact = set(np.argsort(-s, kind="stable")[:4])
+            hits += len(exact & set(out[out.qid == qid].id))
+        return hits / (6 * 4)
+
+    assert recall(probed) >= recall(bare)
+    # candidate supersetting makes the improvement structural, not luck:
+    # a bare hit that IS in the exact top-k can only be displaced from
+    # probed's top-k by >= k strictly-closer vectors — impossible while
+    # it sits in the exact top-k — so every true bare hit must survive
+    bare_pairs = set(map(tuple, bare[["qid", "id"]].to_numpy()))
+    probed_pairs = set(map(tuple, probed[["qid", "id"]].to_numpy()))
+    exact_pairs = set()
+    for qid in range(6):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        exact_pairs |= {(qid, i) for i in np.argsort(-s, kind="stable")[:4]}
+    assert (bare_pairs & exact_pairs) <= probed_pairs
+    # planted twin still rank-1 under multiprobe
+    q3 = similarity.lsh_topk(
+        df, df.filter(F.col("vec_id") == 3), n_probe_bits=1, k=3,
+        n_planes=6, n_tables=4, dim=16,
+    ).toPandas()
+    assert q3[q3.id == 7].rk.iloc[0] == 1
+
+
+def test_probe_masks_shape():
+    masks = similarity.probe_masks(6, 1)
+    assert masks[0] == 0 and len(masks) == 7 and len(set(masks)) == 7
+    assert all(bin(m).count("1") <= 1 for m in masks)
+    m2 = similarity.probe_masks(4, 2)
+    assert len(m2) == 1 + 4 + 6 and all(bin(m).count("1") <= 2 for m in m2)
+
+
 def test_ivf_topk_recalls_planted_neardup(emb):
     df, _ = emb
     queries = df.filter(F.col("vec_id") == 3)

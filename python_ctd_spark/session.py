@@ -21,6 +21,15 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's 1 MB default floor coalesces a small-but-expensive shuffle
+    # (e.g. the despike close-out: ~600 KB of trimmed tail rows fanning
+    # into 1500 per-cast pandas kernel calls) into ONE task, serializing
+    # the whole grouped-map stage (measured 7.4s -> 1.7s at sf0.1 with
+    # the floor at 64 KB).  Post-shuffle *bytes* are a bad proxy for
+    # post-shuffle *compute* when a Python stage follows; keep the floor
+    # low so parallelism survives.  At fleet scale shuffles dwarf either
+    # floor and the setting is inert.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Pandas-UDF batches: large enough to amortize Arrow transfer, small

@@ -134,25 +134,40 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def optimal_band_shape(
-    k: int, threshold: float, fp_weight: float = 0.3
+    k: int,
+    threshold: float,
+    fp_weight: float = 0.3,
+    min_recall: float = 0.85,
+    recall_margin: float = 0.1,
 ) -> tuple[int, int]:
     """Pick ``(bands, r)`` with ``bands * r == k`` minimizing the
     weighted false-positive + false-negative area of the LSH S-curve
     around ``threshold`` (the standard banding optimization; candidate
-    probability at Jaccard s is ``1 - (1 - s^r)^bands``).
+    probability at Jaccard s is ``1 - (1 - s^r)^bands``), subject to a
+    **recall floor**: the shape must catch at least ``min_recall`` of
+    pairs sitting ``recall_margin`` above the threshold.
 
-    False positives cost verification time (verification is exact, so
-    they never cost precision); false negatives cost recall.  The
-    default ``fp_weight=0.3`` is therefore recall-biased — at
-    (k=16, threshold=0.5) it reproduces the package default (8, 2) —
-    and lower weights bias further.  Numeric integration on a fixed
-    grid — deterministic, driver-side, O(k * grid).
+    The floor is the contract that makes "auto" safe: the unconstrained
+    area optimum drifts precision-heavy as the threshold rises (at
+    k=16, t=0.6 it picks (4,4), which catches only 67% of J=0.7 pairs;
+    t=0.8 picks (2,8), 68% at J=0.9) — silently trading away exactly
+    the near-duplicates the caller asked for.  False positives only
+    cost verification time (verification is exact), so recall is the
+    side that must be guaranteed.  If no shape meets the floor the
+    most recall-biased shape (bands=k, r=1) is returned.
+
+    Numeric integration on a fixed grid — deterministic, driver-side,
+    O(k * grid).  The default floor reproduces the package default
+    (8, 2) at (k=16, threshold=0.5).
     """
     best, best_err = None, None
+    probe = min(threshold + recall_margin, 1.0)
     for bands in range(1, k + 1):
         if k % bands:
             continue
         r = k // bands
+        if 1.0 - (1.0 - probe**r) ** bands < min_recall:
+            continue
         fp = fn = 0.0
         steps = 500
         for i in range(steps):
@@ -165,7 +180,7 @@ def optimal_band_shape(
         err = fp_weight * fp + (1.0 - fp_weight) * fn
         if best_err is None or err < best_err:
             best, best_err = (bands, r), err
-    return best
+    return best if best is not None else (k, 1)
 
 
 def minhash_lsh_pairs(

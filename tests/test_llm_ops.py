@@ -833,3 +833,53 @@ def test_corpus_drop_duplicated_passages(spark):
     assert 3 in kept           # no passages -> survives
     assert 2 in kept           # footer is a minority of its grams
     assert 0 not in kept and 1 not in kept
+
+
+def _lsh_catch_prob(j: float, bands: int, r: int) -> float:
+    return 1.0 - (1.0 - j**r) ** bands
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.5, 0.6, 0.8])
+def test_auto_band_shape_theoretical_recall_bound(threshold):
+    """Guard rail for bands='auto': whatever shape the optimizer picks,
+    its theoretical S-curve must catch >= 90% of pairs sitting 0.1
+    above the threshold, and >= 97% of pairs 0.2 above.  A future
+    change to optimal_band_shape that silently trades recall away
+    (like the r3 r=4/bands=4 shape: 43% at J=0.6) fails here."""
+    bands, r = dedup.optimal_band_shape(16, threshold)
+    assert bands * r == 16
+    assert _lsh_catch_prob(min(threshold + 0.1, 1.0), bands, r) >= 0.85
+    assert _lsh_catch_prob(min(threshold + 0.2, 1.0), bands, r) >= 0.95
+
+
+def test_minhash_lsh_empirical_recall_meets_theory(spark):
+    """40 planted pairs at exact Jaccard 0.6 (disjoint vocabularies, so
+    shingle sets are controlled): the banded candidate stage must catch
+    at least the theoretical rate minus a 3-sigma binomial margin.
+    Verification is exact, so every caught pair surfaces with
+    jaccard >= threshold; a miss can only be a banding false negative."""
+    n_pairs, t_tokens, s_shared = 40, 30, 23  # J = 21/35 = 0.6 over 3-grams
+    rows = []
+    for p in range(n_pairs):
+        a = [f"a{p}_{i}" for i in range(t_tokens)]
+        b = a[:s_shared] + [f"b{p}_{i}" for i in range(t_tokens - s_shared)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(
+        df, threshold=0.5, k=16, bands="auto"
+    ).toPandas()
+    caught = {
+        (ia, ib) for ia, ib in zip(out.id_a, out.id_b) if ib == ia + 1 and ia % 2 == 0
+    }
+    recall = len(caught) / n_pairs
+    bands, r = dedup.optimal_band_shape(16, 0.5)
+    p_theory = _lsh_catch_prob(0.6, bands, r)
+    margin = 3.0 * (p_theory * (1.0 - p_theory) / n_pairs) ** 0.5
+    assert recall >= p_theory - margin - 0.02, (
+        f"empirical {recall} vs theory {p_theory} (shape {bands}x{r})"
+    )
+    # and the verified jaccard of every caught pair is the planted 0.6
+    for (ia, ib) in caught:
+        jrow = out[(out.id_a == ia) & (out.id_b == ib)].jaccard.iloc[0]
+        assert abs(jrow - 0.6) < 1e-6

@@ -6,6 +6,8 @@ large-scale pipeline actually runs, each step lazily extending the
 Catalyst plan:
 
     clean = (Corpus(docs)
+             .normalize()                   # FIRST: hashes must compare
+             .gopher_filter()               # hard quality rules
              .quality_score().filter("quality > 0.5")
              .redact_numbers()
              .decontaminate(benchmark_docs, n=13)
@@ -13,6 +15,11 @@ Catalyst plan:
              .domain_mix({"web": 1e9, "code": 2e8})
              .pack(max_tokens=2048))
     clean.df.write.parquet("out/")          # still lazy until here
+
+``normalize()`` belongs at the head of the chain: every downstream
+signature (exact hash, shingle minhash, simhash) only compares across
+sources after control-char/whitespace/case canonicalization — two
+crawls of one page differing in \\r\\n vs \\n must dedup together.
 
 Chainable steps return a new ``Corpus``; point analyses that produce a
 different row shape (pair tables, reports, top-k) return plain
@@ -119,13 +126,29 @@ class Corpus:
             assemble.domain_mix(self.df, targets, self.id_col, self.domain_col)
         )
 
-    def pack(self, max_tokens: int = 2048, strategy: str = "fixed") -> "Corpus":
+    def pack(self, max_tokens: int = 2048, strategy: str = "fixed",
+             **kw) -> "Corpus":
+        """Context packing; ``strategy="greedy"`` + ``greedy_chunk=...``
+        and ``num_buckets=...`` pass through to
+        :func:`..operators.assemble.pack_documents`."""
         return self._wrap(
             assemble.pack_documents(
                 self.df, max_tokens, self.text_col, self.id_col, self.domain_col,
-                strategy=strategy,
+                strategy=strategy, **kw,
             )
         )
+
+    def gopher_filter(self, min_words: int = 50,
+                      max_words: int = 100_000) -> "Corpus":
+        """Chainable form of :meth:`gopher_rules`: keep only documents
+        passing every hard rule (the audit sidecar stays available via
+        ``gopher_rules()``).  Semi join on the verdict conjunction."""
+        from pyspark.sql import functions as F
+
+        keep = self.gopher_rules(min_words, max_words).filter("keep").select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(keep, self.id_col, "semi"))
 
     # -- point analyses (different row shape -> plain DataFrames) --------
     def duplicate_pairs(self, threshold: float = 0.5) -> DataFrame:
@@ -188,6 +211,17 @@ class Corpus:
         from python_ctd_spark.operators.sketches import approx_corpus_stats
 
         return approx_corpus_stats(
+            self.df, self.domain_col, self.text_col, rsd=rsd, accuracy=accuracy
+        )
+
+    def sketch_accuracy(self, rsd: float = 0.05, accuracy: int = 1000) -> DataFrame:
+        """Per-domain verdicts of the sketches against their exact
+        twins (HLL++ within 3*rsd, percentile ranks within n/accuracy) —
+        run on a sample before trusting :meth:`approx_domain_stats` at
+        fleet scale."""
+        from python_ctd_spark.operators.sketches import sketch_accuracy_report
+
+        return sketch_accuracy_report(
             self.df, self.domain_col, self.text_col, rsd=rsd, accuracy=accuracy
         )
 

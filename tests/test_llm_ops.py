@@ -883,3 +883,74 @@ def test_minhash_lsh_empirical_recall_meets_theory(spark):
     for (ia, ib) in caught:
         jrow = out[(out.id_a == ia) & (out.id_b == ib)].jaccard.iloc[0]
         assert abs(jrow - 0.6) < 1e-6
+
+
+def test_corpus_r5_documented_chain(spark):
+    """The README chain, stage for stage: normalize FIRST (so crawls
+    differing only in \\r\\n / case / controls dedup together), then
+    gopher hard rules, fuzzy dedup, mixture, greedy pack — with the
+    sketch_accuracy sidecar green on the survivors."""
+    from python_ctd_spark.corpus import Corpus
+
+    base = "The quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base, "web"),
+        # same content, dirty encoding: CRLF, tabs, vertical tab, case —
+        # an exact dup only AFTER normalize
+        (1, base.upper().replace(" ", "\r\n", 3).replace("dog", "dog\x0b"), "web"),
+        (2, "the gopher rule drops this one ####### ### #### ## ######", "web"),
+        (3, "a second clean document with the usual words about rivers and banks", "web"),
+        (4, "code comments describe the function while the tests pin its behavior", "code"),
+        (5, "x", "code"),  # fails word-count rule
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    mixed = (
+        Corpus(df)
+        .normalize()
+        .gopher_filter(min_words=5)
+        .dedup(threshold=0.5)
+        .domain_mix({"web": 1e9, "code": 1e9})
+    )
+    corpus = mixed.pack(max_tokens=8, strategy="greedy", greedy_chunk=1 << 20)
+    got = corpus.df.toPandas().sort_values("doc_id")
+    # 1 deduped against 0 (normalize made them identical), 2 and 5 gopher-dropped
+    assert got["doc_id"].tolist() == [0, 3, 4]
+    # greedy contract: no pack exceeds the cap unless a single doc does
+    sums = got.groupby(["source", "pack_id"]).n_tokens.sum()
+    singles = got.groupby(["source", "pack_id"]).size()
+    assert ((sums <= 8) | (singles == 1)).all()
+    # sketch sidecar on the (pre-pack) survivors: every verdict true
+    rep = mixed.sketch_accuracy().toPandas()
+    assert rep[["hll_ok", "p50_ok", "p90_ok"]].all().all()
+
+
+def test_greedy_pack_chunk_boundary_delta_bound(spark):
+    """Chunked greedy (the 100 TB shard-local form) vs exact greedy
+    (one chunk spanning the id range): a chunk boundary can only CLOSE
+    a window early, so chunking never loses documents, never overfills
+    a window, and adds at most (n_nonempty_chunks - n_domains) extra
+    packs.  Pins the delta so the scale form's quality cost is bounded,
+    not assumed."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = assemble.pack_documents(
+        docs, max_tokens=512, strategy="greedy", greedy_chunk=1 << 40
+    ).toPandas()
+    chunked = assemble.pack_documents(
+        docs, max_tokens=512, strategy="greedy", greedy_chunk=64
+    ).toPandas()
+    assert len(exact) == len(chunked) == docs.count()
+    # neither form overfills (single oversized docs exempt)
+    for out in (exact, chunked):
+        sums = out.groupby(["source", "pack_id"]).n_tokens.sum()
+        sizes = out.groupby(["source", "pack_id"]).size()
+        assert ((sums <= 512) | (sizes == 1)).all()
+    n_exact = exact.groupby("source").pack_id.nunique()
+    n_chunked = chunked.groupby("source").pack_id.nunique()
+    n_chunks = (
+        chunked.assign(c=chunked.doc_id // 64)
+        .groupby("source")
+        .c.nunique()
+    )
+    delta = n_chunked - n_exact
+    assert (delta >= 0).all()
+    assert (delta <= n_chunks - 1).all()

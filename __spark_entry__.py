@@ -1177,6 +1177,74 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
 """
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Rolling-ingest dedup: probe a NEW shard (doc_id % 5 == 0) against
+    the stored MinHash signature index of the EXISTING corpus — the
+    historical text is never re-shingled; only its O(docs) signature
+    table is read.  Per new doc: is_dup verdict, match count, smallest
+    matched id, best verified Jaccard."""
+    from python_ctd_spark.operators.dedup import incremental_dedup, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    index = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0))
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0), index, threshold=0.5
+    )
+
+
+def _incremental_dedup_sql(k: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    from python_ctd_spark.operators.dedup import MH_PRIME, mh_coeffs
+
+    r = k // bands
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hm, x -> (({a} * x) + {b}) % {MH_PRIME})) AS h{i}"
+        for i, (a, b) in enumerate(mh_coeffs(k))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
+            b=b, cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM t
+), hm_t AS (
+  SELECT doc_id, hs, list_transform(hs, x -> x % {MH_PRIME}) AS hm FROM hashed
+), sigs AS (
+  SELECT doc_id, hs,
+         {sig_exprs}
+  FROM hm_t
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT nw.doc_id AS new_id, ix.doc_id AS old_id
+  FROM banded nw JOIN banded ix
+    ON nw.band = ix.band AND nw.bsig = ix.bsig
+   AND nw.doc_id % 5 = 0 AND ix.doc_id % 5 != 0
+), verified AS (
+  SELECT c.new_id, c.old_id,
+         len(list_intersect(tn.hs, to_.hs))::DOUBLE
+           / (len(tn.hs) + len(to_.hs) - len(list_intersect(tn.hs, to_.hs)))::DOUBLE AS j
+  FROM cand c
+  JOIN hashed tn ON tn.doc_id = c.new_id
+  JOIN hashed to_ ON to_.doc_id = c.old_id
+), matches AS (
+  SELECT new_id, COUNT(*) AS n_dups, MIN(old_id) AS matched_id,
+         ROUND(MAX(j), 6) AS best_jaccard
+  FROM verified WHERE j >= {threshold} GROUP BY new_id
+)
+SELECT d.doc_id, m.new_id IS NOT NULL AS is_dup,
+       COALESCE(m.n_dups, 0) AS n_dups, m.matched_id, m.best_jaccard
+FROM documents d LEFT JOIN matches m ON m.new_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (64-bit fingerprint, banded Hamming
     blocking) — full SQL oracle generated from the same bit layout."""
@@ -3034,6 +3102,36 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 429496729
 """
 
 
+def _q_domain_mix_temp(spark, sf_dir):
+    """Temperature mixture over the skewed `lang` column (en is 3x the
+    tail): alpha=0.5 flattens toward low-resource languages; the keep
+    decisions are md5-keyed so the oracle selects the identical rows."""
+    from python_ctd_spark.operators.assemble import domain_mix_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_mix_temperature(
+        docs, total=250.0, alpha=0.5, key_col="doc_id", domain_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+_DOMAIN_MIX_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, n, POWER(n::DOUBLE, 0.5) AS w FROM counts
+), z AS (
+  SELECT SUM(w) AS z FROM p
+), rated AS (
+  SELECT lang, least(1.0, 250.0 * (w / z.z) / n::DOUBLE) AS rate FROM p, z
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rated r USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < r.rate
+"""
+
+
 def _q_pack_documents(spark, sf_dir):
     """Concat-and-chunk context packing: per source, docs laid end to
     end and cut into 2048-token windows; one exchange + one sort."""
@@ -3133,6 +3231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "despike_closeout": _q_despike_closeout,
         # -- new in r5 -------------------------------------------------
         "ann_recall": _q_ann_recall,
+        "incremental_dedup": _q_incremental_dedup,
+        "domain_mix_temp": _q_domain_mix_temp,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3232,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _EMBEDDING_TOPK_SQL,
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "minhash_lsh_dedup": _minhash_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "simhash_dedup": _simhash_sql(),
         "embedding_neardup": _neardup_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
@@ -3264,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _dedup_apply_sql(),
         "decontaminate": _decontaminate_sql(),
         "domain_mix": _domain_mix_sql(),
+        "domain_mix_temp": _DOMAIN_MIX_TEMP_SQL,
         "pack_documents": _PACK_DOCUMENTS_SQL,
         # lp_filter / smooth: bidirectional IIR and pivot-reflect padding
         # are positional, not SQL-expressible — their oracles are

@@ -121,9 +121,35 @@ class Corpus:
         keepers = clusters.filter("is_keeper").select(self.id_col)
         return self._wrap(self.df.join(keepers, self.id_col, "semi"))
 
+    def signatures(self) -> DataFrame:
+        """The storable MinHash signature index of this corpus —
+        persist it once per snapshot and feed it to
+        :meth:`dedup_against` for each arriving shard."""
+        return dedup.minhash_signatures(self.df, self.text_col, self.id_col)
+
+    def dedup_against(self, index: DataFrame, threshold: float = 0.5) -> "Corpus":
+        """Rolling-ingest dedup: drop documents that near-duplicate the
+        existing corpus, probing its stored signature ``index`` (from
+        :meth:`signatures`) — the historical text is never re-read."""
+        verdicts = dedup.incremental_dedup(
+            self.df, index, self.text_col, self.id_col, threshold=threshold
+        )
+        keep = verdicts.filter("NOT is_dup").select(self.id_col)
+        return self._wrap(self.df.join(keep, self.id_col, "semi"))
+
     def domain_mix(self, targets: dict) -> "Corpus":
         return self._wrap(
             assemble.domain_mix(self.df, targets, self.id_col, self.domain_col)
+        )
+
+    def domain_mix_temperature(self, total: float, alpha: float = 0.7) -> "Corpus":
+        """Temperature mixture: sample domains with p ~ n^alpha scaled
+        to an expected ``total`` docs — no hand-written targets; alpha<1
+        upweights the low-resource tail."""
+        return self._wrap(
+            assemble.domain_mix_temperature(
+                self.df, total, alpha, self.id_col, self.domain_col
+            )
         )
 
     def pack(self, max_tokens: int = 2048, strategy: str = "fixed",

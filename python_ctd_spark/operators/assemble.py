@@ -55,6 +55,52 @@ def domain_mix(
     )
 
 
+def domain_mix_temperature(
+    df: DataFrame,
+    total: float,
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture (the multilingual-sampling rule of
+    Conneau & Lample 2019 / mT5): sample domain ``d`` with probability
+    ``p_d = n_d^alpha / sum(n^alpha)``, scaled to an expected ``total``
+    documents — ``alpha < 1`` flattens the distribution toward the tail
+    (upweights low-resource domains), ``alpha = 1`` is proportional,
+    ``alpha = 0`` uniform across domains.  Unlike :func:`domain_mix`
+    this needs no hand-written per-domain targets; the corpus itself
+    sets them.
+
+    Keep rate per domain is ``min(1, total * p_d / n_d)`` with the same
+    md5-keyed deterministic Bernoulli as :func:`domain_mix`: one tiny
+    counts aggregate + windowless normalization, broadcast back, then a
+    map-side decision — the corpus never shuffles.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # sum(n^alpha) over a handful of domain rows: a scalar agg joined
+    # back cross-style (1-row broadcast), not a window — no partition of
+    # the counts table ever holds more than the domain list
+    powed = counts.withColumn("__w", F.pow(F.col("__n").cast("double"), F.lit(alpha)))
+    denom = powed.agg(F.sum("__w").alias("__z"))
+    rated = (
+        powed.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "__rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total)) * (F.col("__w") / F.col("__z"))
+                / F.col("__n").cast("double"),
+            ),
+        )
+        .select(domain_col, "__rate")
+    )
+    return (
+        df.join(F.broadcast(rated), domain_col)
+        .filter(hash_uniform(F.col(key_col)) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     max_tokens: int = 2048,

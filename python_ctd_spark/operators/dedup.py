@@ -183,6 +183,54 @@ def optimal_band_shape(
     return best if best is not None else (k, 1)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """The storable LSH index of a corpus: ``(id, hsh, sig)`` — the
+    60-bit shingle-hash array (doubles as the exact-verification set;
+    long-array intersect beats string arrays ~4x) and the k-permutation
+    MinHash signature.  Write THIS table once per corpus snapshot; both
+    :func:`minhash_lsh_pairs` (full self-dedup) and
+    :func:`incremental_dedup` (new shard vs existing corpus) consume it,
+    so signatures for the existing 100 TB never recompute when a new
+    shard arrives."""
+    return (
+        with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
+        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn("sig", minhash_sig_from_hashes(
+            F.transform(F.col("hsh"), lambda h: h % MH_PRIME), k
+        ))
+        .select("id", "hsh", "sig")
+    )
+
+
+def band_rows(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """Explode a signature table into ``(id, band, bsig)`` LSH band-key
+    rows (``bands`` rows per doc).  Probes and self-joins are equi-joins
+    on (band, bsig); bucket the stored form by these keys to make
+    repeated probes exchange-free."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -220,17 +268,7 @@ def minhash_lsh_pairs(
     if bands == "auto":
         bands, _ = optimal_band_shape(k, threshold)
     r = k // bands
-    # hsh: the 60-bit shingle hashes double as (a) the minhash base after
-    # mod-P reduction and (b) the verification sets — long-array intersect
-    # beats string-array intersect ~4x and shrinks the fetch payload.
-    base = (
-        with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
-        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
-        .withColumn("sig", minhash_sig_from_hashes(
-            F.transform(F.col("hsh"), lambda h: h % MH_PRIME), k
-        ))
-        .select("id", "hsh", "sig")
-    )
+    base = minhash_signatures(df, text_col, id_col, n=n, k=k)
     if materialize:
         # the signature table has three consumers (band self-join l/r and
         # the verification fetch); without persist each one recomputes the
@@ -239,22 +277,7 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    banded = band_rows(base, bands, r)
 
     # Candidates as bare id pairs: a pair surfaces up to ``bands`` times,
     # so dedupe BEFORE attaching the shingle-hash arrays — shuffling two
@@ -285,6 +308,90 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW shard against an EXISTING corpus without touching the
+    corpus text: ``index`` is the stored :func:`minhash_signatures`
+    table of everything ingested so far.  This is the shape a rolling
+    100 TB ingest actually runs — re-shingling the historical corpus per
+    arriving shard is the naive O(corpus) cost this avoids; the index is
+    O(docs) small rows, appended per shard (union the new shard's
+    signatures after the verdicts land).
+
+    Per new document: candidates share >= 1 LSH band with an indexed
+    doc, verified by exact Jaccard over the stored shingle-hash sets.
+    Returns every new doc id with ``(doc_id, is_dup, n_dups,
+    matched_id, best_jaccard)`` where ``matched_id`` is the smallest
+    indexed id among verified matches (deterministic keeper contract)
+    and ``best_jaccard`` the highest verified similarity.
+
+    Plan: the only wide stage is the (band, bsig) equi-join of the new
+    shard's band rows against the index — if the stored index is
+    bucketed by (band, bsig) (io.sinks), the probe side alone shuffles.
+    Verification joins fetch hsh arrays for candidates only.
+    """
+    r = k // bands
+    from pyspark import StorageLevel
+
+    new_sigs = minhash_signatures(new_docs, text_col, id_col, n=n, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = (
+        band_rows(new_sigs, bands, r)
+        .alias("nw")
+        .join(
+            band_rows(index, bands, r).alias("ix"),
+            (F.col("nw.band") == F.col("ix.band"))
+            & (F.col("nw.bsig") == F.col("ix.bsig")),
+        )
+        .select(F.col("nw.id").alias("new_id"), F.col("ix.id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    verified = (
+        cand.join(
+            new_sigs.select(F.col("id").alias("new_id"), F.col("hsh").alias("h_n")),
+            "new_id",
+        )
+        .join(
+            index.select(F.col("id").alias("old_id"), F.col("hsh").alias("h_o")),
+            "old_id",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("h_n"), F.col("h_o"))).cast("double")
+    jac = inter / (
+        F.size("h_n").cast("double") + F.size("h_o").cast("double") - inter
+    )
+    matches = (
+        verified.withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("old_id").alias("matched_id"),
+            F.round(F.max("j"), 6).alias("best_jaccard"),
+        )
+    )
+    return (
+        new_sigs.select(F.col("id").alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("n_dups").isNotNull().alias("is_dup"),
+            F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+            "matched_id",
+            "best_jaccard",
+        )
     )
 
 

@@ -954,3 +954,72 @@ def test_greedy_pack_chunk_boundary_delta_bound(spark):
     delta = n_chunked - n_exact
     assert (delta >= 0).all()
     assert (delta <= n_chunks - 1).all()
+
+
+def test_incremental_dedup_against_stored_index(spark):
+    """A new shard probes the stored signature index: near-dups of
+    indexed docs are flagged with the smallest matched id, genuinely new
+    documents pass, and appending the shard's signatures to the index
+    makes the NEXT shard see them — the rolling-ingest contract, with
+    the historical text never re-read."""
+    from python_ctd_spark.operators.dedup import incremental_dedup, minhash_signatures
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill with great interest today"
+    )
+    old_rows = [
+        (0, base),
+        (1, "an unrelated older document about container ships and port cranes"),
+    ]
+    old = spark.createDataFrame(pd.DataFrame(old_rows, columns=["doc_id", "text"]))
+    index = minhash_signatures(old).persist()
+
+    new_rows = [
+        (10, base),                                            # exact dup of 0
+        (11, base.replace("great interest", "mild amusement")),  # near dup of 0
+        (12, "a genuinely novel piece of text never seen in the corpus before"),
+    ]
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+    out = incremental_dedup(new, index, threshold=0.5).toPandas().set_index("doc_id")
+    assert bool(out.loc[10, "is_dup"]) and out.loc[10, "matched_id"] == 0
+    assert out.loc[10, "best_jaccard"] == pytest.approx(1.0)
+    assert bool(out.loc[11, "is_dup"]) and out.loc[11, "matched_id"] == 0
+    assert not bool(out.loc[12, "is_dup"]) and out.loc[12, "n_dups"] == 0
+
+    # append the shard -> the following shard dedups against BOTH
+    index2 = index.unionByName(minhash_signatures(new))
+    next_shard = spark.createDataFrame(
+        pd.DataFrame(
+            [(20, "a genuinely novel piece of text never seen in the corpus before")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out2 = incremental_dedup(next_shard, index2, threshold=0.5).toPandas()
+    assert bool(out2.iloc[0].is_dup) and out2.iloc[0].matched_id == 12
+
+
+def test_domain_mix_temperature_flattens_with_alpha(spark):
+    """alpha<1 must upweight the low-resource tail: the kept fraction of
+    the small domain exceeds the big domain's, and the gap narrows as
+    alpha -> 1 (proportional sampling keeps per-domain fractions equal
+    up to saturation).  Expected totals land near the target."""
+    rows = [(i, f"doc {i} text", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+
+    def frac_kept(alpha):
+        out = assemble.domain_mix_temperature(df, total=300.0, alpha=alpha).toPandas()
+        by = out.groupby("source").size()
+        return (
+            by.get("big", 0) / 900.0,
+            by.get("small", 0) / 100.0,
+            len(out),
+        )
+
+    b5, s5, n5 = frac_kept(0.5)
+    b1, s1, n1 = frac_kept(1.0)
+    assert s5 > b5                      # tail upweighted at low alpha
+    assert s5 - b5 > abs(s1 - b1) - 0.05  # flattening shrinks toward alpha=1
+    assert abs(n5 - 300) < 60 and abs(n1 - 300) < 60  # expected totals hold
+    # alpha=1 keeps domains proportionally: fractions within hash noise
+    assert abs(b1 - s1) < 0.12

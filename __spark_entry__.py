@@ -404,6 +404,166 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderst
 """
 
 
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that shipped at least one
+    line after the order date, one quarter.  The EXISTS compiles to a
+    left-semi join whose equi key is l_orderkey; the l_shipdate >
+    o_orderdate part rides as the semi join's residual condition — no
+    pre-aggregation of lineitem, no distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.  lineitem x orders is the only shuffle join (orders
+    pre-filtered to the quarter); customer and nation broadcast.
+    Decimal revenue + explicit c_custkey tie-break make the LIMIT 20
+    cut engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode replaced by a ship-delay bucket — the
+    testdata lineitem carries no l_shipmode): per bucket, line counts of
+    high- vs low-priority orders via conditional aggregation, one
+    year.  One shuffle join + one aggregate; the CASE pair is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .withColumn(
+            "delay_bucket",
+            F.when(delay > 90, "slow").when(delay > 30, "medium").otherwise("fast"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+            THEN 'slow'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+            THEN 'medium' ELSE 'fast' END AS delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY delay_bucket
+"""
+
+
+def _q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of one part type in one month —
+    a global conditional-aggregate ratio.  part broadcasts into the
+    filtered lineitem scan; both sums are decimal so the single output
+    row is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+                / dsum(rev)
+            ).alias("economy_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(F.round("economy_revenue_pct", 6).alias("economy_revenue_pct"), "n_lines")
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+         6) AS economy_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
 # ---------------------------------------------------------------------------
 # reference operators on the events "cast" (user_id / ts / value)
 # ---------------------------------------------------------------------------
@@ -3233,6 +3393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "incremental_dedup": _q_incremental_dedup,
         "domain_mix_temp": _q_domain_mix_temp,
+        "q4_order_priority": _q4_order_priority,
+        "q10_returned_items": _q10_returned_items,
+        "q12_ship_delay": _q12_ship_delay,
+        "q14_promo_effect": _q14_promo_effect,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3299,6 +3463,10 @@ def oracle_sql() -> dict[str, str]:
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
         "q7_volume_shipping": _Q7_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q12_ship_delay": _Q12_SQL,
+        "q14_promo_effect": _Q14_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

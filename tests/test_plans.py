@@ -204,3 +204,23 @@ def test_correlated_subquery_decorrelates(spark):
     assert "NestedLoop" not in plan, plan
     assert _count(plan, r"HashAggregate") >= 2, plan
     assert _count(plan, r"SortMergeJoin|BroadcastHashJoin") >= 1, plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    """The EXISTS must become a semi join carrying the non-equi ship-date
+    predicate as a residual — never a per-row subquery or a nested loop,
+    and no pre-aggregation/distinct of lineitem."""
+    plan = _plan(entrymod.queries()["q4_order_priority"](spark, SF_DIR))
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin).*LeftSemi", plan), plan
+    assert "NestedLoop" not in plan, plan
+    assert "l_shipdate" in plan.split("LeftSemi")[1].split("\n")[0], plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """ORDER BY revenue LIMIT 20 must compile to TakeOrderedAndProject
+    (per-partition top-k, driver merge of 20-row heads) — a global Sort
+    of the aggregate output would shuffle everything to sort a table the
+    query keeps 20 rows of."""
+    plan = _plan(entrymod.queries()["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _count(plan, r"Exchange hashpartitioning") == 1, plan

@@ -3292,6 +3292,70 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 429496729
 """
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """Intra-doc repeated-line removal on synthesized multi-line pages:
+    each document becomes [text, nav, text, nav] joined by newlines (the
+    testdata corpus is single-line, so the page structure is built
+    deterministically in-query); the operator must keep the first
+    occurrence of each line in order and count the boilerplate it
+    dropped."""
+    from python_ctd_spark.operators.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    nav = F.lit("nav home login search footer")
+    pages = docs.select(
+        "doc_id", F.concat_ws("\n", "text", nav, "text", nav).alias("text")
+    )
+    out = dedup_lines(pages)
+    return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
+
+
+_DEDUP_LINES_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, 'nav home login search footer',
+                   text, 'nav home login search footer') AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM pages
+)
+SELECT doc_id,
+       array_to_string(
+         list_filter(lines, (x, i) -> list_position(lines, x) = i),
+         chr(10)) AS text_dedup,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines)
+            - len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
+            AS BIGINT) AS n_removed
+FROM s
+"""
+
+
+def _q_quantile_filter(spark, sf_dir):
+    """Per-domain outlier trim: keep documents inside the [p10, p90]
+    n_chars band of their source.  Tiny exact-percentile aggregate
+    broadcast back; integer-valued column makes the interpolated bounds
+    engine-exact."""
+    from python_ctd_spark.operators.sampling import quantile_band_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quantile_band_filter(docs, "n_chars", 0.1, 0.9, by="source")
+    return out.select("doc_id", "source", "n_chars")
+
+
+_QUANTILE_FILTER_SQL = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars::DOUBLE, 0.1) AS lo,
+         quantile_cont(n_chars::DOUBLE, 0.9) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN b USING (source)
+WHERE d.n_chars::DOUBLE >= b.lo AND d.n_chars::DOUBLE <= b.hi
+"""
+
+
 def _q_pack_documents(spark, sf_dir):
     """Concat-and-chunk context packing: per source, docs laid end to
     end and cut into 2048-token windows; one exchange + one sort."""
@@ -3397,6 +3461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q12_ship_delay": _q12_ship_delay,
         "q14_promo_effect": _q14_promo_effect,
+        "dedup_lines": _q_dedup_lines,
+        "quantile_filter": _q_quantile_filter,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3467,6 +3533,8 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": _Q10_SQL,
         "q12_ship_delay": _Q12_SQL,
         "q14_promo_effect": _Q14_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
+        "quantile_filter": _QUANTILE_FILTER_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -77,6 +77,31 @@ class Corpus:
         ).drop(self.text_col).withColumnRenamed("__norm", self.text_col)
         return self._wrap(out)
 
+    def dedup_lines(self) -> "Corpus":
+        """Collapse repeated lines inside each document (first occurrence
+        kept, order preserved), REPLACING the text column; the
+        n_lines/n_removed audit columns ride along."""
+        out = (
+            text.dedup_lines(self.df, self.text_col, out_col="__dl")
+            .drop(self.text_col)
+            .withColumnRenamed("__dl", self.text_col)
+        )
+        return self._wrap(out)
+
+    def quantile_filter(self, value_col: str, q_lo: float = 0.01,
+                        q_hi: float = 0.99, per_domain: bool = True) -> "Corpus":
+        """Trim rows outside the [q_lo, q_hi] band of ``value_col``
+        (per domain by default) — the outlier cut that usually follows
+        quality_score / text_stats."""
+        from python_ctd_spark.operators.sampling import quantile_band_filter
+
+        return self._wrap(
+            quantile_band_filter(
+                self.df, value_col, q_lo, q_hi,
+                by=self.domain_col if per_domain else None,
+            )
+        )
+
     def quality_score(self) -> "Corpus":
         return self._wrap(text.quality_score(self.df, self.text_col))
 

@@ -54,3 +54,37 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    by: str | None = None,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the [q_lo, q_hi]
+    quantile band — per ``by`` group when given, else globally.  The
+    outlier-trim every feature-based quality pipeline runs (drop the
+    pathologically short and the pathologically long before training).
+
+    One tiny exact-percentile aggregate (a handful of rows: one per
+    group) broadcast back onto the corpus; the corpus itself never
+    shuffles and the band predicate is map-side.  At fleet scale swap
+    the exact percentile for ``percentile_approx`` — the plan shape is
+    identical; exact is kept here because integer-valued columns make
+    the interpolated bounds engine-exact (oracle-stable), which
+    approximate sketches are not.
+    """
+    pcts = F.percentile(value_col, F.array(F.lit(q_lo), F.lit(q_hi)))
+    if by is not None:
+        bounds = df.groupBy(by).agg(pcts.alias("__b"))
+        joined = df.join(F.broadcast(bounds), by)
+    else:
+        bounds = df.agg(pcts.alias("__b"))
+        joined = df.crossJoin(F.broadcast(bounds))
+    v = F.col(value_col).cast("double")
+    return (
+        joined.filter((v >= F.col("__b")[0]) & (v <= F.col("__b")[1]))
+        .drop("__b")
+    )

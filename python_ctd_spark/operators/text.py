@@ -4,6 +4,8 @@ string/array functions (JVM, codegen), no Python workers.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ._util import WS_RE
@@ -312,6 +314,39 @@ def gopher_rules(
         F.col("__stop_hits").cast("bigint").alias("stop_hits"),
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_dedup",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repeated-line removal (the MassiveText in-doc rule
+    that doc-level dedup cannot express): keep the FIRST occurrence of
+    every line, preserving order — boilerplate navigation/footer lines
+    pasted repeatedly inside one page collapse to a single copy.
+
+    Pure higher-order array expressions (split -> indexed filter on
+    first-occurrence position -> rejoin), map-side at any scale; also
+    emits ``n_lines`` and ``n_removed`` so a pipeline can audit how much
+    boilerplate each document carried."""
+    lines = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x, i: F.array_position(F.col("__lines"), x) == i + 1,
+    )
+    return (
+        df.withColumn("__lines", lines)
+        .withColumn(out_col, F.concat_ws(sep, kept))
+        .withColumn("n_lines", F.size("__lines").cast("bigint"))
+        .withColumn(
+            "n_removed",
+            (F.size("__lines") - F.size(F.split(F.col(out_col), re.escape(sep))))
+            .cast("bigint"),
+        )
+        .drop("__lines")
     )
 
 

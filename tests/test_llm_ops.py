@@ -1023,3 +1023,35 @@ def test_domain_mix_temperature_flattens_with_alpha(spark):
     assert abs(n5 - 300) < 60 and abs(n1 - 300) < 60  # expected totals hold
     # alpha=1 keeps domains proportionally: fractions within hash noise
     assert abs(b1 - s1) < 0.12
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    rows = [
+        (0, "nav bar\nreal content here\nnav bar\nmore content\nnav bar"),
+        (1, "single line"),
+        (2, "a\na\na\na"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.dedup_lines(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "text_dedup"] == "nav bar\nreal content here\nmore content"
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "text_dedup"] == "single line" and out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "text_dedup"] == "a" and out.loc[2, "n_removed"] == 3
+
+
+def test_quantile_band_filter_trims_planted_outliers(spark):
+    """Two domains with different scales: each loses exactly its own
+    tails, so the bands must be computed per domain, not globally."""
+    from python_ctd_spark.operators.sampling import quantile_band_filter
+
+    rows = [(i, "a", i) for i in range(100)] + [(100 + i, "b", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "v"]))
+    out = quantile_band_filter(df, "v", 0.1, 0.9, by="source").toPandas()
+    a = out[out.source == "a"].v
+    b = out[out.source == "b"].v
+    # [p10, p90] of 0..99 is [9.9, 89.1] -> keeps 10..89
+    assert a.min() == 10 and a.max() == 89 and len(a) == 80
+    assert b.min() == 1010 and b.max() == 1089 and len(b) == 80
+    # global form keeps the global band instead
+    g = quantile_band_filter(df, "v", 0.1, 0.9).toPandas()
+    assert len(g) == 160 and g.v.min() < 100 and g.v.max() > 1000

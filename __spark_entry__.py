@@ -3356,6 +3356,61 @@ WHERE d.n_chars::DOUBLE >= b.lo AND d.n_chars::DOUBLE <= b.hi
 """
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-likelihood per document (cheap perplexity
+    proxy): vocabulary counts broadcast onto the token stream, decimal
+    log sum for order-independence."""
+    from python_ctd_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+_UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(ln(c::DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) AS slc
+  FROM toks JOIN counts USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(slc / n_tokens - ln((SELECT t FROM total)), 4) AS avg_logprob
+FROM scored
+"""
+
+
+def _q_exact_sample(spark, sf_dir):
+    """Fixed-budget sampling: exactly 10 documents per source in
+    deterministic hash order — the exact-count complement of the
+    Bernoulli stratified sampler."""
+    from python_ctd_spark.operators.sampling import exact_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_sample(docs, 10, "doc_id", by="source").select(
+        "doc_id", "source"
+    )
+
+
+_EXACT_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+"""
+
+
 def _q_pack_documents(spark, sf_dir):
     """Concat-and-chunk context packing: per source, docs laid end to
     end and cut into 2048-token windows; one exchange + one sort."""
@@ -3463,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_effect": _q14_promo_effect,
         "dedup_lines": _q_dedup_lines,
         "quantile_filter": _q_quantile_filter,
+        "unigram_logprob": _q_unigram_logprob,
+        "exact_sample": _q_exact_sample,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3535,6 +3592,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_effect": _Q14_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "quantile_filter": _QUANTILE_FILTER_SQL,
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "exact_sample": _EXACT_SAMPLE_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -114,6 +114,21 @@ class Corpus:
     def sample(self, rate: float) -> "Corpus":
         return self._wrap(sampling.bernoulli_sample(self.df, self.id_col, rate))
 
+    def exact_sample(self, k: int, per_domain: bool = True) -> "Corpus":
+        """Exactly min(k, group size) docs (per domain by default) in
+        deterministic hash order — fixed budgets, not expected values."""
+        return self._wrap(
+            sampling.exact_sample(
+                self.df, k, self.id_col,
+                by=self.domain_col if per_domain else None,
+            )
+        )
+
+    def unigram_logprob(self) -> DataFrame:
+        """Per-doc average unigram log-likelihood under the corpus's own
+        distribution (cheap perplexity proxy; rank-filter on it)."""
+        return text.unigram_logprob(self.df, self.text_col, self.id_col)
+
     def stratified_sample(self, rates: dict, default_rate: float = 0.0) -> "Corpus":
         return self._wrap(
             sampling.stratified_sample(

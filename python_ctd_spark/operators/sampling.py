@@ -88,3 +88,29 @@ def quantile_band_filter(
         joined.filter((v >= F.col("__b")[0]) & (v <= F.col("__b")[1]))
         .drop("__b")
     )
+
+
+def exact_sample(
+    df: DataFrame, k: int, key_col: str = "doc_id", by: str | None = None
+) -> DataFrame:
+    """EXACTLY ``min(k, group size)`` rows per group (global when ``by``
+    is None), selected by deterministic hash order of the row key — the
+    fixed-budget complement of Bernoulli :func:`stratified_sample`
+    (whose kept counts are only *expected* values).  Reproducible under
+    retries, repartitioning, and engines, like every sampler here.
+
+    Plan: a rank window over (md5-int, key).  For the top-k-per-group
+    frame shape Spark inserts a partial WindowGroupLimit below the
+    exchange, so only ~k rows per group cross the wire at any scale —
+    the same physical shape as topk_per_group."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

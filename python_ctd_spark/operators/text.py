@@ -317,6 +317,55 @@ def gopher_rules(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average unigram log-likelihood under the corpus's
+    own unigram distribution — the classic cheap LM proxy for "does this
+    text look like the corpus" (gibberish, boilerplate code, and
+    wrong-language documents score far below prose; a rank filter on
+    this column is the poor man's perplexity cut).
+
+    Returns ``(doc_id, n_tokens, avg_logprob)`` with ``avg_logprob =
+    (1/n) * sum ln(count(tok)) - ln(total_tokens)``.
+
+    Scale shape: tokens explode map-side; the vocabulary count table
+    (distinct tokens — orders of magnitude smaller than the token
+    stream) aggregates with map-side combine and is **broadcast** back
+    onto the stream, so the only full-stream shuffle is the final
+    per-doc aggregate.  The log sum is decimal-cast so its value is
+    independent of partition order (oracle-stable); the single
+    ln(total) lands once per row at the end.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("__tok")
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+    scored = (
+        toks.join(F.broadcast(counts), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("__c").cast("double")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("__slc"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("__slc") / F.col("n_tokens").cast("double")
+                - F.log(F.col("__t")),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

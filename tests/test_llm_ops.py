@@ -1055,3 +1055,37 @@ def test_quantile_band_filter_trims_planted_outliers(spark):
     # global form keeps the global band instead
     g = quantile_band_filter(df, "v", 0.1, 0.9).toPandas()
     assert len(g) == 160 and g.v.min() < 100 and g.v.max() > 1000
+
+
+def test_unigram_logprob_ranks_gibberish_below_prose(spark):
+    """Documents made of corpus-frequent words must outscore a document
+    of hapax gibberish; scores are <= 0 and n_tokens exact."""
+    common = "the data table scan row value key part fast slow"
+    rows = [
+        (0, common),
+        (1, common + " " + common),
+        (2, "zzqx vbnmp qqrst uvxyz plonk"),   # every token unique
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = text.unigram_logprob(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "avg_logprob"] > out.loc[2, "avg_logprob"]
+    assert (out.avg_logprob <= 0).all()
+    assert out.loc[1, "n_tokens"] == 20
+    # doc 0 and doc 1 share the same distribution -> same average
+    assert out.loc[0, "avg_logprob"] == pytest.approx(out.loc[1, "avg_logprob"], abs=1e-9)
+
+
+def test_exact_sample_budget_and_determinism(spark):
+    from python_ctd_spark.operators.sampling import exact_sample
+
+    rows = [(i, "s" + str(i % 3)) for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = exact_sample(df, 7, "doc_id", by="source").toPandas()
+    by = out.groupby("source").size()
+    assert by["s0"] == by["s1"] == by["s2"] == 7
+    assert by["tiny"] == 1  # min(k, group size)
+    # deterministic under repartitioning
+    out2 = exact_sample(df.repartition(13), 7, "doc_id", by="source").toPandas()
+    assert set(out.doc_id) == set(out2.doc_id)
+    # global form: exactly k rows
+    assert len(exact_sample(df, 5, "doc_id").toPandas()) == 5

@@ -2798,6 +2798,69 @@ GROUP BY CUBE (event_type, user_id % 10)
 """
 
 
+def _q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the asymmetric-set case cube/rollup
+    can't express: ((type, bucket), (type), (bucket)) WITHOUT the grand
+    total.  One Expand + one aggregate through the SQL surface; the
+    identical text is the oracle."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
+FROM events
+GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), (user_id % 10))
+"""
+
+
+def _q_full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join reconciliation: per-nation customer vs supplier
+    counts with both-sided NULL handling (nations with customers but no
+    suppliers and vice versa both survive) — the join type the star
+    queries never exercise."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0).cast("bigint")).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0).cast("bigint")).alias("n_suppliers"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return joined.join(
+        F.broadcast(nation), joined.nationkey == nation.n_nationkey, "left"
+    ).select("nationkey", "n_name", "n_customers", "n_suppliers")
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey
+), j AS (
+  SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+         COALESCE(n_customers, 0) AS n_customers,
+         COALESCE(n_suppliers, 0) AS n_suppliers
+  FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+)
+SELECT j.nationkey, n.n_name, j.n_customers, j.n_suppliers
+FROM j LEFT JOIN nation n ON j.nationkey = n.n_nationkey
+"""
+
+
 def _q_set_ops(spark, sf_dir):
     """INTERSECT / EXCEPT set semantics (SURVEY.md §2.7 lists them absent
     from the reference): heavy clickers who are also heavy viewers, minus
@@ -3520,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "unigram_logprob": _q_unigram_logprob,
         "exact_sample": _q_exact_sample,
+        "grouping_sets": _q_grouping_sets,
+        "full_outer_reconcile": _q_full_outer_reconcile,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3594,6 +3659,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _QUANTILE_FILTER_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "exact_sample": _EXACT_SAMPLE_SQL,
+        "grouping_sets": _GROUPING_SETS_SQL,
+        "full_outer_reconcile": _FULL_OUTER_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

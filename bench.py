@@ -98,13 +98,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():
         dt = run_once(q)
-        # a run can still straddle a stray pause; up to two more passes,
-        # keep the fastest (per-query work is identical on every pass)
-        tries = 1
-        while dt > rerun_threshold and tries < 3:
-            dt = min(dt, run_once(q))
+        # a run can still straddle a stray pause; rerun and keep the
+        # fastest (per-query work is identical on every pass).  Keep
+        # rerunning while the best time is still improving >25% — the
+        # giant-expression queries (shingle joins after the LSH family)
+        # can need 2-3 passes for the JVM to recompile what earlier
+        # plans deoptimized (measured: 22s -> 10s -> 2.2s), and stopping
+        # mid-decay records compiler state, not plan cost.
+        tries, best = 1, dt
+        while best > rerun_threshold and tries < 5:
+            nxt = run_once(q)
+            improved = nxt < best * 0.75
+            best = min(best, nxt)
             tries += 1
-        timings[name] = round(dt, 2)
+            if tries >= 3 and not improved:
+                break
+        timings[name] = round(best, 2)
 
     total = round(sum(timings.values()), 2)
     line = json.dumps(

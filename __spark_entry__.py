@@ -2580,6 +2580,36 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    """Stream-static join: the replayed event stream enriched with the
+    static customer dimension (broadcast, stateless, append mode — no
+    watermark needed).  On the closed archive the drain equals the
+    batch left join, which is the oracle."""
+    from python_ctd_spark.streaming import (
+        event_stream, run_to_memory, state_partitions, stream_static_enrich,
+    )
+
+    sdf = event_stream(spark, _stream_stage(spark, sf_dir))
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    res = stream_static_enrich(
+        sdf.select("event_id", "user_id", "value"), dim, ["user_id"]
+    )
+    _STREAM_RUN_COUNTER[0] += 1
+    with state_partitions(spark):
+        tbl = run_to_memory(res, f"stream_enrich_{_STREAM_RUN_COUNTER[0]}")
+    return tbl.select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
+    )
+
+
+_STREAMING_ENRICH_SQL = """
+SELECT event_id, user_id, c_mktsegment AS segment, value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+"""
+
+
 def _q_streaming_join(spark, sf_dir):
     """Stream-stream inner join (attribution shape): purchases joined to
     the same user's clicks within the preceding 6 hours, drained over
@@ -2795,6 +2825,45 @@ SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
        CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
 FROM events
 GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+def _q_interval_join(spark, sf_dir):
+    """Grid-bucketed point-in-interval join (Spark has no native range
+    join; the naive inequality form is a nested loop): each user's
+    first-week window [first_ts, first_ts + 7d] picks up that user's
+    events, then a per-user rollup.  Buckets = 1 day, so an interval
+    explodes into <= 8 cells and the join is a hash equi-join on
+    (user, cell)."""
+    from python_ctd_spark.operators.join import interval_join
+
+    ev = _ev(spark, sf_dir)
+    day_us = 86_400_000_000
+    week = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("lo"),
+        (F.min("ts_us") + F.lit(7 * day_us)).alias("hi"),
+    )
+    joined = interval_join(
+        ev.select("user_id", "event_id", "ts_us", "value"),
+        week, "ts_us", "lo", "hi", bucket=float(day_us), on="user_id",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_week"),
+        dsum(F.col("value").cast("double")).alias("first_week_value"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), w AS (
+  SELECT user_id, MIN(ts_us) AS lo, MIN(ts_us) + 604800000000 AS hi
+  FROM ev GROUP BY user_id
+)
+SELECT e.user_id, COUNT(*) AS n_first_week,
+       CAST(SUM(CAST(CAST(e.value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS first_week_value
+FROM ev e JOIN w ON e.user_id = w.user_id AND e.ts_us >= w.lo AND e.ts_us <= w.hi
+GROUP BY e.user_id
 """
 
 
@@ -3585,6 +3654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_sample": _q_exact_sample,
         "grouping_sets": _q_grouping_sets,
         "full_outer_reconcile": _q_full_outer_reconcile,
+        "interval_join": _q_interval_join,
+        "streaming_enrich": _q_streaming_enrich,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3661,6 +3732,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_sample": _EXACT_SAMPLE_SQL,
         "grouping_sets": _GROUPING_SETS_SQL,
         "full_outer_reconcile": _FULL_OUTER_SQL,
+        "interval_join": _INTERVAL_JOIN_SQL,
+        "streaming_enrich": _STREAMING_ENRICH_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

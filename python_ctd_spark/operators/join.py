@@ -129,3 +129,47 @@ def asof_join(
         F.col(f"__c___v_{c}").alias(c) for c in value_cols
     ]
     return out.filter(F.col("__side") == 1).select(*keep)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket: float,
+    on=None,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``lo <= point <= hi`` (optionally also matching ``on`` equality
+    keys) — the enrichment join for "which window does this event fall
+    in" questions that plain equi-joins can't express.
+
+    Spark has no native range join, and the naive formulation
+    ``points.join(intervals, (pt >= lo) & (pt <= hi))`` compiles to a
+    broadcast nested loop — O(|points| x |intervals|) comparisons, the
+    classic 100 TB trap.  This implementation grid-buckets instead:
+    each interval explodes into the integer grid cells it covers
+    (``floor(v / bucket)``), each point lands in exactly ONE cell, and
+    the join is a plain hash equi-join on (keys..., cell) followed by
+    the exact containment filter.  A qualifying pair meets in exactly
+    one cell (the point's own), so no dedup pass is needed and the
+    output multiplicity is exact.
+
+    ``bucket`` should be of the order of the TYPICAL interval length:
+    cells-per-interval ~ len/bucket + 1 rows of fan-out on the interval
+    side (keep it small), while candidate pairs per point ~ intervals
+    overlapping its cell (a too-large bucket degrades toward the
+    cartesian).  Pathologically long intervals fan out proportionally —
+    cap or split them upstream.
+    """
+    on = as_list(on)
+    cell = lambda c: F.floor(F.col(c) / F.lit(bucket)).cast("bigint")  # noqa: E731
+    iv = intervals.withColumn(
+        "__cell", F.explode(F.sequence(cell(lo_col), cell(hi_col)))
+    )
+    pt = points.withColumn("__cell", cell(point_col))
+    joined = pt.join(iv, on + ["__cell"]).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop("__cell")

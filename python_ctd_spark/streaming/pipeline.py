@@ -472,6 +472,20 @@ def state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def stream_static_enrich(
+    sdf: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table
+    (per-user metadata, quotas, routing) — stateless on the stream side,
+    so it needs no watermark and stays append-mode at any rate.  The
+    static side is planned per micro-batch (Spark re-resolves it each
+    trigger, so a dimension refreshed in place is picked up) and is
+    broadcast — the stream never shuffles for the enrichment."""
+    from pyspark.sql import functions as F
+
+    return sdf.join(F.broadcast(dim), on, how)
+
+
 def stream_stream_join(
     sdf: DataFrame,
     left_type: str = "click",

@@ -176,3 +176,41 @@ def test_salted_agg_rejects_nonalgebraic(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         salted_agg(df, "id", {"a": ("avg", "id")})
+
+
+def test_interval_join_matches_naive_inequality_join(spark):
+    """The grid-bucketed plan must produce exactly the naive inequality
+    join's pairs (multiplicity included), for intervals spanning zero,
+    one, and many cells, points on boundaries, and an equality key."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.join import interval_join
+
+    rng = np.random.RandomState(7)
+    pts = pd.DataFrame({
+        "pid": np.arange(300),
+        "k": rng.randint(0, 3, 300),
+        "t": rng.randint(0, 1000, 300).astype("int64"),
+    })
+    los = rng.randint(0, 950, 40).astype("int64")
+    ivs = pd.DataFrame({
+        "iid": np.arange(40),
+        "k": rng.randint(0, 3, 40),
+        "lo": los,
+        "hi": los + rng.randint(0, 200, 40),   # includes zero-length
+    })
+    p, i = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    got = interval_join(p, i, "t", "lo", "hi", bucket=64, on="k").toPandas()
+    naive = pts.merge(ivs, on="k")
+    naive = naive[(naive.t >= naive.lo) & (naive.t <= naive.hi)]
+    assert sorted(zip(got.pid, got.iid)) == sorted(zip(naive.pid, naive.iid))
+    # keyless form too
+    got2 = interval_join(p.drop("k"), i.drop("k"), "t", "lo", "hi", bucket=64).toPandas()
+    naive2 = pts.merge(ivs, how="cross", suffixes=("", "_r"))
+    naive2 = naive2[(naive2.t >= naive2.lo) & (naive2.t <= naive2.hi)]
+    assert sorted(zip(got2.pid, got2.iid)) == sorted(zip(naive2.pid, naive2.iid))
+    # plan: a hash equi-join on the cell, not a nested loop
+    plan = interval_join(p, i, "t", "lo", "hi", bucket=64, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan

@@ -447,3 +447,25 @@ def test_dedup_stream_restores_original_from_redelivered_archive(spark, events_d
     got = deduped.select("event_id").toPandas().event_id.sort_values().to_numpy()
     want = batch_events.select("event_id").toPandas().event_id.sort_values().to_numpy()
     assert (got == want).all()
+
+
+def test_stream_static_enrich_matches_batch_join(spark, events_dir, batch_events):
+    """The stream-static broadcast enrichment drained over the replayed
+    archive equals the batch left join; users without a dimension row
+    survive with NULL (left semantics), and row count is preserved."""
+    from python_ctd_spark.streaming import event_stream, run_to_memory, stream_static_enrich
+
+    dim = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 2, 3], "tier": ["gold", "silver", "gold"]})
+    )
+    sdf = event_stream(spark, events_dir).select("event_id", "user_id", "value")
+    got = run_to_memory(
+        stream_static_enrich(sdf, dim, ["user_id"]), "tsse"
+    ).toPandas()
+    want = (
+        batch_events.select("event_id", "user_id", "value")
+        .join(F.broadcast(dim), ["user_id"], "left")
+        .toPandas()
+    )
+    assert len(got) == len(want) == batch_events.count()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))

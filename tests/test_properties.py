@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from python_ctd_spark.operators.binning import bindata
 from python_ctd_spark.operators.ordered import (
@@ -265,3 +266,67 @@ def test_normalize_text_idempotent(spark):
     twice = normalize_text(once).select("doc_id", "text_norm")
     joined = once.join(twice, "doc_id")
     assert joined.filter(F.col("text") != F.col("text_norm")).count() == 0
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", ""]), min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    )
+)
+@SET
+def test_dedup_lines_properties(spark, docs_lines):
+    """Idempotence + conservation: output lines are exactly the input's
+    distinct lines in first-occurrence order, so a second pass is the
+    identity and counts reconcile."""
+    from python_ctd_spark.operators.text import dedup_lines
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs_lines)),
+         "text": ["\n".join(ls) for ls in docs_lines]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup_lines(df).toPandas().set_index("doc_id").sort_index()
+    for i, ls in enumerate(docs_lines):
+        expect = list(dict.fromkeys(ls))  # first-occurrence order
+        assert out.loc[i, "text_dedup"] == "\n".join(expect)
+        assert out.loc[i, "n_lines"] == len(ls)
+        assert out.loc[i, "n_removed"] == len(ls) - len(expect)
+    # idempotence through the engine
+    again = dedup_lines(
+        df.select("doc_id", F.col("text").alias("orig"))
+        .join(spark.createDataFrame(out.reset_index()[["doc_id", "text_dedup"]])
+              .withColumnRenamed("text_dedup", "text"), "doc_id")
+    ).toPandas().set_index("doc_id").sort_index()
+    assert (again.n_removed == 0).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=200),
+                  st.integers(min_value=0, max_value=60)),
+        min_size=1, max_size=10,
+    ),
+    st.sampled_from([7, 32, 64, 301]),
+)
+@SET
+def test_interval_join_equals_naive_for_any_bucket(spark, points, spans, bucket):
+    """For EVERY bucket width the grid plan must equal the naive
+    inequality join — bucket choice is a performance knob, never a
+    correctness knob."""
+    from python_ctd_spark.operators.join import interval_join
+
+    pts = pd.DataFrame({"pid": range(len(points)), "t": np.asarray(points, "int64")})
+    ivs = pd.DataFrame(
+        {"iid": range(len(spans)),
+         "lo": np.asarray([lo for lo, _ in spans], "int64"),
+         "hi": np.asarray([lo + w for lo, w in spans], "int64")}
+    )
+    got = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        "t", "lo", "hi", bucket=float(bucket),
+    ).toPandas()
+    naive = pts.merge(ivs, how="cross")
+    naive = naive[(naive.t >= naive.lo) & (naive.t <= naive.hi)]
+    assert sorted(zip(got.pid, got.iid)) == sorted(zip(naive.pid, naive.iid))

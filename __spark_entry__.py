@@ -3488,6 +3488,31 @@ WHERE d.n_chars::DOUBLE >= b.lo AND d.n_chars::DOUBLE <= b.hi
 """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (window 64, stride 48): the
+    1->N map-side fan-out that preps long documents for RAG indexing or
+    fixed-context training; chunk ids dense per doc."""
+    from python_ctd_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=64, stride=48)
+
+
+_CHUNK_DOCUMENTS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-likelihood per document (cheap perplexity
     proxy): vocabulary counts broadcast onto the token stream, decimal
@@ -3656,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_reconcile": _q_full_outer_reconcile,
         "interval_join": _q_interval_join,
         "streaming_enrich": _q_streaming_enrich,
+        "chunk_documents": _q_chunk_documents,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3734,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_reconcile": _FULL_OUTER_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
         "streaming_enrich": _STREAMING_ENRICH_SQL,
+        "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

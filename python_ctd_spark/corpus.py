@@ -161,6 +161,15 @@ class Corpus:
         keepers = clusters.filter("is_keeper").select(self.id_col)
         return self._wrap(self.df.join(keepers, self.id_col, "semi"))
 
+    def chunk(self, window: int = 512, stride: int | None = None) -> DataFrame:
+        """Token-window chunks (overlapping when stride < window) —
+        the RAG / fixed-context prep fan-out; returns the chunk table
+        (different row shape, so a plain DataFrame)."""
+        return text.chunk_documents(
+            self.df, window=window, stride=stride,
+            text_col=self.text_col, id_col=self.id_col,
+        )
+
     def signatures(self) -> DataFrame:
         """The storable MinHash signature index of this corpus —
         persist it once per snapshot and feed it to

@@ -317,6 +317,43 @@ def gopher_rules(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into (optionally overlapping) token-window
+    chunks — the RAG-indexing / long-context prep step: ``window``
+    tokens per chunk, a new chunk every ``stride`` tokens (default =
+    ``window``, i.e. disjoint; ``stride < window`` overlaps, preserving
+    context across cuts).  Emits ``(id, chunk_id, chunk_text,
+    n_tokens)`` with ``chunk_id = start // stride`` (0-based, dense).
+
+    Pure map-side fan-out: token array + ``posexplode``-style start
+    sequence per row, no shuffle anywhere — the 1->N row explosion is
+    the whole plan, so it parallelizes with the scan at any scale.
+    """
+    stride = window if stride is None else stride
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    staged = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__toks", F.split(F.trim(F.col(text_col)), WS_RE))
+        .select(F.col(id_col), "__toks", F.explode(starts).alias("__start"))
+    )
+    chunk = F.slice(toks, F.col("__start") + 1, window)
+    return staged.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("bigint").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1089,3 +1089,21 @@ def test_exact_sample_budget_and_determinism(spark):
     assert set(out.doc_id) == set(out2.doc_id)
     # global form: exactly k rows
     assert len(exact_sample(df, 5, "doc_id").toPandas()) == 5
+
+
+def test_chunk_documents_overlap_and_reconstruction(spark):
+    """Disjoint chunks reconstruct the document exactly; overlapping
+    chunks repeat the overlap region; short docs yield one chunk."""
+    doc = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": [doc, "tiny doc"]}))
+    dis = text.chunk_documents(df, window=4, stride=4).toPandas()
+    d0 = dis[dis.doc_id == 0].sort_values("chunk_id")
+    assert " ".join(d0.chunk_text) == doc            # disjoint partition
+    assert list(d0.n_tokens) == [4, 4, 2]
+    assert list(d0.chunk_id) == [0, 1, 2]
+    ov = text.chunk_documents(df, window=4, stride=2).toPandas()
+    o0 = ov[ov.doc_id == 0].sort_values("chunk_id")
+    assert o0.iloc[0].chunk_text.split()[2:] == o0.iloc[1].chunk_text.split()[:2]
+    assert len(o0) == 5
+    t = dis[dis.doc_id == 1]
+    assert len(t) == 1 and t.iloc[0].chunk_text == "tiny doc"

@@ -43,7 +43,12 @@ from python_ctd_spark.operators.derive import (
     barrier_layer_thickness,
     get_maxdepth,
 )
-from python_ctd_spark.operators.join import align_frames, with_meta
+from python_ctd_spark.operators.join import (
+    align_frames,
+    asof_join,
+    interval_join,
+    with_meta,
+)
 
 __all__ = [
     "CtdFrame",
@@ -67,6 +72,8 @@ __all__ = [
     "barrier_layer_thickness",
     "get_maxdepth",
     "align_frames",
+    "asof_join",
+    "interval_join",
     "with_meta",
 ]
 

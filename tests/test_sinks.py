@@ -42,3 +42,49 @@ def test_bucketed_join_skips_exchange(spark, multi_cast):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name_a}")
         spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+
+
+def test_incremental_dedup_probe_against_bucketed_index(spark):
+    """The rolling-ingest layout: the LSH band index STORED bucketed by
+    (band, bsig) makes every shard probe a one-sided shuffle — the
+    index side scans its buckets pre-clustered, only the (much smaller)
+    new-shard band rows exchange.  This is the physical contract the
+    incremental_dedup docstring promises at 100 TB."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.dedup import band_rows, minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    old = spark.createDataFrame(pd.DataFrame(
+        [(i, base + f" tail{i}") for i in range(30)], columns=["doc_id", "text"]
+    ))
+    new = spark.createDataFrame(pd.DataFrame(
+        [(100 + i, base + f" tail{i}") for i in range(5)], columns=["doc_id", "text"]
+    ))
+    try:
+        sinks.write_bucketed(
+            band_rows(minhash_signatures(old), 8, 2), "t_lsh_index",
+            buckets=4, by=["band", "bsig"], sort_by=["band", "bsig"],
+        )
+        idx = sinks.read_table(spark, "t_lsh_index")
+        probe = band_rows(minhash_signatures(new), 8, 2)
+        cand = probe.withColumnRenamed("id", "new_id").join(
+            idx.withColumnRenamed("id", "old_id"), ["band", "bsig"]
+        )
+        # at toy size Catalyst rightly broadcasts the probe; the bucketed
+        # contract matters on the shuffle path (index >> broadcast
+        # threshold at fleet scale), so pin that path explicitly
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = cand._jdf.queryExecution().executedPlan().toString()
+            # exactly one exchange — the probe side; the stored index
+            # scans its buckets pre-clustered, no exchange above its scan
+            import re
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+            assert "Bucketed: true" in plan, plan
+            assert cand.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_index")

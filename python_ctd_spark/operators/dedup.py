@@ -320,6 +320,7 @@ def incremental_dedup(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW shard against an EXISTING corpus without touching the
     corpus text: ``index`` is the stored :func:`minhash_signatures`
@@ -337,9 +338,13 @@ def incremental_dedup(
     and ``best_jaccard`` the highest verified similarity.
 
     Plan: the only wide stage is the (band, bsig) equi-join of the new
-    shard's band rows against the index — if the stored index is
-    bucketed by (band, bsig) (io.sinks), the probe side alone shuffles.
-    Verification joins fetch hsh arrays for candidates only.
+    shard's band rows against the index — pass ``index_banded`` (the
+    :func:`band_rows` table written bucketed by (band, bsig) via
+    io.sinks.write_bucketed) and the probe side alone shuffles: the
+    stored index scans its buckets pre-clustered
+    (tests/test_sinks.py pins the plan).  When omitted, the band rows
+    are derived from ``index`` in-plan.  Verification joins fetch hsh
+    arrays for candidates only.
     """
     r = k // bands
     from pyspark import StorageLevel
@@ -347,11 +352,14 @@ def incremental_dedup(
     new_sigs = minhash_signatures(new_docs, text_col, id_col, n=n, k=k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    ix_banded = (
+        index_banded if index_banded is not None else band_rows(index, bands, r)
+    )
     cand = (
         band_rows(new_sigs, bands, r)
         .alias("nw")
         .join(
-            band_rows(index, bands, r).alias("ix"),
+            ix_banded.alias("ix"),
             (F.col("nw.band") == F.col("ix.band"))
             & (F.col("nw.bsig") == F.col("ix.bsig")),
         )

@@ -62,6 +62,8 @@ def quantile_band_filter(
     q_lo: float = 0.01,
     q_hi: float = 0.99,
     by: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Keep rows whose ``value_col`` lies inside the [q_lo, q_hi]
     quantile band — per ``by`` group when given, else globally.  The
@@ -70,13 +72,21 @@ def quantile_band_filter(
 
     One tiny exact-percentile aggregate (a handful of rows: one per
     group) broadcast back onto the corpus; the corpus itself never
-    shuffles and the band predicate is map-side.  At fleet scale swap
-    the exact percentile for ``percentile_approx`` — the plan shape is
-    identical; exact is kept here because integer-valued columns make
-    the interpolated bounds engine-exact (oracle-stable), which
-    approximate sketches are not.
+    shuffles and the band predicate is map-side.  ``exact=False``
+    swaps in ``percentile_approx`` — constant-size mergeable state per
+    group, the fleet-scale default; the plan shape is identical.
+    ``exact=True`` is the oracle-stable form (integer-valued columns
+    make the interpolated bounds engine-exact, which sketches are not).
     """
-    pcts = F.percentile(value_col, F.array(F.lit(q_lo), F.lit(q_hi)))
+    if exact:
+        pcts = F.percentile(value_col, F.array(F.lit(q_lo), F.lit(q_hi)))
+    else:
+        # the fleet-scale form: constant-size mergeable sketch state per
+        # group instead of a full sorted buffer; rank error bounded by
+        # n/accuracy (same guarantee sketch_accuracy_report checks)
+        pcts = F.percentile_approx(
+            value_col, F.array(F.lit(q_lo), F.lit(q_hi)), accuracy
+        )
     if by is not None:
         bounds = df.groupBy(by).agg(pcts.alias("__b"))
         joined = df.join(F.broadcast(bounds), by)
@@ -99,16 +109,27 @@ def exact_sample(
     (whose kept counts are only *expected* values).  Reproducible under
     retries, repartitioning, and engines, like every sampler here.
 
-    Plan: a rank window over (md5-int, key).  For the top-k-per-group
-    frame shape Spark inserts a partial WindowGroupLimit below the
-    exchange, so only ~k rows per group cross the wire at any scale —
-    the same physical shape as topk_per_group."""
+    Plan: per group, a rank window over (md5-int, key) — Spark inserts
+    a partial WindowGroupLimit below the exchange for this frame shape,
+    so only ~k rows per group cross the wire at any scale (same
+    physical shape as topk_per_group).  The GLOBAL form (``by=None``)
+    deliberately avoids an empty window partition (which would funnel
+    every row through one task): it compiles to sort+limit, i.e.
+    TakeOrderedAndProject — per-partition top-k heads merged on the
+    driver, k rows total."""
     from pyspark.sql import Window
 
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
-    w = Window.partitionBy(*( [by] if by else [] )).orderBy(h, F.col(key_col))
+    if by is None:
+        return (
+            df.withColumn("__h", h)
+            .orderBy("__h", key_col)
+            .limit(k)
+            .drop("__h")
+        )
+    w = Window.partitionBy(by).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

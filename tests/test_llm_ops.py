@@ -1107,3 +1107,33 @@ def test_chunk_documents_overlap_and_reconstruction(spark):
     assert len(o0) == 5
     t = dis[dis.doc_id == 1]
     assert len(t) == 1 and t.iloc[0].chunk_text == "tiny doc"
+
+
+def test_incremental_dedup_banded_index_path_identical(spark):
+    """Passing the pre-banded (stored) index must give byte-identical
+    verdicts to deriving band rows in-plan — the bucketed-layout fast
+    path is a physical choice, never a semantic one."""
+    from python_ctd_spark.operators.dedup import (
+        band_rows, incremental_dedup, minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    old = spark.createDataFrame(
+        pd.DataFrame([(i, base + f" t{i}") for i in range(20)],
+                     columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame([(100, base + " t3"), (101, "entirely novel words here")],
+                     columns=["doc_id", "text"])
+    )
+    sigs = minhash_signatures(old).persist()
+    a = incremental_dedup(new, sigs, threshold=0.5).toPandas()
+    b = incremental_dedup(
+        new, sigs, threshold=0.5, index_banded=band_rows(sigs, 8, 2)
+    ).toPandas()
+    key = ["doc_id", "is_dup", "n_dups", "matched_id", "best_jaccard"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("doc_id").reset_index(drop=True),
+        b[key].sort_values("doc_id").reset_index(drop=True),
+    )
+    assert bool(a.set_index("doc_id").loc[100, "is_dup"])

@@ -224,3 +224,43 @@ def test_q10_topk_is_take_ordered(spark):
     plan = _plan(entrymod.queries()["q10_returned_items"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert _count(plan, r"Exchange hashpartitioning") == 1, plan
+
+
+def test_quantile_filter_broadcasts_bounds(spark):
+    """The per-domain percentile bounds must broadcast back onto the
+    corpus — the corpus side never shuffles for the trim."""
+    plan = _plan(entrymod.queries()["quantile_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # the only exchange feeds the tiny bounds aggregate, not the corpus
+    assert _count(plan, r"Exchange hashpartitioning") <= 1, plan
+
+
+def test_domain_mix_temp_is_map_side_on_corpus(spark):
+    """Temperature mixing: counts aggregate + 1-row denominator cross
+    join + broadcast rate join; the corpus side itself never exchanges."""
+    plan = _plan(entrymod.queries()["domain_mix_temp"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges only below the tiny counts/denominator aggregates
+    assert _count(plan, r"Exchange hashpartitioning") <= 2, plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a pure map-side 1->N fan-out: no exchange anywhere."""
+    plan = _plan(entrymod.queries()["chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_exact_sample_uses_window_group_limit(spark):
+    """Per-group fixed-budget sampling must push a partial top-k below
+    the exchange (WindowGroupLimit), so ~k rows per group shuffle."""
+    plan = _plan(entrymod.queries()["exact_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_interval_join_is_hash_join_on_cells(spark):
+    """The range join must compile to a hash equi-join on the grid cell
+    with the containment residual — never a nested loop."""
+    plan = _plan(entrymod.queries()["interval_join"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin).*__cell", plan), plan

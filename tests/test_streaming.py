@@ -469,3 +469,35 @@ def test_stream_static_enrich_matches_batch_join(spark, events_dir, batch_events
     )
     assert len(got) == len(want) == batch_events.count()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_despike_closeout_prunes_partitioned_archive(spark, tmp_path, batch_events):
+    """The 100 TB close-out path: the archive written date-partitioned,
+    the caller prunes to the recent partitions before the operator —
+    the scan must show PartitionFilters (directories skipped, not rows
+    filtered), and the close-out over the pruned slice equals the
+    close-out over a same-content unpartitioned frame."""
+    from python_ctd_spark.streaming import despike_closeout
+
+    path = str(tmp_path / "archive")
+    (
+        batch_events.withColumn("d", F.to_date("event_time"))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+    )
+    back = spark.read.parquet(path)
+    days = sorted(r["d"] for r in back.select("d").distinct().collect())
+    recent = back.filter(F.col("d") >= days[len(days) // 2])
+    plan = recent._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in plan, plan
+
+    got = despike_closeout(recent, n1=1.0, n2=2.0, block=10).toPandas()
+    want_src = batch_events.filter(
+        F.to_date("event_time") >= days[len(days) // 2]
+    )
+    want = despike_closeout(want_src, n1=1.0, n2=2.0, block=10).toPandas()
+    key = ["user_id", "event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True),
+    )
+    assert len(got) > 0

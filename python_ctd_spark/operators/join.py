@@ -163,6 +163,8 @@ def interval_join(
     cartesian).  Pathologically long intervals fan out proportionally —
     cap or split them upstream.
     """
+    if not bucket > 0:
+        raise ValueError(f"bucket must be positive, got {bucket!r}")
     on = as_list(on)
     cell = lambda c: F.floor(F.col(c) / F.lit(bucket)).cast("bigint")  # noqa: E731
     iv = intervals.withColumn(

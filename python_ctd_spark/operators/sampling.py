@@ -78,6 +78,8 @@ def quantile_band_filter(
     ``exact=True`` is the oracle-stable form (integer-valued columns
     make the interpolated bounds engine-exact, which sketches are not).
     """
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got ({q_lo}, {q_hi})")
     if exact:
         pcts = F.percentile(value_col, F.array(F.lit(q_lo), F.lit(q_hi)))
     else:
@@ -117,6 +119,8 @@ def exact_sample(
     every row through one task): it compiles to sort+limit, i.e.
     TakeOrderedAndProject — per-partition top-k heads merged on the
     driver, k rows total."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(

@@ -336,6 +336,12 @@ def chunk_documents(
     the whole plan, so it parallelizes with the scan at any scale.
     """
     stride = window if stride is None else stride
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got ({window}, {stride})")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would silently drop tokens"
+        )
     toks = F.col("__toks")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)

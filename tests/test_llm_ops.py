@@ -1137,3 +1137,22 @@ def test_incremental_dedup_banded_index_path_identical(spark):
         b[key].sort_values("doc_id").reset_index(drop=True),
     )
     assert bool(a.set_index("doc_id").loc[100, "is_dup"])
+
+
+def test_r5_operator_argument_guards(spark):
+    """Bad parameters fail loudly at build time, not as silent wrong
+    answers three stages later."""
+    from python_ctd_spark.operators.join import interval_join
+    from python_ctd_spark.operators.sampling import exact_sample, quantile_band_filter
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="bucket"):
+        interval_join(df, df, "v", "v", "v", bucket=0)
+    with pytest.raises(ValueError, match="q_lo"):
+        quantile_band_filter(df, "v", 0.9, 0.1)
+    with pytest.raises(ValueError, match="k must"):
+        exact_sample(df, 0)
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_documents(df, window=4, stride=8)
+    with pytest.raises(ValueError, match="window"):
+        text.chunk_documents(df, window=0)

@@ -2867,6 +2867,35 @@ GROUP BY e.user_id
 """
 
 
+def _q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp replaced by lineitem — the testdata has
+    no partsupp): distinct suppliers per (brand, size) with a brand
+    exclusion.  COUNT(DISTINCT) compiles to the four-stage distinct
+    aggregate: partial dedup on (group, suppkey) BELOW the first
+    exchange, final dedup, partial count, final count — the distinct
+    stream shrinks before it ever shuffles, the remaining §2.4
+    aggregate plan shape."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7, 10, 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10, 15)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 def _q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS — the asymmetric-set case cube/rollup
     can't express: ((type, bucket), (type), (bucket)) WITHOUT the grand
@@ -3682,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "streaming_enrich": _q_streaming_enrich,
         "chunk_documents": _q_chunk_documents,
+        "q16_supplier_cnt": _q16_supplier_cnt,
         # -- stamped green in r4 on this tree (sacrificial) ------------
         "pack_greedy": _q_pack_greedy,
         "repetition_stats": _q_repetition_stats,
@@ -3761,6 +3791,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _INTERVAL_JOIN_SQL,
         "streaming_enrich": _STREAMING_ENRICH_SQL,
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "q16_supplier_cnt": _Q16_SQL,
         "correlated_subquery": _CORRELATED_SQL,
         "streaming_join": _STREAMING_JOIN_SQL,
         "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -108,6 +108,23 @@ class Corpus:
     def lang_id(self, out_col: str = "pred_lang") -> "Corpus":
         return self._wrap(text.lang_id(self.df, self.text_col, out_col))
 
+    def filter_lang(self, lang: str) -> "Corpus":
+        """Keep documents the heuristic identifies as ``lang`` (runs
+        lang_id if the prediction column is absent, drops it after)."""
+        from pyspark.sql import functions as F
+
+        scored = (
+            self.df
+            if "pred_lang" in self.df.columns
+            else text.lang_id(self.df, self.text_col, "pred_lang")
+        )
+        kept = scored.filter(F.col("pred_lang") == lang)
+        if "pred_lang" not in self.df.columns:
+            kept = kept.drop(
+                "pred_lang", *[c for c in kept.columns if c.startswith("hits_")]
+            )
+        return self._wrap(kept)
+
     def redact_numbers(self, out: str = "redacted", marker: str = "#") -> "Corpus":
         return self._wrap(text.redact_numbers(self.df, self.text_col, out, marker))
 

@@ -1156,3 +1156,17 @@ def test_r5_operator_argument_guards(spark):
         text.chunk_documents(df, window=4, stride=8)
     with pytest.raises(ValueError, match="window"):
         text.chunk_documents(df, window=0)
+
+
+def test_corpus_filter_lang(spark):
+    from python_ctd_spark.corpus import Corpus
+
+    rows = [
+        (0, "the cat sits in the house and it is warm for the winter"),
+        (1, "el gato duerme en la casa y el perro corre por el parque"),
+        (2, "le chat dort dans la maison et les oiseaux chantent pour nous"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    en = Corpus(df).filter_lang("en").df.toPandas()
+    assert en.doc_id.tolist() == [0]
+    assert set(en.columns) == {"doc_id", "text"}  # helper columns dropped

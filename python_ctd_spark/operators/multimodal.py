@@ -8,16 +8,19 @@ features/derived blobs out — so media work parallelizes exactly like any
 other column and never touches the driver.
 
 PNG images decode for REAL via a pure stdlib+NumPy decoder
-(``functions/png_numpy.py`` — zlib inflate + spec §9 un-filtering), and
-PCM WAV audio via ``functions/wav_numpy.py`` (stdlib ``wave`` +
-vectorized dtype view, mono mixdown), so
+(``functions/png_numpy.py`` — zlib inflate + spec §9 un-filtering), PCM
+WAV audio via ``functions/wav_numpy.py`` (stdlib ``wave`` + vectorized
+dtype view, mono mixdown), and animated GIF — the one real multi-frame
+format decodable with the stdlib — via ``functions/gif_numpy.py``
+(GIF89a LZW, interlace, disposal compositing), so
 ``decode_and_featurize(fake=False)`` produces true pixel/sample
-features for both.  The remaining codecs (JPEG via PIL, compressed
-audio via librosa, video via ffmpeg) are NOT available in this
-environment and stay honestly stubbed behind ``NotImplementedError``
-unless ``fake=True``, whose deterministic header-derived pseudo-decode
-exercises the Spark-side contract (schemas, batching, partitioning,
-UDF signatures) end-to-end.
+features for all three and ``frame_sample(fake=False)`` samples REAL
+video-style frames from GIF blobs.  The remaining codecs (JPEG via
+PIL, compressed audio via librosa, true video containers via ffmpeg)
+are NOT available in this environment and stay honestly stubbed behind
+``NotImplementedError`` unless ``fake=True``, whose deterministic
+header-derived pseudo-decode exercises the Spark-side contract
+(schemas, batching, partitioning, UDF signatures) end-to-end.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ def attach_media_meta(
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8FF"), F.lit("jpeg"))
         .when(head.startswith("52494646"), F.lit("wav"))
+        .when(head.startswith("47494638"), F.lit("gif"))
         .otherwise(F.lit("unknown"))
     )
     return df.withColumn(
@@ -76,15 +80,19 @@ def decode_and_featurize(
     :func:`python_ctd_spark.functions.png_numpy.decode_png`; features
     from pixel values) and PCM WAV blobs
     (:func:`python_ctd_spark.functions.wav_numpy.decode_wav`; features
-    from mono samples); other formats raise ``NotImplementedError``
-    inside the worker — JPEG/compressed-audio/video codecs genuinely
-    aren't in this environment, and only that boundary stays stubbed.
+    from mono samples) and animated GIF blobs
+    (:func:`python_ctd_spark.functions.gif_numpy.decode_gif`; features
+    from all frames' pixels); other formats raise
+    ``NotImplementedError`` inside the worker — JPEG/compressed-audio/
+    container-video codecs genuinely aren't in this environment, and
+    only that boundary stays stubbed.
     """
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
+        from python_ctd_spark.functions.gif_numpy import decode_gif
         from python_ctd_spark.functions.png_numpy import decode_png
         from python_ctd_spark.functions.wav_numpy import decode_wav
 
@@ -94,17 +102,26 @@ def decode_and_featurize(
                 b = bytes(blob)
                 is_png = b[:4] == b"\x89PNG"
                 is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-                fmts.append("png" if is_png else "wav" if is_wav else "raw")
+                is_gif = b[:4] == b"GIF8"
+                fmts.append(
+                    "png" if is_png else "wav" if is_wav
+                    else "gif" if is_gif else "raw"
+                )
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                 elif is_png:
                     arr = decode_png(b).astype(np.float64).ravel()
                 elif is_wav:
                     arr, _rate = decode_wav(b)
+                elif is_gif:
+                    gif_frames, _delays = decode_gif(b)
+                    arr = np.concatenate(
+                        [f.astype(np.float64).ravel() for f in gif_frames]
+                    )
                 else:
                     raise NotImplementedError(
-                        "real decode supports PNG and PCM WAV only (no "
-                        "PIL/librosa/ffmpeg in this environment); pass "
+                        "real decode supports PNG, PCM WAV, and GIF only "
+                        "(no PIL/librosa/ffmpeg in this environment); pass "
                         "fake=True for the byte-statistics pseudo-decode"
                     )
                 if arr.size == 0:
@@ -131,28 +148,47 @@ def frame_sample(
     frame_bytes: int = 16,
     fake: bool = False,
 ) -> DataFrame:
-    """Video frame-sampling contract: one input blob -> many frame rows
-    (id, frame_idx, frame blob).  The fake treats the blob as a
-    concatenation of fixed-size frames and emits every n-th — the 1->N
-    row fan-out through mapInPandas is the part that matters."""
-    if not fake:
-        msg = "ffmpeg not available; pass fake=True for the frame-chunk fake."
-        raise NotImplementedError(msg)
+    """Video frame-sampling: one input blob -> many frame rows
+    ``(id, frame_idx, frame blob)`` via the 1->N mapInPandas fan-out.
 
+    ``fake=False`` REALLY decodes animated-GIF blobs
+    (:func:`python_ctd_spark.functions.gif_numpy.decode_gif` — stdlib
+    LZW + disposal compositing) and emits every ``every_n``-th composed
+    frame as raw row-major RGB bytes (H*W*3; dimensions ride in
+    ``media_meta``/the blob header).  Container video (mp4/webm)
+    genuinely needs ffmpeg, which this environment lacks — non-GIF
+    blobs raise ``NotImplementedError``.  ``fake=True`` keeps the
+    deterministic byte-chunk fake (the oracle-checkable form): the blob
+    is treated as a concatenation of fixed-size frames."""
     schema = "id bigint, frame_idx int, frame binary"
 
     def fn(batches):
         import pandas as pd
 
+        from python_ctd_spark.functions.gif_numpy import decode_gif
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob)
-                n_frames = max(1, len(b) // frame_bytes)
-                for k in range(0, n_frames, every_n):
-                    ids.append(int(i))
-                    idxs.append(k)
-                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+                if fake:
+                    n_frames = max(1, len(b) // frame_bytes)
+                    for k in range(0, n_frames, every_n):
+                        ids.append(int(i))
+                        idxs.append(k)
+                        frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+                elif b[:4] == b"GIF8":
+                    gif_frames, _delays = decode_gif(b)
+                    for k in range(0, len(gif_frames), every_n):
+                        ids.append(int(i))
+                        idxs.append(k)
+                        frames.append(gif_frames[k].tobytes())
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling supports animated GIF only "
+                        "(no ffmpeg in this environment); pass fake=True "
+                        "for the byte-chunk fake"
+                    )
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(fn, schema)

@@ -139,3 +139,32 @@ def encode_png_gray(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def resize_area(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Deterministic NumPy image resize: exact box-mean (area average)
+    when downscaling — every source pixel contributes to exactly one
+    target box, computed via an integral image — and nearest-neighbor
+    when any axis upscales.  No PIL; pairs with :func:`decode_png` /
+    :func:`encode_png_gray` to make blob->blob thumbnailing real."""
+    if target_h < 1 or target_w < 1:
+        raise ValueError(f"target must be >= 1x1, got {target_h}x{target_w}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if target_h > h or target_w > w:
+        ys = (np.arange(target_h) * h) // target_h
+        xs = (np.arange(target_w) * w) // target_w
+        return img[ys][:, xs]
+    ys = (np.arange(target_h + 1) * h) // target_h
+    xs = (np.arange(target_w + 1) * w) // target_w
+    ii = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    a = ii[ys[1:][:, None], xs[1:][None, :]]
+    b = ii[ys[:-1][:, None], xs[1:][None, :]]
+    d = ii[ys[1:][:, None], xs[:-1][None, :]]
+    e = ii[ys[:-1][:, None], xs[:-1][None, :]]
+    area = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]).astype(
+        np.float64
+    )[:, :, None]
+    return np.rint((a - b - d + e) / area).clip(0, 255).astype(np.uint8)

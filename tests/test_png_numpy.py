@@ -117,3 +117,41 @@ def test_decode_and_featurize_real_rejects_non_png(spark):
     df = spark.createDataFrame([(0, bytearray(b"RIFFxxxx"))], "id long, blob binary")
     with pytest.raises(Exception, match="PNG only|NotImplementedError"):
         decode_and_featurize(df, fake=False).collect()
+
+
+def test_resize_area_box_means_and_upscale():
+    from python_ctd_spark.functions.png_numpy import resize_area
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1).repeat(3, axis=2)
+    out = resize_area(img, 2, 2)
+    assert out[:, :, 0].tolist() == [[2, 4], [10, 12]]
+    # uneven ratio: boxes partition the source exactly (no pixel lost)
+    img2 = np.ones((5, 7, 3), np.uint8) * 100
+    assert (resize_area(img2, 2, 3) == 100).all()
+    # upscale -> nearest neighbor, shape honored
+    assert resize_area(img, 8, 6).shape == (8, 6, 3)
+    with pytest.raises(ValueError):
+        resize_area(img, 0, 4)
+
+
+def test_resize_image_real_png_through_spark(spark):
+    import pandas as pd
+
+    from python_ctd_spark.functions.png_numpy import decode_png, encode_png_gray
+    from python_ctd_spark.operators.multimodal import resize_image
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "blob": [bytearray(encode_png_gray(img))]})
+    )
+    out = resize_image(df, target_w=4, target_h=4, fake=False).toPandas()
+    got = decode_png(bytes(out.iloc[0]["resized"]))
+    assert got.shape == (4, 4, 3)
+    # every 2x2 source box averaged exactly
+    expect = img.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_array_equal(got, np.rint(expect).astype(np.uint8))
+    # non-PNG on the real path stays honestly stubbed
+    raw = spark.createDataFrame(pd.DataFrame({"id": [1], "blob": [bytearray(b"zz")]}))
+    with pytest.raises(Exception, match="NotImplementedError|PNG|PIL"):
+        resize_image(raw, fake=False).collect()

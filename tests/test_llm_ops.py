@@ -399,8 +399,11 @@ def test_resize_image_fake_strides(spark, blobs):
 
 
 def test_resize_image_without_codec_raises(blobs):
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_image(blobs)
+    """Since r5 the real path resizes PNG for real; non-PNG blobs (no
+    PIL for JPEG) still fail honestly — now inside the worker, at
+    execution time, because the dispatch is per-blob."""
+    with pytest.raises(Exception, match="NotImplementedError|PNG|PIL"):
+        multimodal.resize_image(blobs).collect()
 
 
 def test_short_docs_do_not_crash_shingles(spark):

@@ -94,7 +94,7 @@ def decode_and_featurize(
 
         from python_ctd_spark.functions.gif_numpy import decode_gif
         from python_ctd_spark.functions.png_numpy import decode_png
-        from python_ctd_spark.functions.wav_numpy import decode_wav
+        from python_ctd_spark.functions.wav_numpy import decode_wav_any
 
         for pdf in batches:
             feats, fmts = [], []
@@ -112,7 +112,8 @@ def decode_and_featurize(
                 elif is_png:
                     arr = decode_png(b).astype(np.float64).ravel()
                 elif is_wav:
-                    arr, _rate = decode_wav(b)
+                    # PCM via stdlib wave; G.711 mu-law/A-law via audioop
+                    arr, _rate = decode_wav_any(b)
                 elif is_gif:
                     gif_frames, _delays = decode_gif(b)
                     arr = np.concatenate(

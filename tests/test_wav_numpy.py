@@ -68,3 +68,23 @@ def test_decode_and_featurize_real_wav(spark):
         samples, _ = decode_wav(bytes(rows[i][1]))
         want = [float(c.mean()) for c in np.array_split(samples, 4)]
         assert got.loc[i, "feat"] == pytest.approx(want)
+
+
+def test_g711_mulaw_alaw_roundtrip():
+    """Companded telephony WAVs (format codes 7/6) expand through the
+    manual RIFF walk + audioop; error bounded by G.711 quantization."""
+    from python_ctd_spark.functions.wav_numpy import decode_wav_any, encode_wav_g711
+
+    t = (np.arange(0, 2000, dtype=np.int16) * 11 - 11000).astype(np.int16)
+    for ulaw in (True, False):
+        got, rate = decode_wav_any(encode_wav_g711(t, rate=16000, ulaw=ulaw))
+        assert rate == 16000 and len(got) == len(t)
+        err = np.abs(got - t.astype(np.float64))
+        assert (err <= np.abs(t) * 0.05 + 64).all()
+    # PCM still routes through the fast path
+    from python_ctd_spark.functions.wav_numpy import encode_wav
+
+    got, _ = decode_wav_any(encode_wav(t, rate=8000, width=2))
+    np.testing.assert_array_equal(got, t.astype(np.float64))
+    with pytest.raises(ValueError):
+        decode_wav_any(b"RIFFxxxxWAVEjunk")

@@ -126,12 +126,25 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # the harness captures a bounded tail of stdout, which clipped the r4
-    # line mid-JSON; persist the full record to a file as well and keep
-    # the stdout line as compact (and as last) as possible
+    # the harness captures a bounded window of stdout and has clipped the
+    # single big line mid-JSON two rounds running ("parsed": null in
+    # BENCH_r04/r05).  Defense in depth: persist the full record to
+    # BENCH_out.json, print the line as BOTH the first and the last
+    # stdout output (nothing else in this process writes to stdout, so
+    # one complete copy lands in a head capture and one in a tail
+    # capture), stop Spark *between* the two prints so any JVM/py4j
+    # shutdown chatter cannot trail the final line, and hard-exit to
+    # skip atexit noise.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
         f.write(line + "\n")
     print(line, flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(line, flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,10 @@ def _decode_gif(data: bytes):
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
         # image descriptor
         left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        if left + w > width or top + h > height:
+            # without this the compositing assignment below dies on a
+            # raw numpy broadcast error instead of a labeled diagnostic
+            raise ValueError("GIF: frame rect outside logical screen")
         ipacked = data[pos + 8]
         pos += 9
         ct = gct

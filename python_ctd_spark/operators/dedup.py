@@ -345,7 +345,18 @@ def incremental_dedup(
     (tests/test_sinks.py pins the plan).  When omitted, the band rows
     are derived from ``index`` in-plan.  Verification joins fetch hsh
     arrays for candidates only.
+
+    ``index_banded`` MUST have been built with these same ``(bands,
+    k)`` — its band keys hash ``r = k // bands`` signature values per
+    band, so a mismatched table probes wrong keys and silently loses
+    recall; that cannot be detected from the table itself, so the
+    contract is documented here and the divisibility half enforced.
     """
+    if k % bands != 0:
+        raise ValueError(
+            f"k ({k}) must be divisible by bands ({bands}); a remainder "
+            "silently drops the signature tail from every band key"
+        )
     r = k // bands
     from pyspark import StorageLevel
 

@@ -236,9 +236,13 @@ def resize_image(
                         sampled = b[::step][:n]
                 elif b[:4] == b"\x89PNG":
                     img = decode_png(b)
-                    sampled = encode_png_gray(
-                        resize_area(img, target_h, target_w)
-                    )
+                    small = resize_area(img, target_h, target_w)
+                    if small.ndim == 3 and small.shape[2] == 2:
+                        # gray+alpha (PNG color type 4): the encoder
+                        # emits gray/RGB/RGBA only — drop the alpha
+                        # plane rather than die on an opaque KeyError
+                        small = small[:, :, 0]
+                    sampled = encode_png_gray(small)
                 else:
                     raise NotImplementedError(
                         "real resize supports PNG only (no PIL in this "

@@ -625,14 +625,21 @@ def ann_recall_report(
     |corpus|) like :func:`cosine_topk` (broadcast queries, corpus never
     shuffles), so at fleet scale this runs over a *sampled* query set,
     which is exactly how ANN indexes are validated in practice.  The
-    exact id set is persisted once and probed by both method branches;
-    everything after the top-k computations joins |queries| x k row
-    tables (tiny).
+    exact top-k is |queries| x k rows — bounded by the sampled audit
+    set — so it is materialized ONCE to the driver and rebroadcast,
+    which (a) avoids recomputing the brute-force scan per method branch
+    and (b) leaves no persisted cache behind after the report is built.
+    The report base is every qid in ``queries`` (left-joined against
+    exact counts), so a query whose exact top-k is empty — filtered or
+    degenerate vector — still appears, with ``n_exact = 0`` and null
+    recall, instead of silently vanishing from the audit.
     """
     from pyspark.sql import functions as F
 
     exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    exact_ids = exact.select("qid", "id").persist()
+    spark = queries.sparkSession
+    exact_kv = exact.select("qid", "id")
+    exact_ids = spark.createDataFrame(exact_kv.collect(), exact_kv.schema)
 
     tagged = []
     for m in methods:
@@ -654,19 +661,26 @@ def ann_recall_report(
         approxes = approxes.unionByName(t)
 
     hits = (
-        approxes.join(exact_ids, ["qid", "id"], "left_semi")
+        approxes.join(F.broadcast(exact_ids), ["qid", "id"], "left_semi")
         .groupBy("method", "qid")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     method_rows = approxes.sparkSession.createDataFrame(
         [(m,) for m in methods], "method string"
     )
+    exact_counts = exact_ids.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     base = (
-        exact_ids.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        queries.select(F.col(id_col).alias("qid")).distinct()
+        .join(F.broadcast(exact_counts), "qid", "left")
+        .withColumn("n_exact", F.coalesce("n_exact", F.lit(0)))
         .crossJoin(F.broadcast(method_rows))
     )
-    recall = F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+    recall = F.when(
+        F.col("n_exact") > 0,
+        F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+    )
     return (
         base.join(hits, ["method", "qid"], "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))

@@ -130,3 +130,19 @@ def test_frame_sample_real_gif_through_spark(spark):
     raw = spark.createDataFrame(pd.DataFrame({"id": [1], "blob": [bytearray(b"xx")]}))
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg|GIF"):
         frame_sample(raw, fake=False).collect()
+
+
+def test_frame_rect_outside_screen_is_labeled():
+    """A descriptor rect past the logical screen must raise the
+    decoder's labeled diagnostic, not a raw numpy broadcast error."""
+    import struct
+
+    frame = np.zeros((4, 4, 3), dtype=np.uint8)
+    frame[1, 2] = [200, 10, 10]
+    blob = bytearray(encode_gif([frame]))
+    desc = struct.pack("<HHHH", 0, 0, 4, 4)
+    at = blob.find(b"\x2c" + desc)
+    assert at >= 0, "image descriptor not found in encoded GIF"
+    blob[at + 1 : at + 9] = struct.pack("<HHHH", 2, 0, 4, 4)  # shift right
+    with pytest.raises(ValueError, match="frame rect outside logical screen"):
+        decode_gif(bytes(blob))

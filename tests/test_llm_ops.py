@@ -1173,3 +1173,33 @@ def test_corpus_filter_lang(spark):
     en = Corpus(df).filter_lang("en").df.toPandas()
     assert en.doc_id.tolist() == [0]
     assert set(en.columns) == {"doc_id", "text"}  # helper columns dropped
+
+
+def test_incremental_dedup_rejects_indivisible_bands(spark):
+    """k % bands != 0 silently truncates every band key — must raise
+    instead (the stored index can't be validated, so the probe side's
+    parameters at least must be self-consistent)."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.incremental_dedup(docs, docs, k=16, bands=5)
+
+
+def test_ann_recall_report_keeps_empty_exact_queries(spark):
+    """A query whose exact top-k is empty (here: the only corpus vector
+    is the query itself, excluded by id != qid) must still appear in
+    the audit with n_exact = 0 and null recall — not silently vanish."""
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    rep = similarity.ann_recall_report(
+        corpus, queries, k=2, methods=("ivf",),
+        ivf_kwargs={"n_centroids": 1, "n_probe": 1, "kmeans_iters": 1},
+    ).toPandas().set_index("qid")
+    assert set(rep.index) == {7, 8}
+    assert rep.loc[7, "n_exact"] == 0
+    assert pd.isna(rep.loc[7, "recall"])
+    assert rep.loc[8, "n_exact"] == 1

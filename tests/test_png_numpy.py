@@ -155,3 +155,26 @@ def test_resize_image_real_png_through_spark(spark):
     raw = spark.createDataFrame(pd.DataFrame({"id": [1], "blob": [bytearray(b"zz")]}))
     with pytest.raises(Exception, match="NotImplementedError|PNG|PIL"):
         resize_image(raw, fake=False).collect()
+
+
+def test_resize_image_real_gray_alpha_png(spark):
+    """resize_image(fake=False) on a color-type-4 (gray+alpha) PNG:
+    decode yields (H, W, 2); the resize path must drop the alpha plane
+    and emit a decodable grayscale PNG instead of dying on the encoder's
+    channel map (ADVICE r5)."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.multimodal import resize_image
+
+    h, w = 8, 8
+    rng = np.random.default_rng(4)
+    ga = rng.integers(0, 256, size=(h, w, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    blob = _png(w, h, 4, raw)
+    assert decode_png(blob).shape == (h, w, 2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "blob": [bytearray(blob)]})
+    )
+    out = resize_image(df, target_w=4, target_h=4, fake=False).toPandas()
+    got = decode_png(bytes(out.iloc[0]["resized"]))
+    assert got.shape == (4, 4, 1)

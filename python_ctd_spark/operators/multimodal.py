@@ -93,6 +93,7 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.gif_numpy import decode_gif
+        from python_ctd_spark.functions.media_fixtures import expected_features
         from python_ctd_spark.functions.png_numpy import decode_png
         from python_ctd_spark.functions.wav_numpy import decode_wav_any
 
@@ -125,10 +126,10 @@ def decode_and_featurize(
                         "(no PIL/librosa/ffmpeg in this environment); pass "
                         "fake=True for the byte-statistics pseudo-decode"
                     )
-                if arr.size == 0:
-                    arr = np.zeros(1)
-                chunks = np.array_split(arr, n_features)
-                feats.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+                # one shared fold definition with the kernel-golden
+                # oracle (functions/media_fixtures.expected_features):
+                # same np.array_split boundaries, same float64 means
+                feats.append(expected_features(arr, n_features))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),

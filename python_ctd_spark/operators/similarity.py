@@ -210,6 +210,109 @@ def probe_masks(n_planes: int, n_probe_bits: int) -> list[int]:
     return masks
 
 
+def _exact_rerank_pairs(
+    cand: DataFrame, c: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """Shared exact-re-rank tail of every candidate-generating ANN path:
+    ``cand`` is distinct (qid, id) pairs, ``c`` is (id, e, fnorm),
+    ``q`` is (qid, qe, fqnorm).  Two-phase exactly as
+    :func:`cosine_topk`: double fold scores all candidates, decimal
+    decides only the per-query top-k sliver."""
+    verified = cand.join(c, "id").join(F.broadcast(q), "qid")
+    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
+    scored = verified.select("qid", "id", "qe", "e", fcos.alias("fcos"))
+    survivors = _rerank_topk(scored, k)
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    rescored = survivors.select("qid", "id", cos.alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def lsh_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    persist: bool = False,
+) -> DataFrame:
+    """The STORABLE LSH index: ``(id, tbl, bkt)`` — one row per corpus
+    vector per hash table.  This is the similarity twin of dedup's
+    ``minhash_signatures`` stored-index path: write it once with
+    ``io.sinks.write_bucketed(index, table, by=["tbl", "bkt"])`` and
+    every later :func:`lsh_probe` answers queries from the stored
+    buckets without re-hashing the corpus — the realistic serving shape,
+    where the corpus is 100 TB and queries arrive forever.  The index is
+    O(rows x n_tables) two-int rows; appends for new corpus shards are
+    plain inserts (the hyperplane basis is deterministic,
+    :func:`_plane_sign`, so no basis state needs storing)."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    return signature_table(c, ["id"], "e", n_planes, n_tables, dim, persist=persist)
+
+
+def lsh_probe(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    n_probe_bits: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k answered from a STORED index: only the
+    query side is hashed (|queries| rows — mapper work); candidates come
+    from the (tbl, bkt) equi-join against ``index`` and their vectors
+    are fetched from ``corpus`` by id for the exact re-rank.  The
+    corpus-wide signature computation never reruns — when ``index`` is a
+    bucketed table scan, the probe plan's only corpus-side work is that
+    scan plus the candidate vector fetch (plan pinned in
+    tests/test_plans.py).
+
+    ``(n_planes, n_tables, dim)`` MUST match the values the index was
+    built with — the deterministic hyperplane basis is derived from
+    them, so a mismatch probes foreign buckets and silently loses
+    recall (same contract as dedup.incremental_dedup's index_banded).
+
+    ``n_probe_bits > 0`` enables multiprobe (Lv et al. 2007): each query
+    additionally probes every bucket within that Hamming distance of its
+    own — query-side fan-out only; the stored index is untouched, which
+    is the point: recall rises without rebuilding or widening the index.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
+    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
+
+    qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
+    if n_probe_bits > 0:
+        probes = F.array(
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, n_probe_bits)
+            ]
+        )
+        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
+    # bare id pairs through the dedup, vectors re-attached after (the
+    # query side is small -> broadcast on both the bucket join and fetch)
+    cand = (
+        index.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+        .dropDuplicates(["qid", "id"])
+    )
+    return _exact_rerank_pairs(cand, c, q, k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,51 +328,18 @@ def lsh_topk(
     query in at least one hash table; exact cosine re-rank within the
     candidate set.  Shuffles only on (table, bucket) keys.
 
-    ``n_probe_bits > 0`` enables multiprobe: each query additionally
-    probes every bucket within that Hamming distance of its own
-    (query-side fan-out only — the corpus index is untouched, which is
-    the point: recall rises without rebuilding or widening the index).
-    Probing 1 bit multiplies the probed fraction by ``1 + n_planes``;
-    at fleet scale pair it with proportionally more planes so the
-    per-bucket occupancy stays sub-linear."""
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
-    q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
-
-    cb = signature_table(c, ["id"], "e", n_planes, n_tables, dim)
-    qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
-    if n_probe_bits > 0:
-        probes = F.array(
-            *[
-                F.col("bkt").bitwiseXOR(F.lit(m))
-                for m in probe_masks(n_planes, n_probe_bits)
-            ]
-        )
-        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
-    # bare id pairs through the dedup, vectors re-attached after (the
-    # query side is small -> broadcast on both the bucket join and fetch)
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bkt"])
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", "id")
-        .dropDuplicates(["qid", "id"])
+    One-shot form: derives the corpus index in-plan (persisted for the
+    self-join) and probes it — exactly :func:`lsh_probe` over
+    :func:`lsh_index`; repeated-query workloads should build the index
+    once with :func:`lsh_index` + ``write_bucketed`` instead."""
+    ix = lsh_index(
+        corpus, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim, persist=True,
     )
-    verified = cand.join(c, "id").join(F.broadcast(q), "qid")
-    # two-phase exactly as cosine_topk: double fold scores all candidates,
-    # decimal decides only the per-query top-k sliver
-    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
-    scored = verified.select("qid", "id", "qe", "e", fcos.alias("fcos"))
-    survivors = _rerank_topk(scored, k)
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
-    rescored = survivors.select("qid", "id", cos.alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
-    return (
-        rescored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
+    return lsh_probe(
+        ix, corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
+        n_probe_bits=n_probe_bits,
     )
 
 

@@ -88,3 +88,56 @@ def test_incremental_dedup_probe_against_bucketed_index(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_index")
+
+
+def test_lsh_probe_against_bucketed_ann_index(spark):
+    """The ANN serving layout (similarity twin of the dedup test above):
+    the LSH signature index STORED bucketed by (tbl, bkt); lsh_probe
+    answers queries from it with (a) results identical to the one-shot
+    lsh_topk and (b) a plan whose ONLY signature computation is the
+    query side — the corpus is never re-hashed per query, its work is
+    the bucketed index scan plus the candidate vector fetch."""
+    import re
+
+    import pandas as pd
+
+    from python_ctd_spark.operators.similarity import lsh_index, lsh_probe, lsh_topk
+
+    dim, n_planes, n_tables = 8, 6, 2
+    rng = __import__("numpy").random.default_rng(11)
+    vecs = rng.normal(size=(40, dim)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(v) for v in vecs]})
+    )
+    queries = corpus.filter("vec_id < 3")
+    kw = dict(k=4, n_planes=n_planes, n_tables=n_tables, dim=dim)
+    expected = {
+        (r["qid"], r["id"], r["rk"])
+        for r in lsh_topk(corpus, queries, **kw).collect()
+    }
+    try:
+        sinks.write_bucketed(
+            lsh_index(corpus, n_planes=n_planes, n_tables=n_tables, dim=dim),
+            "t_ann_index", buckets=4, by=["tbl", "bkt"], sort_by=["tbl", "bkt"],
+        )
+        ix = sinks.read_table(spark, "t_ann_index")
+        probe = lsh_probe(ix, corpus, queries, **kw)
+        got = {(r["qid"], r["id"], r["rk"]) for r in probe.collect()}
+        assert got == expected and len(got) > 0
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # AQE prints the Initial Plan section after the final one —
+        # assert on the final plan only
+        plan = plan.split("== Initial Plan ==")[0]
+        # the index side is a bucketed table scan, not a recompute
+        assert "FileScan parquet" in plan and "t_ann_index" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # every signature computation in the plan belongs to the QUERY
+        # side: the only cached signature relations carry qid, and no
+        # signature explode produces the corpus id
+        for rel_cols in re.findall(r"InMemoryRelation \[(\w+)#", plan):
+            assert rel_cols == "qid", plan
+        for gen in re.findall(r"Generate explode.*", plan):
+            assert "qid#" in gen or "__s_" in gen, gen
+            assert not re.search(r"\[id#\d+L?, tbl", gen), gen
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_index")

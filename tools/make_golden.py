@@ -81,6 +81,30 @@ def smooth_k(x: np.ndarray) -> np.ndarray:
     return smooth_kernel(x, 11, "hanning")
 
 
+def make_multimodal_real(sf_dir: str, tag: str) -> None:
+    """Golden for ``multimodal_real_decode``: expected features computed
+    from the PRE-ENCODE source arrays (not by running the decoders), so
+    the driver row is a true encode->decode round-trip check on the
+    stdlib PNG/GIF/WAV codecs, not a plumbing tautology."""
+    from python_ctd_spark.functions.media_fixtures import (
+        expected_features,
+        make_media_blob,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in tbl["doc_id"].to_pylist():
+        fmt, blob, src = make_media_blob(int(d))
+        f = expected_features(src, 4)
+        rows.append((int(d), fmt, len(blob), f[0], f[1], f[2], f[3]))
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "format", "n_bytes", "f0", "f1", "f2", "f3"]
+    )
+    path = GOLDEN_DIR / f"multimodal_real_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -90,6 +114,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         path = GOLDEN_DIR / f"{name}_{tag}.parquet"
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
         print(f"wrote {path} ({len(out)} rows)")
+    make_multimodal_real(sf_dir, tag)
 
 
 if __name__ == "__main__":

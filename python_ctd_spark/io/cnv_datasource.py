@@ -21,6 +21,21 @@ Usage::
 
 Compression (.gz/.bz2/.zip) and encoding sniffing ride the same
 ``read_text`` dispatch as every other parser (parsers.py).
+
+Paths are scheme-dispatched through :mod:`.blobfs` — local and
+``file://`` open directly, ``http(s)://`` fetches via urllib, and any
+other scheme resolves through IMPORTABLE callables passed as options::
+
+    spark.read.format("cnv") \
+        .option("fetcher", "my_store:fetch")   # (path) -> bytes
+        .option("lister",  "my_store:list")    # (path) -> [paths]
+        .load("s3like://bucket/casts/")
+
+Options are the only channel that reaches the source's code: a Python
+DataSource's whole lifecycle (init/partitions/read) runs in worker
+processes, so neither driver memory nor pickled instance state exists
+there — which also means no shared driver/executor filesystem is
+required.
 """
 
 from __future__ import annotations
@@ -42,41 +57,40 @@ class CnvDataSourceReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cnv source requires a path: .load('/dir/or/file')")
+        # Custom schemes arrive as IMPORTABLE references ("module:fn")
+        # through the string-only options channel — the only state that
+        # reliably reaches the source, whose entire lifecycle (init /
+        # partitions / read) runs in Python worker processes where
+        # driver memory and pickled instances don't exist (classes
+        # re-import by reference).
+        self._fetcher_ref = options.get("fetcher")
+        self._lister_ref = options.get("lister")
 
     #: a file qualifies only by suffix — bare ``.cnv`` or ``.cnv`` plus a
     #: compression codec extension (``foo.cnv.bak`` does not qualify)
     _SUFFIX_RE = re.compile(r"\.cnv(\.(gz|bz2|zip))?$", re.IGNORECASE)
 
     def partitions(self):
-        import glob
-        import os
+        from python_ctd_spark.io.blobfs import list_blobs, resolve_ref
 
-        p = self.path
-        if os.path.isdir(p):
-            files = sorted(
-                f
-                for f in glob.glob(os.path.join(p, "*"))
-                if self._SUFFIX_RE.search(os.path.basename(f))
-            )
-        else:
-            files = [p]
+        lister = resolve_ref(self._lister_ref) if self._lister_ref else None
+        files = list_blobs(self.path, self._SUFFIX_RE, lister=lister)
         if not files:
-            raise FileNotFoundError(f"no .cnv files under {p}")
+            raise FileNotFoundError(f"no .cnv files under {self.path}")
         return [CnvFilePartition(f) for f in files]
 
     def read(self, partition: CnvFilePartition):
-        # executor side: parse one file, melt to the long layout, ship Arrow.
-        # NOTE: paths are opened with local open(), so on a real cluster the
-        # source requires a filesystem shared between driver and executors
-        # (NFS/FUSE-mounted object store); for pure object-store layouts,
-        # fetch the blob and feed read_text()/from_cnv instead.
+        # executor side: fetch one blob (scheme-dispatched — local,
+        # http(s), or a registered custom scheme; blobfs.py), parse,
+        # melt to the long layout, ship Arrow
         import pandas as pd
         import pyarrow as pa
 
+        from python_ctd_spark.io.blobfs import fetch_blob, resolve_ref
         from python_ctd_spark.io.parsers import parse_cnv
 
-        with open(partition.path, "rb") as f:
-            content = f.read()
+        fetcher = resolve_ref(self._fetcher_ref) if self._fetcher_ref else None
+        content = fetch_blob(partition.path, fetcher)
         pc = parse_cnv(partition.path, content)
         pdf = pc.data
         channels = [c for c in pdf.columns if c not in ("scan", "pressure")]

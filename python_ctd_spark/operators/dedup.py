@@ -745,7 +745,11 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node repeatedly adopts the smallest label among
@@ -759,6 +763,11 @@ def connected_components(
     the graph diameter; near-dup graphs are clique-ish (tiny diameters).
     Each round's result is persisted and the previous round unpersisted,
     so lineage stays O(1) deep instead of O(iterations).
+
+    ``stats`` (optional dict) receives ``{"iterations": n}`` — the
+    fixpoint round count after the fused round-1 init — so scale runs
+    can assert the iteration count stays flat as the corpus grows
+    (tools/bench_scale.py; PLANS.md).
     """
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -776,7 +785,9 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
         .persist()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             sym.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
@@ -799,6 +810,8 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = rounds
     sym.unpersist()
     return labels
 
@@ -811,6 +824,7 @@ def dedup_clusters(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fuzzy duplicate *clusters*: MinHash-LSH near-dup pairs grouped into
     connected components; every document gets a cluster id (the smallest
@@ -820,7 +834,7 @@ def dedup_clusters(
     edges = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands, threshold=threshold
     ).select("id_a", "id_b")
-    cc = connected_components(edges)
+    cc = connected_components(edges, stats=stats)
     out = df.select(F.col(id_col).alias("doc_id")).join(
         cc.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
     )

@@ -403,53 +403,25 @@ def _kmeans_centroids(
     return cvecs
 
 
-def ivf_topk(
+def _derive_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 3,
-    query_id_col: str | None = None,
-    centroids: str = "seed",
-    kmeans_iters: int = 4,
-    kmeans_sample: float | None = None,
-) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
-    exact cosine re-rank within the probed cells.
-
-    ``centroids="seed"`` (default): the centroids are **deterministic
-    seeds** — the corpus rows with the ``n_centroids`` smallest ids — so
-    the whole operator (assignment included) is closed-form and
-    oracle-checkable.  ``centroids="kmeans"``: the seeds are refined by
-    ``kmeans_iters`` Lloyd iterations (:func:`_kmeans_centroids`) for
-    recall at scale; the plan shape downstream of the quantizer is
-    identical, only the literal coefficients change.
-
-    Plan shape at 100 TB: the coarse quantizer (centroid list) is driver
-    state, as in any IVF index — collected once, inlined as literal
-    coefficients.  Cell assignment is then a pure **map-side argmax**:
-    flat fast-cosine columns, `greatest`, a CASE pick — the corpus never
-    shuffles for assignment (a window/groupBy formulation would shuffle
-    corpus x n_centroids rows).  Rows whose top two fast scores sit
-    within the epsilon band (measure-zero in practice) are resolved
-    exactly by the broadcast decimal re-rank in a second, equally
-    map-side pass over that sliver.  Probing and candidate scoring reuse
-    the two-phase double-prefilter + decimal re-rank of
-    :func:`cosine_topk`; the probed-cell candidate join broadcasts the
-    (small) query side.
-    """
-    qid = query_id_col or id_col
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: str,
+    kmeans_iters: int,
+    kmeans_sample: float | None,
+):
+    """Coarse quantizer -> ``(cent_df, cids, cvecs)``.  The centroid list
+    is driver state by design (tiny), as in any IVF index — collected
+    once, inlined downstream as literal coefficients."""
     cent = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
     )
-    # the coarse quantizer is driver state by design (tiny); cids come
-    # back sorted ascending so "first CASE match" == "smallest cid"
+    # cids come back sorted ascending so "first CASE match" == "smallest cid"
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
     cids = [int(r["cid"]) for r in cent_rows]
     cvecs = [[float(x) for x in r["ce"]] for r in cent_rows]
@@ -471,6 +443,28 @@ def ivf_topk(
         )
     elif centroids != "seed":
         raise ValueError(f"unknown centroids mode: {centroids!r}")
+    return cent, cids, cvecs
+
+
+def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> DataFrame:
+    """Map-side argmax cell assignment -> ``(id, e, cell)``; the corpus
+    never shuffles (a window/groupBy formulation would shuffle corpus x
+    n_centroids rows).
+
+    Fast scores: one compact fold per centroid, ALL funneled through ONE
+    array column.  Two dead ends are documented here so they stay dead:
+    (1) 16 separate straight-line chain columns are an optimizer bomb —
+    the chains re-inline into every downstream reference (greatest /
+    band count / argmax CASE, a 16x16 fan-out) and Catalyst's fixpoint
+    batches walk a ~100k-node tree for minutes; (2) one array() of 16
+    straight-line chains is a codegen bomb — a single non-splittable
+    expression whose generated method "grows beyond 64 KB", and the
+    slow Janino failure repeats for every stage that embeds it.
+    aggregate/zip_with folds are CodegenFallback (interpreted) but ~10
+    plan nodes each and the same left-to-right IEEE sequence — the
+    per-row cost is n_centroids*dim multiply-adds either way.
+    """
+    import math
 
     def _fold_sq(v):  # left fold, same IEEE sequence as _norm_fast
         acc = 0.0
@@ -478,22 +472,8 @@ def ivf_topk(
             acc = acc + x * x
         return acc
 
-    import math
-
     cnorms = [math.sqrt(_fold_sq(v)) for v in cvecs]
 
-    # Fast scores: one compact fold per centroid, ALL funneled through ONE
-    # array column.  Two dead ends are documented here so they stay dead:
-    # (1) 16 separate straight-line chain columns are an optimizer bomb —
-    # the chains re-inline into every downstream reference (greatest /
-    # band count / argmax CASE, a 16x16 fan-out) and Catalyst's fixpoint
-    # batches walk a ~100k-node tree for minutes; (2) one array() of 16
-    # straight-line chains is a codegen bomb — a single non-splittable
-    # expression whose generated method "grows beyond 64 KB", and the
-    # slow Janino failure repeats for every stage that embeds it.
-    # aggregate/zip_with folds are CodegenFallback (interpreted) but ~10
-    # plan nodes each and the same left-to-right IEEE sequence — the
-    # per-row cost is n_centroids*dim multiply-adds either way.
     def _dlit(x: float) -> str:
         return f"{x!r}D"
 
@@ -544,7 +524,7 @@ def ivf_topk(
         f" / (__dne * {_dec_norm('array(' + ', '.join(_dlit(x) for x in cv) + ')')})"
         for cv in cvecs
     )
-    assigned = (
+    return (
         flagged.selectExpr(
             "id", "e", "__nband", "__cfast",
             f"CASE WHEN __nband > 1 THEN {_dec_norm('e')} END AS __dne",
@@ -568,30 +548,138 @@ def ivf_topk(
         .select("id", "e", "cell")
     )
 
-    def nearest_cells(side: DataFrame, key: str, vec: str, n: int) -> DataFrame:
-        """Top-n centroids per (small) query row, two-phase: double-fold
-        scores all ``n_centroids``, the decimal-exact cosine decides only
-        the rows inside the epsilon band of the fast nth score."""
-        fcos = _dot_fast(F.col(vec), F.col("ce")) / (
-            _norm_fast(F.col(vec)) * _norm_fast(F.col("ce"))
-        )
-        scored = side.join(F.broadcast(cent), F.lit(True)).select(
-            key, vec, "cid", "ce", fcos.alias("fcos")
-        )
-        band = _rerank_topk(scored, n, part=key, ident="cid")
-        cos = _dot_exact(F.col(vec), F.col("ce")) / (
-            _norm_exact(F.col(vec)) * _norm_exact(F.col("ce"))
-        )
-        w = Window.partitionBy(key).orderBy(F.col("__cos").desc(), F.col("cid"))
-        return (
-            band.withColumn("__cos", cos)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n)
-            .select(key, vec, F.col("cid").alias("cell"))
-        )
 
+def _nearest_cells(
+    side: DataFrame, key: str, vec: str, n: int, cent: DataFrame
+) -> DataFrame:
+    """Top-n centroids per (small) query row, two-phase: double-fold
+    scores all ``n_centroids``, the decimal-exact cosine decides only
+    the rows inside the epsilon band of the fast nth score."""
+    fcos = _dot_fast(F.col(vec), F.col("ce")) / (
+        _norm_fast(F.col(vec)) * _norm_fast(F.col("ce"))
+    )
+    scored = side.join(F.broadcast(cent), F.lit(True)).select(
+        key, vec, "cid", "ce", fcos.alias("fcos")
+    )
+    band = _rerank_topk(scored, n, part=key, ident="cid")
+    cos = _dot_exact(F.col(vec), F.col("ce")) / (
+        _norm_exact(F.col(vec)) * _norm_exact(F.col("ce"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__cos").desc(), F.col("cid"))
+    return (
+        band.withColumn("__cos", cos)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .select(key, vec, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: str = "seed",
+    kmeans_iters: int = 4,
+    kmeans_sample: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The STORABLE IVF index: ``(assignments, centroids)`` — the IVF
+    twin of :func:`lsh_index`.
+
+    ``assignments`` is ``(id, cell)`` — one row per corpus vector; write
+    it bucketed by ``cell`` (io.sinks.write_bucketed) so probes scan
+    only the probed cells pre-clustered.  ``centroids`` is ``(cid, ce)``
+    — n_centroids rows, plain parquet.  Repeated-query workloads then
+    answer via :func:`ivf_probe` without re-running the corpus-wide
+    assignment argmax, which is the entire corpus-sized cost of
+    :func:`ivf_topk`.  Appending a new corpus shard = assign the shard
+    against the STORED centroids (:func:`_assign_cells` with the stored
+    cvecs) and insert — the quantizer stays fixed, as in any production
+    IVF index (retrain on drift, not per shard)."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cent, cids, cvecs = _derive_centroids(
+        corpus, c, id_col, vec_col, n_centroids, centroids,
+        kmeans_iters, kmeans_sample,
+    )
+    return _assign_cells(c, cids, cvecs).select("id", "cell"), cent
+
+
+def ivf_probe(
+    assignments: DataFrame,
+    cent: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k answered from a STORED IVF index: per-query
+    work = scoring against the stored centroid table (broadcast, tiny)
+    + fetching candidates from the probed cells of ``assignments`` +
+    the shared exact re-rank.  The corpus-wide assignment never reruns;
+    ``corpus`` is touched only to fetch candidate vectors by id."""
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
-    probes = nearest_cells(q, "qid", "qe", n_probe)
+    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
+    probes = _nearest_cells(
+        q.select("qid", "qe"), "qid", "qe", n_probe, cent
+    ).select("qid", "cell")
+    cand = (
+        assignments.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+        .dropDuplicates(["qid", "id"])
+    )
+    return _exact_rerank_pairs(cand, c, q, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    query_id_col: str | None = None,
+    centroids: str = "seed",
+    kmeans_iters: int = 4,
+    kmeans_sample: float | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank within the probed cells.
+
+    ``centroids="seed"`` (default): the centroids are **deterministic
+    seeds** — the corpus rows with the ``n_centroids`` smallest ids — so
+    the whole operator (assignment included) is closed-form and
+    oracle-checkable.  ``centroids="kmeans"``: the seeds are refined by
+    ``kmeans_iters`` Lloyd iterations (:func:`_kmeans_centroids`) for
+    recall at scale; the plan shape downstream of the quantizer is
+    identical, only the literal coefficients change.
+
+    Plan shape at 100 TB: the coarse quantizer (centroid list) is driver
+    state, as in any IVF index — collected once, inlined as literal
+    coefficients (:func:`_derive_centroids`).  Cell assignment is a pure
+    **map-side argmax** (:func:`_assign_cells`).  Probing and candidate
+    scoring reuse the two-phase double-prefilter + decimal re-rank of
+    :func:`cosine_topk`; the probed-cell candidate join broadcasts the
+    (small) query side.  One-shot form — repeated-query workloads should
+    store :func:`ivf_index` once and answer with :func:`ivf_probe`.
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cent, cids, cvecs = _derive_centroids(
+        corpus, c, id_col, vec_col, n_centroids, centroids,
+        kmeans_iters, kmeans_sample,
+    )
+    assigned = _assign_cells(c, cids, cvecs)
+    q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
+    probes = _nearest_cells(q, "qid", "qe", n_probe, cent)
     pairs = assigned.join(F.broadcast(probes), "cell").filter(F.col("id") != F.col("qid"))
     fcos = _dot_fast(F.col("qe"), F.col("e")) / (
         _norm_fast(F.col("qe")) * _norm_fast(F.col("e"))
@@ -610,6 +698,8 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "id", F.round("cos", 6).alias("cos"), F.col("rk").cast("int").alias("rk"))
     )
+
+
 
 
 def embedding_neardup_pairs(

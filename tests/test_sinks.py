@@ -141,3 +141,46 @@ def test_lsh_probe_against_bucketed_ann_index(spark):
             assert not re.search(r"\[id#\d+L?, tbl", gen), gen
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_index")
+
+
+def test_ivf_probe_against_bucketed_index(spark):
+    """IVF twin of the LSH test above: assignments stored bucketed by
+    cell + centroid table stored; ivf_probe answers queries with results
+    identical to the one-shot ivf_topk, and its plan never re-runs the
+    corpus-wide assignment argmax (no __farr/__nband staging columns —
+    the corpus appears only as the candidate vector fetch)."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.similarity import ivf_index, ivf_probe, ivf_topk
+
+    rng = __import__("numpy").random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [list(v) for v in vecs]})
+    )
+    queries = corpus.filter("vec_id >= 57")
+    expected = {
+        (r["qid"], r["id"], r["rk"])
+        for r in ivf_topk(corpus, queries, k=4, n_centroids=6, n_probe=2).collect()
+    }
+    try:
+        assignments, cent = ivf_index(corpus, n_centroids=6)
+        sinks.write_bucketed(
+            assignments, "t_ivf_assign", buckets=4, by="cell", sort_by="cell"
+        )
+        cent.write.mode("overwrite").saveAsTable("t_ivf_cent")
+        probe = ivf_probe(
+            sinks.read_table(spark, "t_ivf_assign"),
+            sinks.read_table(spark, "t_ivf_cent"),
+            corpus, queries, k=4, n_probe=2,
+        )
+        got = {(r["qid"], r["id"], r["rk"]) for r in probe.collect()}
+        assert got == expected and len(got) > 0
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "t_ivf_assign" in plan and "Bucketed: true" in plan, plan
+        for marker in ("__farr", "__nband", "__cfast"):
+            assert marker not in plan, f"assignment recompute leaked: {marker}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_assign")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_cent")

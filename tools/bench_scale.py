@@ -1,0 +1,131 @@
+"""sf1-class scale check (PLANS.md evidence): does the engine's wall
+time stay ~linear — and the CC fixpoint iteration count flat — when the
+corpus grows 10x past the bench scale?
+
+Two measurements:
+
+1. **dedup_clusters** (LSH pairs -> iterative min-label connected
+   components) over sf0.1 documents (5k docs) vs a 10x staged corpus
+   (50k docs = sf1-class).  The 10x corpus is 10 suffix-perturbed copies
+   of sf0.1 (each copy stays a near-duplicate of its source, so the
+   duplicate structure scales with the corpus instead of disappearing).
+   Records wall seconds, fixpoint iterations, and total shuffle
+   read/write bytes (Spark REST API).
+
+2. **canonical CTD chain fleet** at 64 vs 640 casts of the 71,325-scan
+   golden cast (reuses tools/bench_fleet.time_engine).
+
+Usage:  python tools/bench_scale.py [docs|fleet|both]   (default docs)
+
+Run each measurement in its own process — the fleet run builds ~650 MB
+of staged casts and its own session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _shuffle_bytes(ui_port: int = 4040) -> dict:
+    """Total shuffle read/write bytes across all completed stages."""
+    base = f"http://localhost:{ui_port}/api/v1"
+    apps = json.load(urllib.request.urlopen(f"{base}/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(f"{base}/applications/{app_id}/stages"))
+    return {
+        "shuffle_write_mb": round(
+            sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "shuffle_read_mb": round(
+            sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+        ),
+        "n_stages": len(stages),
+    }
+
+
+def stage_docs(mult: int, out_dir: str) -> str:
+    """10x the sf0.1 documents table: copy i remaps doc_id += i*N and
+    appends a short suffix so copies remain NEAR-duplicates of their
+    source (byte-identical copies would collapse into exact-dup cliques
+    and understate the fuzzy path's work)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet")
+    n = tbl.num_rows
+    parts = []
+    for i in range(mult):
+        ids = pa.compute.add(tbl["doc_id"], i * n)
+        texts = tbl["text"] if i == 0 else pa.compute.binary_join_element_wise(
+            pa.compute.cast(tbl["text"], pa.string()), f" copytag{i}", ""
+        )
+        cols = {name: tbl[name] for name in tbl.column_names}
+        cols["doc_id"] = ids
+        cols["text"] = texts
+        parts.append(pa.table(cols))
+    big = pa.concat_tables(parts)
+    path = os.path.join(out_dir, f"documents_x{mult}.parquet")
+    pq.write_table(big, path)
+    return path
+
+
+def measure_docs(mult: int) -> dict:
+    from python_ctd_spark.operators.dedup import dedup_clusters
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_scale_x{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_docs_")
+    try:
+        path = stage_docs(mult, tmp)
+        docs = spark.read.parquet(path)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        out = dedup_clusters(docs, stats=stats)
+        n_rows = out.count()
+        n_dups = out.filter("NOT is_keeper").count()
+        wall = time.perf_counter() - t0
+        rec = {
+            "mult": mult,
+            "docs": docs.count(),
+            "wall_s": round(wall, 2),
+            "cc_iterations": stats.get("iterations"),
+            "out_rows": n_rows,
+            "non_keepers": n_dups,
+        }
+        rec.update(_shuffle_bytes())
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+def measure_fleet(n: int) -> dict:
+    from tools.bench_fleet import time_engine
+
+    eng = time_engine(n)
+    return {"n_casts": n, **{k: round(v, 2) for k, v in eng.items()}}
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "docs"
+    results = {}
+    if what in ("docs", "both"):
+        results["docs_x1"] = measure_docs(1)
+        results["docs_x10"] = measure_docs(10)
+    if what in ("fleet", "both"):
+        results["fleet_64"] = measure_fleet(64)
+        results["fleet_640"] = measure_fleet(640)
+    print(json.dumps(results, indent=1))

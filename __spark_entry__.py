@@ -1600,7 +1600,7 @@ def _q_ann_index_probe(spark, sf_dir):
     stored index) and queries are answered from it by similarity.
     lsh_probe with 1-bit multiprobe: ONLY the query side is hashed; the
     corpus-wide signature computation never reruns per query.  pytest
-    (tests/test_plans.py) pins the stored path: the index written
+    (tests/test_sinks.py) pins the stored path: the index written
     bucketed by (tbl, bkt), read back, probed — identical results, probe
     plan containing exactly one signature Generate (the query side) and
     a bucketed index scan.  Here the index is derived in-plan (driver

@@ -1,7 +1,9 @@
 """Benchmark driver: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (<1 KB, fits the harness's 2000-char tail capture):
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {10 slowest}, "n_queries": N, "full": "BENCH_out.json",
+"sf": ...}.  The complete per-query map is persisted to BENCH_out.json.
 
 Execution is forced with a noop sink (full plan runs, nothing collected),
 which is the honest way to measure a distributed plan — no driver
@@ -116,7 +118,7 @@ def main() -> None:
         timings[name] = round(best, 2)
 
     total = round(sum(timings.values()), 2)
-    line = json.dumps(
+    full_line = json.dumps(
         {
             "metric": "query_suite_runtime",
             "value": total,
@@ -126,25 +128,36 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # the harness captures a bounded window of stdout and has clipped the
-    # single big line mid-JSON two rounds running ("parsed": null in
-    # BENCH_r04/r05).  Defense in depth: persist the full record to
-    # BENCH_out.json, print the line as BOTH the first and the last
-    # stdout output (nothing else in this process writes to stdout, so
-    # one complete copy lands in a head capture and one in a tail
-    # capture), stop Spark *between* the two prints so any JVM/py4j
-    # shutdown chatter cannot trail the final line, and hard-exit to
-    # skip atexit noise.
+    # The harness tail-captures ~2000 chars of stdout; the full 99-query
+    # map is ~2.3 KB and was clipped mid-JSON three rounds running
+    # ("parsed": null in BENCH_r04-r06).  So: persist the FULL record to
+    # BENCH_out.json, and print ONE compact line (same schema, "queries"
+    # limited to the 10 slowest — well under 1 KB) as the only stdout
+    # output of this process.  Consumers that json-parse whole stdout
+    # and consumers that tail-capture both see exactly one valid line.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact_line = json.dumps(
+        {
+            "metric": "query_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "full": "BENCH_out.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
-        f.write(line + "\n")
-    print(line, flush=True)
+        f.write(full_line + "\n")
     try:
         spark.stop()
     except Exception:
         pass
-    print(line, flush=True)
-    sys.stdout.flush()
-    os._exit(0)
+    print(compact_line, flush=True)
+    sys.exit(0)
 
 
 if __name__ == "__main__":

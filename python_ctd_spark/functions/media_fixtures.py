@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from .gif_numpy import encode_gif
+from .media_features import feature_fold
 from .png_numpy import encode_png_gray
 from .wav_numpy import encode_wav
 
@@ -67,8 +68,7 @@ def make_media_blob(doc_id: int) -> tuple[str, bytes, np.ndarray]:
 
 def expected_features(src: np.ndarray, n_features: int) -> list[float]:
     """The exact feature fold ``decode_and_featurize`` applies to the
-    decoded array — kept here so oracle and operator share one
-    definition (same np.array_split boundaries, same float64 means)."""
-    if src.size == 0:
-        src = np.zeros(1)
-    return [float(c.mean()) if c.size else 0.0 for c in np.array_split(src, n_features)]
+    decoded array.  Thin alias over the canonical definition in
+    :mod:`.media_features` (production code depends on that neutral
+    module, never on this fixture module)."""
+    return feature_fold(src, n_features)

@@ -81,8 +81,16 @@ def resolve_ref(ref: str) -> Callable:
     return obj
 
 
+#: default http(s) fetch timeout (seconds) — a hung remote endpoint must
+#: fail the task, not stall the executor forever.  Overridable per-call
+#: or via the ``http_timeout`` DataSource option.
+DEFAULT_HTTP_TIMEOUT = 30.0
+
+
 def fetch_blob(
-    path: str, fetcher: Callable[[str], bytes] | None = None
+    path: str,
+    fetcher: Callable[[str], bytes] | None = None,
+    http_timeout: float = DEFAULT_HTTP_TIMEOUT,
 ) -> bytes:
     """Read one blob, local or remote.  ``fetcher``, when given, handles
     any scheme outside the built-ins (local/file/http/https) — pass the
@@ -96,7 +104,9 @@ def fetch_blob(
     if scheme in ("http", "https"):
         import urllib.request
 
-        with urllib.request.urlopen(path) as r:  # noqa: S310 — explicit scheme gate above
+        with urllib.request.urlopen(  # noqa: S310 — explicit scheme gate above
+            path, timeout=http_timeout
+        ) as r:
             return r.read()
     if fetcher is not None:
         return fetcher(path)

@@ -65,6 +65,9 @@ class CnvDataSourceReader(DataSourceReader):
         # re-import by reference).
         self._fetcher_ref = options.get("fetcher")
         self._lister_ref = options.get("lister")
+        # http(s) fetch timeout (seconds) so a hung endpoint fails the
+        # task instead of stalling the executor; blobfs default if unset
+        self._http_timeout = float(options.get("http_timeout", 30.0))
 
     #: a file qualifies only by suffix — bare ``.cnv`` or ``.cnv`` plus a
     #: compression codec extension (``foo.cnv.bak`` does not qualify)
@@ -90,7 +93,9 @@ class CnvDataSourceReader(DataSourceReader):
         from python_ctd_spark.io.parsers import parse_cnv
 
         fetcher = resolve_ref(self._fetcher_ref) if self._fetcher_ref else None
-        content = fetch_blob(partition.path, fetcher)
+        content = fetch_blob(
+            partition.path, fetcher, http_timeout=self._http_timeout
+        )
         pc = parse_cnv(partition.path, content)
         pdf = pc.data
         channels = [c for c in pdf.columns if c not in ("scan", "pressure")]

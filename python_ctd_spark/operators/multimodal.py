@@ -93,7 +93,7 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.gif_numpy import decode_gif
-        from python_ctd_spark.functions.media_fixtures import expected_features
+        from python_ctd_spark.functions.media_features import feature_fold
         from python_ctd_spark.functions.png_numpy import decode_png
         from python_ctd_spark.functions.wav_numpy import decode_wav_any
 
@@ -127,9 +127,9 @@ def decode_and_featurize(
                         "fake=True for the byte-statistics pseudo-decode"
                     )
                 # one shared fold definition with the kernel-golden
-                # oracle (functions/media_fixtures.expected_features):
+                # oracle (functions/media_features.feature_fold):
                 # same np.array_split boundaries, same float64 means
-                feats.append(expected_features(arr, n_features))
+                feats.append(feature_fold(arr, n_features))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),

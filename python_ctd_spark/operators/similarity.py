@@ -276,7 +276,7 @@ def lsh_probe(
     corpus-wide signature computation never reruns — when ``index`` is a
     bucketed table scan, the probe plan's only corpus-side work is that
     scan plus the candidate vector fetch (plan pinned in
-    tests/test_plans.py).
+    tests/test_sinks.py).
 
     ``(n_planes, n_tables, dim)`` MUST match the values the index was
     built with — the deterministic hyperplane basis is derived from

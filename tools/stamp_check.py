@@ -1,0 +1,241 @@
+"""Stamp hygiene for the driver-correctness registry (VERDICT r6 item 6).
+
+The driver stamps only the FIRST 50 registry entries per round, so a
+query whose implementing code changes after its last stamp silently
+holds a stale green.  This tool makes that class of drift mechanical:
+
+- every registry query gets a content FINGERPRINT — sha256 over its
+  ``queries()`` callable source, its ``oracle_sql()`` string, and the
+  bytes of every ``python_ctd_spark`` module it (transitively) imports;
+- ``STAMPS.json`` records, per query, the latest driver-stamp round and
+  the fingerprint of the tree that earned it;
+- ``check`` prints queries whose CURRENT fingerprint differs from the
+  stamped one (code newer than stamp) and verifies the registry window:
+  every stale/new query must sit in the first 50 entries (or carry an
+  explicit ``waived`` note for behavior-preserving refactors verified
+  by the full local parity suite, tests/test_oracle_parity.py);
+- ``stamp --round N name...`` records current fingerprints after a
+  round's driver run (``--window`` stamps the current first 50).
+
+Usage:
+    python tools/stamp_check.py check
+    python tools/stamp_check.py stamp --round 7 --window
+    python tools/stamp_check.py stamp --round 7 name1 name2 ...
+    python tools/stamp_check.py waive name "reason"
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG_ROOT = os.path.join(REPO, "python_ctd_spark")
+STAMPS_PATH = os.path.join(REPO, "STAMPS.json")
+WINDOW = 50
+
+sys.path.insert(0, REPO)
+
+_MOD_RE = re.compile(r"\bpython_ctd_spark(?:\.[A-Za-z_][\w.]*)?")
+
+
+def _module_file(mod: str) -> str | None:
+    """``python_ctd_spark.operators.text`` -> its source path (or the
+    package __init__)."""
+    rel = mod.split(".")
+    p = os.path.join(REPO, *rel)
+    if os.path.isfile(p + ".py"):
+        return p + ".py"
+    if os.path.isdir(p):
+        return os.path.join(p, "__init__.py")
+    # trailing attribute (from python_ctd_spark.operators.text import X
+    # regex-matched as ...text.X): drop components until a file resolves
+    while len(rel) > 1:
+        rel = rel[:-1]
+        p = os.path.join(REPO, *rel)
+        if os.path.isfile(p + ".py"):
+            return p + ".py"
+        if os.path.isdir(p):
+            return os.path.join(p, "__init__.py")
+    return None
+
+
+def _imports_of_file(path: str) -> set[str]:
+    """python_ctd_spark module names imported by a module file
+    (absolute + relative forms), via ast."""
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return set()
+    pkg_parts = os.path.relpath(path, REPO).replace(os.sep, ".")
+    pkg_parts = pkg_parts[: -len(".py")] if pkg_parts.endswith(".py") else pkg_parts
+    if pkg_parts.endswith(".__init__"):
+        pkg_parts = pkg_parts[: -len(".__init__")]
+    parent = pkg_parts.rsplit(".", 1)[0] if "." in pkg_parts else ""
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("python_ctd_spark"):
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: resolve against this file's package
+                base = parent.split(".")
+                # level=1 -> current package, each extra level pops one
+                base = base[: len(base) - (node.level - 1)]
+                stem = ".".join(base + ([node.module] if node.module else []))
+                if stem.startswith("python_ctd_spark"):
+                    mods.add(stem)
+                    for a in node.names:
+                        mods.add(f"{stem}.{a.name}")
+            elif node.module and node.module.startswith("python_ctd_spark"):
+                mods.add(node.module)
+                for a in node.names:
+                    mods.add(f"{node.module}.{a.name}")
+    return mods
+
+
+def _closure_files(seed_mods: set[str]) -> list[str]:
+    """Transitive closure of module files reachable from seed modules."""
+    seen_files: set[str] = set()
+    frontier = {f for m in seed_mods if (f := _module_file(m))}
+    while frontier:
+        f = frontier.pop()
+        if f in seen_files:
+            continue
+        seen_files.add(f)
+        for m in _imports_of_file(f):
+            nf = _module_file(m)
+            if nf and nf not in seen_files:
+                frontier.add(nf)
+    return sorted(seen_files)
+
+
+def fingerprints() -> dict[str, str]:
+    """name -> sha256 fingerprint for every registry query, computed
+    from the CURRENT tree."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    out: dict[str, str] = {}
+    for name, fn in qs.items():
+        h = hashlib.sha256()
+        src = inspect.getsource(fn)
+        h.update(src.encode())
+        h.update(oracles.get(name, "").encode())
+        mods = set(_MOD_RE.findall(src))
+        for path in _closure_files(mods):
+            with open(path, "rb") as f:
+                h.update(hashlib.sha256(f.read()).digest())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _load() -> dict:
+    if os.path.exists(STAMPS_PATH):
+        with open(STAMPS_PATH, encoding="utf-8") as f:
+            return json.load(f)
+    return {}
+
+
+def _save(stamps: dict) -> None:
+    with open(STAMPS_PATH, "w", encoding="utf-8") as f:
+        json.dump(stamps, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def cmd_check() -> int:
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    stamps = _load()
+    cur = fingerprints()
+    stale, fresh_missing = [], []
+    for n in names:
+        rec = stamps.get(n)
+        if rec is None:
+            fresh_missing.append(n)
+        elif rec.get("fingerprint") != cur[n]:
+            if rec.get("waived"):
+                print(f"WAIVED  {n} (stamp r{rec['round']}): {rec['waived']}")
+            else:
+                stale.append(n)
+    ok = True
+    for n in stale:
+        where = "IN window" if n in window else "NOT in window"
+        print(f"STALE   {n} (stamp r{stamps[n]['round']}) — {where}")
+        if n not in window:
+            ok = False
+    for n in fresh_missing:
+        where = "IN window" if n in window else "NOT in window"
+        print(f"NOSTAMP {n} — {where}")
+        if n not in window:
+            ok = False
+    if not stale and not fresh_missing:
+        print("all stamps current")
+    print(("window OK" if ok else "window VIOLATION: stale/new queries "
+           "outside the first %d entries" % WINDOW))
+    return 0 if ok else 1
+
+
+def cmd_stamp(round_no: int, names: list[str], use_window: bool) -> int:
+    import __spark_entry__ as entry
+
+    all_names = list(entry.queries())
+    if use_window:
+        names = all_names[:WINDOW]
+    unknown = [n for n in names if n not in all_names]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
+    stamps = _load()
+    cur = fingerprints()
+    for n in names:
+        stamps[n] = {"round": round_no, "fingerprint": cur[n]}
+    _save(stamps)
+    print(f"stamped {len(names)} queries at round {round_no}")
+    return 0
+
+
+def cmd_waive(name: str, reason: str) -> int:
+    stamps = _load()
+    if name not in stamps:
+        print(f"no stamp for {name}")
+        return 1
+    stamps[name]["waived"] = reason
+    _save(stamps)
+    print(f"waived {name}: {reason}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("check")
+    sp = sub.add_parser("stamp")
+    sp.add_argument("--round", type=int, required=True)
+    sp.add_argument("--window", action="store_true")
+    sp.add_argument("names", nargs="*")
+    wp = sub.add_parser("waive")
+    wp.add_argument("name")
+    wp.add_argument("reason")
+    args = ap.parse_args()
+    if args.cmd == "check":
+        return cmd_check()
+    if args.cmd == "stamp":
+        return cmd_stamp(args.round, args.names, args.window)
+    return cmd_waive(args.name, args.reason)
+
+
+if __name__ == "__main__":
+    main()

@@ -1468,6 +1468,14 @@ WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
 _NEARDUP_PLANES = 6
 _NEARDUP_TABLES = 4
 _EMB_DIM = 64
+#: multiprobe width of the STORED-index serving config (ann_index_probe
+#: + the lsh_served branch of the ann_recall audit).  Raised 1 -> 2 in
+#: r7 after the audit measured mean recall 0.70 with 3/10 queries under
+#: the 0.6 gate at 1 bit vs 0.98 with 10/10 passing at 2 bits, at no
+#: measurable wall cost (probe fan-out is query-side only: 7 -> 22
+#: buckets per (query, table); the stored index is untouched).  Trade
+#: table in PLANS.md r7.
+_SERVING_PROBE_BITS = 2
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -1590,7 +1598,7 @@ FROM scored WHERE rk <= {k}
 def _ann_index_probe_sql() -> str:
     from python_ctd_spark.operators.similarity import probe_masks as _pm
 
-    return _lsh_ann_sql(5, _pm(_NEARDUP_PLANES, 1))
+    return _lsh_ann_sql(5, _pm(_NEARDUP_PLANES, _SERVING_PROBE_BITS))
 
 
 def _q_ann_index_probe(spark, sf_dir):
@@ -1598,14 +1606,16 @@ def _q_ann_index_probe(spark, sf_dir):
     index is built ONCE as the storable ``(id, tbl, bkt)`` table
     (similarity.lsh_index — the ANN twin of dedup's minhash_signatures
     stored index) and queries are answered from it by similarity.
-    lsh_probe with 1-bit multiprobe: ONLY the query side is hashed; the
-    corpus-wide signature computation never reruns per query.  pytest
-    (tests/test_sinks.py) pins the stored path: the index written
-    bucketed by (tbl, bkt), read back, probed — identical results, probe
-    plan containing exactly one signature Generate (the query side) and
-    a bucketed index scan.  Here the index is derived in-plan (driver
-    queries are self-contained), which is the same plan with the scan
-    replaced by the one-time build."""
+    lsh_probe with _SERVING_PROBE_BITS-bit multiprobe (recall-gated by
+    the ann_recall audit; see the constant's comment and PLANS.md r7):
+    ONLY the query side is hashed; the corpus-wide signature computation
+    never reruns per query.  pytest (tests/test_sinks.py) pins the
+    stored path: the index written bucketed by (tbl, bkt), read back,
+    probed — identical results, probe plan containing exactly one
+    signature Generate (the query side) and a bucketed index scan.
+    Here the index is derived in-plan (driver queries are
+    self-contained), which is the same plan with the scan replaced by
+    the one-time build."""
     from python_ctd_spark.operators.similarity import lsh_index, lsh_probe
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1616,7 +1626,7 @@ def _q_ann_index_probe(spark, sf_dir):
     return lsh_probe(
         ix, emb, emb.filter(F.col("vec_id") < 10), k=5,
         n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES, dim=_EMB_DIM,
-        n_probe_bits=1,
+        n_probe_bits=_SERVING_PROBE_BITS,
     )
 
 
@@ -2121,17 +2131,53 @@ def _q_ivf_index_probe(spark, sf_dir):
 
 
 def _q_ann_recall(spark, sf_dir):
-    """Recall@5 audit of both ANN paths (IVF + LSH) against brute-force
-    cosine ground truth — the ANN twin of ``sketch_accuracy``: per
-    (method, query) hit counts, recall, and a verdict boolean, all
-    engine-reproducible because every side (exact, IVF, LSH) already has
-    a closed-form oracle; the report just composes them."""
-    from python_ctd_spark.operators.similarity import ann_recall_report
+    """Recall@5 audit of the ANN paths against brute-force cosine ground
+    truth — the ANN twin of ``sketch_accuracy``: per (method, query) hit
+    counts, recall, and a verdict boolean, all engine-reproducible
+    because every side already has a closed-form oracle; the report just
+    composes them.  Four audited methods: the one-shot IVF and LSH forms
+    AND both STORED-index serving paths (``lsh_served`` = the exact
+    ``ann_index_probe`` config — lsh_probe over a prebuilt lsh_index,
+    _SERVING_PROBE_BITS-bit multiprobe, the width this audit itself
+    gated; ``ivf_served`` = the ``ivf_index_probe`` config —
+    ivf_probe over a prebuilt ivf_index, n_probe=2), so the configs
+    actually deployed are the configs whose recall is measured (VERDICT
+    r6 item 5)."""
+    from python_ctd_spark.operators.similarity import (
+        ann_recall_report, ivf_index, ivf_probe, lsh_index, lsh_probe,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
+
+    def _lsh_served(corpus, queries, k, id_col, vec_col):
+        ix = lsh_index(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+            dim=_EMB_DIM, persist=True,
+        )
+        return lsh_probe(
+            ix, corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+            dim=_EMB_DIM, n_probe_bits=_SERVING_PROBE_BITS,
+        )
+
+    def _ivf_served(corpus, queries, k, id_col, vec_col):
+        assignments, cent = ivf_index(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_centroids=_IVF_CENTROIDS,
+        )
+        return ivf_probe(
+            assignments, cent, corpus, queries, k=k, n_probe=2,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     return ann_recall_report(
         emb, q, k=5, min_recall=0.6,
+        methods=(
+            "ivf", "lsh",
+            ("lsh_served", _lsh_served), ("ivf_served", _ivf_served),
+        ),
         ivf_kwargs=dict(n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE),
         # near-dup plane/table shape + 1-bit multiprobe: the bare-bucket
         # form recalls ~0.12 on general top-k (buckets are tuned for
@@ -2145,10 +2191,17 @@ def _q_ann_recall(spark, sf_dir):
 
 
 def _ann_recall_sql() -> str:
-    """Composes the three already-verified ANN oracles (exact, IVF, LSH)
-    into the recall report — the oracle is the same joins/aggregates the
-    Spark operator runs, over the same three sub-results."""
+    """Composes the already-verified ANN oracles (exact, IVF, LSH, and
+    both stored-index serving configs) into the recall report — the
+    oracle is the same joins/aggregates the Spark operator runs, over
+    the same sub-results.  ``lsh_served`` probes a stored index at the
+    serving multiprobe width (_SERVING_PROBE_BITS bits vs the one-shot
+    ``lsh`` branch's 1); ``ivf_served`` narrows to n_probe=2."""
     from python_ctd_spark.operators.similarity import probe_masks as _pm
+    methods_cte = " UNION ALL ".join(
+        f"SELECT '{m}' AS method"
+        for m in ("ivf", "lsh", "lsh_served", "ivf_served")
+    )
     return f"""
 WITH exact AS (
   SELECT qid, vec_id AS id FROM ({_EMBEDDING_TOPK_SQL}) x
@@ -2156,17 +2209,25 @@ WITH exact AS (
   SELECT qid, id FROM ({_ivf_ann_sql()}) x
 ), lsh AS (
   SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, 1))}) x
+), lshp AS (
+  SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, _SERVING_PROBE_BITS))}) x
+), ivfp AS (
+  SELECT qid, id FROM ({_ivf_ann_sql(5, n_probe=2)}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
   SELECT 'lsh' AS method, qid, id FROM lsh
+  UNION ALL
+  SELECT 'lsh_served' AS method, qid, id FROM lshp
+  UNION ALL
+  SELECT 'ivf_served' AS method, qid, id FROM ivfp
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
   GROUP BY a.method, a.qid
 ), base AS (
   SELECT m.method, e.qid, COUNT(*) AS n_exact
-  FROM exact e CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+  FROM exact e CROSS JOIN ({methods_cte}) m
   GROUP BY m.method, e.qid
 )
 SELECT b.method, b.qid, b.n_exact,
@@ -3768,21 +3829,30 @@ FROM clustered GROUP BY cluster_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is deliberate: the correctness harness records
     # exactly the first 50 entries per round.  The r7 window (VERDICT r6
-    # items 1+4) = the query new in r7 (ivf_index_probe), then the 11
-    # queries whose implementing files (similarity.py, dedup.py,
+    # items 1, 4, 5) = the query new in r7 (ivf_index_probe), the query
+    # whose BEHAVIOR changed in r7 (ann_index_probe: serving multiprobe
+    # width 1 -> 2 bits, recall-gated by the ann_recall audit), then the
+    # 11 queries whose implementing files (similarity.py, dedup.py,
     # multimodal.py, gif_numpy.py) were refactored in r6 AFTER their r5
-    # stamps, then the remaining 38 r5-stamped rows — exactly the 49-row
-    # r5 tail + 1 new = 50.  The 50 rows stamped green in r6 run last
-    # (sacrificial); r6 U r7 covers all 100 queries with no stamp older
-    # than r6.  tools/stamp_check.py verifies this ordering against
-    # STAMPS.json.  r7 code changes touching r6-stamped rows
-    # (multimodal_real_decode: feature-fold moved to a neutral module;
-    # ann_index_probe: docstring-only) are behavior-preserving and
-    # covered by the full 100-query local parity suite
-    # (tests/test_oracle_parity.py).
+    # stamps, then 37 of the remaining 38 r5-stamped rows.  That fills
+    # 50 exactly; the one r5-stamped row displaced to the tail is
+    # smooth_native — chosen because its fingerprint (STAMPS.json) is
+    # UNCHANGED since its r5 stamp, it is the native twin of `smooth`
+    # (same kernel, in-window), and the full local parity suite
+    # (tests/test_oracle_parity.py) re-verifies it on today's tree — a
+    # provably-valid old stamp, traded so that every behavior-changed
+    # query gets a fresh one.  The 50 rows stamped green in r6 run last
+    # (sacrificial); r6 U r7 covers all 101 queries.
+    # tools/stamp_check.py verifies this ordering against STAMPS.json.
+    # The r7 feature-fold move touching r6-stamped
+    # multimodal_real_decode (moved to a neutral module, identical
+    # fold) is behavior-preserving and waived there with the same
+    # parity-suite evidence.
     return {
         # -- r7 window: new in r7 --------------------------------------
         "ivf_index_probe": _q_ivf_index_probe,
+        # -- r7 window: behavior changed in r7 (serving probe width) ---
+        "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -3801,7 +3871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bindata_interpolate": _q_bindata_interp,
         "ctd_pipeline": _q_ctd_pipeline,
         "smooth": _q_smooth,
-        "smooth_native": _q_smooth_native,
         "lp_filter": _q_lp_filter,
         "split_cast": _q_split,
         "interpolate_index": _q_interpolate,
@@ -3834,10 +3903,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": _q_streaming_enrich,
         "chunk_documents": _q_chunk_documents,
         "q16_supplier_cnt": _q16_supplier_cnt,
+        # -- r5-stamped, fingerprint-unchanged, displaced by the r7
+        # -- serving-config change (see window comment) ----------------
+        "smooth_native": _q_smooth_native,
         # -- stamped green in r6 on this tree (sacrificial) ------------
         "q12_ship_delay": _q12_ship_delay,
         "multimodal_real_decode": _q_multimodal_real_decode,
-        "ann_index_probe": _q_ann_index_probe,
         "asof_join": _q_asof_join,
         "barrier_layer_thickness": _q_barrier_layer,
         "bottle_mean": _q_bottle_mean,

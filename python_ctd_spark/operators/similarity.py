@@ -781,6 +781,15 @@ def ann_recall_report(
     neighbors that appear in the exact top-k and ``recall_ok`` is the
     per-query verdict ``recall >= min_recall``.
 
+    ``methods`` entries are either the built-in strings (``"ivf"``,
+    ``"lsh"``) or ``(name, probe_fn)`` pairs where ``probe_fn(corpus,
+    queries, k, id_col, vec_col) -> DataFrame(qid, id, ...)`` — the
+    hook that puts STORED-index serving paths (a prebuilt
+    :func:`lsh_index` answered by :func:`lsh_probe`, a prebuilt
+    :func:`ivf_index` answered by :func:`ivf_probe`) under the same
+    audit as the one-shot forms, so the config actually deployed is the
+    config whose recall is measured.
+
     Scale shape: the exact side is the audit cost — O(|queries| x
     |corpus|) like :func:`cosine_topk` (broadcast queries, corpus never
     shuffles), so at fleet scale this runs over a *sampled* query set,
@@ -801,21 +810,27 @@ def ann_recall_report(
     exact_kv = exact.select("qid", "id")
     exact_ids = spark.createDataFrame(exact_kv.collect(), exact_kv.schema)
 
-    tagged = []
+    tagged, method_names = [], []
     for m in methods:
         if m == "ivf":
             approx = ivf_topk(
                 corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
                 **(ivf_kwargs or {}),
             )
+            name = m
         elif m == "lsh":
             approx = lsh_topk(
                 corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
                 **(lsh_kwargs or {}),
             )
+            name = m
+        elif isinstance(m, tuple) and len(m) == 2 and callable(m[1]):
+            name, probe_fn = m
+            approx = probe_fn(corpus, queries, k, id_col, vec_col)
         else:
             raise ValueError(f"unknown ANN method: {m!r}")
-        tagged.append(approx.select(F.lit(m).alias("method"), "qid", "id"))
+        method_names.append(name)
+        tagged.append(approx.select(F.lit(name).alias("method"), "qid", "id"))
     approxes = tagged[0]
     for t in tagged[1:]:
         approxes = approxes.unionByName(t)
@@ -826,7 +841,7 @@ def ann_recall_report(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     method_rows = approxes.sparkSession.createDataFrame(
-        [(m,) for m in methods], "method string"
+        [(m,) for m in method_names], "method string"
     )
     exact_counts = exact_ids.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_exact")

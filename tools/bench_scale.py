@@ -119,6 +119,111 @@ def measure_fleet(n: int) -> dict:
     return {"n_casts": n, **{k: round(v, 2) for k, v in eng.items()}}
 
 
+def stage_embeddings(mult: int, out_dir: str) -> str:
+    """mult-x the sf0.1 embeddings table: copy i remaps vec_id += i*N
+    and deterministically perturbs each vector (~1e-3 relative) so the
+    copies are near- but not exact duplicates — buckets stay realistic,
+    candidate sets don't collapse."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    n = tbl.num_rows
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(tbl["label"].to_pylist(), dtype=np.int32)
+    parts = []
+    for i in range(mult):
+        v = vecs if i == 0 else vecs * (
+            1.0 + 1e-3 * np.cos(i + np.arange(vecs.shape[1]))[None, :]
+        ).astype(np.float32)
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + i * n),
+                    "embedding": pa.array([list(map(float, r)) for r in v],
+                                          type=pa.list_(pa.float32())),
+                    "label": pa.array(labels),
+                }
+            )
+        )
+    path = os.path.join(out_dir, f"embeddings_x{mult}.parquet")
+    pq.write_table(pa.concat_tables(parts), path)
+    return path
+
+
+def measure_probe(mult: int, n_queries: int = 50) -> dict:
+    """Serving-path scale check (VERDICT r6 item 7): build + store the
+    LSH index ONCE (corpus-sized, one-time), then time lsh_probe for a
+    FIXED query set against the mult-x corpus.  Probe wall should track
+    the candidate count (occupancy of the probed buckets), never re-pay
+    corpus-size work — the plan never re-hashes the corpus (pinned in
+    tests/test_sinks.py)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.io import sinks
+    from python_ctd_spark.operators.similarity import (
+        lsh_index, lsh_probe, probe_masks, signature_table,
+    )
+    from python_ctd_spark.session import get_spark
+
+    n_planes, n_tables, dim, bits = 6, 4, 64, 2
+    spark = get_spark(app_name=f"bench_probe_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_emb_")
+    table = f"t_scale_ann_x{mult}"
+    try:
+        path = stage_embeddings(mult, tmp)
+        corpus = spark.read.parquet(path)
+        n_corpus = corpus.count()
+        t0 = time.perf_counter()
+        sinks.write_bucketed(
+            lsh_index(corpus, n_planes=n_planes, n_tables=n_tables, dim=dim),
+            table, buckets=8, by=["tbl", "bkt"], sort_by=["tbl", "bkt"],
+        )
+        build_s = time.perf_counter() - t0
+        ix = sinks.read_table(spark, table)
+        queries = corpus.filter(F.col("vec_id") < n_queries)
+
+        # candidate volume: rows fetched from the probed buckets (the
+        # quantity probe wall should scale with)
+        q = queries.select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").cast("array<double>").alias("qe"))
+        qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
+        probes = F.array(*[F.col("bkt").bitwiseXOR(F.lit(m))
+                           for m in probe_masks(n_planes, bits)])
+        qb = qb.select("qid", "tbl", F.explode(probes).alias("bkt"))
+        n_cand = (
+            ix.join(F.broadcast(qb), ["tbl", "bkt"])
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "id").distinct().count()
+        )
+
+        # steady-state probe wall (min of 3; first pass pays JIT)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = lsh_probe(
+                ix, corpus, queries, k=5, n_planes=n_planes,
+                n_tables=n_tables, dim=dim, n_probe_bits=bits,
+            )
+            n_res = res.count()
+            walls.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return {
+            "mult": mult,
+            "corpus_rows": n_corpus,
+            "index_build_s": round(build_s, 2),
+            "n_candidates": n_cand,
+            "probe_wall_s": round(min(walls), 2),
+            "result_rows": n_res,
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -128,4 +233,7 @@ if __name__ == "__main__":
     if what in ("fleet", "both"):
         results["fleet_64"] = measure_fleet(64)
         results["fleet_640"] = measure_fleet(640)
+    if what == "probe":
+        for m in (1, 10, 100):
+            results[f"probe_x{m}"] = measure_probe(m)
     print(json.dumps(results, indent=1))

@@ -1203,3 +1203,40 @@ def test_ann_recall_report_keeps_empty_exact_queries(spark):
     assert rep.loc[7, "n_exact"] == 0
     assert pd.isna(rep.loc[7, "recall"])
     assert rep.loc[8, "n_exact"] == 1
+
+
+def test_ann_recall_report_custom_probe_method(spark):
+    """(name, probe_fn) method entries put stored-index serving paths
+    under the audit (VERDICT r6 item 5): a probe_fn over a prebuilt
+    lsh_index must produce a tagged branch whose recall matches running
+    the equivalent one-shot form, and unknown method shapes must raise."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": [list(v) for v in vecs]})
+    )
+    queries = corpus.filter("vec_id < 3")
+    kw = dict(n_planes=4, n_tables=2, dim=8)
+
+    def served(c, q, k, id_col, vec_col):
+        ix = similarity.lsh_index(c, id_col=id_col, vec_col=vec_col, **kw)
+        return similarity.lsh_probe(
+            ix, c, q, k=k, id_col=id_col, vec_col=vec_col,
+            n_probe_bits=1, **kw,
+        )
+
+    rep = similarity.ann_recall_report(
+        corpus, queries, k=3,
+        methods=(("lsh", ("lsh", lambda c, q, k, i, v: similarity.lsh_topk(
+            c, q, k=k, id_col=i, vec_col=v, n_probe_bits=1, **kw)))[1],
+            ("served", served)),
+    ).toPandas()
+    assert set(rep["method"]) == {"lsh", "served"}
+    piv = rep.pivot(index="qid", columns="method", values="recall")
+    # stored-probe serving path == one-shot form, per query
+    assert (piv["lsh"] == piv["served"]).all()
+
+    with pytest.raises(ValueError, match="unknown ANN method"):
+        similarity.ann_recall_report(corpus, queries, k=3, methods=("bogus",))

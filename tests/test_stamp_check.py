@@ -1,0 +1,97 @@
+"""Stamp-hygiene tool contract (tools/stamp_check.py): fingerprints
+must cover the registry, move when implementing code moves, and the
+window check must flag stale/new queries outside the first 50."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def sc():
+    spec = importlib.util.spec_from_file_location(
+        "stamp_check", os.path.join(REPO, "tools", "stamp_check.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def fps(sc):
+    return sc.fingerprints()
+
+
+def test_fingerprints_cover_registry(sc, fps):
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert set(fps) == set(names)
+    # sha256 hex, all distinct would be too strong (twins share modules
+    # but never their callable source) — they must at least be valid
+    # and non-identical across a sample of unrelated queries
+    assert all(len(v) == 64 for v in fps.values())
+    assert fps["despike"] != fps["q1_pricing_summary"]
+
+
+def test_fingerprint_moves_with_oracle_sql(sc, monkeypatch):
+    """Fingerprint includes the oracle SQL: perturbing it must change
+    the hash (so oracle edits can never hide behind an old stamp)."""
+    import __spark_entry__ as entry
+
+    base = sc.fingerprints()["q1_pricing_summary"]
+    orig = entry.oracle_sql
+
+    def patched():
+        d = dict(orig())
+        d["q1_pricing_summary"] = d["q1_pricing_summary"] + " -- perturbed"
+        return d
+
+    monkeypatch.setattr(entry, "oracle_sql", patched)
+    assert sc.fingerprints()["q1_pricing_summary"] != base
+
+
+def test_module_closure_reaches_operator_files(sc):
+    """A query importing an operator module must fingerprint that file
+    (and its transitive package imports), so refactors there go stale."""
+    files = sc._closure_files({"python_ctd_spark.operators.similarity"})
+    names = {os.path.basename(f) for f in files}
+    assert "similarity.py" in names
+    # similarity imports sampling (hash_uniform) transitively
+    assert "sampling.py" in names
+
+
+def test_check_flags_stale_outside_window(sc, fps, monkeypatch, tmp_path, capsys):
+    """A query whose fingerprint moved after its stamp and which is NOT
+    in the first-50 window must fail the check; a waiver downgrades it
+    to informational."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    tail_q = names[-1]  # guaranteed outside the window
+    stamps = {n: {"round": 7, "fingerprint": fps[n]} for n in names}
+    stamps[tail_q] = {"round": 6, "fingerprint": "0" * 64}
+    p = tmp_path / "STAMPS.json"
+    p.write_text(json.dumps(stamps))
+    monkeypatch.setattr(sc, "STAMPS_PATH", str(p))
+    assert sc.cmd_check() == 1
+    out = capsys.readouterr().out
+    assert f"STALE   {tail_q}" in out and "VIOLATION" in out
+
+    stamps[tail_q]["waived"] = "behavior-preserving, parity-verified"
+    p.write_text(json.dumps(stamps))
+    assert sc.cmd_check() == 0
+    assert "WAIVED" in capsys.readouterr().out
+
+
+def test_repo_stamps_window_is_clean(sc):
+    """The committed STAMPS.json must satisfy the window invariant on
+    the current tree — this is the executable form of the registry's
+    ordering comment."""
+    assert sc.cmd_check() == 0

@@ -2150,42 +2150,51 @@ def _q_ann_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
 
-    def _lsh_served(corpus, queries, k, id_col, vec_col):
-        ix = lsh_index(
-            corpus, id_col=id_col, vec_col=vec_col,
-            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
-            dim=_EMB_DIM, persist=True,
-        )
-        return lsh_probe(
-            ix, corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
-            dim=_EMB_DIM, n_probe_bits=_SERVING_PROBE_BITS,
-        )
+    # Corpus-sized work is built ONCE and shared across the audit's
+    # method branches, exactly as a real serving stack would: one LSH
+    # signature index (persisted) probed at both multiprobe widths, one
+    # IVF assignment table (persisted — the corpus argmax is the
+    # expensive fold) probed at both n_probe widths.  ivf_probe(n=3)
+    # over the index is mathematically ivf_topk(n_probe=3), and
+    # lsh_probe(bits) over the index is lsh_topk(n_probe_bits=bits) —
+    # one-shot == stored-path equality is separately plan-pinned in
+    # tests/test_sinks.py — so the oracle per branch is unchanged while
+    # the corpus-wide stages run once instead of twice per family.
+    lsh_ix = lsh_index(
+        emb, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+        dim=_EMB_DIM, persist=True,
+    )
+    assignments, cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    assignments = assignments.persist()
 
-    def _ivf_served(corpus, queries, k, id_col, vec_col):
-        assignments, cent = ivf_index(
-            corpus, id_col=id_col, vec_col=vec_col,
-            n_centroids=_IVF_CENTROIDS,
-        )
-        return ivf_probe(
-            assignments, cent, corpus, queries, k=k, n_probe=2,
-            id_col=id_col, vec_col=vec_col,
-        )
+    def _lsh(bits):
+        def fn(corpus, queries, k, id_col, vec_col):
+            return lsh_probe(
+                lsh_ix, corpus, queries, k=k, id_col=id_col,
+                vec_col=vec_col, n_planes=_NEARDUP_PLANES,
+                n_tables=_NEARDUP_TABLES, dim=_EMB_DIM, n_probe_bits=bits,
+            )
+        return fn
+
+    def _ivf(n_probe):
+        def fn(corpus, queries, k, id_col, vec_col):
+            return ivf_probe(
+                assignments, cent, corpus, queries, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        return fn
 
     return ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         methods=(
-            "ivf", "lsh",
-            ("lsh_served", _lsh_served), ("ivf_served", _ivf_served),
-        ),
-        ivf_kwargs=dict(n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE),
-        # near-dup plane/table shape + 1-bit multiprobe: the bare-bucket
-        # form recalls ~0.12 on general top-k (buckets are tuned for
-        # cos>=0.95 collisions); probing Hamming-1 buckets lifts it
-        # without touching the corpus index
-        lsh_kwargs=dict(
-            n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES, dim=_EMB_DIM,
-            n_probe_bits=1,
+            ("ivf", _ivf(_IVF_PROBE)),
+            # 1-bit multiprobe: the bare-bucket form recalls ~0.12 on
+            # general top-k (buckets are tuned for cos>=0.95
+            # collisions); probing Hamming-1 buckets lifts it without
+            # touching the corpus index
+            ("lsh", _lsh(1)),
+            ("lsh_served", _lsh(_SERVING_PROBE_BITS)),
+            ("ivf_served", _ivf(2)),
         ),
     )
 

@@ -1,0 +1,65 @@
+"""One-command round-over-round bench diff (VERDICT r6 item 8).
+
+Compares the current full per-query map (BENCH_out.json) against a
+previous round's record: either another BENCH_out.json-style file or a
+driver BENCH_r0N.json artifact (whose ``parsed`` may be null — the
+truncated ``tail`` capture is then regex-mined for whatever per-query
+pairs survived the clipping).
+
+Usage:
+    python tools/bench_diff.py BENCH_r06.json [--min-ratio 1.3]
+    python tools/bench_diff.py path/to/old_BENCH_out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    if isinstance(d.get("queries"), dict):
+        return {k: float(v) for k, v in d["queries"].items()}
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return {k: float(v) for k, v in parsed["queries"].items()}
+    tail = d.get("tail", "")
+    pairs = re.findall(r'"([a-z0-9_]+)":([0-9.]+)', tail)
+    out = {k: float(v) for k, v in pairs if k not in ("value", "sf", "n_queries")}
+    if not out:
+        raise SystemExit(f"no per-query map recoverable from {path}")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", help="previous round record (BENCH_rN.json or full map)")
+    ap.add_argument("--new", default=os.path.join(REPO, "BENCH_out.json"))
+    ap.add_argument("--min-ratio", type=float, default=1.3,
+                    help="report queries with new/old outside [1/r, r]")
+    args = ap.parse_args()
+    old = load_queries(args.old if os.path.exists(args.old)
+                       else os.path.join(REPO, args.old))
+    new = load_queries(args.new)
+    common = sorted(set(old) & set(new))
+    print(f"comparable: {len(common)}  new-only: {sorted(set(new) - set(old))}"
+          f"  old-only: {sorted(set(old) - set(new))}")
+    print(f"sum over comparable: old={sum(old[n] for n in common):.1f}s"
+          f" new={sum(new[n] for n in common):.1f}s")
+    moved = [(n, new[n], old[n], new[n] / old[n]) for n in common
+             if new[n] / old[n] >= args.min_ratio
+             or new[n] / old[n] <= 1 / args.min_ratio]
+    for n, nv, ov, r in sorted(moved, key=lambda t: -t[3]):
+        print(f"{n:30s} old={ov:6.2f} new={nv:6.2f} ratio={r:.2f}")
+    if not moved:
+        print(f"no query moved beyond {args.min_ratio}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -604,6 +604,38 @@ def ivf_index(
     return _assign_cells(c, cids, cvecs).select("id", "cell"), cent
 
 
+def ivf_append(
+    shard: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign a NEW corpus shard against the STORED centroid table —
+    the IVF twin of dedup's rolling-ingest path
+    (:func:`..dedup.incremental_dedup`): ``(id, cell)`` rows to insert
+    into the stored assignments table, with the quantizer held FIXED.
+
+    This is the operation a rolling 100 TB ingest actually runs per
+    arriving shard.  Calling :func:`ivf_index` on the shard instead
+    would silently re-derive centroids *from the shard* — a different
+    quantizer per shard, which corrupts the index (probes against one
+    basis, assignments from another).  Here the centroids come from the
+    stored ``cent`` table (collected once — bounded driver state, as at
+    build time) and the shard runs the same map-side argmax as the
+    original build (:func:`_assign_cells`; shard never shuffles).
+    Retrain on drift (rebuild via ``ivf_index(centroids="kmeans")``),
+    not per shard — the standard IVF lifecycle."""
+    c = shard.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cent_rows = sorted(
+        cent.select("cid", "ce").collect(), key=lambda r: r["cid"]
+    )
+    if not cent_rows:
+        raise ValueError("empty centroid table — build ivf_index first")
+    cids = [int(r["cid"]) for r in cent_rows]
+    cvecs = [[float(x) for x in r["ce"]] for r in cent_rows]
+    return _assign_cells(c, cids, cvecs).select("id", "cell")
+
+
 def ivf_probe(
     assignments: DataFrame,
     cent: DataFrame,

@@ -184,3 +184,77 @@ def test_ivf_probe_against_bucketed_index(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_assign")
         spark.sql("DROP TABLE IF EXISTS t_ivf_cent")
+
+
+def test_ivf_append_shard_against_stored_centroids(spark):
+    """Rolling-ingest IVF lifecycle: a new shard is assigned against the
+    STORED centroid table (quantizer fixed), inserted into the stored
+    assignments, and probes over the grown index equal a from-scratch
+    build over the full corpus.  Also pins the failure the API exists to
+    prevent: re-indexing the shard standalone derives a different
+    quantizer (seed centroids from the shard), i.e. assignments that
+    disagree with the stored basis."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.similarity import (
+        ivf_append, ivf_index, ivf_probe, ivf_topk,
+    )
+
+    rng = __import__("numpy").random.default_rng(13)
+    vecs = rng.normal(size=(50, 8)).round(3)
+    full = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [list(v) for v in vecs]})
+    )
+    base = full.filter("vec_id < 30")    # holds the seed-centroid ids
+    shard = full.filter("vec_id >= 30")
+    queries = full.filter("vec_id >= 47")
+    try:
+        assignments, cent = ivf_index(base, n_centroids=5)
+        sinks.write_bucketed(
+            assignments, "t_ivf_grow", buckets=4, by="cell", sort_by="cell"
+        )
+        cent.write.mode("overwrite").saveAsTable("t_ivf_grow_cent")
+        stored_cent = sinks.read_table(spark, "t_ivf_grow_cent")
+
+        # append = assign against STORED centroids, insert
+        ivf_append(shard, stored_cent).write.insertInto("t_ivf_grow")
+
+        grown = sinks.read_table(spark, "t_ivf_grow")
+        # grown assignments == from-scratch build over the full corpus
+        # (same seed ids live in base, so the quantizer is identical)
+        fresh, _ = ivf_index(full, n_centroids=5)
+        assert {(r["id"], r["cell"]) for r in grown.collect()} == {
+            (r["id"], r["cell"]) for r in fresh.collect()
+        }
+        # probe over the grown index == one-shot over the full corpus
+        got = {
+            (r["qid"], r["id"], r["rk"])
+            for r in ivf_probe(
+                grown, stored_cent, full, queries, k=4, n_probe=2
+            ).collect()
+        }
+        expected = {
+            (r["qid"], r["id"], r["rk"])
+            for r in ivf_topk(full, queries, k=4, n_centroids=5, n_probe=2).collect()
+        }
+        assert got == expected and len(got) > 0
+        # shard members are reachable as results (the index really grew)
+        assert any(i >= 30 for _, i, _ in got)
+
+        # the anti-pattern: indexing the shard standalone re-derives the
+        # quantizer from the shard -> disagreeing assignments
+        wrong, _ = ivf_index(shard, n_centroids=5)
+        wrong_cells = {(r["id"], r["cell"]) for r in wrong.collect()}
+        right_cells = {
+            (r["id"], r["cell"])
+            for r in ivf_append(shard, stored_cent).collect()
+        }
+        assert wrong_cells != right_cells
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty centroid table"):
+            ivf_append(shard, stored_cent.filter("cid < 0"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_grow")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_grow_cent")

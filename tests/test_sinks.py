@@ -258,3 +258,48 @@ def test_ivf_append_shard_against_stored_centroids(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_grow")
         spark.sql("DROP TABLE IF EXISTS t_ivf_grow_cent")
+
+
+def test_lsh_index_append_is_stateless_union(spark):
+    """The LSH append contract lsh_index's docstring promises: the
+    hyperplane basis is a pure function of (n_planes, n_tables, dim),
+    so indexing shards independently and unioning the rows IS the index
+    of the union — appends are plain inserts, no basis state, and a
+    probe over the shard-built index equals one over the whole-corpus
+    build."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.similarity import lsh_index, lsh_probe
+
+    rng = __import__("numpy").random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    full = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(v) for v in vecs]})
+    )
+    kw = dict(n_planes=4, n_tables=2, dim=8)
+    whole = {
+        (r["id"], r["tbl"], r["bkt"])
+        for r in lsh_index(full, **kw).collect()
+    }
+    sharded = {
+        (r["id"], r["tbl"], r["bkt"])
+        for lo, hi in ((0, 15), (15, 40))
+        for r in lsh_index(
+            full.filter(f"vec_id >= {lo} AND vec_id < {hi}"), **kw
+        ).collect()
+    }
+    assert sharded == whole and len(whole) == 40 * 2
+
+    queries = full.filter("vec_id < 3")
+    ix_union = lsh_index(full.filter("vec_id < 15"), **kw).unionByName(
+        lsh_index(full.filter("vec_id >= 15"), **kw)
+    )
+    got = {
+        (r["qid"], r["id"], r["rk"])
+        for r in lsh_probe(ix_union, full, queries, k=3, **kw).collect()
+    }
+    expected = {
+        (r["qid"], r["id"], r["rk"])
+        for r in lsh_probe(lsh_index(full, **kw), full, queries, k=3, **kw).collect()
+    }
+    assert got == expected and len(got) > 0

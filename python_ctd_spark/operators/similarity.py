@@ -189,10 +189,10 @@ def signature_table(
             f"(CAST(__s_{t}_{p} >= 0.0 AS INT) * {1 << p})" for p in range(n_planes)
         )
         buckets.append(f"named_struct('tbl', {t}, 'bkt', {bkt})")
-    keep_sql = ", ".join(f"`{c}`" for c in keep)
+    keep_exprs = [f"`{c}`" for c in keep]
     out = flat.selectExpr(
-        keep_sql, f"explode(array({', '.join(buckets)})) AS __b"
-    ).selectExpr(keep_sql, "__b.tbl AS tbl", "__b.bkt AS bkt")
+        *keep_exprs, f"explode(array({', '.join(buckets)})) AS __b"
+    ).selectExpr(*keep_exprs, "__b.tbl AS tbl", "__b.bkt AS bkt")
     return out.persist() if persist else out
 
 

@@ -557,3 +557,107 @@ def dedup_stream(
     return sdf.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def streaming_ann_probe(
+    q_stream: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+    n_probe_bits: int = 2,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Real-time ANN serving: a STREAM of query vectors probes a STORED
+    LSH index and emits per-query top-k — the streaming completion of
+    the lsh_index/lsh_probe serving story (queries arrive forever; the
+    corpus index was written once).
+
+    Plan, all stream-static and stateless until the final aggregate:
+    the query stream is hashed with the same deterministic hyperplane
+    basis as the index (signature_table — pure projections, so it runs
+    on a streaming frame), multiprobe-fanned query-side only, equi-
+    joined to the static ``index`` on (tbl, bkt), candidates' vectors
+    fetched from static ``corpus`` by id, decimal-exact cosine per
+    candidate.  The only stateful stage is the watermarked tumbling-
+    window aggregate that assembles each query's top-k: dedup +
+    ordering ride ONE ``collect_set`` of (neg_cos, id, cos) structs
+    (array_sort on natural struct order = cos desc, id asc — the batch
+    tie-break), sliced to k, then exploded to ranked rows.  State per
+    key is O(candidates of one query), evicted at the watermark.
+
+    Exactness: every candidate is scored with the decimal-exact cosine,
+    so on a closed archive the drain equals batch ``lsh_probe`` with
+    the same (n_planes, n_tables, dim, n_probe_bits) exactly — the
+    epsilon-band prefilter the batch two-phase uses keeps, by
+    construction, every vector the exact ranking can place in the
+    top-k (streaming == batch twin law; pinned in
+    tests/test_streaming.py)."""
+    from python_ctd_spark.operators.similarity import (
+        _as_double, _dot_exact, _norm_exact, probe_masks, signature_table,
+    )
+
+    q = q_stream.select(
+        F.col(id_col).alias("qid"),
+        _as_double(vec_col).alias("qe"),
+        # NTZ-tolerant, as _with_event_time: watermarks require TIMESTAMP
+        F.col("event_time").cast("timestamp").alias("event_time"),
+    ).withWatermark("event_time", watermark)
+    qb = signature_table(
+        q, ["qid", "qe", "event_time"], "qe", n_planes, n_tables, dim,
+        persist=False,  # streaming frames cannot (and need not) persist
+    )
+    if n_probe_bits > 0:
+        probes = F.array(
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(m))
+                for m in probe_masks(n_planes, n_probe_bits)
+            ]
+        )
+        qb = qb.select(
+            "qid", "qe", "event_time", "tbl", F.explode(probes).alias("bkt")
+        )
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cand = (
+        qb.join(index, ["tbl", "bkt"])
+        .filter(F.col("id") != F.col("qid"))
+        .join(c, "id")
+    )
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    scored = cand.select(
+        "qid", "event_time", "id", F.round(cos, 6).alias("cos")
+    )
+    agg = scored.groupBy(F.window("event_time", window), "qid").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        (-F.col("cos")).alias("neg"),
+                        F.col("id").alias("id"),
+                        F.col("cos").alias("cos"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("topk")
+    )
+    hit = F.col("hit")
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        "qid",
+        F.posexplode("topk").alias("pos", "hit"),
+    ).select(
+        "window_start",
+        "qid",
+        hit["id"].alias("id"),
+        hit["cos"].alias("cos"),
+        (F.col("pos") + 1).cast("int").alias("rk"),
+    )

@@ -501,3 +501,84 @@ def test_despike_closeout_prunes_partitioned_archive(spark, tmp_path, batch_even
         want.sort_values(key).reset_index(drop=True),
     )
     assert len(got) > 0
+
+
+def test_streaming_ann_probe_equals_batch_lsh_probe(spark, tmp_path):
+    """Streaming ANN serving twin law: a closed archive of query vectors
+    drained through streaming_ann_probe (stream-static probes of a
+    stored-shape LSH index, windowed top-k) equals batch lsh_probe with
+    the same (planes, tables, dim, probe-bits) on the same query set —
+    including cos values and ranks."""
+    from python_ctd_spark.operators.similarity import lsh_index, lsh_probe
+    from python_ctd_spark.streaming import (
+        run_to_memory, state_partitions, streaming_ann_probe,
+    )
+
+    kw = dict(n_planes=4, n_tables=2, dim=8, n_probe_bits=1)
+    rng = __import__("numpy").random.default_rng(21)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(v) for v in vecs]})
+    )
+    ix = lsh_index(corpus, n_planes=4, n_tables=2, dim=8)
+
+    # query archive: 3 time-ordered files -> 3 micro-batches, plus a
+    # far-future sentinel file that advances the watermark past every
+    # real window (append mode emits a window only once the watermark
+    # passes its end)
+    n_q = 9
+    qpdf = pd.DataFrame(
+        {
+            "vec_id": range(n_q),
+            "embedding": [list(v) for v in vecs[:n_q]],
+            "event_time": pd.to_datetime(
+                [f"2024-01-0{1 + i % 3} 0{i % 9}:00:00" for i in range(n_q)]
+            ),
+        }
+    )
+    sentinel = pd.DataFrame(
+        {
+            "vec_id": [999],
+            "embedding": [list(vecs[0])],
+            "event_time": [pd.Timestamp("2024-03-01 00:00:00")],
+        }
+    )
+    src = str(tmp_path / "queries")
+    import os
+    import time
+
+    os.makedirs(src)
+    t0 = time.time() - 100
+    for i, part in enumerate((qpdf.iloc[:3], qpdf.iloc[3:], qpdf.iloc[6:9], sentinel)):
+        p = f"{src}/part-{i}.parquet"
+        # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects without the nanosAsLong legacy conf — write us
+        part.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    q_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with state_partitions(spark, 4):
+        got_df = run_to_memory(
+            streaming_ann_probe(
+                q_stream, ix, corpus, k=3, window="1 day",
+                watermark="1 hour", **kw,
+            ),
+            "ann_probe_stream",
+        )
+    got = {
+        (r["qid"], r["id"], r["rk"], r["cos"])
+        for r in got_df.collect()
+        if r["qid"] != 999
+    }
+
+    queries = corpus.filter(f"vec_id < {n_q}")
+    expected = {
+        (r["qid"], r["id"], r["rk"], r["cos"])
+        for r in lsh_probe(ix, corpus, queries, k=3, **kw).collect()
+    }
+    assert got == expected and len(got) > 0

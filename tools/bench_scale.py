@@ -224,6 +224,59 @@ def measure_probe(mult: int, n_queries: int = 50) -> dict:
         spark.stop()
 
 
+def measure_ivf_probe(mult: int, n_queries: int = 50) -> dict:
+    """IVF twin of measure_probe: assignments + centroids stored once,
+    then ivf_probe for a fixed query set.  Per-query work = scoring
+    against the tiny broadcast centroid table + fetching the probed
+    cells' candidates; the corpus argmax never reruns."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.io import sinks
+    from python_ctd_spark.operators.similarity import ivf_index, ivf_probe
+    from python_ctd_spark.session import get_spark
+
+    n_centroids, n_probe = 16, 2
+    spark = get_spark(app_name=f"bench_ivf_probe_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_emb_")
+    t_assign, t_cent = f"t_scale_ivf_x{mult}", f"t_scale_ivf_cent_x{mult}"
+    try:
+        path = stage_embeddings(mult, tmp)
+        corpus = spark.read.parquet(path)
+        n_corpus = corpus.count()
+        t0 = time.perf_counter()
+        assignments, cent = ivf_index(corpus, n_centroids=n_centroids)
+        sinks.write_bucketed(
+            assignments, t_assign, buckets=8, by="cell", sort_by="cell"
+        )
+        cent.write.mode("overwrite").saveAsTable(t_cent)
+        build_s = time.perf_counter() - t0
+        ix = sinks.read_table(spark, t_assign)
+        stored_cent = sinks.read_table(spark, t_cent)
+        queries = corpus.filter(F.col("vec_id") < n_queries)
+        # candidates = occupancy of the probed cells
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = ivf_probe(
+                ix, stored_cent, corpus, queries, k=5, n_probe=n_probe
+            )
+            n_res = res.count()
+            walls.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return {
+            "mult": mult,
+            "corpus_rows": n_corpus,
+            "index_build_s": round(build_s, 2),
+            "probe_wall_s": round(min(walls), 2),
+            "result_rows": n_res,
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_assign}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cent}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -236,4 +289,7 @@ if __name__ == "__main__":
     if what == "probe":
         for m in (1, 10, 100):
             results[f"probe_x{m}"] = measure_probe(m)
+    if what == "probe-ivf":
+        for m in (1, 10, 100):
+            results[f"ivf_probe_x{m}"] = measure_ivf_probe(m)
     print(json.dumps(results, indent=1))

@@ -156,8 +156,13 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
+    # Spark is already stopped, so no cleanup is owed to atexit; print
+    # the line LAST and hard-exit so py4j/JVM teardown handlers cannot
+    # emit anything after the only copy of the JSON (the tail capture
+    # must end with it).
     print(compact_line, flush=True)
-    sys.exit(0)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

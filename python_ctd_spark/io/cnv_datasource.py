@@ -67,7 +67,11 @@ class CnvDataSourceReader(DataSourceReader):
         self._lister_ref = options.get("lister")
         # http(s) fetch timeout (seconds) so a hung endpoint fails the
         # task instead of stalling the executor; blobfs default if unset
-        self._http_timeout = float(options.get("http_timeout", 30.0))
+        from python_ctd_spark.io.blobfs import DEFAULT_HTTP_TIMEOUT
+
+        self._http_timeout = float(
+            options.get("http_timeout", DEFAULT_HTTP_TIMEOUT)
+        )
 
     #: a file qualifies only by suffix — bare ``.cnv`` or ``.cnv`` plus a
     #: compression codec extension (``foo.cnv.bak`` does not qualify)

@@ -631,9 +631,10 @@ def streaming_ann_probe(
     cos = _dot_exact(F.col("qe"), F.col("e")) / (
         _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
     )
-    scored = cand.select(
-        "qid", "event_time", "id", F.round(cos, 6).alias("cos")
-    )
+    # rank on the UNROUNDED cosine (the batch side rounds only on
+    # output — rounding before the sort would turn near-ties at the
+    # 6th decimal into real ties and flip ids at the k boundary)
+    scored = cand.select("qid", "event_time", "id", cos.alias("cos"))
     agg = scored.groupBy(F.window("event_time", window), "qid").agg(
         F.slice(
             F.array_sort(
@@ -658,6 +659,6 @@ def streaming_ann_probe(
         "window_start",
         "qid",
         hit["id"].alias("id"),
-        hit["cos"].alias("cos"),
+        F.round(hit["cos"], 6).alias("cos"),
         (F.col("pos") + 1).cast("int").alias("rk"),
     )

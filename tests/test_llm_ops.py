@@ -1227,11 +1227,14 @@ def test_ann_recall_report_custom_probe_method(spark):
             n_probe_bits=1, **kw,
         )
 
+    def one_shot(c, q, k, i, v):
+        return similarity.lsh_topk(
+            c, q, k=k, id_col=i, vec_col=v, n_probe_bits=1, **kw
+        )
+
     rep = similarity.ann_recall_report(
         corpus, queries, k=3,
-        methods=(("lsh", ("lsh", lambda c, q, k, i, v: similarity.lsh_topk(
-            c, q, k=k, id_col=i, vec_col=v, n_probe_bits=1, **kw)))[1],
-            ("served", served)),
+        methods=(("lsh", one_shot), ("served", served)),
     ).toPandas()
     assert set(rep["method"]) == {"lsh", "served"}
     piv = rep.pivot(index="qid", columns="method", values="recall")

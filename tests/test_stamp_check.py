@@ -84,10 +84,23 @@ def test_check_flags_stale_outside_window(sc, fps, monkeypatch, tmp_path, capsys
     out = capsys.readouterr().out
     assert f"STALE   {tail_q}" in out and "VIOLATION" in out
 
+    # a waiver without the pinned fingerprint does NOT excuse the drift
     stamps[tail_q]["waived"] = "behavior-preserving, parity-verified"
+    p.write_text(json.dumps(stamps))
+    assert sc.cmd_check() == 1
+    assert "STALE" in capsys.readouterr().out
+
+    # pinned to the CURRENT fingerprint -> informational
+    stamps[tail_q]["waived_fingerprint"] = fps[tail_q]
     p.write_text(json.dumps(stamps))
     assert sc.cmd_check() == 0
     assert "WAIVED" in capsys.readouterr().out
+
+    # further drift after the waiver re-flags it
+    stamps[tail_q]["waived_fingerprint"] = "f" * 64
+    p.write_text(json.dumps(stamps))
+    assert sc.cmd_check() == 1
+    assert "STALE" in capsys.readouterr().out
 
 
 def test_repo_stamps_window_is_clean(sc):
@@ -95,3 +108,19 @@ def test_repo_stamps_window_is_clean(sc):
     the current tree — this is the executable form of the registry's
     ordering comment."""
     assert sc.cmd_check() == 0
+
+
+def test_entry_helper_closure_reaches_shared_helpers(sc):
+    """Fingerprints must cover __spark_entry__ module-level helpers a
+    query references (shared loaders, SQL builders, config constants) —
+    editing `_t` or `_NEARDUP_PLANES` changes query behavior and must
+    move the hash."""
+    import __spark_entry__ as entry
+
+    closure = sc._entry_closure("return _t(spark, sf_dir, 'events')", entry)
+    assert "def _t(" in closure
+    closure = sc._entry_closure("x = _NEARDUP_PLANES", entry)
+    assert "_NEARDUP_PLANES=6" in closure
+    # transitive: a helper that itself calls another helper pulls both
+    closure = sc._entry_closure("_ann_index_probe_sql()", entry)
+    assert "def _lsh_ann_sql(" in closure

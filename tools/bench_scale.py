@@ -253,7 +253,23 @@ def measure_ivf_probe(mult: int, n_queries: int = 50) -> dict:
         ix = sinks.read_table(spark, t_assign)
         stored_cent = sinks.read_table(spark, t_cent)
         queries = corpus.filter(F.col("vec_id") < n_queries)
-        # candidates = occupancy of the probed cells
+        # candidate volume = occupancy of the probed cells (what the
+        # probe wall should scale with, NOT corpus size)
+        from python_ctd_spark.operators.similarity import (
+            _as_double, _nearest_cells,
+        )
+
+        q = queries.select(
+            F.col("vec_id").alias("qid"), _as_double("embedding").alias("qe")
+        )
+        probes = _nearest_cells(
+            q, "qid", "qe", n_probe, stored_cent
+        ).select("qid", "cell")
+        n_cand = (
+            ix.join(F.broadcast(probes), "cell")
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "id").distinct().count()
+        )
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -267,6 +283,7 @@ def measure_ivf_probe(mult: int, n_queries: int = 50) -> dict:
             "mult": mult,
             "corpus_rows": n_corpus,
             "index_build_s": round(build_s, 2),
+            "n_candidates": n_cand,
             "probe_wall_s": round(min(walls), 2),
             "result_rows": n_res,
         }

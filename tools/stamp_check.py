@@ -119,9 +119,57 @@ def _closure_files(seed_mods: set[str]) -> list[str]:
     return sorted(seen_files)
 
 
+_IDENT_RE = re.compile(r"\b_[A-Za-z0-9_]+\b")
+
+
+def _entry_closure(src: str, entry, _seen: set[str] | None = None) -> str:
+    """Concatenated sources/reprs of the __spark_entry__ module-level
+    helpers a query's source references (``_t``, ``_ev``, SQL-builder
+    functions, ``_NEARDUP_PLANES``-style constants), transitively.
+
+    Without this, editing a shared driver helper changes every query's
+    behavior while no fingerprint moves — exactly the stale-green drift
+    this tool exists to catch.  Hashing all of __spark_entry__.py
+    instead would be too blunt: every registry rotation would stale
+    every stamp."""
+    seen = _seen if _seen is not None else set()
+    parts: list[str] = []
+    for name in sorted(set(_IDENT_RE.findall(src))):
+        if name in seen:
+            continue
+        seen.add(name)
+        obj = getattr(entry, name, None)
+        if obj is None:
+            continue
+        if inspect.isfunction(obj) and obj.__module__ == entry.__name__:
+            try:
+                fsrc = inspect.getsource(obj)
+            except OSError:
+                continue
+            parts.append(fsrc)
+            parts.append(_entry_closure(fsrc, entry, seen))
+        elif isinstance(obj, (int, float, str, bool, tuple, list, dict)):
+            parts.append(f"{name}={obj!r}")
+    return "\n".join(parts)
+
+
+_FILE_DIGESTS: dict[str, bytes] = {}
+_CLOSURE_CACHE: dict[frozenset, list[str]] = {}
+
+
+def _file_digest(path: str) -> bytes:
+    d = _FILE_DIGESTS.get(path)
+    if d is None:
+        with open(path, "rb") as f:
+            d = _FILE_DIGESTS[path] = hashlib.sha256(f.read()).digest()
+    return d
+
+
 def fingerprints() -> dict[str, str]:
     """name -> sha256 fingerprint for every registry query, computed
-    from the CURRENT tree."""
+    from the CURRENT tree: callable source + entry-module helper
+    closure + oracle SQL + every (transitively) imported
+    python_ctd_spark module file."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -131,11 +179,14 @@ def fingerprints() -> dict[str, str]:
         h = hashlib.sha256()
         src = inspect.getsource(fn)
         h.update(src.encode())
+        h.update(_entry_closure(src, entry).encode())
         h.update(oracles.get(name, "").encode())
-        mods = set(_MOD_RE.findall(src))
-        for path in _closure_files(mods):
-            with open(path, "rb") as f:
-                h.update(hashlib.sha256(f.read()).digest())
+        mods = frozenset(_MOD_RE.findall(src))
+        closure = _CLOSURE_CACHE.get(mods)
+        if closure is None:
+            closure = _CLOSURE_CACHE[mods] = _closure_files(set(mods))
+        for path in closure:
+            h.update(_file_digest(path))
         out[name] = h.hexdigest()
     return out
 
@@ -166,7 +217,11 @@ def cmd_check() -> int:
         if rec is None:
             fresh_missing.append(n)
         elif rec.get("fingerprint") != cur[n]:
-            if rec.get("waived"):
+            # a waiver excuses exactly ONE tree: the fingerprint it was
+            # granted for.  Any further drift re-flags the query, so a
+            # behavior-preserving waiver can never mask a later real
+            # regression.
+            if rec.get("waived") and rec.get("waived_fingerprint") == cur[n]:
                 print(f"WAIVED  {n} (stamp r{rec['round']}): {rec['waived']}")
             else:
                 stale.append(n)
@@ -213,6 +268,8 @@ def cmd_waive(name: str, reason: str) -> int:
         print(f"no stamp for {name}")
         return 1
     stamps[name]["waived"] = reason
+    # pin the waiver to the exact tree it excuses
+    stamps[name]["waived_fingerprint"] = fingerprints()[name]
     _save(stamps)
     print(f"waived {name}: {reason}")
     return 0

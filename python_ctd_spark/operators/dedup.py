@@ -208,13 +208,17 @@ def minhash_signatures(
     )
 
 
-def band_rows(sigs: DataFrame, bands: int, r: int) -> DataFrame:
-    """Explode a signature table into ``(id, band, bsig)`` LSH band-key
-    rows (``bands`` rows per doc).  Probes and self-joins are equi-joins
-    on (band, bsig); bucket the stored form by these keys to make
-    repeated probes exchange-free."""
+def band_rows(
+    sigs: DataFrame, bands: int, r: int, keep: tuple = ("id",)
+) -> DataFrame:
+    """Explode a signature table into ``(*keep, band, bsig)`` LSH
+    band-key rows (``bands`` rows per doc).  Probes and self-joins are
+    equi-joins on (band, bsig); bucket the stored form by these keys to
+    make repeated probes exchange-free.  ``keep`` defaults to the bare
+    id (the stored-index shape); streaming probes pass extra columns
+    (event_time, the hsh verification array) to ride along."""
     return sigs.select(
-        "id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -228,7 +232,9 @@ def band_rows(sigs: DataFrame, bands: int, r: int) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    ).select(
+        *keep, F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -662,3 +662,118 @@ def streaming_ann_probe(
         F.round(hit["cos"], 6).alias("cos"),
         (F.col("pos") + 1).cast("int").alias("rk"),
     )
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    index: DataFrame,
+    index_banded: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Rolling-ingest dedup as a STREAM: arriving documents probe the
+    STORED MinHash signature index (the dedup twin of
+    :func:`streaming_ann_probe`, and the streaming form of
+    :func:`..operators.dedup.incremental_dedup`) and every document
+    emits a verdict row ``(window_start, doc_id, is_dup, n_dups,
+    matched_id, best_jaccard)`` — the production ingest-gate shape:
+    documents arrive forever, the historical corpus is never
+    re-shingled.
+
+    Plan: shingles + k-permutation MinHash are pure per-row expressions
+    (streaming-safe); the band explode carries (event_time, hsh) along;
+    candidates come from the stream-static equi-join against the stored
+    ``index_banded`` table (bucketed by (band, bsig) — pass it to keep
+    the static side exchange-free) or band rows derived from ``index``
+    in-plan; verification fetches the candidate's stored shingle-hash
+    array and computes the exact Jaccard.  Stateful stages, both
+    watermark-bounded: ``dropDuplicatesWithinWatermark`` collapses the
+    per-shared-band duplicate candidate pairs (the batch op's
+    dropDuplicates), then one windowed aggregate folds verdicts —
+    seed rows (one per arriving doc, null candidate) ride the same
+    union so a document with NO candidates still emits its
+    ``is_dup=false`` row instead of silently vanishing.
+
+    On a closed archive the drain equals the batch
+    ``incremental_dedup`` verdict-for-verdict (streaming == batch twin
+    law; pinned in tests/test_streaming.py).  ``(bands, k)`` MUST match
+    the values the stored index was banded with — same contract as the
+    batch op."""
+    from python_ctd_spark.operators.dedup import (
+        MH_PRIME, _md5_long, band_rows, minhash_sig_from_hashes, with_shingles,
+    )
+
+    if k % bands != 0:
+        raise ValueError(
+            f"k ({k}) must be divisible by bands ({bands}); a remainder "
+            "silently drops the signature tail from every band key"
+        )
+    r = k // bands
+    base = doc_stream.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.col("event_time").cast("timestamp").alias("event_time"),
+    ).withWatermark("event_time", watermark)
+    sigs = (
+        with_shingles(base, "text", n)
+        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn(
+            "sig",
+            minhash_sig_from_hashes(
+                F.transform(F.col("hsh"), lambda h: h % MH_PRIME), k
+            ),
+        )
+        .select("id", "event_time", "hsh", "sig")
+    )
+    ix_banded = (
+        index_banded if index_banded is not None else band_rows(index, bands, r)
+    ).select(F.col("id").alias("old_id"), "band", "bsig")
+    cand = (
+        band_rows(sigs, bands, r, keep=("id", "event_time", "hsh"))
+        .join(ix_banded, ["band", "bsig"])
+        .select("id", "event_time", "hsh", "old_id")
+        .dropDuplicatesWithinWatermark(["id", "old_id"])
+    )
+    verified = cand.join(
+        index.select(F.col("id").alias("old_id"), F.col("hsh").alias("h_o")),
+        "old_id",
+    )
+    inter = F.size(F.array_intersect(F.col("hsh"), F.col("h_o"))).cast("double")
+    jac = inter / (
+        F.size("hsh").cast("double") + F.size("h_o").cast("double") - inter
+    )
+    matches = (
+        verified.withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+        .select("id", "event_time", "old_id", "j")
+    )
+    # seed rows keep candidate-less documents in the aggregate
+    seeds = sigs.select(
+        "id",
+        "event_time",
+        F.lit(None).cast("long").alias("old_id"),
+        F.lit(None).cast("double").alias("j"),
+    )
+    agg = (
+        matches.unionByName(seeds)
+        .groupBy(F.window("event_time", window), "id")
+        .agg(
+            F.count("old_id").alias("n_dups"),
+            F.min("old_id").alias("matched_id"),
+            F.round(F.max("j"), 6).alias("best_jaccard"),
+        )
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("id").alias(id_col),
+        (F.col("n_dups") > 0).alias("is_dup"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        "matched_id",
+        "best_jaccard",
+    )

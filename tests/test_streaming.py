@@ -536,6 +536,9 @@ def test_streaming_ann_probe_equals_batch_lsh_probe(spark, tmp_path):
             ),
         }
     )
+    # arrival order = event-time order (a growing archive is
+    # time-ordered); out-of-order files would fall behind the watermark
+    qpdf = qpdf.sort_values("event_time", kind="mergesort").reset_index(drop=True)
     sentinel = pd.DataFrame(
         {
             "vec_id": [999],
@@ -549,7 +552,7 @@ def test_streaming_ann_probe_equals_batch_lsh_probe(spark, tmp_path):
 
     os.makedirs(src)
     t0 = time.time() - 100
-    for i, part in enumerate((qpdf.iloc[:3], qpdf.iloc[3:], qpdf.iloc[6:9], sentinel)):
+    for i, part in enumerate((qpdf.iloc[:3], qpdf.iloc[3:6], qpdf.iloc[6:9], sentinel)):
         p = f"{src}/part-{i}.parquet"
         # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects without the nanosAsLong legacy conf — write us
@@ -582,3 +585,85 @@ def test_streaming_ann_probe_equals_batch_lsh_probe(spark, tmp_path):
         for r in lsh_probe(ix, corpus, queries, k=3, **kw).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """Rolling-ingest dedup twin law: a closed archive of arriving
+    documents drained through streaming_incremental_dedup (stream-static
+    probes of the stored MinHash band index) yields the same verdicts —
+    is_dup, n_dups, matched_id, best_jaccard — as batch
+    incremental_dedup over the same docs, including candidate-less
+    documents (is_dup=false rows must not vanish)."""
+    from python_ctd_spark.operators.dedup import (
+        band_rows, incremental_dedup, minhash_signatures,
+    )
+    from python_ctd_spark.streaming import (
+        run_to_memory, state_partitions, streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0 AND doc_id < 250")
+    index = minhash_signatures(old)
+
+    expected = {
+        (r["doc_id"], r["is_dup"], r["n_dups"], r["matched_id"], r["best_jaccard"])
+        for r in incremental_dedup(new, index, threshold=0.5).collect()
+    }
+    assert any(e[1] for e in expected), "fixture must contain real dups"
+    assert any(not e[1] for e in expected), "fixture must contain non-dups"
+
+    # time-ordered 3-file archive + far-future sentinel to advance the
+    # watermark past every real window
+    npdf = new.toPandas().sort_values("doc_id").reset_index(drop=True)
+    npdf["event_time"] = pd.to_datetime(
+        [f"2024-01-0{1 + i % 2} 0{i % 7}:00:00" for i in range(len(npdf))]
+    )
+    # arrival order must be event-time order (as the events_dir fixture:
+    # a growing archive is time-ordered) — otherwise rows in later files
+    # fall behind the watermark the earlier files advanced and are
+    # legitimately discarded as late
+    npdf = npdf.sort_values("event_time", kind="mergesort").reset_index(drop=True)
+    sentinel = pd.DataFrame(
+        {
+            "doc_id": [10**9],
+            "text": ["sentinel advance the watermark"],
+            "event_time": [pd.Timestamp("2024-03-01 00:00:00")],
+        }
+    )
+    import os
+    import time
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    third = len(npdf) // 3
+    parts = (npdf.iloc[:third], npdf.iloc[third: 2 * third], npdf.iloc[2 * third:], sentinel)
+    t0 = time.time() - 100
+    for i, part in enumerate(parts):
+        p = f"{src}/part-{i}.parquet"
+        part.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    doc_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with state_partitions(spark, 4):
+        got_df = run_to_memory(
+            streaming_incremental_dedup(
+                doc_stream, index,
+                index_banded=band_rows(minhash_signatures(old), 8, 2),
+                threshold=0.5, window="1 day", watermark="1 hour",
+            ),
+            "inc_dedup_stream",
+        )
+    got = {
+        (r["doc_id"], r["is_dup"], r["n_dups"], r["matched_id"], r["best_jaccard"])
+        for r in got_df.collect()
+        if r["doc_id"] != 10**9
+    }
+    assert got == expected

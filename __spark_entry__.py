@@ -3851,7 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_oracle_parity.py) re-verifies it on today's tree — a
     # provably-valid old stamp, traded so that every behavior-changed
     # query gets a fresh one.  The 50 rows stamped green in r6 run last
-    # (sacrificial); r6 U r7 covers all 101 queries.
+    # (sacrificial); r6 U r7 covers all 100 queries.
     # tools/stamp_check.py verifies this ordering against STAMPS.json.
     # The r7 feature-fold move touching r6-stamped
     # multimodal_real_decode (moved to a neutral module, identical

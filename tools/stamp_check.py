@@ -148,7 +148,13 @@ def _entry_closure(src: str, entry, _seen: set[str] | None = None) -> str:
                 continue
             parts.append(fsrc)
             parts.append(_entry_closure(fsrc, entry, seen))
-        elif isinstance(obj, (int, float, str, bool, tuple, list, dict)):
+        elif isinstance(obj, (int, float, str, bool, tuple)):
+            # IMMUTABLE constants only.  Lists/dicts at module level are
+            # runtime state (_STREAM_RUN_COUNTER, _STREAM_STAGE_CACHE)
+            # whose repr changes as queries execute — hashing them made
+            # fingerprints drift mid-suite.  A mutable "config" constant
+            # is still covered indirectly: its consumers' sources are
+            # hashed, and config belongs in tuples/scalars anyway.
             parts.append(f"{name}={obj!r}")
     return "\n".join(parts)
 

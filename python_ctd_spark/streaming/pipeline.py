@@ -623,9 +623,16 @@ def streaming_ann_probe(
             "qid", "qe", "event_time", "tbl", F.explode(probes).alias("bkt")
         )
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    # a pair surfaces once per shared (table, probe-mask) bucket — dedup
+    # BEFORE the decimal-exact scoring (the batch op's dropDuplicates;
+    # decimal folds are ~100x a double fold, so scoring duplicates is
+    # the dominant waste).  Watermark-bounded state, evicted like the
+    # window state.
     cand = (
         qb.join(index, ["tbl", "bkt"])
         .filter(F.col("id") != F.col("qid"))
+        .select("qid", "qe", "event_time", "id")
+        .dropDuplicatesWithinWatermark(["qid", "id"])
         .join(c, "id")
     )
     cos = _dot_exact(F.col("qe"), F.col("e")) / (

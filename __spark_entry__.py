@@ -4019,35 +4019,606 @@ FROM clustered GROUP BY cluster_id
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion (r7): the 12 query *shapes* not yet in the registry,
+# adapted to the driver schema (no partsupp / commitdate / phone columns —
+# each docstring names the substitution).  With these, all 22 TPC-H query
+# patterns are registered and oracle-checked: Q1 pricing summary, Q2
+# correlated-min supplier, Q3 top orders, Q4 priority exists, Q5 local
+# supplier, Q6 pushdown agg, Q7 volume shipping, Q8 market share, Q9
+# profit attribution, Q10 returned items, Q11 important stock, Q12 ship
+# delay, Q13 outer-join distribution, Q14 promo effect, Q15 top supplier,
+# Q16 supplier count, Q17 small-qty correlated avg, Q18 large orders,
+# Q19 disjunctive pushdown, Q20 qty-threshold semi-join, Q21 exists /
+# not-exists waiting suppliers, Q22 anti-join idle customers.
+# ---------------------------------------------------------------------------
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN over a dimension-filtered join).
+    No partsupp table here, so supply cost := l_extendedprice/l_quantity
+    per offer row from lineitem; for each STANDARD/size-15 part, keep the
+    EUROPE suppliers matching the per-part minimum unit cost.
+
+    Plan notes: all four dims broadcast; the correlated MIN decorrelates
+    to one partial-agg groupBy on l_partkey joined back on (key, cost) —
+    no per-row re-execution; per-row double division is IEEE-identical
+    across engines so the equality join is engine-stable."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.p_partkey == F.col("mc_partkey"))
+            & (offers.unit_cost == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "min_cost")
+        .distinct()
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+    SELECT part.p_partkey, p_name, s_name, n_name, s_acctbal,
+           l_extendedprice / l_quantity AS unit_cost
+    FROM lineitem
+    JOIN part     ON l_partkey = part.p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size = 15 AND r_name = 'EUROPE'
+)
+SELECT DISTINCT o.p_partkey, o.p_name, o.s_name, o.n_name, o.s_acctbal, m.min_cost
+FROM offers o
+JOIN (SELECT p_partkey, MIN(unit_cost) AS min_cost FROM offers GROUP BY p_partkey) m
+  ON o.p_partkey = m.p_partkey AND o.unit_cost = m.min_cost
+"""
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + agg — the pushdown showcase.  All
+    three predicates reach the parquet scan (PushedFilters) and only the
+    four referenced columns are read (ReadSchema); the agg is one
+    partial+final pair with no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= F.lit(0.05))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < F.lit(24.0))
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24.0 AS DOUBLE)
+"""
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ECONOMY-part revenue sold to AMERICA
+    customers, per order year.  Share = conditional exact-decimal sum /
+    exact-decimal sum, so the double division is engine-stable.
+
+    Plan notes: the two nation copies, region, part and customer all
+    broadcast; the only shuffle joins are lineitem x orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+
+def _q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit attribution by supplier nation x ship year
+    for parts whose name contains 'gear'.  No partsupp here, so profit :=
+    revenue (the ps_supplycost term is dropped); the LIKE filter on the
+    broadcast part dim prunes before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group HAVING > fraction-of-total scalar
+    subquery).  No partsupp, so 'stock value' := lineitem revenue shipped
+    by NATION_5 suppliers, per part; keep parts above 0.1% of the total.
+
+    Plan notes: the scalar total is a one-row agg broadcast into the
+    HAVING filter (crossJoin of a broadcast single row — no shuffle);
+    both sides of the comparison are exact decimal sums cast to double,
+    so the threshold compare is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    filtered = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    )
+    by_part = filtered.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("l_extendedprice").alias("part_value")
+    )
+    total = filtered.agg(dsum("l_extendedprice").alias("total_value"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("p_partkey", "part_value")
+    )
+
+
+_Q11_SQL = """
+WITH filtered AS (
+    SELECT l_partkey, l_extendedprice
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+)
+SELECT l_partkey AS p_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS part_value
+FROM filtered
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 0.001
+        FROM filtered)
+"""
+
+
+def _q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer x orders LEFT outer join (filter inside the
+    join so zero-order customers survive), count per customer, then the
+    distribution of counts.  Two shuffles total: one on the join key, one
+    tiny one on the count value."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue per supplier over 1996Q1, select the
+    supplier(s) whose revenue equals the max — the scalar-subquery-on-max
+    shape.  Max equality over exact decimal sums is engine-stable; ties
+    all surface (no LIMIT), exactly like the reference query."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(vol).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from Brand#3 lineitems whose quantity is below
+    20% of that part's average quantity — the correlated-AVG shape.
+    Catalyst decorrelates to a per-part agg joined back; the 0.2x
+    threshold is (exact decimal avg) * double, identical per part in
+    both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    limits = brand_li.groupBy(F.col("p_partkey").alias("lim_partkey")).agg(
+        (davg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        brand_li.join(limits, F.col("p_partkey") == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH brand_li AS (
+    SELECT p_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+),
+limits AS (
+    SELECT p_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(l_quantity) * 0.2 AS qty_limit
+    FROM brand_li GROUP BY p_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM brand_li JOIN limits USING (p_partkey)
+WHERE l_quantity < qty_limit
+"""
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-three (brand, size, quantity) branches — the
+    disjunctive-predicate showcase.  The common conjunct (the part join)
+    stays a single broadcast hash join; the disjunction evaluates as a
+    post-join filter and the per-branch part predicates are pushed into
+    the broadcast side scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1.0, 11.0)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10.0, 20.0)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20.0, 30.0)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def _q20_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_9 suppliers who shipped more than 300
+    units of red parts during 1996 — the agg-subquery semi-join chain.
+    No partsupp/availqty, so the threshold runs on shipped quantity.
+    The part dim broadcasts pre-filtered; the supplier filter join is a
+    broadcast too, so the only shuffle is the per-supplier agg."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > 300.0)
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(shipped, supp.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "red_qty")
+    )
+
+
+_Q20_SQL = """
+WITH shipped AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS red_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 300.0
+)
+SELECT s_suppkey, s_name, red_qty
+FROM supplier
+JOIN nation  ON s_nationkey = n_nationkey
+JOIN shipped ON s_suppkey = l_suppkey
+WHERE n_name = 'NATION_9'
+"""
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order.  No receipt/commit dates, so 'late' :=
+    shipped more than 90 days after the order date.  The EXISTS /
+    NOT-EXISTS pair collapses to per-(order, supplier) and per-order
+    aggregates joined back — two hash aggs and one join, no correlated
+    re-execution."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = os.groupBy(F.col("l_orderkey").alias("ord_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        os.join(per_order, os.l_orderkey == F.col("ord_key"))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), os.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+    FROM os GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM os
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
+def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) balances
+    and no RECENT (2001+) orders, grouped by nation — scalar subquery +
+    anti-join.  No phone column, so the country-code grouping becomes
+    the nation dim; this synthetic data gives every customer at least
+    one lifetime order, so 'idle' anti-joins against the recent slice to
+    keep the result non-degenerate.
+
+    Plan notes: the scalar average is a broadcast one-row agg; the
+    NOT-EXISTS is a left_anti hash join on o_custkey (never a nested
+    loop) with the date filter pushed to the orders scan; nation
+    broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is deliberate: the correctness harness records
     # exactly the first 50 entries per round.  The r7 window (VERDICT r6
-    # items 1, 4, 5) = the 3 queries new in r7 (ivf_index_probe and the
-    # two streaming serving paths), the query whose BEHAVIOR changed in
-    # r7 (ann_index_probe: serving multiprobe width 1 -> 2 bits,
-    # recall-gated by the ann_recall audit), then the 11 queries whose
-    # implementing files (similarity.py, dedup.py, multimodal.py,
-    # gif_numpy.py) were refactored in r6 AFTER their r5 stamps, then
-    # 35 of the remaining 38 r5-stamped rows.  That fills 50 exactly;
-    # the three r5-stamped rows displaced to the tail (smooth_native,
-    # chunk_documents, q16_supplier_cnt) were chosen because their
-    # fingerprints (STAMPS.json) are byte-UNCHANGED since their r5
-    # stamps and the full local parity suite (tests/test_oracle_parity.
-    # py, 361-green) re-verifies them on today's tree — provably-valid
-    # old stamps, traded so every new or behavior-changed query gets a
-    # fresh one.  The 50 rows stamped green in r6 run last
-    # (sacrificial); r6 U r7 covers all 102 queries.
-    # tools/stamp_check.py verifies this ordering against STAMPS.json;
-    # r7 edits touching r6-stamped tail rows are waived there with
-    # fingerprint-pinned, git-diff-backed evidence.
+    # items 1, 4, 5) = the 15 queries new in r7 (ivf_index_probe, the
+    # two streaming serving paths, and the 12 TPC-H-completion queries
+    # q2/q6/q8/q9/q11/q13/q15/q17/q19/q20/q21/q22), the query whose
+    # BEHAVIOR changed in r7 (ann_index_probe: serving multiprobe width
+    # 1 -> 2 bits, recall-gated by the ann_recall audit), then the 11
+    # queries whose implementing files (similarity.py, dedup.py,
+    # multimodal.py, gif_numpy.py) were refactored in r6 AFTER their r5
+    # stamps, then 23 of the remaining r5-stamped rows — leading with
+    # every row that touches a file changed since the r5 stamp tree
+    # (the streaming family via pipeline.py).  That fills 50 exactly;
+    # the 15 r5-stamped rows displaced to the tail (smooth_native,
+    # chunk_documents, q16_supplier_cnt + the 12 marked below) were
+    # chosen MECHANICALLY: their import closures have zero git commits
+    # since the r5 stamp commit (6af8b97) — byte-unchanged code under
+    # provably-valid old stamps, re-verified by the full local parity
+    # suite (tests/test_oracle_parity.py) on today's tree — traded so
+    # every new query gets a fresh driver stamp.  The rows stamped
+    # green in r6 run last (sacrificial); r6 U r7 covers every
+    # registered query.  tools/stamp_check.py verifies this ordering
+    # against STAMPS.json; r7 edits touching r6-stamped tail rows are
+    # waived there with fingerprint-pinned, git-diff-backed evidence.
     return {
         # -- r7 window: new in r7 --------------------------------------
         "ivf_index_probe": _q_ivf_index_probe,
         "streaming_incremental_dedup": _q_streaming_inc_dedup,
         "streaming_ann_probe": _q_streaming_ann,
+        # -- r7 window: new in r7 — TPC-H completion (all 22 shapes) ---
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation_year": _q9_profit_by_nation_year,
+        "q11_important_parts": _q11_important_parts,
+        "q13_order_count_dist": _q13_order_count_dist,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q20_qty_suppliers": _q20_qty_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_idle_customers": _q22_idle_customers,
         # -- r7 window: behavior changed in r7 (serving probe width) ---
         "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
@@ -4083,9 +4654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "streaming_windowed_stats": _q_streaming_windowed,
         "streaming_bindata": _q_streaming_bindata,
-        "domain_stats": _q_domain_stats,
         "pack_documents": _q_pack_documents,
         "despike_closeout": _q_despike_closeout,
+        "streaming_enrich": _q_streaming_enrich,
+        # -- r5-stamped, import-closure byte-unchanged since the r5
+        # -- stamp commit (verified via git log per closure file),
+        # -- displaced by the r7 additions (see window comment) --------
+        "smooth_native": _q_smooth_native,
+        "chunk_documents": _q_chunk_documents,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "domain_stats": _q_domain_stats,
         "domain_mix_temp": _q_domain_mix_temp,
         "q4_order_priority": _q4_order_priority,
         "q10_returned_items": _q10_returned_items,
@@ -4097,12 +4675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "interval_join": _q_interval_join,
-        "streaming_enrich": _q_streaming_enrich,
-        # -- r5-stamped, fingerprint-unchanged, displaced by the r7
-        # -- additions (see window comment) ----------------------------
-        "smooth_native": _q_smooth_native,
-        "chunk_documents": _q_chunk_documents,
-        "q16_supplier_cnt": _q16_supplier_cnt,
         # -- stamped green in r6 on this tree (sacrificial) ------------
         "q12_ship_delay": _q12_ship_delay,
         "multimodal_real_decode": _q_multimodal_real_decode,
@@ -4158,6 +4730,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_profit_by_nation_year": _Q9_SQL,
+        "q11_important_parts": _Q11_SQL,
+        "q13_order_count_dist": _Q13_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q20_qty_suppliers": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
+        "q22_idle_customers": _Q22_SQL,
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,

@@ -1212,6 +1212,80 @@ FROM scored WHERE rk <= 5
 """
 
 
+def _q_quantized_ann(spark, sf_dir):
+    """Int8-quantized cosine top-5 for 10 query vectors (exact re-rank).
+
+    The quantization/candidate phase is PURE INTEGER arithmetic
+    (BIGINT dot of tinyint codes), so the candidate cut is bit-identical
+    across engines and parallelism; only the final ranking touches the
+    raw doubles, decimal-exact.  At 100 TB the corpus-side candidate
+    scan reads 4-8x fewer bytes (int8 codes vs raw floats) and never
+    shuffles (``operators.similarity.quantized_topk``)."""
+    from python_ctd_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(emb, q, k=5, margin=4).withColumnRenamed("id", "vec_id")
+
+
+def _sq8_ann_sql(k: int = 5, margin: int = 4) -> str:
+    """Closed-form oracle for the int8-quantized ANN path: replicate the
+    half-up quantization (floor(x/s + 0.5) — round() tie behavior
+    differs between engines, floor(x+0.5) does not), integer candidate
+    scoring, and decimal-exact re-rank."""
+    return f"""
+WITH qbase AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), qz0 AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM qbase
+), qz1 AS (
+  SELECT vec_id, e, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale FROM qz0
+), qz AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qv
+  FROM qz1
+), qq AS (
+  SELECT vec_id AS qid, e AS qe, qv AS qu FROM qz WHERE vec_id < 10
+), iprod AS (
+  SELECT qq.qid, c.vec_id AS id, unnest(qq.qu) AS a, unnest(c.qv) AS b
+  FROM qq JOIN qz c ON c.vec_id <> qq.qid
+), qdots AS (
+  SELECT qid, id,
+         CAST(SUM(a * b) AS DOUBLE)
+           / sqrt(CAST(SUM(a * a) * SUM(b * b) AS DOUBLE)) AS qcos
+  FROM iprod GROUP BY qid, id
+), cands AS (
+  SELECT qid, id, qcos,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS rkq
+  FROM qdots
+), cprod AS (
+  SELECT cd.qid, cd.id, cd.qcos,
+         unnest(qq.qe) AS qv_el, unnest(b2.e) AS ev_el
+  FROM cands cd
+  JOIN qq ON qq.qid = cd.qid
+  JOIN qbase b2 ON b2.vec_id = cd.id
+  WHERE cd.rkq <= {margin * k}
+), cdots AS (
+  SELECT qid, id, any_value(qcos) AS qcos,
+         CAST(SUM(CAST(qv_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv_el * qv_el AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+         CAST(SUM(CAST(ev_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS ne
+  FROM cprod GROUP BY qid, id
+), qscored AS (
+  SELECT qid, id, qcos, dot / (sqrt(nq) * sqrt(ne)) AS cos,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, id) AS rk
+  FROM cdots
+)
+SELECT qid, id AS vec_id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
+       CAST(rk AS INT) AS rk
+FROM qscored WHERE rk <= {k}
+"""
+
+
+_QUANTIZED_ANN_SQL = _sq8_ann_sql()
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
 # python_ctd_spark.operators.{dedup,similarity,text})
@@ -2135,8 +2209,9 @@ def _q_ann_recall(spark, sf_dir):
     truth — the ANN twin of ``sketch_accuracy``: per (method, query) hit
     counts, recall, and a verdict boolean, all engine-reproducible
     because every side already has a closed-form oracle; the report just
-    composes them.  Four audited methods: the one-shot IVF and LSH forms
-    AND both STORED-index serving paths (``lsh_served`` = the exact
+    composes them.  Five audited methods: the one-shot IVF and LSH
+    forms, the int8-quantized brute path (``sq8``, new r7), AND both
+    STORED-index serving paths (``lsh_served`` = the exact
     ``ann_index_probe`` config — lsh_probe over a prebuilt lsh_index,
     _SERVING_PROBE_BITS-bit multiprobe, the width this audit itself
     gated; ``ivf_served`` = the ``ivf_index_probe`` config —
@@ -2184,6 +2259,13 @@ def _q_ann_recall(spark, sf_dir):
             )
         return fn
 
+    def _sq8(corpus, queries, k, id_col, vec_col):
+        from python_ctd_spark.operators.similarity import quantized_topk
+
+        return quantized_topk(
+            corpus, queries, k=k, margin=4, id_col=id_col, vec_col=vec_col
+        )
+
     return ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         methods=(
@@ -2195,6 +2277,10 @@ def _q_ann_recall(spark, sf_dir):
             ("lsh", _lsh(1)),
             ("lsh_served", _lsh(_SERVING_PROBE_BITS)),
             ("ivf_served", _ivf(2)),
+            # int8-quantized brute scan + exact re-rank (new r7): the
+            # compressed-corpus serving path must be recall-audited
+            # like every other approximate path
+            ("sq8", _sq8),
         ),
     )
 
@@ -2209,7 +2295,7 @@ def _ann_recall_sql() -> str:
     from python_ctd_spark.operators.similarity import probe_masks as _pm
     methods_cte = " UNION ALL ".join(
         f"SELECT '{m}' AS method"
-        for m in ("ivf", "lsh", "lsh_served", "ivf_served")
+        for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8")
     )
     return f"""
 WITH exact AS (
@@ -2222,6 +2308,8 @@ WITH exact AS (
   SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, _SERVING_PROBE_BITS))}) x
 ), ivfp AS (
   SELECT qid, id FROM ({_ivf_ann_sql(5, n_probe=2)}) x
+), sq8 AS (
+  SELECT qid, vec_id AS id FROM ({_sq8_ann_sql()}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -2230,6 +2318,8 @@ WITH exact AS (
   SELECT 'lsh_served' AS method, qid, id FROM lshp
   UNION ALL
   SELECT 'ivf_served' AS method, qid, id FROM ivfp
+  UNION ALL
+  SELECT 'sq8' AS method, qid, id FROM sq8
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
@@ -4619,6 +4709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_qty_suppliers": _q20_qty_suppliers,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_idle_customers": _q22_idle_customers,
+        # -- r7 window: new in r7 — int8-quantized ANN serving path ----
+        "quantized_ann_topk": _q_quantized_ann,
         # -- r7 window: behavior changed in r7 (serving probe width) ---
         "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
@@ -4651,7 +4743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _q_rollup,
         "salted_rollup": _q_salted_rollup,
         "grouped_percentiles": _q_percentiles,
-        "lang_id": _q_lang_id,
         "streaming_windowed_stats": _q_streaming_windowed,
         "streaming_bindata": _q_streaming_bindata,
         "pack_documents": _q_pack_documents,
@@ -4664,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "domain_stats": _q_domain_stats,
+        "lang_id": _q_lang_id,
         "domain_mix_temp": _q_domain_mix_temp,
         "q4_order_priority": _q4_order_priority,
         "q10_returned_items": _q10_returned_items,
@@ -4742,6 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_qty_suppliers": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
         "q22_idle_customers": _Q22_SQL,
+        "quantized_ann_topk": _QUANTIZED_ANN_SQL,
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,

@@ -123,6 +123,127 @@ def cosine_topk(
     )
 
 
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization -> ``(id, qv, qscale,
+    qnorm)`` with ``qv`` an ``array<tinyint>``.
+
+    The 100 TB lever: the embedding column dominates corpus bytes, and
+    int8 codes cut it 4x vs float32 (8x vs double) — smaller parquet
+    scans, smaller shuffles, more of the index resident per executor.
+    Quantization is per-row arithmetic (``qscale = max|x| / 127``,
+    ``q_i = floor(x_i/qscale + 0.5)``) — map-side only, no shuffle, and
+    the explicit half-up floor formula is engine-portable (Spark and
+    DuckDB round() disagree on .5 ties; floor(x+0.5) does not).
+    ``qnorm = sum(q_i^2)`` (exact BIGINT) is precomputed once per row so
+    probes never rescan the codes for norms.
+    """
+    if bits != 8:
+        raise ValueError("only 8-bit symmetric quantization is implemented")
+    qmax = float(2 ** (bits - 1) - 1)
+    base = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+        .withColumn("__amax", F.array_max(F.transform(F.col("e"), F.abs)))
+        .withColumn(
+            "qscale",
+            F.when(F.col("__amax") > 0.0, F.col("__amax") / qmax).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+    qv = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("qscale") + F.lit(0.5)).cast("tinyint")
+    )
+    qnorm = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x.cast("bigint") * x.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select("id", qv.alias("qv"), "qscale").withColumn("qnorm", qnorm)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    margin: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors via int8-quantized candidate scoring +
+    exact re-rank.  Returns ``(qid, id, qcos, cos, rk)``.
+
+    Phase 1 scores every pair with PURE INTEGER arithmetic — ``dot_int =
+    sum(qv_i * qu_i)`` (BIGINT-exact, order-independent, so the
+    candidate cut is bit-identical in any engine and at any parallelism)
+    — and keeps the ``margin * k`` best per query by
+    ``dot_int / sqrt(qnorm_v * qnorm_q)``.  Phase 2 re-ranks only that
+    sliver with the decimal-exact cosine on the original vectors.
+
+    At 100 TB: the corpus-side scan reads only the int8 codes (4-8x
+    fewer bytes than the raw vectors), the query side broadcasts, the
+    corpus never shuffles, and the exact re-rank joins back to the raw
+    vectors for ``margin*k*|queries|`` rows only.  Composes with
+    LSH/IVF bucketing: quantize inside buckets to shrink the candidate
+    fetch too.
+    """
+    qid_col = query_id_col or id_col
+    c = quantize_vectors(corpus, id_col, vec_col)
+    q = quantize_vectors(queries, qid_col, vec_col).select(
+        F.col("id").alias("qid"),
+        F.col("qv").alias("qu"),
+        F.col("qnorm").alias("qunorm"),
+    )
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qu"), lambda x, y: x.cast("bigint") * y.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qcos = dot_int.cast("double") / F.sqrt(
+        (F.col("qnorm") * F.col("qunorm")).cast("double")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("qid"))
+        .select("qid", "id", qcos.alias("qcos"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))
+    cands = scored.withColumn("__rkq", F.row_number().over(w_q)).filter(
+        F.col("__rkq") <= margin * k
+    )
+    # exact re-rank on the raw vectors, candidates only
+    cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    qv_raw = queries.select(
+        F.col(qid_col).alias("qid"), _as_double(vec_col).alias("qe")
+    )
+    cos = _dot_exact(F.col("qe"), F.col("e")) / (
+        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
+    )
+    rescored = (
+        cands.join(cv, "id")
+        .join(F.broadcast(qv_raw), "qid")
+        .select("qid", "id", "qcos", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "id",
+            F.round("qcos", 6).alias("qcos"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def _plane_sign(plane: int, dim: int) -> int:
     """Deterministic ±1 from md5(plane:dim) parity — a fixed pseudo-random
     hyperplane basis shared by every executor without broadcast state."""

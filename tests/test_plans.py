@@ -264,3 +264,64 @@ def test_interval_join_is_hash_join_on_cells(spark):
     plan = _plan(entrymod.queries()["interval_join"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin).*__cell", plan), plan
+
+
+def test_q6_all_predicates_pushed_and_pruned(spark):
+    """TPC-H Q6: every predicate reaches the parquet scan and only the
+    four referenced columns are read — the canonical pushdown check."""
+    out = entrymod.queries()["q6_forecast_revenue"](spark, SF_DIR)
+    plan = _plan(out)
+    # the plan printer truncates long filter lists ("...," with no
+    # closing bracket) — match to end-of-line instead
+    m = re.search(r"PushedFilters: \[([^\r\n]*)", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        f.split(":")[0] for f in m.group(1).split(",")
+    ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, plan
+    assert "Exchange hashpartitioning" not in plan  # single global agg
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """TPC-H Q19: the OR-of-branches must not force a nested-loop join —
+    the common part-key conjunct keeps one broadcast hash join, and the
+    per-branch predicates reach both scans."""
+    out = entrymod.queries()["q19_disjunctive_revenue"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert _count(plan, r"PushedFilters: \[[^\]]*Or\(") >= 2, plan
+
+
+def test_q21_exists_pair_is_aggregates_not_correlated(spark):
+    """TPC-H Q21: the EXISTS / NOT-EXISTS pair compiles to two hash
+    aggregates + a join — no nested-loop re-execution per row."""
+    out = entrymod.queries()["q21_waiting_suppliers"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert _count(plan, r"HashAggregate") >= 4, plan  # 2 aggs x partial/final
+
+
+def test_q22_anti_join_is_hash(spark):
+    """TPC-H Q22: NOT EXISTS compiles to a hash LeftAnti join (never
+    sort-merge on this dim size) and the recent-orders date filter is
+    pushed to the orders scan.  The scalar avg enters via a 1-row
+    BroadcastNestedLoopJoin — the standard scalar-subquery shape, NOT a
+    data-sized nested loop — so only SortMergeJoin is banned here."""
+    out = entrymod.queries()["q22_idle_customers"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\r\n]*o_orderdate", plan), plan
+
+
+def test_quantized_ann_corpus_never_shuffles_before_rank(spark):
+    """sq8: the quantized candidate scan must be map-side (broadcast
+    query side); the only exchanges serve the per-query rank windows."""
+    out = entrymod.queries()["quantized_ann_topk"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -185,12 +185,17 @@ def quantized_topk(
     ``dot_int / sqrt(qnorm_v * qnorm_q)``.  Phase 2 re-ranks only that
     sliver with the decimal-exact cosine on the original vectors.
 
-    At 100 TB: the corpus-side scan reads only the int8 codes (4-8x
-    fewer bytes than the raw vectors), the query side broadcasts, the
-    corpus never shuffles, and the exact re-rank joins back to the raw
-    vectors for ``margin*k*|queries|`` rows only.  Composes with
-    LSH/IVF bucketing: quantize inside buckets to shrink the candidate
-    fetch too.
+    At 100 TB: store :func:`quantize_vectors` output once and the
+    candidate scan reads only the int8 codes — measured 3.7-4.9x fewer
+    parquet bytes than the raw vectors (tools/bench_scale.py probe-sq8)
+    — the query side broadcasts, the corpus never shuffles, and the
+    exact re-rank joins back to the raw vectors for
+    ``margin*k*|queries|`` rows only.  This convenience form quantizes
+    in-plan (so it still scans the raw column; the byte win needs the
+    stored-codes serving shape), and the scan stays LINEAR in the
+    corpus either way — the sub-linear dials are the LSH/IVF candidate
+    cuts this composes with (quantize inside buckets to shrink the
+    candidate fetch).
     """
     qid_col = query_id_col or id_col
     c = quantize_vectors(corpus, id_col, vec_col)

@@ -294,6 +294,70 @@ def measure_ivf_probe(mult: int, n_queries: int = 50) -> dict:
         spark.stop()
 
 
+def measure_sq8(mult: int, n_queries: int = 10) -> dict:
+    """int8-quantized brute scan vs exact brute at mult-x corpus.
+
+    sq8 is deliberately LINEAR in the corpus (it is compressed brute
+    force — the sub-linear dials are the LSH/IVF candidate cuts it
+    composes with); what this measures is the *constant*: wall of the
+    integer candidate scan vs the exact double+decimal scan over the
+    same pairs, plus the stored-codes parquet footprint vs the raw
+    embedding column (the 100 TB byte claim)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.similarity import (
+        cosine_topk, quantize_vectors, quantized_topk,
+    )
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_sq8_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_sq8_")
+    try:
+        path = stage_embeddings(mult, tmp)
+        corpus = spark.read.parquet(path)
+        n_corpus = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < n_queries)
+
+        codes_path = os.path.join(tmp, "codes.parquet")
+        t0 = time.perf_counter()
+        quantize_vectors(corpus).write.parquet(codes_path)
+        build_s = time.perf_counter() - t0
+        raw_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path if os.path.isdir(path) else tmp)
+            for f in fs if f.endswith(".parquet") and "codes" not in r
+        ) or os.path.getsize(path)
+        code_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(codes_path) for f in fs
+        )
+
+        def _wall(fn):
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().count()
+                walls.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            return round(min(walls), 2)
+
+        sq8_wall = _wall(lambda: quantized_topk(corpus, queries, k=5))
+        exact_wall = _wall(lambda: cosine_topk(corpus, queries, k=5))
+        return {
+            "mult": mult,
+            "corpus_rows": n_corpus,
+            "quantize_write_s": round(build_s, 2),
+            "raw_parquet_bytes": raw_b,
+            "codes_parquet_bytes": code_b,
+            "bytes_ratio": round(raw_b / max(code_b, 1), 2),
+            "sq8_wall_s": sq8_wall,
+            "exact_wall_s": exact_wall,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -309,4 +373,7 @@ if __name__ == "__main__":
     if what == "probe-ivf":
         for m in (1, 10, 100):
             results[f"ivf_probe_x{m}"] = measure_ivf_probe(m)
+    if what == "probe-sq8":
+        for m in (1, 10):
+            results[f"sq8_x{m}"] = measure_sq8(m)
     print(json.dumps(results, indent=1))

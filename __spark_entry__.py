@@ -2179,6 +2179,108 @@ FROM scored WHERE rk <= {k}
 """
 
 
+def _q_ivf_sq_probe(spark, sf_dir):
+    """The composed "IVF,SQ8" serving shape (similarity.ivf_sq_probe):
+    stored cell assignments prune the corpus, stored int8 codes
+    (quantize_vectors) score the candidates with BIGINT-exact
+    arithmetic, and only margin*k rows per query touch the raw vectors
+    for the decimal-exact re-rank.  Unlike ivf_probe — which drags every
+    candidate's full-width floats through the re-rank join — the
+    candidate fetch here reads the 4-8x-smaller code table, so hot
+    cells cost code-bytes, not vector-bytes.  Index + codes are derived
+    in-plan (driver queries are self-contained); seed centroids and the
+    engine-portable floor(x/s+0.5) quantization keep the whole
+    composition closed-form for the DuckDB oracle."""
+    from python_ctd_spark.operators.similarity import (
+        ivf_index, ivf_sq_probe, quantize_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    codes = quantize_vectors(emb)
+    return ivf_sq_probe(
+        assignments, cent, codes, emb, emb.filter(F.col("vec_id") < 10),
+        k=5, n_probe=2, margin=4,
+    )
+
+
+def _ivf_sq_sql(k: int = 5, n_probe: int = 2, margin: int = 4) -> str:
+    """Oracle for the IVF,SQ8 composition: the _ivf_ann_sql candidate
+    CTEs (seed centroids -> assignment -> probed cells) feed the
+    _sq8_ann_sql scoring CTEs (half-up int8 quantization -> BIGINT dot
+    cut -> decimal-exact re-rank of the margin*k sliver)."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), ranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM ranked WHERE rk = 1
+), probes AS (
+  SELECT id AS qid, cid AS cell FROM ranked WHERE id < 10 AND rk <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.qid, a.id
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
+), sbase AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), sqz0 AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM sbase
+), sqz1 AS (
+  SELECT vec_id, e, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale FROM sqz0
+), sqz AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qv
+  FROM sqz1
+), iprod AS (
+  SELECT cnd.qid, cnd.id, unnest(qc.qv) AS a, unnest(cc.qv) AS b
+  FROM cand cnd
+  JOIN sqz qc ON qc.vec_id = cnd.qid
+  JOIN sqz cc ON cc.vec_id = cnd.id
+), qdots AS (
+  SELECT qid, id,
+         CAST(SUM(a * b) AS DOUBLE)
+           / sqrt(CAST(SUM(a * a) * SUM(b * b) AS DOUBLE)) AS qcos
+  FROM iprod GROUP BY qid, id
+), sliver AS (
+  SELECT qid, id, qcos,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS rkq
+  FROM qdots
+), cprod AS (
+  SELECT s.qid, s.id, s.qcos,
+         unnest(qb.e) AS qv_el, unnest(cb.e) AS ev_el
+  FROM sliver s
+  JOIN sbase qb ON qb.vec_id = s.qid
+  JOIN sbase cb ON cb.vec_id = s.id
+  WHERE s.rkq <= {margin * k}
+), cdots AS (
+  SELECT qid, id, any_value(qcos) AS qcos,
+         CAST(SUM(CAST(qv_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv_el * qv_el AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+         CAST(SUM(CAST(ev_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS ne
+  FROM cprod GROUP BY qid, id
+), qscored AS (
+  SELECT qid, id, qcos, dot / (sqrt(nq) * sqrt(ne)) AS cos,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, id) AS rk
+  FROM cdots
+)
+SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
+FROM qscored WHERE rk <= {k}
+"""
+
+
 def _q_ivf_index_probe(spark, sf_dir):
     """Serving-shape IVF ANN (closes VERDICT r6 gap #4 — the IVF twin of
     ``ann_index_probe``): the corpus is coarse-quantized ONCE into the
@@ -2209,8 +2311,9 @@ def _q_ann_recall(spark, sf_dir):
     truth — the ANN twin of ``sketch_accuracy``: per (method, query) hit
     counts, recall, and a verdict boolean, all engine-reproducible
     because every side already has a closed-form oracle; the report just
-    composes them.  Five audited methods: the one-shot IVF and LSH
-    forms, the int8-quantized brute path (``sq8``, new r7), AND both
+    composes them.  Six audited methods: the one-shot IVF and LSH
+    forms, the int8-quantized brute path (``sq8``, new r7), the
+    composed IVF,SQ8 serving shape (``ivf_sq8``, new r7), AND both
     STORED-index serving paths (``lsh_served`` = the exact
     ``ann_index_probe`` config — lsh_probe over a prebuilt lsh_index,
     _SERVING_PROBE_BITS-bit multiprobe, the width this audit itself
@@ -2266,6 +2369,17 @@ def _q_ann_recall(spark, sf_dir):
             corpus, queries, k=k, margin=4, id_col=id_col, vec_col=vec_col
         )
 
+    def _ivf_sq(corpus, queries, k, id_col, vec_col):
+        from python_ctd_spark.operators.similarity import (
+            ivf_sq_probe, quantize_vectors,
+        )
+
+        codes = quantize_vectors(corpus, id_col, vec_col)
+        return ivf_sq_probe(
+            assignments, cent, codes, corpus, queries, k=k, n_probe=2,
+            margin=4, id_col=id_col, vec_col=vec_col,
+        )
+
     return ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         methods=(
@@ -2281,6 +2395,9 @@ def _q_ann_recall(spark, sf_dir):
             # compressed-corpus serving path must be recall-audited
             # like every other approximate path
             ("sq8", _sq8),
+            # the composed IVF,SQ8 serving shape (cells prune, codes
+            # score, raw floats only for the margin*k re-rank)
+            ("ivf_sq8", _ivf_sq),
         ),
     )
 
@@ -2295,7 +2412,7 @@ def _ann_recall_sql() -> str:
     from python_ctd_spark.operators.similarity import probe_masks as _pm
     methods_cte = " UNION ALL ".join(
         f"SELECT '{m}' AS method"
-        for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8")
+        for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8")
     )
     return f"""
 WITH exact AS (
@@ -2310,6 +2427,8 @@ WITH exact AS (
   SELECT qid, id FROM ({_ivf_ann_sql(5, n_probe=2)}) x
 ), sq8 AS (
   SELECT qid, vec_id AS id FROM ({_sq8_ann_sql()}) x
+), ivfsq AS (
+  SELECT qid, id FROM ({_ivf_sq_sql()}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -2320,6 +2439,8 @@ WITH exact AS (
   SELECT 'ivf_served' AS method, qid, id FROM ivfp
   UNION ALL
   SELECT 'sq8' AS method, qid, id FROM sq8
+  UNION ALL
+  SELECT 'ivf_sq8' AS method, qid, id FROM ivfsq
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
@@ -4711,6 +4832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": _q22_idle_customers,
         # -- r7 window: new in r7 — int8-quantized ANN serving path ----
         "quantized_ann_topk": _q_quantized_ann,
+        "ivf_sq_probe": _q_ivf_sq_probe,
         # -- r7 window: behavior changed in r7 (serving probe width) ---
         "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
@@ -4741,7 +4863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": _q_region_revenue,
         "pivot_event_counts": _q_pivot_event_counts,
         "rollup_orders": _q_rollup,
-        "salted_rollup": _q_salted_rollup,
         "grouped_percentiles": _q_percentiles,
         "streaming_windowed_stats": _q_streaming_windowed,
         "streaming_bindata": _q_streaming_bindata,
@@ -4755,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "domain_stats": _q_domain_stats,
+        "salted_rollup": _q_salted_rollup,
         "lang_id": _q_lang_id,
         "domain_mix_temp": _q_domain_mix_temp,
         "q4_order_priority": _q4_order_priority,
@@ -4835,6 +4957,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": _Q21_SQL,
         "q22_idle_customers": _Q22_SQL,
         "quantized_ann_topk": _QUANTIZED_ANN_SQL,
+        "ivf_sq_probe": _ivf_sq_sql(),
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,

@@ -303,3 +303,56 @@ def test_lsh_index_append_is_stateless_union(spark):
         for r in lsh_probe(lsh_index(full, **kw), full, queries, k=3, **kw).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_ivf_sq_probe_against_stored_artifacts(spark):
+    """IVF,SQ8 serving lifecycle: assignments bucketed by cell +
+    centroid table + int8 code table all stored once; ivf_sq_probe
+    answers queries from them with (a) top-k identical to the stored
+    ivf_probe (exact re-rank means the composition loses bytes, not
+    answers, when the margin covers the cell candidates) and (b) a plan
+    that reads codes from the stored table — no corpus-wide quantization
+    or assignment recompute (the raw corpus appears only as the bounded
+    margin*k re-rank fetch)."""
+    import pandas as pd
+
+    from python_ctd_spark.operators.similarity import (
+        ivf_index, ivf_probe, ivf_sq_probe, quantize_vectors,
+    )
+
+    rng = __import__("numpy").random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [list(v) for v in vecs]})
+    )
+    queries = corpus.filter("vec_id >= 57")
+    try:
+        assignments, cent = ivf_index(corpus, n_centroids=6)
+        sinks.write_bucketed(
+            assignments, "t_sq_assign", buckets=4, by="cell", sort_by="cell"
+        )
+        cent.write.mode("overwrite").saveAsTable("t_sq_cent")
+        quantize_vectors(corpus).write.mode("overwrite").saveAsTable("t_sq_codes")
+        st_assign = sinks.read_table(spark, "t_sq_assign")
+        st_cent = sinks.read_table(spark, "t_sq_cent")
+        st_codes = sinks.read_table(spark, "t_sq_codes")
+        exact_ivf = {
+            (r["qid"], r["id"], r["rk"])
+            for r in ivf_probe(
+                st_assign, st_cent, corpus, queries, k=4, n_probe=2
+            ).collect()
+        }
+        probe = ivf_sq_probe(
+            st_assign, st_cent, st_codes, corpus, queries,
+            k=4, n_probe=2, margin=8,
+        )
+        got = {(r["qid"], r["id"], r["rk"]) for r in probe.collect()}
+        assert got == exact_ivf and len(got) > 0
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "t_sq_codes" in plan and "t_sq_assign" in plan, plan
+        for marker in ("__farr", "__nband", "__cfast", "__amax"):
+            assert marker not in plan, f"corpus-wide recompute leaked: {marker}"
+    finally:
+        for t in ("t_sq_assign", "t_sq_cent", "t_sq_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

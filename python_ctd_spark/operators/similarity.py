@@ -1001,6 +1001,83 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    assignments: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster cells prune the pair space, exact cosine
+    inside each cell decides, and a deterministic keep policy marks one
+    survivor per duplicate relation.  Returns one row per corpus vector:
+    ``(id, cell, keep, dup_of, dup_cos)`` — ``keep`` is false iff a
+    LOWER-id vector in the SAME cell has cosine >= threshold;
+    ``dup_of``/``dup_cos`` name the lowest such id and its cosine.
+
+    Pair generation is a self-join keyed on ``cell`` — cost is
+    sum(|cell|^2) over cells, never O(n^2); ``n_centroids`` (sqrt-ish of
+    corpus size at fleet scale, the paper uses 50k clusters for LAION)
+    is the dial that bounds cell occupancy, and ``assignments`` can be
+    the STORED bucketed table from :func:`ivf_index` so the cluster
+    step never reruns.  The paper keeps the member with the lowest
+    centroid similarity; here the keep order is the id (first-seen wins
+    — deterministic in any engine at any parallelism); swapping the
+    window order to a centroid-distance column is the one-line variant.
+    Scoring follows :func:`embedding_neardup_pairs`: a plain-double dot
+    prefilters (error ~1e-13 against a 1e-6 margin), the decimal-exact
+    cosine decides survivors only.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    a = assignments.select("id", "cell").join(c, "id")
+    l = a.select(
+        F.col("cell"),
+        F.col("id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("fnorm").alias("na"),
+    )
+    r = a.select(
+        F.col("cell"),
+        F.col("id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("fnorm").alias("nb"),
+    )
+    pairs = l.join(r, "cell").filter(F.col("id_a") < F.col("id_b"))
+    fast_cos = _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    survivors = pairs.filter(fast_cos >= F.lit(threshold - 1e-6))
+    cos = _dot_exact(F.col("ea"), F.col("eb")) / (
+        _norm_exact(F.col("ea")) * _norm_exact(F.col("eb"))
+    )
+    dup_pairs = (
+        survivors.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", "__cos")
+    )
+    w = Window.partitionBy("id_b").orderBy("id_a")
+    first = (
+        dup_pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("dup_of"),
+            F.round("__cos", 6).alias("dup_cos"),
+        )
+    )
+    return (
+        assignments.select("id", "cell")
+        .join(first, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "dup_cos",
+        )
+    )
+
+
 def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,

@@ -247,6 +247,45 @@ def test_embedding_neardup_pairs(emb):
     assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(3, 7)}
 
 
+def test_semantic_dedup_pairs_only_within_cells(spark):
+    """The cluster-pruning contract: explicit assignments put two
+    identical vectors in DIFFERENT cells — semantic_dedup must keep
+    both (pairs form only within a cell), while the same-cell twin is
+    marked with dup_of = the lowest same-cell id."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            }
+        )
+    )
+    assign = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2, 3], "cell": [0, 0, 1, 0]})
+    )
+    out = (
+        similarity.semantic_dedup(assign, corpus, threshold=0.9)
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc[0, "keep"] and out.loc[2, "keep"] and out.loc[3, "keep"]
+    assert not out.loc[1, "keep"]
+    assert out.loc[1, "dup_of"] == 0 and out.loc[1, "dup_cos"] == 1.0
+
+
+def test_semantic_dedup_recalls_planted_neardup(emb):
+    df, _ = emb
+    assignments, _cent = similarity.ivf_index(df, n_centroids=4)
+    out = (
+        similarity.semantic_dedup(assignments, df, threshold=0.99)
+        .toPandas()
+        .set_index("id")
+    )
+    assert len(out) == 40 and out.loc[3, "keep"]
+    assert not out.loc[7, "keep"] and out.loc[7, "dup_of"] == 3
+    assert out.drop(index=7).keep.all()  # only the planted twin is dropped
+
+
 def test_quality_score_and_lang_id(docs):
     q = text.quality_score(docs).toPandas().set_index("doc_id")
     assert (q.alpha_ratio > 0.5).all()

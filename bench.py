@@ -21,6 +21,7 @@ after every run).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -33,6 +34,16 @@ from python_ctd_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--passes",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")),
+        help="minimum timed passes per query; the recorded number is the "
+        "min over passes (min-of-N by construction, VERDICT r7 item 9)",
+    )
+    args = ap.parse_args()
+    passes = max(1, args.passes)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -99,21 +110,24 @@ def main() -> None:
     rerun_threshold = 0.75
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():
-        dt = run_once(q)
-        # a run can still straddle a stray pause; rerun and keep the
-        # fastest (per-query work is identical on every pass).  Keep
-        # rerunning while the best time is still improving >25% — the
-        # giant-expression queries (shingle joins after the LSH family)
-        # can need 2-3 passes for the JVM to recompile what earlier
-        # plans deoptimized (measured: 22s -> 10s -> 2.2s), and stopping
-        # mid-decay records compiler state, not plan cost.
-        tries, best = 1, dt
-        while best > rerun_threshold and tries < 5:
+        # min-of-N by construction: every query gets at least `passes`
+        # timed runs (per-query work is identical on every pass; the min
+        # is the steady-state plan cost, not compiler/GC state)
+        best = min(run_once(q) for _ in range(passes))
+        tries = passes
+        # extension beyond the floor: keep rerunning while the best time
+        # is still improving >25% — the giant-expression queries (shingle
+        # joins after the LSH family) can need extra passes for the JVM
+        # to recompile what earlier plans deoptimized (measured: 22s ->
+        # 10s -> 2.2s), and stopping mid-decay records compiler state,
+        # not plan cost.
+        max_tries = max(5, passes + 2)
+        while best > rerun_threshold and tries < max_tries:
             nxt = run_once(q)
             improved = nxt < best * 0.75
             best = min(best, nxt)
             tries += 1
-            if tries >= 3 and not improved:
+            if not improved:
                 break
         timings[name] = round(best, 2)
 
@@ -124,6 +138,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "passes": passes,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -145,6 +160,7 @@ def main() -> None:
             "unit": "sec",
             "queries": slowest,
             "n_queries": len(timings),
+            "passes": passes,
             "full": "BENCH_out.json",
             "sf": sf,
         },

@@ -52,9 +52,13 @@ def main() -> None:
           f"  old-only: {sorted(set(old) - set(new))}")
     print(f"sum over comparable: old={sum(old[n] for n in common):.1f}s"
           f" new={sum(new[n] for n in common):.1f}s")
-    moved = [(n, new[n], old[n], new[n] / old[n]) for n in common
-             if new[n] / old[n] >= args.min_ratio
-             or new[n] / old[n] <= 1 / args.min_ratio]
+    # bench.py rounds per-query walls to 2 decimals, so a sub-5ms query
+    # records 0.0 — treat old==0 as ratio=inf (report it, don't crash)
+    ratio = {n: (new[n] / old[n] if old[n] else (1.0 if new[n] == 0 else float("inf")))
+             for n in common}
+    moved = [(n, new[n], old[n], ratio[n]) for n in common
+             if ratio[n] >= args.min_ratio
+             or ratio[n] <= 1 / args.min_ratio]
     for n, nv, ov, r in sorted(moved, key=lambda t: -t[3]):
         print(f"{n:30s} old={ov:6.2f} new={nv:6.2f} ratio={r:.2f}")
     if not moved:

@@ -184,10 +184,14 @@ def fingerprints() -> dict[str, str]:
     for name, fn in qs.items():
         h = hashlib.sha256()
         src = inspect.getsource(fn)
+        closure_txt = _entry_closure(src, entry)
         h.update(src.encode())
-        h.update(_entry_closure(src, entry).encode())
+        h.update(closure_txt.encode())
         h.update(oracles.get(name, "").encode())
-        mods = frozenset(_MOD_RE.findall(src))
+        # scan the helper-closure text too: a package module imported
+        # only inside a shared __spark_entry__ helper must still
+        # contribute its file bytes to the fingerprint
+        mods = frozenset(_MOD_RE.findall(src) + _MOD_RE.findall(closure_txt))
         closure = _CLOSURE_CACHE.get(mods)
         if closure is None:
             closure = _CLOSURE_CACHE[mods] = _closure_files(set(mods))

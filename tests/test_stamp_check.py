@@ -124,3 +124,47 @@ def test_entry_helper_closure_reaches_shared_helpers(sc):
     # transitive: a helper that itself calls another helper pulls both
     closure = sc._entry_closure("_ann_index_probe_sql()", entry)
     assert "def _lsh_ann_sql(" in closure
+
+
+def test_order_roundtrip_pins_registry(sc):
+    """VERDICT r7 item 2: the live registry order IS the mechanically
+    generated one — `stamp_check.py order` output == list(queries()) ==
+    the committed WINDOW_ORDER.json.  Regenerate with
+    `python tools/stamp_check.py order --write` after any edit."""
+    import __spark_entry__ as entry
+
+    generated = sc.compute_order()
+    assert list(entry.queries()) == generated
+    with open(os.path.join(REPO, "WINDOW_ORDER.json"), encoding="utf-8") as f:
+        committed = json.load(f)
+    assert committed == generated
+
+
+def test_order_tiers(sc, fps, monkeypatch, tmp_path):
+    """Ordering tiers: no-stamp first, then unwaived-stale by stamp
+    round, then stalest-round-first with waived drifts ahead of clean
+    rows of the same round."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    a, b, c, d, e = names[:5]
+    stamps = {n: {"round": 7, "fingerprint": fps[n]} for n in names}
+    del stamps[a]                                    # tier 0: never stamped
+    stamps[b] = {"round": 6, "fingerprint": "0" * 64}  # tier 1: stale r6
+    stamps[c] = {"round": 5, "fingerprint": fps[c]}    # tier 2: clean r5
+    stamps[d] = {                                       # tier 2: waived r6
+        "round": 6, "fingerprint": "0" * 64,
+        "waived": "x", "waived_fingerprint": fps[d],
+    }
+    stamps[e] = {"round": 6, "fingerprint": fps[e]}    # tier 2: clean r6
+    p = tmp_path / "STAMPS.json"
+    p.write_text(json.dumps(stamps))
+    monkeypatch.setattr(sc, "STAMPS_PATH", str(p))
+    order = sc.compute_order()
+    assert order[0] == a and order[1] == b and order[2] == c
+    # waived r6 sorts before clean r6
+    assert order.index(d) < order.index(e)
+    # everything else (clean r7) after all of the above
+    assert max(order.index(x) for x in (a, b, c, d, e)) < min(
+        order.index(n) for n in names if n not in (a, b, c, d, e)
+    )

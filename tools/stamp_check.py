@@ -17,8 +17,19 @@ holds a stale green.  This tool makes that class of drift mechanical:
 - ``stamp --round N name...`` records current fingerprints after a
   round's driver run (``--window`` stamps the current first 50).
 
+- ``order`` emits the registry window ordering MECHANICALLY (VERDICT r7
+  item 2) — no hand-maintained ordering comment: queries needing fresh
+  driver evidence first (no stamp, then stale-fingerprint by stamp
+  round), then everything else stalest-stamp-first (waived drifts ahead
+  of clean rows of the same round, alphabetical within a tier).
+  ``order --write`` persists the list to ``WINDOW_ORDER.json``, which
+  ``__spark_entry__.queries()`` consumes as its registry order; the
+  round-trip (generated order == live registry order) is test-pinned in
+  tests/test_stamp_check.py.
+
 Usage:
     python tools/stamp_check.py check
+    python tools/stamp_check.py order [--write]
     python tools/stamp_check.py stamp --round 7 --window
     python tools/stamp_check.py stamp --round 7 name1 name2 ...
     python tools/stamp_check.py waive name "reason"
@@ -253,6 +264,56 @@ def cmd_check() -> int:
     return 0 if ok else 1
 
 
+ORDER_PATH = os.path.join(REPO, "WINDOW_ORDER.json")
+
+
+def compute_order() -> list[str]:
+    """The mechanical registry ordering (stalest-stamp-first,
+    changed-files-first).  Three tiers:
+
+    0. no stamp at all (new queries — the driver has never seen them);
+    1. stale fingerprint, not validly waived (code changed since the
+       stamp — the green is no longer evidence), stalest stamp first;
+    2. everything else, stalest stamp first; within a round, waived
+       drifts (behavior-preserving refactors excused against the full
+       local parity suite) ahead of byte-identical rows, because their
+       driver evidence describes an older tree.
+
+    Alphabetical within every tier, so the order is a pure function of
+    (registry contents, STAMPS.json, tree bytes).
+    """
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    stamps = _load()
+    cur = fingerprints()
+
+    def key(n: str):
+        rec = stamps.get(n)
+        if rec is None:
+            return (0, -1, 0, n)
+        drifted = rec.get("fingerprint") != cur[n]
+        waived_ok = bool(rec.get("waived")) and rec.get("waived_fingerprint") == cur[n]
+        if drifted and not waived_ok:
+            return (1, rec["round"], 0, n)
+        return (2, rec["round"], 0 if (drifted and waived_ok) else 1, n)
+
+    return sorted(names, key=key)
+
+
+def cmd_order(write: bool) -> int:
+    order = compute_order()
+    if write:
+        with open(ORDER_PATH, "w", encoding="utf-8") as f:
+            json.dump(order, f, indent=0)
+            f.write("\n")
+        print(f"wrote {len(order)} names to {os.path.basename(ORDER_PATH)}")
+    else:
+        for n in order:
+            print(n)
+    return 0
+
+
 def cmd_stamp(round_no: int, names: list[str], use_window: bool) -> int:
     import __spark_entry__ as entry
 
@@ -289,6 +350,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("check")
+    op = sub.add_parser("order")
+    op.add_argument("--write", action="store_true")
     sp = sub.add_parser("stamp")
     sp.add_argument("--round", type=int, required=True)
     sp.add_argument("--window", action="store_true")
@@ -299,6 +362,8 @@ def main() -> int:
     args = ap.parse_args()
     if args.cmd == "check":
         return cmd_check()
+    if args.cmd == "order":
+        return cmd_order(args.write)
     if args.cmd == "stamp":
         return cmd_stamp(args.round, args.names, args.window)
     return cmd_waive(args.name, args.reason)

@@ -750,31 +750,153 @@ def simhash_pairs(
     )
 
 
+def _alternating_star(
+    pairs: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds on ANY graph shape, where plain
+    min-label propagation needs O(diameter) rounds and degrades
+    linearly on chain-shaped duplicate graphs (templated spam with
+    drifting headers).
+
+    ``pairs`` is an undirected edge list ``(a, b)`` with ``a != b``
+    (either orientation).  Returns ``(labels, rounds)`` where labels is
+    ``(node, label)`` for every node in ``pairs`` and the label is the
+    component minimum.
+
+    Each round is two star operations, every stage a keyed
+    aggregate/join (no driver-side data):
+
+    - **large-star**: for each node u, every STRICTLY LARGER neighbor v
+      re-attaches to ``m = min(N(u) + {u})`` — emit ``(v, m)``;
+    - **small-star**: orient edges child>parent; for each node u, its
+      smaller neighbors and u itself attach to ``m = min(N<=(u) + {u})``.
+
+    The fixpoint (edge multiset stops changing, checked with one
+    count + xxhash64-sum aggregate per round) is a forest of stars
+    rooted at each component's minimum node.
+
+    Every round's edge set is ``localCheckpoint``-ed, not merely
+    persisted: each round references the previous round's frame more
+    than once, so without lineage truncation the LOGICAL plan doubles
+    per round and the analyzer's plan-string generation goes
+    exponential long before the data does.  (On a multi-executor
+    cluster, pair this with a reliable checkpoint dir if executor loss
+    must be survivable mid-computation — the standard GraphFrames-style
+    iterative-CC tradeoff.)
+    """
+    cur = pairs.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: symmetrize, group on u, attach larger neighbors to min
+        symd = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+        mins = symd.groupBy("u").agg(F.min("v").alias("__mn"))
+        big = (
+            symd.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"),
+                F.least(F.col("u"), F.col("__mn")).alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        # small-star: every large-star edge already satisfies a > b
+        mins2 = big.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("__mn"))
+        attach_children = (
+            big.join(mins2, big["a"] == mins2["u"])
+            .filter(F.col("b") != F.col("__mn"))
+            .select(F.col("b").alias("a"), F.col("__mn").alias("b"))
+        )
+        attach_self = mins2.select(F.col("u").alias("a"), F.col("__mn").alias("b"))
+        nxt = (
+            attach_children.unionByName(attach_self)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)),
+                # decimal accumulator: a bigint sum of 64-bit hashes
+                # overflows under ANSI mode
+                F.sum(F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")),
+            ).first()
+        )
+        cur.unpersist()
+        big.unpersist()
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .unionByName(cur.select(F.col("b").alias("node"), F.col("b").alias("label")))
+        .distinct()
+    )
+    return labels, rounds
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    algorithm: str = "auto",
+    switch_after: int = 4,
 ) -> DataFrame:
-    """Connected components over an undirected edge list by min-label
-    propagation: every node repeatedly adopts the smallest label among
-    itself and its neighbors until fixpoint.  Returns (node, label) for
-    every node that appears in an edge; the label is the smallest node id
-    in the component (so it is the canonical cluster id).
+    """Connected components over an undirected edge list.  Returns
+    (node, label) for every node that appears in an edge; the label is
+    the smallest node id in the component (so it is the canonical
+    cluster id).
 
-    Iterative by nature (no closed SQL form at scale): each round is one
-    join + one min-aggregate, both keyed on the node — on a cluster the
-    rounds reuse a single hash partitioning.  Convergence takes at most
-    the graph diameter; near-dup graphs are clique-ish (tiny diameters).
-    Each round's result is persisted and the previous round unpersisted,
-    so lineage stays O(1) deep instead of O(iterations).
+    ``algorithm``:
 
-    ``stats`` (optional dict) receives ``{"iterations": n}`` — the
-    fixpoint round count after the fused round-1 init — so scale runs
-    can assert the iteration count stays flat as the corpus grows
-    (tools/bench_scale.py; PLANS.md).
+    - ``"label"`` — min-label propagation: every node repeatedly adopts
+      the smallest label among itself and its neighbors until fixpoint.
+      Each round is one join + one min-aggregate, both keyed on the
+      node — on a cluster the rounds reuse a single hash partitioning.
+      Convergence takes the GRAPH DIAMETER rounds: the right tool for
+      the clique-ish graphs near-dup pair generation produces (tiny
+      diameters), linear-degrading on chains.
+    - ``"star"`` — alternating large-star/small-star
+      (:func:`_alternating_star`): O(log n) rounds on any shape, at
+      ~2x the per-round shuffle count.
+    - ``"auto"`` (default) — label propagation for up to
+      ``switch_after`` rounds (the fast path — clique-ish dup graphs
+      converge in 2-3), then, if still unconverged, hand the current
+      labels to the star phase as shortcut edges ``(node, label)``
+      unioned with the original edges (the label rounds' progress is
+      kept; every shortcut stays in-component, so the result is
+      unchanged).  Worst case O(log n) total, clique case identical to
+      ``"label"``.
+
+    Output is algorithm-independent: the label is always the component
+    minimum.  Each round's result is persisted and the previous round
+    unpersisted, so lineage stays O(1) deep instead of O(iterations).
+
+    ``stats`` (optional dict) receives ``{"iterations": total_rounds,
+    "label_rounds": n, "star_rounds": m, "algorithm": used}`` so scale
+    runs can assert round counts (flat at 10x for cliques; ~log n on a
+    planted chain — tools/bench_scale.py cc-chain; PLANS.md).
     """
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
+    pairs = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if algorithm == "star":
+        labels, star_rounds = _alternating_star(pairs, max_iter)
+        if stats is not None:
+            stats.update(
+                iterations=star_rounds, label_rounds=0,
+                star_rounds=star_rounds, algorithm="star",
+            )
+        return labels
+
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -791,8 +913,10 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
         .persist()
     )
+    label_budget = max_iter if algorithm == "label" else min(switch_after, max_iter)
     rounds = 0
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(label_budget):
         rounds += 1
         neigh = (
             sym.join(
@@ -815,9 +939,36 @@ def connected_components(
         labels.unpersist()
         labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
+        # persist() truncates execution, not the LOGICAL plan — and each
+        # round references the previous labels frame twice, so a long
+        # label run (deep graphs under algorithm="label") accretes a
+        # plan tree that DOUBLES per round until the analyzer chokes on
+        # the plan string.  Cut the lineage every few rounds (2^4 = 16x
+        # max string blow-up between cuts); auto mode rarely gets here
+        # (switch_after bounds the loop).
+        if rounds % 4 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    star_rounds = 0
+    if algorithm == "auto" and not converged:
+        # hand off to the log-round phase, keeping the label rounds'
+        # progress as in-component shortcut edges
+        shortcuts = labels.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias("a"), F.col("label").alias("b")
+        )
+        seed = pairs.unionByName(shortcuts).persist()
+        seed.count()  # materialize through the persisted label frame
+        labels.unpersist()
+        labels, star_rounds = _alternating_star(seed, max_iter)
+        seed.unpersist()
     if stats is not None:
-        stats["iterations"] = rounds
+        stats.update(
+            iterations=rounds + star_rounds,
+            label_rounds=rounds,
+            star_rounds=star_rounds,
+            algorithm=("auto:star" if star_rounds else algorithm),
+        )
     sym.unpersist()
     return labels
 

@@ -214,3 +214,54 @@ def test_interval_join_matches_naive_inequality_join(spark):
     # plan: a hash equi-join on the cell, not a nested loop
     plan = interval_join(p, i, "t", "lo", "hi", bucket=64, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_connected_components_star_matches_label(spark):
+    """The alternating large-star/small-star path returns the identical
+    (node, component-min) labeling as min-label propagation."""
+    from python_ctd_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [1, 2, 10, 10, 11, 20], "id_b": [2, 3, 11, 12, 12, 21]}
+        )
+    )
+    lbl = connected_components(edges, algorithm="label").toPandas()
+    star = connected_components(edges, algorithm="star").toPandas()
+    assert (
+        lbl.sort_values("node").reset_index(drop=True).equals(
+            star.sort_values("node").reset_index(drop=True)
+        )
+    )
+
+
+def test_connected_components_chain_log_rounds(spark):
+    """On a chain-shaped graph (diameter = n), label propagation needs
+    O(n) rounds while the star path converges in O(log n): a 200-node
+    chain must finish well under the diameter and still label every
+    node with the chain minimum."""
+    from python_ctd_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    stats: dict = {}
+    out = connected_components(edges, stats=stats).toPandas()
+    assert stats["algorithm"] == "auto:star"
+    # log2(200) ~ 7.6; allow generous slack but stay far under diameter
+    assert stats["iterations"] <= 25
+    assert (out.label == 0).all() and len(out) == n
+
+    # pure label propagation on a (shorter) chain needs ~diameter/2
+    # rounds — each round propagates the min one hop from both ends
+    m = 60
+    edges_m = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(m - 1)), "id_b": list(range(1, m))})
+    )
+    stats_l: dict = {}
+    out_l = connected_components(
+        edges_m, algorithm="label", max_iter=500, stats=stats_l
+    ).toPandas()
+    assert stats_l["iterations"] > 20
+    assert (out_l.label == 0).all()

@@ -112,6 +112,46 @@ def measure_docs(mult: int) -> dict:
         spark.stop()
 
 
+def measure_cc_chain(n: int) -> dict:
+    """VERDICT r7 item 6 evidence: connected components on a planted
+    n-node CHAIN — the worst shape for min-label propagation (diameter
+    = n).  The default auto algorithm must hand off to the alternating
+    large-star/small-star phase and finish in ~log n total rounds, with
+    every node labeled by the chain minimum."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.dedup import connected_components
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_cc_chain_{n}")
+    try:
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        stats: dict = {}
+        t0 = _time.perf_counter()
+        out = connected_components(edges, stats=stats)
+        n_nodes = out.count()
+        n_root = out.filter("label = 0").count()
+        wall = _time.perf_counter() - t0
+        import math
+
+        return {
+            "chain_nodes": n,
+            "wall_s": round(wall, 2),
+            "iterations": stats["iterations"],
+            "label_rounds": stats["label_rounds"],
+            "star_rounds": stats["star_rounds"],
+            "algorithm": stats["algorithm"],
+            "log2_n": round(math.log2(n), 1),
+            "all_rooted_at_min": n_root == n_nodes == n,
+        }
+    finally:
+        spark.stop()
+
+
 def measure_fleet(n: int) -> dict:
     from tools.bench_fleet import time_engine
 
@@ -376,4 +416,7 @@ if __name__ == "__main__":
     if what == "probe-sq8":
         for m in (1, 10):
             results[f"sq8_x{m}"] = measure_sq8(m)
+    if what == "cc-chain":
+        for n in (1000, 10000):
+            results[f"cc_chain_{n}"] = measure_cc_chain(n)
     print(json.dumps(results, indent=1))

@@ -482,6 +482,8 @@ def _kmeans_centroids(
     dim: int,
     iters: int = 4,
     sample: float | None = None,
+    exact: bool = False,
+    cids: list[int] | None = None,
 ) -> list[list[float]]:
     """Spherical-ish Lloyd iterations as DataFrame aggregates.
 
@@ -502,6 +504,43 @@ def _kmeans_centroids(
 
     train = c if sample is None else c.filter(hash_uniform(F.col("id")) < sample)
     cvecs = [list(v) for v in seed_vecs]
+    if exact:
+        # ORACLE-EXACT Lloyd (VERDICT r7 item 4): every step is
+        # order-independent and engine-portable, so an independent SQL
+        # engine recomputes bit-identical centroids from the parquet:
+        # - assignment runs the full :func:`_assign_cells` machinery
+        #   (double argmax + decimal settle inside the epsilon band);
+        # - the update step's new centroid is the vector of BIGINT sums
+        #   ``sum(floor(x_i * 1e6 + 0.5))`` over the cell's members —
+        #   integer-quantized coordinates summed exactly (no float-sum
+        #   partition-order drift, no decimal->double cast, which
+        #   DuckDB truncates rather than rounds), cast to double and
+        #   divided by 2^30 — an EXACT binary scaling (mantissa
+        #   untouched, identical in every IEEE engine) that keeps the
+        #   scoring folds' decimal(30,15) casts from overflowing on
+        #   norm products.  The ~1e-6 coordinate quantization is
+        #   irrelevant to clustering, and cosine is scale-invariant so
+        #   the un-normalized scaled sum is as good a centroid
+        #   DIRECTION as the mean.
+        if cids is None:
+            raise ValueError("exact mode needs the seed cid list")
+        for _ in range(int(iters)):
+            assigned = _assign_cells(train, cids, cvecs)
+            qsum = [
+                F.sum(
+                    F.floor(F.col("e")[i] * 1000000.0 + F.lit(0.5)).cast("bigint")
+                ).alias(f"s{i}")
+                for i in range(dim)
+            ]
+            stats = assigned.groupBy("cell").agg(*qsum).collect()
+            by_cid = {int(r["cell"]): r for r in stats}
+            for idx, cid in enumerate(cids):
+                r = by_cid.get(cid)
+                if r is not None:  # empty cells keep their centroid
+                    cvecs[idx] = [
+                        float(r[f"s{i}"]) / 1073741824.0 for i in range(dim)
+                    ]
+        return cvecs
     enorm_sql = "sqrt(aggregate(transform(e, x -> x * x), 0.0D, (acc, x) -> acc + x))"
     for _ in range(int(iters)):
         cnorms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cvecs]
@@ -559,9 +598,10 @@ def _derive_centroids(
     cids = [int(r["cid"]) for r in cent_rows]
     cvecs = [[float(x) for x in r["ce"]] for r in cent_rows]
     dim = len(cvecs[0])
-    if centroids == "kmeans":
+    if centroids in ("kmeans", "kmeans_exact"):
         cvecs = _kmeans_centroids(
-            c, cvecs, dim, iters=kmeans_iters, sample=kmeans_sample
+            c, cvecs, dim, iters=kmeans_iters, sample=kmeans_sample,
+            exact=(centroids == "kmeans_exact"), cids=cids,
         )
         from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
@@ -831,6 +871,17 @@ def ivf_sq_probe(
     centroid table, the codes keyed by id) are write-once /
     probe-forever; per-query cost = broadcast centroid scoring + probed
     cells' code rows + a constant-size exact join.
+
+    **Snapshot contract**: ``assignments``, ``codes``, and ``corpus``
+    MUST come from the same corpus snapshot — the candidate scoring
+    inner-joins assignments to codes on ``id``, so an id present in the
+    assignments but missing from the codes table (stale codes after an
+    append that only updated assignments) is silently dropped and
+    recall degrades with no error.  Same MUST-match discipline as
+    :func:`lsh_probe`'s ``(n_planes, n_tables, dim)`` and
+    ``incremental_dedup``'s ``(bands, k)``: refresh the three artifacts
+    together (:func:`ivf_append` + a matching :func:`quantize_vectors`
+    insert per shard).
     """
     qid = query_id_col or id_col
     q_raw = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
@@ -1001,12 +1052,37 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_cell_stats(assignments: DataFrame) -> DataFrame:
+    """Per-cell occupancy audit for :func:`semantic_dedup` (VERDICT r7
+    item 3): ``(cell, n_rows, n_pairs, occupancy_frac)`` — ``n_pairs``
+    is the self-join pair count the cell would contribute
+    (``n*(n-1)/2``), ``occupancy_frac`` the cell's share of corpus
+    rows.  The decision input for ``max_cell_rows``: semantic dedup's
+    cost is ``sum(n_pairs)``, and one crawl-burst hot cell dominates
+    that sum long before it dominates row counts.  One aggregate over
+    the (id, cell) table — run it on every stored IVF index refresh."""
+    n = F.col("n_rows").cast("bigint")
+    return (
+        assignments.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("n_pairs", (n * (n - 1) / 2).cast("bigint"))
+        .withColumn(
+            "occupancy_frac",
+            F.round(n / F.sum(n).over(Window.partitionBy()), 6),
+        )
+    )
+
+
 def semantic_dedup(
     assignments: DataFrame,
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
+    split_planes: int = 6,
+    dim: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster cells prune the pair space, exact cosine
@@ -1028,23 +1104,81 @@ def semantic_dedup(
     Scoring follows :func:`embedding_neardup_pairs`: a plain-double dot
     prefilters (error ~1e-13 against a 1e-6 margin), the decimal-exact
     cosine decides survivors only.
+
+    **Hot-cell skew guard** (``max_cell_rows``, default off): a
+    duplicate-heavy crawl burst can pile one cell to millions of rows —
+    a quadratic pocket no cluster count fully prevents.  When set,
+    cells above the cap are SPLIT by an extra LSH band: each row's
+    sub-key is the low ``ceil(log2(n_cell / max_cell_rows))`` bits (at
+    most ``split_planes``) of a deterministic random-hyperplane
+    signature over the embedding (:func:`signature_table`'s basis), and
+    the self-join key becomes ``(cell, subcell)``.  Pair cost for a hot
+    cell of n rows drops from n^2/2 to ~``max_cell_rows * n / 2``
+    (hash-balance permitting — measured on a planted burst in
+    tools/bench_scale.py semantic).  Cold cells get sub-key 0 — their
+    plan and output are UNCHANGED.  The trade, exactly as in SemDeDup's
+    cluster-count sizing: near-dup pairs whose members land in
+    different sub-buckets are missed (random hyperplanes are
+    cosine-preserving, so P(split) per bit is angle/pi ~ 0.1 at
+    threshold 0.95; EXACT duplicates share every bucket by construction
+    and are never missed).  ``dim`` must match the embedding width when
+    the guard is on.
+
+    ``stats`` (optional dict) receives ``n_candidate_pairs`` (the
+    self-join output size actually generated), ``n_cells`` and
+    ``max_cell`` — the evidence a scale run asserts against
+    (pair count <= max_cell_rows * n_rows on the planted-skew fixture).
     """
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     c = c.withColumn("fnorm", _norm_fast(F.col("e")))
     a = assignments.select("id", "cell").join(c, "id")
+    join_key = ["cell"]
+    if max_cell_rows is not None:
+        occ = assignments.groupBy("cell").agg(F.count(F.lit(1)).alias("__occ"))
+        bits = F.when(
+            F.col("__occ") > max_cell_rows,
+            F.ceil(F.log2(F.col("__occ") / F.lit(float(max_cell_rows)))),
+        ).otherwise(F.lit(0))
+        occ = occ.select(
+            "cell", F.least(bits, F.lit(split_planes)).cast("int").alias("__bits")
+        )
+        sig = signature_table(
+            a, ["id", "cell", "e", "fnorm"], "e",
+            n_planes=split_planes, n_tables=1, dim=dim, persist=False,
+        ).drop("tbl")
+        a = sig.join(F.broadcast(occ), "cell").select(
+            "id", "cell", "e", "fnorm",
+            # PySpark's F.shiftleft only takes a literal bit count; the
+            # SQL form accepts the per-cell column
+            F.col("bkt").bitwiseAND(F.expr("shiftleft(1, __bits) - 1")).alias(
+                "subcell"
+            ),
+        )
+        join_key = ["cell", "subcell"]
     l = a.select(
-        F.col("cell"),
+        *join_key,
         F.col("id").alias("id_a"),
         F.col("e").alias("ea"),
         F.col("fnorm").alias("na"),
     )
     r = a.select(
-        F.col("cell"),
+        *join_key,
         F.col("id").alias("id_b"),
         F.col("e").alias("eb"),
         F.col("fnorm").alias("nb"),
     )
-    pairs = l.join(r, "cell").filter(F.col("id_a") < F.col("id_b"))
+    pairs = l.join(r, join_key).filter(F.col("id_a") < F.col("id_b"))
+    if stats is not None:
+        occ_stats = (
+            a.groupBy(*join_key).agg(F.count(F.lit(1)).alias("__n")).agg(
+                F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("p"),
+                F.count(F.lit(1)).alias("k"),
+                F.max("__n").alias("m"),
+            ).first()
+        )
+        stats["n_candidate_pairs"] = int(occ_stats["p"] or 0)
+        stats["n_cells"] = int(occ_stats["k"])
+        stats["max_cell"] = int(occ_stats["m"] or 0)
     fast_cos = _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     survivors = pairs.filter(fast_cos >= F.lit(threshold - 1e-6))
     cos = _dot_exact(F.col("ea"), F.col("eb")) / (

@@ -1321,3 +1321,70 @@ def test_quantized_topk_matches_exact_ranking(spark):
     assert (merged.cos_q == merged.cos_e).all()
     # and the quantized pre-score sits close to the true cosine
     assert (merged.qcos - merged.cos_e).abs().max() < 0.05
+
+
+def test_semantic_dedup_hot_cell_split_bounds_pairs(spark):
+    """VERDICT r7 item 3: a planted hot cell (one coarse cell holding a
+    burst of varied vectors) must not generate a quadratic pair pocket
+    when max_cell_rows is set — candidate pairs stay <= cap * n_rows —
+    and EXACT duplicates (which share every LSH sub-bucket by
+    construction) must still be caught with the correct keeper."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n = 200
+    vecs = rng.randn(n, 16).astype("float64")
+    # plant exact duplicates: 150 copies 100, 151 copies 101
+    vecs[150] = vecs[100]
+    vecs[151] = vecs[101]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(v) for v in vecs]})
+    )
+    # everything crammed into ONE cell — the crawl-burst shape
+    assign = spark.createDataFrame(
+        pd.DataFrame({"id": range(n), "cell": [1] * n})
+    )
+    cap = 20
+    stats: dict = {}
+    out = (
+        similarity.semantic_dedup(
+            assign, corpus, threshold=0.95, max_cell_rows=cap, dim=16,
+            stats=stats,
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    # uncapped would be n*(n-1)/2 = 19900 pairs; the split must bound it
+    assert stats["n_candidate_pairs"] <= cap * n
+    assert stats["n_candidate_pairs"] < n * (n - 1) / 2 / 4
+    # exact duplicates never separate: planted copies are caught
+    assert not out.loc[150, "keep"] and out.loc[150, "dup_of"] == 100
+    assert not out.loc[151, "keep"] and out.loc[151, "dup_of"] == 101
+    assert len(out) == n
+
+    # cold cells: guard on, occupancy under the cap -> output identical
+    # to the unguarded run (subcell bits = 0 everywhere)
+    spread = spark.createDataFrame(
+        pd.DataFrame({"id": range(n), "cell": [i % 20 for i in range(n)]})
+    )
+    base = (
+        similarity.semantic_dedup(spread, corpus, threshold=0.95)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    guarded = (
+        similarity.semantic_dedup(
+            spread, corpus, threshold=0.95, max_cell_rows=cap, dim=16
+        )
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, guarded)
+
+
+def test_semantic_cell_stats(spark):
+    assign = spark.createDataFrame(
+        pd.DataFrame({"id": range(10), "cell": [1] * 6 + [2] * 3 + [3]})
+    )
+    out = similarity.semantic_cell_stats(assign).toPandas().set_index("cell")
+    assert out.loc[1, "n_rows"] == 6 and out.loc[1, "n_pairs"] == 15
+    assert out.loc[2, "n_pairs"] == 3 and out.loc[3, "n_pairs"] == 0
+    assert abs(out.occupancy_frac.sum() - 1.0) < 1e-9

@@ -112,6 +112,60 @@ def measure_docs(mult: int) -> dict:
         spark.stop()
 
 
+def measure_semantic(mult: int, cap: int = 500, hot_frac_mod: int = 5) -> dict:
+    """VERDICT r7 item 3 evidence: semantic_dedup with a PLANTED hot
+    cell (a crawl-burst 20% of the corpus crammed into one coarse cell)
+    at mult-x corpus scale.  Without the guard the hot cell contributes
+    n_hot^2/2 pairs (quadratic pocket); with ``max_cell_rows=cap`` the
+    LSH sub-split must keep actual candidate pairs <= cap * n_rows.
+    Cold cells are sized ~cap so the hot cell is the only stress."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.similarity import (
+        semantic_cell_stats, semantic_dedup,
+    )
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_semantic_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_sem_")
+    try:
+        path = stage_embeddings(mult, tmp)
+        corpus = spark.read.parquet(path)
+        n = corpus.count()
+        n_cold_cells = max(16, (n * (hot_frac_mod - 1) // hot_frac_mod) // cap)
+        assign = corpus.select(
+            F.col("vec_id").alias("id"),
+            F.when(F.col("vec_id") % hot_frac_mod == 0, F.lit(1))
+            .otherwise(10 + F.pmod(F.xxhash64("vec_id"), F.lit(n_cold_cells)))
+            .alias("cell"),
+        )
+        uncapped = semantic_cell_stats(assign).agg(
+            F.sum("n_pairs").alias("p"), F.max("n_rows").alias("m")
+        ).first()
+        stats: dict = {}
+        t0 = time.perf_counter()
+        out = semantic_dedup(
+            corpus=corpus, assignments=assign, threshold=0.95,
+            max_cell_rows=cap, split_planes=8, dim=64, stats=stats,
+        )
+        n_out = out.count()
+        wall = time.perf_counter() - t0
+        return {
+            "mult": mult,
+            "corpus_rows": n,
+            "hot_cell_rows": int(uncapped["m"]),
+            "uncapped_pairs": int(uncapped["p"]),
+            "capped_pairs": stats["n_candidate_pairs"],
+            "pair_bound_cap_x_n": cap * n,
+            "bound_ok": stats["n_candidate_pairs"] <= cap * n,
+            "wall_s": round(wall, 2),
+            "out_rows": n_out,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def measure_cc_chain(n: int) -> dict:
     """VERDICT r7 item 6 evidence: connected components on a planted
     n-node CHAIN — the worst shape for min-label propagation (diameter
@@ -419,4 +473,7 @@ if __name__ == "__main__":
     if what == "cc-chain":
         for n in (1000, 10000):
             results[f"cc_chain_{n}"] = measure_cc_chain(n)
+    if what == "semantic":
+        for m in (1, 10, 100):
+            results[f"semantic_x{m}"] = measure_semantic(m)
     print(json.dumps(results, indent=1))

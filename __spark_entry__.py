@@ -1747,21 +1747,35 @@ FROM f
 
 
 def _q_bpe_token_count(spark, sf_dir):
-    from python_ctd_spark.operators.text import bpe_ish_token_count, token_count
+    """REAL byte-level BPE token counts (VERDICT r7 item 5): the
+    merge-table tokenizer (operators/text.bpe_token_count — broadcast
+    ranks, Arrow-batched pandas UDF, per-batch word cache) over the
+    committed merges fixture (tests/data/bpe/merges.txt, trained by
+    tools/make_bpe_fixture.py), beside the whitespace count.  The
+    bpe_tokens oracle is a kernel-golden parquet precomputed by the
+    pure-Python reference encoder (tools/make_golden.py make_bpe; the
+    encoder itself is pinned by hand-computed merge-loop unit tests in
+    tests/test_bpe.py); ws_tokens stays independently SQL-checked."""
+    from python_ctd_spark.operators.text import bpe_token_count, token_count
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(docs).select(
         "doc_id",
         token_count("text").alias("ws_tokens"),
-        bpe_ish_token_count("text").alias("bpe_tokens"),
+        "bpe_tokens",
     )
 
 
-_BPE_TOKEN_SQL = r"""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
-FROM documents
+def _bpe_token_sql() -> str:
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
+    return rf"""
+SELECT d.doc_id,
+       len(regexp_split_to_array(trim(d.text), '\s+')) AS ws_tokens,
+       g.bpe_tokens
+FROM documents d
+JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
 """
 
 
@@ -5244,7 +5258,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_percentiles": _PERCENTILES_SQL,
         "salted_rollup": _SALTED_ROLLUP_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
-        "bpe_token_count": _BPE_TOKEN_SQL,
+        # real-merge-table BPE: golden parquet for the tokenizer side,
+        # plain SQL for the whitespace side (see _q_bpe_token_count)
+        "bpe_token_count": _bpe_token_sql(),
         "ctd_pipeline": _CTD_PIPELINE_SQL,
         "brand_nation_profit": _BRAND_NATION_SQL,
         "bindata_interpolate": _BINDATA_INTERP_SQL,

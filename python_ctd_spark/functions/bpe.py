@@ -1,0 +1,192 @@
+"""Byte-level BPE — real merge-table tokenization (VERDICT r7 item 5).
+
+The public GPT-2 scheme (Radford et al. 2019; merge algorithm from
+Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"), reimplemented from the published algorithm:
+
+- a fixed byte<->unicode bijection maps every input byte to a printable
+  character, so the merge table is plain text and every string —
+  any language, any binary garbage — tokenizes without an <unk>;
+- a pre-tokenizer regex splits text into words/numbers/punctuation
+  runs (GPT-2's ``\\p{L}``/``\\p{N}`` classes approximated with
+  Python-``re`` equivalents — this module DEFINES the tokenizer, the
+  fixture merges are trained with the same pattern, so the pair is
+  self-consistent by construction);
+- each pre-token's byte string is merged bottom-up: repeatedly fuse the
+  adjacent pair with the lowest merge rank until no ranked pair
+  remains.
+
+The token COUNT is what the engine needs (pack_documents budgets,
+quality stats); :func:`encode` returns the tokens themselves for tests.
+
+No reference-repo counterpart (the reference engine has no tokenizer);
+this is the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+DEFAULT_MERGES = (
+    pathlib.Path(__file__).resolve().parents[2]
+    / "tests" / "data" / "bpe" / "merges.txt"
+)
+
+# GPT-2's pattern with re-compatible classes: \p{L} -> [^\W\d_],
+# \p{N} -> \d, "not space/letter/number" -> [^\s\w] plus underscore
+PRETOK_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The published GPT-2 byte<->unicode bijection: visibly printable
+    latin-1 bytes map to themselves, every other byte to an unused
+    codepoint starting at U+0100 — reversible, whitespace-free."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_MAP = bytes_to_unicode()
+
+
+def pretokens(text: str) -> list[str]:
+    """Pre-tokenize and byte-map: each element is a merge-ready string
+    of mapped byte characters."""
+    out = []
+    for tok in PRETOK_RE.findall(text):
+        out.append("".join(_BYTE_MAP[b] for b in tok.encode("utf-8")))
+    return out
+
+
+def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
+    return set(zip(word, word[1:]))
+
+
+def bpe_word(
+    token: str,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> tuple[str, ...]:
+    """Merge one byte-mapped pre-token bottom-up by rank (the classic
+    loop: fuse the lowest-ranked adjacent pair until none is ranked)."""
+    if cache is not None and token in cache:
+        return cache[token]
+    word = tuple(token)
+    while len(word) > 1:
+        pairs = _get_pairs(word)
+        bigram = min(pairs, key=lambda p: ranks.get(p, 1 << 60))
+        if bigram not in ranks:
+            break
+        a, b = bigram
+        merged: list[str] = []
+        i = 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(word[i])
+                i += 1
+        word = tuple(merged)
+    if cache is not None:
+        cache[token] = word
+    return word
+
+
+def encode(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> list[str]:
+    out: list[str] = []
+    for tok in pretokens(text):
+        out.extend(bpe_word(tok, ranks, cache))
+    return out
+
+
+def encode_count(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> int:
+    n = 0
+    for tok in pretokens(text):
+        n += len(bpe_word(tok, ranks, cache))
+    return n
+
+
+def load_ranks(path: str | pathlib.Path | None = None) -> dict[tuple[str, str], int]:
+    """Read a GPT-2-format merges file (one ``left right`` pair per
+    line, rank = line order; ``#``-prefixed lines are comments)."""
+    p = pathlib.Path(path) if path is not None else DEFAULT_MERGES
+    ranks: dict[tuple[str, str], int] = {}
+    with open(p, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, b = line.split(" ")
+            ranks[(a, b)] = len(ranks)
+    return ranks
+
+
+def train_merges(texts, n_merges: int = 512, min_freq: int = 2) -> list[tuple[str, str]]:
+    """Train a merge table on an iterable of texts (classic BPE
+    training, Sennrich et al. 2016): count pre-token frequencies once,
+    then repeatedly merge the most frequent adjacent pair.  Ties break
+    on the lexicographically smallest pair, so training is fully
+    deterministic.  Driver-side tooling (fixture generation), not an
+    engine operator."""
+    from collections import Counter
+
+    word_freq: Counter = Counter()
+    for t in texts:
+        for tok in pretokens(t or ""):
+            word_freq[tok] += 1
+    words: dict[str, tuple[str, ...]] = {w: tuple(w) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_freq: Counter = Counter()
+        for w, sym in words.items():
+            f = word_freq[w]
+            for p in zip(sym, sym[1:]):
+                pair_freq[p] += f
+        if not pair_freq:
+            break
+        best = min(pair_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        new_words = {}
+        for w, sym in words.items():
+            if len(sym) < 2:
+                new_words[w] = sym
+                continue
+            merged: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            new_words[w] = tuple(merged)
+        words = new_words
+    return merges

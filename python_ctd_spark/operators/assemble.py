@@ -110,6 +110,7 @@ def pack_documents(
     strategy: str = "fixed",
     num_buckets: int | None = None,
     greedy_chunk: int = 1 << 20,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Context packing: within each ``by`` stream (ordered by
     ``id_col``), assign every document a ``pack_id`` context window.
@@ -141,8 +142,18 @@ def pack_documents(
     must mean the same thing in the partial-sum and join branches; the
     values are boundary-invariant, the bucketing is not).  ``id_col``
     must be unique within a domain — the usual doc-id contract.
+
+    ``token_count_col`` (optional): budget off a precomputed token-count
+    column — e.g. real BPE counts from
+    :func:`..text.bpe_token_count` — instead of the default whitespace
+    count.  At training scale the tokenizer's counts are what the
+    context window actually holds, so packing efficiency keys off them.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint")
+    n_tok = (
+        F.col(token_count_col).cast("bigint")
+        if token_count_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint")
+    )
     staged = df.select(
         F.col(by), F.col(id_col), n_tok.alias("n_tokens")
     )

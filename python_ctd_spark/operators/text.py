@@ -29,11 +29,56 @@ def token_count(text_col: str = "text") -> Column:
 def bpe_ish_token_count(text_col: str = "text") -> Column:
     """BPE-flavored token estimate: count regex word pieces + digits +
     punctuation marks (a cheap, deterministic stand-in for a real BPE
-    vocab; ~chars/4 for English).  Uses one regexp pass."""
+    vocab; ~chars/4 for English).  Uses one regexp pass — fully
+    JVM-side, the right tool when an approximate count feeds a
+    heuristic.  For budgets that must match a real tokenizer, use
+    :func:`bpe_token_count`."""
     pieces = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0
     )
     return F.size(pieces).cast("bigint")
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    merges_path: str | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """REAL byte-level BPE token counts (VERDICT r7 item 5): the public
+    GPT-2 merge-loop (``functions/bpe.py``) over a trained merge table
+    (GPT-2 merges format; the committed fixture is trained by
+    tools/make_bpe_fixture.py), so packing budgets and per-doc costs
+    key off the tokenizer a training run would actually use, not a
+    regex estimate.
+
+    Plan shape: the ranks dict is broadcast once (a merge table is KBs
+    to a few MB — classic broadcast-dim size); counting runs in an
+    Arrow-batched pandas UDF with a per-batch word cache (natural text
+    repeats pre-tokens heavily, so the merge loop runs once per
+    distinct word per batch).  Map-side only — no shuffle, linear scan,
+    the same 100 TB shape as every other per-doc text stat; it is the
+    merge loop itself that is Python (BPE is iterative and
+    data-dependent — no closed JVM form), which is exactly the
+    SURVEY §4.2 pandas-UDF escape hatch."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.types import LongType
+
+    from ..functions.bpe import encode_count, load_ranks
+
+    ranks = load_ranks(merges_path)
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # them and pandas_udf's signature inference rejects the strings
+    def _count(s):
+        r = bc.value
+        cache: dict = {}
+        return s.map(lambda t: encode_count(t or "", r, cache)).astype("int64")
+
+    count_udf = F.pandas_udf(_count, LongType())
+    return df.withColumn(out_col, count_udf(F.col(text_col)))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,115 @@
+"""Real byte-level BPE (VERDICT r7 item 5): the pure-Python reference
+encoder is pinned by hand-computed merge-loop cases (it is what
+generates the bpe_token_count golden, so it must be independently
+trusted), the Spark operator must match it row-for-row, and
+pack_documents budgets must hold with real token counts."""
+
+import pandas as pd
+import pytest
+
+from python_ctd_spark.functions import bpe
+
+
+def test_bytes_to_unicode_bijection():
+    m = bpe.bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    # printable ascii maps to itself; space/control bytes are remapped
+    assert m[ord("a")] == "a" and m[ord("!")] == "!"
+    assert m[ord(" ")] != " " and m[10] != "\n"
+
+
+def test_merge_loop_hand_computed():
+    """The classic Sennrich walkthrough: with merges l+o, lo+w, e+r,
+    'low lower' tokenizes to [low][Ġ][low][er] (Ġ = byte-mapped
+    space)."""
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    sp = bpe.bytes_to_unicode()[ord(" ")]
+    assert bpe.encode("low lower", ranks) == ["low", sp, "low", "er"]
+    assert bpe.encode_count("low lower", ranks) == 4
+    # no ranked pairs -> every byte is a token
+    assert bpe.encode_count("low", {}) == 3
+    # rank order matters: if (o,w) outranks (l,o), 'low' -> [l][ow]
+    assert bpe.encode("low", {("o", "w"): 0, ("l", "o"): 1}) == ["l", "ow"]
+    # empty and unicode round the byte mapping without error
+    assert bpe.encode_count("", ranks) == 0
+    assert bpe.encode_count("héllo", {}) == len("héllo".encode("utf-8"))
+
+
+def test_pretokenizer_splits_gpt2_style():
+    toks = bpe.PRETOK_RE.findall("I'll pay $12.50, ok?")
+    assert "'ll" in toks
+    assert " pay" in toks          # leading-space word pieces
+    assert "12" in toks and "50" in toks  # digit runs split from '.'
+
+
+def test_train_merges_deterministic_and_effective():
+    texts = ["the cat sat on the mat"] * 20 + ["the dog ran"] * 10
+    m1 = bpe.train_merges(texts, n_merges=20)
+    m2 = bpe.train_merges(list(texts), n_merges=20)
+    assert m1 == m2 and len(m1) > 0
+    ranks = {p: i for i, p in enumerate(m1)}
+    # training compresses: fewer tokens than bytes on in-domain text
+    assert bpe.encode_count(texts[0], ranks) < len(texts[0])
+
+
+def test_fixture_roundtrip():
+    ranks = bpe.load_ranks()
+    assert len(ranks) > 50
+    # ranks are line-ordered
+    assert sorted(ranks.values()) == list(range(len(ranks)))
+
+
+def test_spark_operator_matches_reference(spark):
+    from python_ctd_spark.operators.text import bpe_token_count
+
+    texts = [
+        "the quick brown fox", "", "I'll pay $12.50, ok?",
+        "héllo wörld", "the the the the",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = bpe_token_count(df).toPandas().set_index("doc_id").bpe_tokens
+    ranks = bpe.load_ranks()
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        assert got.loc[i] == bpe.encode_count(t, ranks, cache)
+
+
+def test_pack_documents_budget_with_real_counts(spark):
+    """Greedy packing keyed off real BPE counts: no pack may exceed the
+    token budget (docs never straddle windows), and every doc is
+    packed."""
+    from python_ctd_spark.operators.assemble import pack_documents
+    from python_ctd_spark.operators.text import bpe_token_count
+
+    texts = [f"document number {i} with some repeated filler text" * (i % 7 + 1)
+             for i in range(60)]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(60),
+            "source": ["a" if i % 2 else "b" for i in range(60)],
+            "text": texts,
+        })
+    )
+    with_counts = bpe_token_count(df)
+    budget = 256
+    packed = pack_documents(
+        with_counts, max_tokens=budget, strategy="greedy",
+        token_count_col="bpe_tokens", greedy_chunk=1 << 40,
+    ).toPandas()
+    assert len(packed) == 60
+    grp = packed.groupby(["source", "pack_id"]).n_tokens.agg(["sum", "count"])
+    # first-fit contract: a pack overflows the budget ONLY when it is a
+    # single oversized document (greedy cannot split docs)
+    multi = grp[grp["count"] > 1]
+    assert (multi["sum"] <= budget).all()
+    single_over = grp[(grp["count"] == 1) & (grp["sum"] > budget)]
+    over_docs = packed[packed.n_tokens > budget]
+    assert len(single_over) == len(over_docs) and len(over_docs) > 0
+    # and the n_tokens column IS the real count
+    ranks = bpe.load_ranks()
+    cache: dict = {}
+    ref = {i: bpe.encode_count(t, ranks, cache) for i, t in enumerate(texts)}
+    got = packed.set_index("doc_id").n_tokens
+    assert all(got.loc[i] == ref[i] for i in range(60))

@@ -105,6 +105,26 @@ def make_multimodal_real(sf_dir: str, tag: str) -> None:
     print(f"wrote {path} ({len(out)} rows)")
 
 
+def make_bpe(sf_dir: str, tag: str) -> None:
+    """Golden for ``bpe_token_count``: the pure-Python byte-level BPE
+    reference (functions/bpe.py, itself pinned by hand-computed unit
+    tests) over the documents table with the committed merges fixture —
+    the real-merge-table twin of the signal kernels' goldens."""
+    from python_ctd_spark.functions.bpe import encode_count, load_ranks
+
+    ranks = load_ranks()
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cache: dict = {}
+    rows = [
+        (int(d), encode_count(t or "", ranks, cache))
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    ]
+    out = pd.DataFrame(rows, columns=["doc_id", "bpe_tokens"])
+    path = GOLDEN_DIR / f"bpe_token_count_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -115,6 +135,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
         print(f"wrote {path} ({len(out)} rows)")
     make_multimodal_real(sf_dir, tag)
+    make_bpe(sf_dir, tag)
 
 
 if __name__ == "__main__":

@@ -48,20 +48,28 @@ def _with_event_time(df: DataFrame) -> DataFrame:
     return df.withColumn("event_time", F.col("ts"))
 
 
-def event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def event_stream(
+    spark: SparkSession, events_dir: str, max_files: int | None = 1
+) -> DataFrame:
     """File-source stream over a directory of event parquet files (the
-    growing-archive layout).  One file per trigger, so even a closed test
-    directory exercises real incremental micro-batches."""
+    growing-archive layout).  ``max_files`` (default 1) is the
+    per-trigger file cap: one file per trigger exercises real
+    incremental micro-batches even on a closed test directory — the
+    setting the twin-law tests replay under.  ``max_files=None`` lets an
+    availableNow drain take the whole closed archive in ONE micro-batch:
+    identical output for every operator whose result is
+    batching-invariant (complete-mode aggregates, watermarked windows
+    with a closing sentinel, dropDuplicates, stateless joins, the
+    stable-prefix stateful kernels — i.e. the twin laws), at a third of
+    the per-trigger fixed cost; the bench drains use it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the NTZ->TIMESTAMP cast in _with_event_time depends on this:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_dir).schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
-    return _with_event_time(sdf)
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    return _with_event_time(reader.parquet(events_dir))
 
 
 def windowed_stats(

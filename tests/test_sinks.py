@@ -6,6 +6,34 @@ from pyspark.sql import functions as F
 from python_ctd_spark.io import sinks
 
 
+def _scan_metrics(df) -> list[dict]:
+    """Executed-plan FileSourceScan metrics (numFiles, numPartitions, ...)
+    — run an action on ``df`` first.  Walks through the AQE wrappers."""
+    out: list[dict] = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if "QueryStage" in cls:
+            walk(n.plan())
+            return
+        if "FileSourceScan" in cls or cls.startswith("BatchScan"):
+            m, vals = n.metrics(), {}
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        cs = n.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_write_casts_partition_pruning(spark, multi_cast, tmp_path):
     path = str(tmp_path / "casts")
     sinks.write_casts(multi_cast, path, partition_by="cast_id")
@@ -16,6 +44,18 @@ def test_write_casts_partition_pruning(spark, multi_cast, tmp_path):
     # the partition filter must prune at the source, not post-scan
     assert "PartitionFilters: [isnotnull(cast_id" in plan
     assert pruned.count() == multi_cast.filter(F.col("cast_id") == "cast_1").count()
+    # END-TO-END pruning (VERDICT r7 item 8): the executed scan's file
+    # metrics must show fewer files/partitions READ than the layout
+    # holds — the plan-string promise, verified at the runtime metric
+    full = back.agg(F.count(F.lit(1)))
+    full.collect()
+    (m_full,) = _scan_metrics(full)
+    q = pruned.agg(F.count(F.lit(1)))
+    q.collect()
+    (m_pruned,) = _scan_metrics(q)
+    assert m_full["numPartitions"] == 3  # three casts in the fixture
+    assert m_pruned["numPartitions"] == 1
+    assert 0 < m_pruned["numFiles"] < m_full["numFiles"]
 
 
 def test_bucketed_join_skips_exchange(spark, multi_cast):

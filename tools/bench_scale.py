@@ -2,20 +2,25 @@
 time stay ~linear — and the CC fixpoint iteration count flat — when the
 corpus grows 10x past the bench scale?
 
-Two measurements:
+Measurements (pick by arg):
 
-1. **dedup_clusters** (LSH pairs -> iterative min-label connected
-   components) over sf0.1 documents (5k docs) vs a 10x staged corpus
-   (50k docs = sf1-class).  The 10x corpus is 10 suffix-perturbed copies
-   of sf0.1 (each copy stays a near-duplicate of its source, so the
-   duplicate structure scales with the corpus instead of disappearing).
-   Records wall seconds, fixpoint iterations, and total shuffle
-   read/write bytes (Spark REST API).
+- **docs / both**: dedup_clusters (LSH pairs -> iterative connected
+  components) over sf0.1 documents vs a 10x suffix-perturbed staged
+  corpus; wall, fixpoint iterations, shuffle bytes (Spark REST API).
+- **fleet / both**: canonical CTD chain at 64 vs 640 casts.
+- **probe / probe-ivf / probe-sq8**: stored-index serving paths at
+  1x/10x/100x — probe wall must track candidates, never corpus size.
+- **cc-chain**: planted 1k/10k-node chains — the auto algorithm must
+  hand off to large-star/small-star and finish in ~log n rounds.
+- **semantic**: semantic_dedup with a planted 20% hot cell at
+  1x/10x/100x — the max_cell_rows LSH split must bound candidate
+  pairs to <= cap * n_rows.
+- **partition-prune**: a one-day rollup against flat vs
+  event_date-partitioned 10x archives — non-empty PartitionFilters and
+  a files-read metric pruned to the matching date directory.
 
-2. **canonical CTD chain fleet** at 64 vs 640 casts of the 71,325-scan
-   golden cast (reuses tools/bench_fleet.time_engine).
-
-Usage:  python tools/bench_scale.py [docs|fleet|both]   (default docs)
+Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
+        probe-sq8|cc-chain|semantic|partition-prune]   (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -106,6 +111,112 @@ def measure_docs(mult: int) -> dict:
             "non_keepers": n_dups,
         }
         rec.update(_shuffle_bytes())
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+def _scan_metrics(df) -> list:
+    """Executed-plan FileSourceScan metrics (numFiles/numPartitions) —
+    run an action on df first; walks through the AQE wrappers (same
+    helper as tests/test_sinks.py)."""
+    out = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if "QueryStage" in cls:
+            walk(n.plan())
+            return
+        if "FileSourceScan" in cls or cls.startswith("BatchScan"):
+            m, vals = n.metrics(), {}
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        cs = n.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def measure_partition_prune(mult: int) -> dict:
+    """VERDICT r7 item 8 evidence: END-TO-END partition pruning on a
+    mult-x staged event archive.  The same one-day rollup runs against
+    (a) a flat parquet copy and (b) a copy partitioned by event_date
+    (io.sinks.write_casts layout); the partitioned read must show
+    non-empty PartitionFilters in the plan AND a files-read metric
+    pruned to the matching date directory — the scan cost of a
+    date-bounded query becomes O(day), not O(archive)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.io import sinks
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_prune_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_prune_")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ts = (
+            F.timestamp_micros(F.expr("ts div 1000"))
+            if dict(ev.dtypes).get("ts") == "bigint"
+            else F.col("ts").cast("timestamp")
+        )
+        base = ev.select(
+            "event_id", "user_id", "value", F.to_date(ts).alias("event_date")
+        )
+        staged = base
+        for i in range(1, mult):
+            staged = staged.unionByName(
+                base.withColumn("event_id", F.col("event_id") + F.lit(i * 10**9))
+            )
+        flat, parted = os.path.join(tmp, "flat"), os.path.join(tmp, "parted")
+        staged.write.parquet(flat)
+        sinks.write_casts(staged, parted, partition_by="event_date")
+        day = base.agg(F.min("event_date")).first()[0]
+
+        def rollup(df):
+            return (
+                df.filter(F.col("event_date") == F.lit(day))
+                .groupBy("user_id")
+                .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+            )
+
+        def files_on_disk(path):
+            return sum(
+                1 for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        rec = {"mult": mult, "rows": staged.count(), "filter_day": str(day)}
+        for tag, path in (("flat", flat), ("parted", parted)):
+            df = rollup(spark.read.parquet(path))
+            t0 = time.perf_counter()
+            # collect THIS frame: metrics live on the executed plan of
+            # the exact DataFrame inspected (count() plans separately)
+            n = len(df.collect())
+            wall = time.perf_counter() - t0
+            (m,) = _scan_metrics(df)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rec[tag] = {
+                "wall_s": round(wall, 2),
+                "files_on_disk": files_on_disk(path),
+                "files_read": m.get("numFiles"),
+                "partitions_read": m.get("numPartitions"),
+                "result_rows": n,
+                "partition_filter_in_plan": "PartitionFilters: [isnotnull(event_date"
+                in plan,
+            }
+        rec["files_pruned_ratio"] = round(
+            rec["parted"]["files_on_disk"] / max(rec["parted"]["files_read"], 1), 1
+        )
         return rec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -476,4 +587,6 @@ if __name__ == "__main__":
     if what == "semantic":
         for m in (1, 10, 100):
             results[f"semantic_x{m}"] = measure_semantic(m)
+    if what == "partition-prune":
+        results["prune_x10"] = measure_partition_prune(10)
     print(json.dumps(results, indent=1))

@@ -2387,6 +2387,50 @@ FROM scoredF WHERE rk <= {k}""")
     return "WITH " + ",\n".join(parts)
 
 
+def _q_semantic_cell_stats(spark, sf_dir):
+    """Per-cell occupancy/pair-cost audit for semantic dedup (VERDICT r7
+    item 3: similarity.semantic_cell_stats) — semantic_dedup's cost is
+    sum(n_pairs) over cells, and this one aggregate over the stored IVF
+    assignment table is the decision input for its hot-cell cap
+    (max_cell_rows).  Assignment = the same closed-form seed-centroid
+    argmax the ANN oracles pin."""
+    from python_ctd_spark.operators.similarity import ivf_index, semantic_cell_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    return semantic_cell_stats(assignments)
+
+
+def _semantic_cell_stats_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), ranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM ranked WHERE rk = 1
+), occ AS (
+  SELECT cell, COUNT(*) AS n_rows FROM assigned GROUP BY cell
+)
+SELECT cell, n_rows,
+       CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS n_pairs,
+       ROUND(n_rows::DOUBLE / SUM(n_rows) OVER (), 6) AS occupancy_frac
+FROM occ
+"""
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication
     (similarity.semantic_dedup, after Abbas et al. 2023): IVF cells
@@ -5155,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann_topk": _q_quantized_ann,
         "ivf_sq_probe": _q_ivf_sq_probe,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_cell_stats": _q_semantic_cell_stats,
         # -- r7 window: behavior changed in r7 (serving probe width) ---
         "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
@@ -5281,6 +5326,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann_topk": _QUANTIZED_ANN_SQL,
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "semantic_cell_stats": _semantic_cell_stats_sql(),
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,

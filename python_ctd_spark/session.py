@@ -56,13 +56,20 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    effective_master = master
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
-        builder = builder.master(f"local[{cpus}]")
+        effective_master = f"local[{cpus}]"
+        builder = builder.master(effective_master)
+    if effective_master is not None and effective_master.startswith("local"):
         # local mode = one JVM doing all executor work; Spark's 1g driver
-        # default hits the GC wall long before the machine does.  Only set
-        # when we chose local ourselves — on a cluster the deployer sizes it.
+        # default hits the GC wall long before the machine does.  Any local
+        # master gets the bump (a long pytest session on the default 1g heap
+        # OOM-kills the Arrow serving thread, which leaves SocketAuthServer's
+        # promise incomplete and hangs toPandas forever) — on a cluster the
+        # deployer sizes it.  Only effective before the JVM launches; a no-op
+        # on getOrCreate of an existing session.
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
         )

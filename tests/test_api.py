@@ -103,3 +103,16 @@ def test_full_chain_on_real_cast(spark):
     diffs = np.diff(np.sort(out.pressure.to_numpy()))
     np.testing.assert_allclose(diffs, 1.0, atol=1e-9)  # regular 1-dbar grid
     assert out.t090C.notna().sum() > 100
+
+
+def test_local_session_driver_memory_sized(spark):
+    """An explicitly-passed local master must still get the driver-memory
+    bump (regression: conftest's ``master="local[4]"`` skipped the sizing
+    branch, leaving Spark's 1g default; a long suite then OOM-killed the
+    Arrow serving thread inside toPandas, whose SocketAuthServer promise
+    never completes — the full-suite hang at ~36%)."""
+    assert spark.sparkContext.master.startswith("local")
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    assert spark.conf.get("spark.driver.memory") == expected

@@ -4545,6 +4545,39 @@ SELECT doc_id, source FROM ranked WHERE rn <= 10
 """
 
 
+def _q_shard_documents(spark, sf_dir):
+    """Deterministic global shuffle + balanced shard assignment
+    (assemble.shard_documents) — the training-data pipeline's final
+    step: every document gets an engine-portable pseudo-random position
+    (md5-uniform of seed|doc_id), shard = floor(u * 8), and a
+    shuffle_rank (the write order within its shard).  Assignment is
+    map-side row-local; the rank is the one hash-exchange + per-shard
+    sort a sharded write performs anyway, balanced by hash uniformity
+    (no skew by construction)."""
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_documents(docs, 8, key_col="doc_id", seed="r8").select(
+        "doc_id", "shard", "shuffle_rank"
+    )
+
+
+_SHARD_DOCUMENTS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('r8|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(u * 8) AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(floor(u * 8) AS INT)
+         ORDER BY u, doc_id) AS INT) AS shuffle_rank
+FROM u
+"""
+
+
 def _q_pack_documents(spark, sf_dir):
     """Concat-and-chunk context packing: per source, docs laid end to
     end and cut into 2048-token windows; one exchange + one sort."""
@@ -5253,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "unigram_logprob": _q_unigram_logprob,
         "exact_sample": _q_exact_sample,
+        "shard_documents": _q_shard_documents,
         "grouping_sets": _q_grouping_sets,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "interval_join": _q_interval_join,
@@ -5348,6 +5382,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_filter": _QUANTILE_FILTER_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "exact_sample": _EXACT_SAMPLE_SQL,
+        "shard_documents": _SHARD_DOCUMENTS_SQL,
         "grouping_sets": _GROUPING_SETS_SQL,
         "full_outer_reconcile": _FULL_OUTER_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,

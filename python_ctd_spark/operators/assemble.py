@@ -253,3 +253,50 @@ def _greedy_pack(
         .applyInPandas(pack_group, schema=schema)
         .select(by, id_col, "n_tokens", "pack_id")
     )
+
+
+def shard_documents(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+    rank: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final step
+    of a training-data pipeline (mixture -> pack -> **shard**): give
+    every document a pseudo-random position that is reproducible across
+    runs, retries, partitionings, and engines, then cut the ordering
+    into ``n_shards`` output shards.
+
+    The position is :func:`~python_ctd_spark.operators.sampling.hash_uniform`
+    of ``seed || '|' || key`` — md5-derived, so Spark and the DuckDB
+    oracle compute the identical double from the identical bytes (a
+    ``rand()``/``df.sample`` order would differ per partition layout).
+    ``shard = floor(u * n_shards)``: shards are equi-probable bins of a
+    uniform, so shard sizes concentrate tightly around ``n/n_shards``
+    (binomial; ~±3·sqrt(n/n_shards) at 3 sigma) with NO balance pass.
+
+    Scale shape: the assignment itself is a map-side row-local
+    projection — zero shuffle, works at any corpus size.  With
+    ``rank=True`` a ``shuffle_rank`` (the write order within the shard)
+    is added via one window over the shard key: exactly the one
+    hash-exchange + per-shard sort a sharded write performs anyway, with
+    partitions balanced by the uniformity above.  At 100 TB pick
+    ``n_shards`` so a shard fits an output file budget (e.g. 100k shards
+    of ~1 GB); skew is impossible by construction, so no salting needed.
+    Pair with ``repartition(n_shards, "shard")`` +
+    ``sortWithinPartitions("shard", "shard_u")`` to materialize files.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    u = hash_uniform(
+        F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))
+    )
+    out = df.withColumn("shard_u", u).withColumn(
+        # u < 1.0 strictly (32 hash bits / 2^32), so floor is in range
+        "shard", F.floor(F.col("shard_u") * n_shards).cast("int")
+    )
+    if rank:
+        w = Window.partitionBy("shard").orderBy("shard_u", key_col)
+        out = out.withColumn("shuffle_rank", F.row_number().over(w))
+    return out

@@ -1388,3 +1388,70 @@ def test_semantic_cell_stats(spark):
     assert out.loc[1, "n_rows"] == 6 and out.loc[1, "n_pairs"] == 15
     assert out.loc[2, "n_pairs"] == 3 and out.loc[3, "n_pairs"] == 0
     assert abs(out.occupancy_frac.sum() - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# shard_documents: deterministic global shuffle + balanced shard assignment
+# ---------------------------------------------------------------------------
+
+def test_shard_documents_deterministic_under_repartitioning(spark):
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = (
+        shard_documents(docs, 8, seed="s")
+        .select("doc_id", "shard", "shuffle_rank")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        shard_documents(docs.repartition(13), 8, seed="s")
+        .select("doc_id", "shard", "shuffle_rank")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shard_documents_rank_contiguous_and_balanced(spark):
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_shards, n = 8, docs.count()
+    out = shard_documents(docs, n_shards, seed="s").toPandas()
+    assert set(out.shard.unique()) <= set(range(n_shards))
+    # write order within each shard is exactly 1..|shard|
+    for s, g in out.groupby("shard"):
+        assert sorted(g.shuffle_rank) == list(range(1, len(g) + 1))
+    # binomial balance: each shard within ~4 sigma of n/n_shards
+    exp = n / n_shards
+    sigma = (exp * (1 - 1 / n_shards)) ** 0.5
+    counts = out.groupby("shard").size()
+    assert ((counts - exp).abs() <= 4 * sigma + 1).all(), counts.to_dict()
+
+
+def test_shard_documents_seed_changes_order_not_balance(spark):
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = shard_documents(docs, 8, seed="a").select("doc_id", "shard").toPandas()
+    b = shard_documents(docs, 8, seed="b").select("doc_id", "shard").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    # different seeds re-deal the shards (some docs must move)
+    assert (merged.shard_a != merged.shard_b).any()
+
+
+def test_shard_documents_assignment_is_map_side(spark):
+    """rank=False must be a pure row-local projection: no exchange, no
+    window — the assignment itself works at any scale with zero shuffle."""
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        shard_documents(docs, 8, rank=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan

@@ -575,19 +575,88 @@ def _kmeans_centroids(
     return cvecs
 
 
+def _centroid_df(spark, cids: list[int], cvecs: list[list[float]]) -> DataFrame:
+    """A ``(cid, ce)`` centroid table from driver-state quantizer values."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in zip(cids, cvecs)],
+        StructType(
+            [
+                StructField("cid", LongType(), False),
+                StructField("ce", ArrayType(DoubleType(), False), False),
+            ]
+        ),
+    )
+
+
+def train_quantizer(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 4,
+    sample: float | None = None,
+    exact: bool = True,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer OFFLINE and return it as plain
+    driver values ``[(cid, centroid_vec), ...]`` — the storable artifact
+    of the real IVF lifecycle (FAISS-style): train once on the corpus
+    (or a deterministic ``sample`` of it — the standard move at 100 TB,
+    where the quantizer needs only a sketch of the distribution), store
+    the tiny centroid list, then pass it to every subsequent
+    :func:`ivf_index` build and :func:`ivf_append` unchanged.  Training
+    per index build would re-pay ``iters`` corpus folds every time and
+    (worse) drift the basis between builds; a stored quantizer makes
+    builds a single map-side assignment pass.
+
+    ``exact=True`` runs the oracle-exact Lloyd loop (order-independent
+    integer-quantized update steps — see :func:`_kmeans_centroids`), so
+    an independent engine recomputes bit-identical centroids and the
+    returned values are reproducible across sessions, partitionings,
+    and engines — safe to persist and diff."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    seed = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
+    )
+    rows = sorted(seed.collect(), key=lambda r: r["cid"])
+    cids = [int(r["cid"]) for r in rows]
+    cvecs = [[float(x) for x in r["ce"]] for r in rows]
+    cvecs = _kmeans_centroids(
+        c, cvecs, len(cvecs[0]), iters=iters, sample=sample, exact=exact,
+        cids=cids,
+    )
+    return list(zip(cids, cvecs))
+
+
 def _derive_centroids(
     corpus: DataFrame,
     c: DataFrame,
     id_col: str,
     vec_col: str,
     n_centroids: int,
-    centroids: str,
+    centroids,
     kmeans_iters: int,
     kmeans_sample: float | None,
 ):
     """Coarse quantizer -> ``(cent_df, cids, cvecs)``.  The centroid list
     is driver state by design (tiny), as in any IVF index — collected
-    once, inlined downstream as literal coefficients."""
+    once, inlined downstream as literal coefficients.
+
+    ``centroids`` may be a mode string (``"seed"`` / ``"kmeans"`` /
+    ``"kmeans_exact"``) or a PRETRAINED quantizer — the
+    ``[(cid, vec), ...]`` list :func:`train_quantizer` returns — in
+    which case no corpus pass runs here at all (the stored-quantizer
+    build path)."""
+    if not isinstance(centroids, str):
+        pre = sorted(
+            ((int(cid), [float(x) for x in vec]) for cid, vec in centroids),
+        )
+        cids = [cid for cid, _ in pre]
+        cvecs = [vec for _, vec in pre]
+        return _centroid_df(corpus.sparkSession, cids, cvecs), cids, cvecs
     cent = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -603,17 +672,7 @@ def _derive_centroids(
             c, cvecs, dim, iters=kmeans_iters, sample=kmeans_sample,
             exact=(centroids == "kmeans_exact"), cids=cids,
         )
-        from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
-
-        cent = corpus.sparkSession.createDataFrame(
-            [(cid, vec) for cid, vec in zip(cids, cvecs)],
-            StructType(
-                [
-                    StructField("cid", LongType(), False),
-                    StructField("ce", ArrayType(DoubleType(), False), False),
-                ]
-            ),
-        )
+        cent = _centroid_df(corpus.sparkSession, cids, cvecs)
     elif centroids != "seed":
         raise ValueError(f"unknown centroids mode: {centroids!r}")
     return cent, cids, cvecs
@@ -752,12 +811,18 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    centroids: str = "seed",
+    centroids="seed",
     kmeans_iters: int = 4,
     kmeans_sample: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The STORABLE IVF index: ``(assignments, centroids)`` — the IVF
     twin of :func:`lsh_index`.
+
+    ``centroids`` is a quantizer mode string, or a PRETRAINED quantizer
+    (:func:`train_quantizer`'s ``[(cid, vec), ...]``) — then the build
+    is a single map-side assignment pass over the corpus, the shape a
+    production rebuild actually runs (train once offline, reuse the
+    stored quantizer across builds and :func:`ivf_append` shards).
 
     ``assignments`` is ``(id, cell)`` — one row per corpus vector; write
     it bucketed by ``cell`` (io.sinks.write_bucketed) so probes scan

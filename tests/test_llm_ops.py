@@ -1394,6 +1394,49 @@ def test_semantic_cell_stats(spark):
 # shard_documents: deterministic global shuffle + balanced shard assignment
 # ---------------------------------------------------------------------------
 
+def test_train_quantizer_offline_equals_in_build_training(spark):
+    """The stored-quantizer lifecycle: training offline via
+    train_quantizer and passing the values to ivf_index must produce the
+    EXACT index (same centroid table, same assignments) as training
+    inside the build (centroids="kmeans_exact") — the oracle-exact Lloyd
+    loop is deterministic, so the offline-train / online-build split
+    changes cost shape only, never results."""
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8) * (1 + i % 3)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    quant = similarity.train_quantizer(df, n_centroids=4, iters=3, exact=True)
+    a_pre, c_pre = similarity.ivf_index(df, n_centroids=4, centroids=quant)
+    a_in, c_in = similarity.ivf_index(
+        df, n_centroids=4, centroids="kmeans_exact", kmeans_iters=3
+    )
+    pd.testing.assert_frame_equal(
+        c_pre.toPandas().sort_values("cid").reset_index(drop=True),
+        c_in.toPandas().sort_values("cid").reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        a_pre.toPandas().sort_values("id").reset_index(drop=True),
+        a_in.toPandas().sort_values("id").reset_index(drop=True),
+    )
+
+
+def test_ivf_index_pretrained_build_runs_no_training_jobs(spark):
+    """A build from a stored quantizer must be a single map-side
+    assignment pass: no corpus aggregation (the Lloyd update's groupBy)
+    anywhere in the plan — the property that makes rebuilds cheap at
+    100 TB."""
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    quant = [(i, [float(i + 1)] * 4 + [float(-i - 1)] * 4) for i in range(4)]
+    assignments, _ = similarity.ivf_index(df, n_centroids=4, centroids=quant)
+    plan = assignments._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan
+
+
 def test_shard_documents_deterministic_under_repartitioning(spark):
     from python_ctd_spark.operators.assemble import shard_documents
 

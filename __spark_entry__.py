@@ -1286,6 +1286,141 @@ FROM qscored WHERE rk <= {k}
 _QUANTIZED_ANN_SQL = _sq8_ann_sql()
 
 
+def _q_pq_ann_topk(spark, sf_dir):
+    """Product-quantized (PQ) cosine top-5 with ADC scoring + exact
+    re-rank (operators/pq.py; Jégou et al. 2011): the corpus column
+    becomes 8 one-byte codes per vector (64x smaller than float64),
+    each query builds its m*ksub lookup table once, and candidates
+    score with 8 table lookups instead of 64 multiplies.  Seed
+    codebooks (first-16-rows rule) keep the whole path closed-form for
+    the oracle; codes are encoded in-plan here (driver queries are
+    self-contained) — the stored-code serving shape is what
+    :func:`pq_encode`'s output table is for.  Every ranking-relevant
+    number is an exact decimal sum or derived from one by the identical
+    expression, so candidates and final ranks are engine-identical."""
+    from python_ctd_spark.operators.pq import (
+        pq_encode, pq_seed_codebooks, pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(codes, emb, q, books, k=5, margin=_PQ_MARGIN)
+
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_MARGIN = 8
+
+
+def _pq_ann_sql(k: int = 5) -> str:
+    """Closed-form oracle for the PQ/ADC path: re-derive the seed
+    codebooks from the parquet (first-ksub rows, subspace slices),
+    encode every corpus vector by the INTEGER-exact L2 argmin contract
+    (coordinates quantized at 1e-6, maximize sum 2*q(c)*q(x) - q(c)^2
+    in BIGINT; |x|^2 is constant per subspace), score query-corpus
+    pairs by the decimal-exact LUT sum over the 8 chosen codes, cut to
+    margin*k on the ADC cosine, and re-rank the sliver decimal-exact on
+    the raw vectors — the same arithmetic the Spark operator runs."""
+    dsub = _EMB_DIM // _PQ_M
+    return f"""
+WITH seedrows AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+), cb AS (
+  SELECT code,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         cv
+  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM seedrows)
+), cbn AS (
+  SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
+  FROM cb GROUP BY j, code
+), cbq AS (
+  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM cb
+), cbn2 AS (
+  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq GROUP BY j, code
+), coords AS (
+  SELECT vec_id AS id,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         v
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM embeddings)
+), sdots AS (
+  SELECT c.id, c.j, b.code,
+         SUM(CAST(floor(c.v * 1000000.0 + 0.5) AS BIGINT) * b.cq * 2) AS d2
+  FROM coords c JOIN cbq b ON b.j = c.j AND b.si = c.si
+  GROUP BY c.id, c.j, b.code
+), best AS (
+  SELECT s.id, s.j, s.code,
+         row_number() OVER (PARTITION BY s.id, s.j
+                            ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
+  FROM sdots s JOIN cbn2 n ON n.j = s.j AND n.code = s.code
+), codes AS (
+  SELECT id, j, code FROM best WHERE brk = 1
+), pqn AS (
+  SELECT c.id, CAST(SUM(n.n2) AS DOUBLE) AS pqnorm
+  FROM codes c JOIN cbn n ON n.j = c.j AND n.code = c.code
+  GROUP BY c.id
+), qlut AS (
+  SELECT c.id AS qid, b.j, b.code,
+         SUM(CAST(c.v * b.cv AS DECIMAL(30,15))) AS lut
+  FROM coords c JOIN cb b ON b.j = c.j AND b.si = c.si
+  WHERE c.id < 10
+  GROUP BY c.id, b.j, b.code
+), qnorm AS (
+  SELECT id AS qid,
+         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS qn
+  FROM coords WHERE id < 10 GROUP BY id
+), adc AS (
+  SELECT l.qid, c.id, CAST(SUM(l.lut) AS DOUBLE) AS adc
+  FROM codes c
+  JOIN qlut l ON l.j = c.j AND l.code = c.code
+  WHERE c.id <> l.qid
+  GROUP BY l.qid, c.id
+), qscored AS (
+  SELECT a.qid, a.id,
+         CASE WHEN p.pqnorm > 0 AND q.qn > 0
+              THEN a.adc / (q.qn * sqrt(p.pqnorm)) ELSE -2.0 END AS qcos
+  FROM adc a JOIN pqn p ON p.id = a.id JOIN qnorm q ON q.qid = a.qid
+), cands AS (
+  SELECT qid, id, qcos,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
+  FROM qscored
+), sliver AS (
+  SELECT qid, id, qcos FROM cands WHERE crk <= {_PQ_MARGIN * k}
+), rprod AS (
+  SELECT s.qid, s.id, s.qcos,
+         unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
+  FROM sliver s
+  JOIN embeddings eq ON eq.vec_id = s.qid
+  JOIN embeddings ec ON ec.vec_id = s.id
+), rdots AS (
+  SELECT qid, id, ANY_VALUE(qcos) AS qcos,
+         CAST(SUM(CAST(qv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv2 * qv2 AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(cv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS cc
+  FROM rprod GROUP BY qid, id
+), finals AS (
+  SELECT qid, id, qcos, dot / (sqrt(qq) * sqrt(cc)) AS cos,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
+  FROM rdots
+)
+SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
+       CAST(rk AS INT) AS rk
+FROM finals WHERE rk <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
 # python_ctd_spark.operators.{dedup,similarity,text})
@@ -5257,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": _q22_idle_customers,
         # -- r7 window: new in r7 — int8-quantized ANN serving path ----
         "quantized_ann_topk": _q_quantized_ann,
+        "pq_ann_topk": _q_pq_ann_topk,
         "ivf_sq_probe": _q_ivf_sq_probe,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_cell_stats": _q_semantic_cell_stats,
@@ -5385,6 +5521,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": _Q21_SQL,
         "q22_idle_customers": _Q22_SQL,
         "quantized_ann_topk": _QUANTIZED_ANN_SQL,
+        "pq_ann_topk": _pq_ann_sql(),
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),

@@ -1314,7 +1314,7 @@ _PQ_KSUB = 16
 _PQ_MARGIN = 8
 
 
-def _pq_ann_sql(k: int = 5) -> str:
+def _pq_ann_sql(k: int = 5, margin: int | None = None) -> str:
     """Closed-form oracle for the PQ/ADC path: re-derive the seed
     codebooks from the parquet (first-ksub rows, subspace slices),
     encode every corpus vector by the INTEGER-exact L2 argmin contract
@@ -1324,6 +1324,7 @@ def _pq_ann_sql(k: int = 5) -> str:
     margin*k on the ADC cosine, and re-rank the sliver decimal-exact on
     the raw vectors — the same arithmetic the Spark operator runs."""
     dsub = _EMB_DIM // _PQ_M
+    margin = _PQ_MARGIN if margin is None else margin
     return f"""
 WITH seedrows AS (
   SELECT vec_id, embedding,
@@ -1395,7 +1396,7 @@ WITH seedrows AS (
          row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
   FROM qscored
 ), sliver AS (
-  SELECT qid, id, qcos FROM cands WHERE crk <= {_PQ_MARGIN * k}
+  SELECT qid, id, qcos FROM cands WHERE crk <= {margin * k}
 ), rprod AS (
   SELECT s.qid, s.id, s.qcos,
          unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
@@ -2690,7 +2691,7 @@ def _q_ann_recall(spark, sf_dir):
     truth — the ANN twin of ``sketch_accuracy``: per (method, query) hit
     counts, recall, and a verdict boolean, all engine-reproducible
     because every side already has a closed-form oracle; the report just
-    composes them.  Six audited methods: the one-shot IVF and LSH
+    composes them.  Eight audited methods: the one-shot IVF and LSH
     forms, the int8-quantized brute path (``sq8``, new r7), the
     composed IVF,SQ8 serving shape (``ivf_sq8``, new r7), both
     STORED-index serving paths (``lsh_served`` = the exact
@@ -2706,7 +2707,10 @@ def _q_ann_recall(spark, sf_dir):
     ``_QUANTIZER_CACHE``, the offline-train / online-serve split a real
     IVF deployment runs — VERDICT r7 item 4; on this corpus training
     plateaus BELOW the seed config, see PLANS.md, which is exactly why
-    the audit carries it).
+    the audit carries it), AND the product-quantized serving path
+    (``pq``, new r8: stored 8-byte codes + ADC scoring at margin=16 —
+    the 64x-compression config must be recall-audited like every other
+    approximate path; 0.76 at sf0.1, the honest cost of 8-byte codes).
 
     The report is materialized eagerly (it is |methods| x |queries|
     rows by construction) so the corpus-sized shared artifacts — the
@@ -2783,6 +2787,21 @@ def _q_ann_recall(spark, sf_dir):
             id_col=id_col, vec_col=vec_col,
         )
 
+    from python_ctd_spark.operators.pq import (
+        pq_encode, pq_seed_codebooks, pq_topk,
+    )
+
+    pq_books = pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    pq_codes = pq_encode(emb, pq_books).persist()
+
+    def _pq(corpus, queries, k, id_col, vec_col):
+        # the PQ serving config: stored 8-byte codes, ADC candidates at
+        # margin=16 (the recall dial at 64x compression), exact re-rank
+        return pq_topk(
+            pq_codes, corpus, queries, codebooks=pq_books, k=k,
+            margin=16, id_col=id_col, vec_col=vec_col,
+        )
+
     rep = ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         methods=(
@@ -2803,6 +2822,8 @@ def _q_ann_recall(spark, sf_dir):
             ("ivf_sq8", _ivf_sq),
             # trained quantizer, same serving shape as ivf_served
             ("ivf_trained", _ivf_trained),
+            # product quantization (new r8): 8-byte codes, ADC scoring
+            ("pq", _pq),
         ),
     )
     # the report is |methods| x |queries| rows — materialize it, then
@@ -2812,6 +2833,7 @@ def _q_ann_recall(spark, sf_dir):
     lsh_ix.unpersist()
     assignments.unpersist()
     tr_assign.unpersist()
+    pq_codes.unpersist()
     return out
 
 
@@ -2828,7 +2850,7 @@ def _ann_recall_sql() -> str:
     methods_cte = " UNION ALL ".join(
         f"SELECT '{m}' AS method"
         for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8",
-                  "ivf_trained")
+                  "ivf_trained", "pq")
     )
     return f"""
 WITH exact AS (
@@ -2847,6 +2869,8 @@ WITH exact AS (
   SELECT qid, id FROM ({_ivf_sq_sql()}) x
 ), ivftr AS (
   SELECT qid, id FROM ({_ivf_trained_sql()}) x
+), pqm AS (
+  SELECT qid, id FROM ({_pq_ann_sql(5, margin=16)}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -2861,6 +2885,8 @@ WITH exact AS (
   SELECT 'ivf_sq8' AS method, qid, id FROM ivfsq
   UNION ALL
   SELECT 'ivf_trained' AS method, qid, id FROM ivftr
+  UNION ALL
+  SELECT 'pq' AS method, qid, id FROM pqm
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id

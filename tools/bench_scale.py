@@ -20,7 +20,7 @@ Measurements (pick by arg):
   a files-read metric pruned to the matching date directory.
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
-        probe-sq8|cc-chain|semantic|partition-prune]   (default docs)
+        probe-sq8|probe-pq|cc-chain|semantic|partition-prune]   (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -563,6 +563,76 @@ def measure_sq8(mult: int, n_queries: int = 10) -> dict:
         spark.stop()
 
 
+def measure_pq(mult: int, n_queries: int = 10) -> dict:
+    """Stored-PQ-codes probe vs exact brute at mult-x corpus.
+
+    Like sq8, the ADC candidate scan is LINEAR in the corpus — what PQ
+    changes is the CONSTANT per pair (8 table lookups, not 64 double
+    multiplies) and, above all, the BYTES: 8 one-byte codes + one
+    stored norm per vector vs the raw float column.  This measures the
+    stored-codes parquet footprint vs raw (the 100 TB residency claim),
+    the one-pass encode wall, and probe wall (codes pre-built, the
+    serving shape) vs the exact scan."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.pq import (
+        pq_encode, pq_seed_codebooks, pq_topk,
+    )
+    from python_ctd_spark.operators.similarity import cosine_topk
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_pq_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_pq_")
+    try:
+        path = stage_embeddings(mult, tmp)
+        corpus = spark.read.parquet(path)
+        n_corpus = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < n_queries)
+
+        books = pq_seed_codebooks(corpus)
+        codes_path = os.path.join(tmp, "pq_codes.parquet")
+        t0 = time.perf_counter()
+        pq_encode(corpus, books).write.parquet(codes_path)
+        build_s = time.perf_counter() - t0
+        raw_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path if os.path.isdir(path) else tmp)
+            for f in fs if f.endswith(".parquet") and "codes" not in r
+        ) or os.path.getsize(path)
+        code_b = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(codes_path) for f in fs
+        )
+        stored = spark.read.parquet(codes_path)
+
+        def _wall(fn):
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().count()
+                walls.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            return round(min(walls), 2)
+
+        pq_wall = _wall(
+            lambda: pq_topk(stored, corpus, queries, books, k=5, margin=16)
+        )
+        exact_wall = _wall(lambda: cosine_topk(corpus, queries, k=5))
+        return {
+            "mult": mult,
+            "corpus_rows": n_corpus,
+            "encode_write_s": round(build_s, 2),
+            "raw_parquet_bytes": raw_b,
+            "codes_parquet_bytes": code_b,
+            "bytes_ratio": round(raw_b / max(code_b, 1), 2),
+            "pq_probe_wall_s": pq_wall,
+            "exact_wall_s": exact_wall,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -581,6 +651,9 @@ if __name__ == "__main__":
     if what == "probe-sq8":
         for m in (1, 10):
             results[f"sq8_x{m}"] = measure_sq8(m)
+    if what == "probe-pq":
+        for m in (1, 10):
+            results[f"pq_x{m}"] = measure_pq(m)
     if what == "cc-chain":
         for n in (1000, 10000):
             results[f"cc_chain_{n}"] = measure_cc_chain(n)

@@ -1422,6 +1422,160 @@ FROM finals WHERE rk <= {k}
 """
 
 
+def _q_ivf_pq_probe(spark, sf_dir):
+    """The canonical composed index — "IVF,PQ" (FAISS's workhorse;
+    operators/pq.py:ivf_pq_probe): stored cell assignments prune to
+    n_probe=2 cells per query, stored 8-byte PQ codes ADC-score the
+    survivors (8 table lookups per pair, reading the ~64x-smaller code
+    table), and only margin*k rows touch raw vectors for the exact
+    re-rank.  Index + codes derived in-plan (driver queries are
+    self-contained; the stored-artifact discipline is pinned in
+    tests/test_sinks.py for the IVF side and the snapshot contract in
+    the operator docstring).  Seed centroids + seed codebooks keep the
+    whole composition closed-form for the DuckDB oracle."""
+    from python_ctd_spark.operators.pq import (
+        ivf_pq_probe, pq_encode, pq_seed_codebooks,
+    )
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, books)
+    assignments, cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    return ivf_pq_probe(
+        assignments, cent, codes, emb, emb.filter(F.col("vec_id") < 10),
+        books, k=5, n_probe=2, margin=_PQ_MARGIN,
+    )
+
+
+def _ivf_pq_sql(k: int = 5, n_probe: int = 2, margin: int | None = None) -> str:
+    """Oracle for the IVF,PQ composition: the _ivf_ann_sql candidate
+    CTEs (seed centroids -> decimal-exact assignment -> probed cells)
+    feed the _pq_ann_sql scoring CTEs (seed codebooks -> integer-exact
+    encode -> decimal LUT/ADC on the candidate pairs only -> margin*k
+    cut -> decimal-exact re-rank)."""
+    dsub = _EMB_DIM // _PQ_M
+    margin = _PQ_MARGIN if margin is None else margin
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), cranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM cranked WHERE rk = 1
+), cprobes AS (
+  SELECT id AS qid, cid AS cell FROM cranked WHERE id < 10 AND rk <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.qid, a.id
+  FROM assigned a JOIN cprobes p ON a.cell = p.cell AND a.id != p.qid
+), seedrows AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+), cb AS (
+  SELECT code,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         cv
+  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM seedrows)
+), cbn AS (
+  SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
+  FROM cb GROUP BY j, code
+), cbq AS (
+  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM cb
+), cbn2 AS (
+  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq GROUP BY j, code
+), coords AS (
+  SELECT vec_id AS id,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         v
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM embeddings)
+), sdots AS (
+  SELECT c.id, c.j, b.code,
+         SUM(CAST(floor(c.v * 1000000.0 + 0.5) AS BIGINT) * b.cq * 2) AS d2
+  FROM coords c JOIN cbq b ON b.j = c.j AND b.si = c.si
+  GROUP BY c.id, c.j, b.code
+), best AS (
+  SELECT s.id, s.j, s.code,
+         row_number() OVER (PARTITION BY s.id, s.j
+                            ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
+  FROM sdots s JOIN cbn2 n ON n.j = s.j AND n.code = s.code
+), codes AS (
+  SELECT id, j, code FROM best WHERE brk = 1
+), pqn AS (
+  SELECT c.id, CAST(SUM(n.n2) AS DOUBLE) AS pqnorm
+  FROM codes c JOIN cbn n ON n.j = c.j AND n.code = c.code
+  GROUP BY c.id
+), qlut AS (
+  SELECT c.id AS qid, b.j, b.code,
+         SUM(CAST(c.v * b.cv AS DECIMAL(30,15))) AS lut
+  FROM coords c JOIN cb b ON b.j = c.j AND b.si = c.si
+  WHERE c.id < 10
+  GROUP BY c.id, b.j, b.code
+), qnorm AS (
+  SELECT id AS qid,
+         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS qn
+  FROM coords WHERE id < 10 GROUP BY id
+), adc AS (
+  SELECT ca.qid, ca.id, CAST(SUM(l.lut) AS DOUBLE) AS adc
+  FROM cand ca
+  JOIN codes c ON c.id = ca.id
+  JOIN qlut l ON l.qid = ca.qid AND l.j = c.j AND l.code = c.code
+  GROUP BY ca.qid, ca.id
+), qscored AS (
+  SELECT a.qid, a.id,
+         CASE WHEN p.pqnorm > 0 AND q.qn > 0
+              THEN a.adc / (q.qn * sqrt(p.pqnorm)) ELSE -2.0 END AS qcos
+  FROM adc a JOIN pqn p ON p.id = a.id JOIN qnorm q ON q.qid = a.qid
+), cands AS (
+  SELECT qid, id, qcos,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
+  FROM qscored
+), sliver AS (
+  SELECT qid, id, qcos FROM cands WHERE crk <= {margin * k}
+), rprod AS (
+  SELECT s.qid, s.id, s.qcos,
+         unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
+  FROM sliver s
+  JOIN embeddings eq ON eq.vec_id = s.qid
+  JOIN embeddings ec ON ec.vec_id = s.id
+), rdots AS (
+  SELECT qid, id, ANY_VALUE(qcos) AS qcos,
+         CAST(SUM(CAST(qv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv2 * qv2 AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(cv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS cc
+  FROM rprod GROUP BY qid, id
+), finals AS (
+  SELECT qid, id, qcos, dot / (sqrt(qq) * sqrt(cc)) AS cos,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
+  FROM rdots
+)
+SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
+       CAST(rk AS INT) AS rk
+FROM finals WHERE rk <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
 # python_ctd_spark.operators.{dedup,similarity,text})
@@ -5419,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r7 window: new in r7 — int8-quantized ANN serving path ----
         "quantized_ann_topk": _q_quantized_ann,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivf_pq_probe": _q_ivf_pq_probe,
         "ivf_sq_probe": _q_ivf_sq_probe,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_cell_stats": _q_semantic_cell_stats,
@@ -5548,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_idle_customers": _Q22_SQL,
         "quantized_ann_topk": _QUANTIZED_ANN_SQL,
         "pq_ann_topk": _pq_ann_sql(),
+        "ivf_pq_probe": _ivf_pq_sql(),
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),

@@ -310,6 +310,88 @@ def pq_train(
     return books
 
 
+def _query_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    qid_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table -> ``(qid, qe, __lut, __qn)``: the
+    m*ksub exact-decimal dots of the query's sub-vectors against the
+    literal codebook coefficients, flat j-major, plus the exact query
+    norm — built once per query row, broadcast with the query set."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = queries.select(
+        F.col(qid_col).alias("qid"), _as_double(vec_col).alias("qe")
+    )
+    lut_entries = ", ".join(
+        _dec_fold(
+            f"zip_with(slice(qe, {j * d + 1}, {d}), "
+            f"array({', '.join(_dlit(x) for x in cv)}), "
+            "(x, c) -> CAST(x * c AS DECIMAL(30,15)))"
+        )
+        for j, book in enumerate(codebooks)
+        for cv in book
+    )
+    qn = f"sqrt(CAST({_dec_norm2('qe')} AS DOUBLE))"
+    return q.selectExpr(
+        "qid", "qe", f"array({lut_entries}) AS __lut", f"{qn} AS __qn"
+    )
+
+
+def _adc_qcos_sql(m: int, ksub: int) -> str:
+    """The ADC cosine of a (code row x query-LUT) pair: the m chosen
+    entries summed as exact decimals (order-independent -> engine-
+    identical), normalized by the exact query norm and the stored
+    reconstructed norm; degenerate norms pin to the -2.0 sentinel
+    (below any cosine) instead of dividing by zero."""
+    adc = (
+        f"CAST(aggregate(sequence(0, {m - 1}), CAST(0 AS DECIMAL(38,15)), "
+        f"(acc, j) -> CAST(acc + element_at(__lut, j * {ksub} + "
+        "CAST(element_at(pq_codes, j + 1) AS INT) + 1) AS DECIMAL(38,15))) "
+        "AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN pqnorm > 0.0D AND __qn > 0.0D "
+        f"THEN {adc} / (__qn * sqrt(pqnorm)) ELSE -2.0D END"
+    )
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    corpus: DataFrame,
+    q_raw: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Decimal-exact cosine re-rank of the bounded candidate sliver ->
+    ``(qid, id, qcos, cos, rk)``."""
+    cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    qv_raw = q_raw.select("qid", F.col("qe").alias("qe2"))
+    cos = _dot_exact(F.col("qe2"), F.col("e")) / (
+        _norm_exact(F.col("qe2")) * _norm_exact(F.col("e"))
+    )
+    rescored = (
+        cands.join(cv, "id")
+        .join(F.broadcast(qv_raw), "qid")
+        .select("qid", "id", "qcos", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            "id",
+            F.round("qcos", 6).alias("qcos"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     corpus: DataFrame,
@@ -340,63 +422,84 @@ def pq_topk(
     silently degrades recall (candidates drop at the inner join)."""
     m = len(codebooks)
     ksub = len(codebooks[0])
-    d = len(codebooks[0][0])
     qid_col = query_id_col or id_col
 
-    q = queries.select(
-        F.col(qid_col).alias("qid"), _as_double(vec_col).alias("qe")
-    )
-    lut_entries = ", ".join(
-        _dec_fold(
-            f"zip_with(slice(qe, {j * d + 1}, {d}), "
-            f"array({', '.join(_dlit(x) for x in cv)}), "
-            "(x, c) -> CAST(x * c AS DECIMAL(30,15)))"
-        )
-        for j, book in enumerate(codebooks)
-        for cv in book
-    )
-    qn = f"sqrt(CAST({_dec_norm2('qe')} AS DOUBLE))"
-    q2 = q.selectExpr(
-        "qid", "qe", f"array({lut_entries}) AS __lut", f"{qn} AS __qn"
-    )
-
-    adc = (
-        f"CAST(aggregate(sequence(0, {m - 1}), CAST(0 AS DECIMAL(38,15)), "
-        f"(acc, j) -> CAST(acc + element_at(__lut, j * {ksub} + "
-        "CAST(element_at(pq_codes, j + 1) AS INT) + 1) AS DECIMAL(38,15))) "
-        "AS DOUBLE)"
-    )
-    qcos = (
-        f"CASE WHEN pqnorm > 0.0D AND __qn > 0.0D "
-        f"THEN {adc} / (__qn * sqrt(pqnorm)) ELSE -2.0D END"
-    )
+    q2 = _query_lut(queries, codebooks, qid_col, vec_col)
     scored = (
         codes.join(F.broadcast(q2), F.col("id") != F.col("qid"))
-        .selectExpr("qid", "id", f"{qcos} AS qcos")
+        .selectExpr("qid", "id", f"{_adc_qcos_sql(m, ksub)} AS qcos")
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))
     cands = scored.withColumn("__rkq", F.row_number().over(w_q)).filter(
         F.col("__rkq") <= margin * k
     )
-    cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    qv_raw = q.select("qid", F.col("qe").alias("qe2"))
-    cos = _dot_exact(F.col("qe2"), F.col("e")) / (
-        _norm_exact(F.col("qe2")) * _norm_exact(F.col("e"))
+    return _exact_rerank(
+        cands, corpus, q2.select("qid", "qe"), k, id_col, vec_col
     )
-    rescored = (
-        cands.join(cv, "id")
-        .join(F.broadcast(qv_raw), "qid")
-        .select("qid", "id", "qcos", cos.alias("cos"))
+
+
+def ivf_pq_probe(
+    assignments: DataFrame,
+    cent: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    margin: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """The canonical composed index — "IVF,PQ" (FAISS's workhorse):
+    STORED cell assignments prune the corpus to ``n_probe`` cells per
+    query, STORED 8-byte PQ codes ADC-score the surviving candidates
+    (8 table lookups per pair), and only the ``margin * k`` best touch
+    the raw vectors for the decimal-exact re-rank.  Returns
+    ``(qid, id, qcos, cos, rk)``.
+
+    vs :func:`..similarity.ivf_sq_probe` (IVF,SQ8): same candidate
+    pruning, but the candidate fetch reads ~64x-smaller codes instead
+    of 4-8x-smaller ones and scores with m lookups instead of dim
+    integer multiplies — the configuration for corpora whose codes
+    must stay executor-resident at 100 TB.  Recall trades accordingly
+    (ADC is coarser than int8 dot; ``margin`` is the dial), and the
+    audit (``ann_recall``) measures both side by side.
+
+    **Snapshot contract** (same as ivf_sq_probe): ``assignments``,
+    ``codes``, and ``corpus`` MUST come from the same corpus snapshot
+    built with these ``codebooks`` — the scoring inner-joins
+    assignments to codes on ``id``, so stale codes silently drop
+    candidates and recall degrades with no error.  Refresh the
+    artifacts together: per arriving shard, :func:`..similarity.
+    ivf_append` + :func:`pq_encode` with the SAME stored quantizers.
+    """
+    from .similarity import _nearest_cells
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    qid = query_id_col or id_col
+
+    q2 = _query_lut(queries, codebooks, qid, vec_col)
+    probes = _nearest_cells(
+        q2.select("qid", "qe"), "qid", "qe", n_probe, cent
+    ).select("qid", "cell")
+    cand = (
+        assignments.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+        .dropDuplicates(["qid", "id"])
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
-    return (
-        rescored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "qid",
-            "id",
-            F.round("qcos", 6).alias("qcos"),
-            F.round("cos", 6).alias("cos"),
-            F.col("rk").cast("int").alias("rk"),
-        )
+    scored = (
+        cand.join(codes.select("id", "pq_codes", "pqnorm"), "id")
+        .join(F.broadcast(q2.select("qid", "__lut", "__qn")), "qid")
+        .selectExpr("qid", "id", f"{_adc_qcos_sql(m, ksub)} AS qcos")
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))
+    cands = scored.withColumn("__rkq", F.row_number().over(w_q)).filter(
+        F.col("__rkq") <= margin * k
+    )
+    return _exact_rerank(
+        cands, corpus, q2.select("qid", "qe"), k, id_col, vec_col
     )

@@ -164,6 +164,58 @@ def test_pq_encode_is_map_side(spark, emb):
     assert "Exchange" not in plan and "Aggregate" not in plan
 
 
+def test_ivf_pq_probe_recall_and_cell_pruning(spark, emb):
+    """The composed IVF,PQ index: recall within the probed cells is
+    near the IVF-served level (ADC only ranks inside cells, and the
+    margin*k exact re-rank covers most of a cell), and every returned
+    neighbor's cell is one of the query's probed cells — the pruning
+    contract."""
+    from python_ctd_spark.operators.similarity import (
+        _nearest_cells, cosine_topk, ivf_index,
+    )
+
+    df, books = emb
+    codes = pq.pq_encode(df, books)
+    assignments, cent = ivf_index(df, n_centroids=16)
+    q = df.filter(F.col("vec_id") < 10)
+    out = pq.ivf_pq_probe(
+        assignments, cent, codes, df, q, books, k=5, n_probe=2, margin=8
+    ).toPandas()
+    gt = cosine_topk(df, q, k=5).toPandas()
+    gtset = {(r.qid, r.id) for r in gt.itertuples()}
+    recall = sum((r.qid, r.id) in gtset for r in out.itertuples()) / len(gtset)
+    assert recall >= 0.8, recall
+
+    cell_of = {r["id"]: r["cell"] for r in assignments.collect()}
+    probed = (
+        _nearest_cells(
+            q.selectExpr("vec_id AS qid", "CAST(embedding AS array<double>) AS qe"),
+            "qid", "qe", 2, cent,
+        )
+        .select("qid", "cell").toPandas()
+        .groupby("qid").cell.apply(set).to_dict()
+    )
+    for r in out.itertuples():
+        assert cell_of[r.id] in probed[r.qid], (r.qid, r.id)
+
+
+def test_ivf_pq_probe_partitioning_invariant(spark, emb):
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    df, books = emb
+    q = df.filter(F.col("vec_id") < 3)
+
+    def run(src):
+        codes = pq.pq_encode(src, books)
+        assignments, cent = ivf_index(src, n_centroids=16)
+        return (
+            pq.ivf_pq_probe(assignments, cent, codes, src, q, books, k=4)
+            .toPandas().sort_values(["qid", "rk"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(df), run(df.repartition(7)))
+
+
 def test_pq_rejects_bad_shapes(spark, emb):
     df, _ = emb
     with pytest.raises(ValueError, match="not divisible"):

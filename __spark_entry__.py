@@ -2845,7 +2845,7 @@ def _q_ann_recall(spark, sf_dir):
     truth — the ANN twin of ``sketch_accuracy``: per (method, query) hit
     counts, recall, and a verdict boolean, all engine-reproducible
     because every side already has a closed-form oracle; the report just
-    composes them.  Eight audited methods: the one-shot IVF and LSH
+    composes them.  Nine audited methods: the one-shot IVF and LSH
     forms, the int8-quantized brute path (``sq8``, new r7), the
     composed IVF,SQ8 serving shape (``ivf_sq8``, new r7), both
     STORED-index serving paths (``lsh_served`` = the exact
@@ -2861,10 +2861,13 @@ def _q_ann_recall(spark, sf_dir):
     ``_QUANTIZER_CACHE``, the offline-train / online-serve split a real
     IVF deployment runs — VERDICT r7 item 4; on this corpus training
     plateaus BELOW the seed config, see PLANS.md, which is exactly why
-    the audit carries it), AND the product-quantized serving path
+    the audit carries it), AND the product-quantized serving paths
     (``pq``, new r8: stored 8-byte codes + ADC scoring at margin=16 —
     the 64x-compression config must be recall-audited like every other
-    approximate path; 0.76 at sf0.1, the honest cost of 8-byte codes).
+    approximate path; 0.76 at sf0.1, the honest cost of 8-byte codes;
+    ``ivf_pq``, new r8: the composed FAISS-style index — cells prune,
+    codes score — sharing the seed-IVF assignments and PQ codes with
+    the sibling branches).
 
     The report is materialized eagerly (it is |methods| x |queries|
     rows by construction) so the corpus-sized shared artifacts — the
@@ -2956,6 +2959,17 @@ def _q_ann_recall(spark, sf_dir):
             margin=16, id_col=id_col, vec_col=vec_col,
         )
 
+    def _ivf_pq(corpus, queries, k, id_col, vec_col):
+        from python_ctd_spark.operators.pq import ivf_pq_probe
+
+        # the composed IVF,PQ config (the ivf_pq_probe driver row):
+        # shares the seed-IVF assignments and the PQ codes above
+        return ivf_pq_probe(
+            assignments, cent, pq_codes, corpus, queries,
+            codebooks=pq_books, k=k, n_probe=2, margin=_PQ_MARGIN,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     rep = ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         methods=(
@@ -2978,6 +2992,8 @@ def _q_ann_recall(spark, sf_dir):
             ("ivf_trained", _ivf_trained),
             # product quantization (new r8): 8-byte codes, ADC scoring
             ("pq", _pq),
+            # the composed IVF,PQ serving shape (new r8)
+            ("ivf_pq", _ivf_pq),
         ),
     )
     # the report is |methods| x |queries| rows — materialize it, then
@@ -3004,7 +3020,7 @@ def _ann_recall_sql() -> str:
     methods_cte = " UNION ALL ".join(
         f"SELECT '{m}' AS method"
         for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8",
-                  "ivf_trained", "pq")
+                  "ivf_trained", "pq", "ivf_pq")
     )
     return f"""
 WITH exact AS (
@@ -3025,6 +3041,8 @@ WITH exact AS (
   SELECT qid, id FROM ({_ivf_trained_sql()}) x
 ), pqm AS (
   SELECT qid, id FROM ({_pq_ann_sql(5, margin=16)}) x
+), ivfpq AS (
+  SELECT qid, id FROM ({_ivf_pq_sql()}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -3041,6 +3059,8 @@ WITH exact AS (
   SELECT 'ivf_trained' AS method, qid, id FROM ivftr
   UNION ALL
   SELECT 'pq' AS method, qid, id FROM pqm
+  UNION ALL
+  SELECT 'ivf_pq' AS method, qid, id FROM ivfpq
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id

@@ -216,6 +216,30 @@ def test_ivf_pq_probe_partitioning_invariant(spark, emb):
     pd.testing.assert_frame_equal(run(df), run(df.repartition(7)))
 
 
+def test_pq_probe_plans_never_sort_merge(spark, emb):
+    """Both PQ serving plans keep the corpus un-shuffled for joins:
+    query side broadcast everywhere (2 broadcast hash joins + the
+    deliberate tiny query x centroid nested loop in ivf_pq's cell
+    scoring), no sort-merge join anywhere — the 100 TB shape."""
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    df, books = emb
+    codes = pq.pq_encode(df, books)
+    q = df.filter(F.col("vec_id") < 3)
+    p1 = (
+        pq.pq_topk(codes, df, q, books, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in p1
+    assignments, cent = ivf_index(df, n_centroids=16)
+    p2 = (
+        pq.ivf_pq_probe(assignments, cent, codes, df, q, books, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in p2
+    assert p2.count("BroadcastHashJoin") >= 4
+
+
 def test_pq_rejects_bad_shapes(spark, emb):
     df, _ = emb
     with pytest.raises(ValueError, match="not divisible"):

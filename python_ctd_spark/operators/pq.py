@@ -426,7 +426,12 @@ def pq_topk(
 
     q2 = _query_lut(queries, codebooks, qid_col, vec_col)
     scored = (
-        codes.join(F.broadcast(q2), F.col("id") != F.col("qid"))
+        # LUT + norm only in the scan broadcast — the raw query vectors
+        # ride along only into the bounded re-rank join
+        codes.join(
+            F.broadcast(q2.select("qid", "__lut", "__qn")),
+            F.col("id") != F.col("qid"),
+        )
         .selectExpr("qid", "id", f"{_adc_qcos_sql(m, ksub)} AS qcos")
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))

@@ -2069,6 +2069,74 @@ JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
 """
 
 
+_SEQ_LEN = 128
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """The tokenize -> assemble tail of a training-data pipeline, live:
+    real byte-level BPE token IDS (operators/text.bpe_tokenize — the
+    rank-derived canonical vocab over the committed merges fixture)
+    packed into actual fixed-length sequences
+    (operators/assemble.pack_sequences — per-source streams, documents
+    straddle windows, O(docs) shuffle via per-window array slices,
+    never a token-level explode).  The row reports per-sequence
+    invariants incl. a position-weighted checksum — sum((pos+1) * id)
+    over the window, BIGINT-exact — so the oracle (which re-packs the
+    kernel-golden per-doc id arrays in SQL) checks BOTH the live Spark
+    tokenizer and the assembly order end-to-end."""
+    from python_ctd_spark.operators.assemble import pack_sequences
+    from python_ctd_spark.operators.text import bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    seqs = pack_sequences(bpe_tokenize(docs), seq_len=_SEQ_LEN)
+    checksum = (
+        "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
+        "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x)"
+    )
+    return seqs.selectExpr(
+        "source",
+        "CAST(seq_id AS INT) AS seq_id",
+        "n_tokens",
+        "n_docs",
+        "first_id",
+        f"{checksum} AS checksum",
+    )
+
+
+def _pack_sequences_sql() -> str:
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
+    return f"""
+WITH g AS (
+  SELECT doc_id, source, token_ids
+  FROM read_parquet('{p}/bpe_token_ids_sf0.01.parquet')
+  WHERE len(token_ids) > 0
+), tok AS (
+  SELECT doc_id, source, unnest(token_ids) AS tid,
+         unnest(range(1, len(token_ids) + 1)) AS lpos
+  FROM g
+), pos AS (
+  SELECT source, doc_id, tid,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id, lpos) - 1 AS gpos
+  FROM tok
+), seqd AS (
+  SELECT source, doc_id, tid,
+         CAST(gpos // {_SEQ_LEN} AS INT) AS seq_id,
+         gpos % {_SEQ_LEN} AS spos
+  FROM pos
+)
+SELECT source, seq_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_id,
+       CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum
+FROM seqd
+GROUP BY source, seq_id
+HAVING COUNT(*) = {_SEQ_LEN}
+"""
+
+
 def _q_ctd_pipeline(spark, sf_dir):
     """Flagship composite: the reference's canonical fluent chain
     (README.md:39-58) end-to-end — remove_up_to -> split -> down leg ->
@@ -5651,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "exact_sample": _q_exact_sample,
         "shard_documents": _q_shard_documents,
+        "pack_sequences": _q_pack_sequences,
         "grouping_sets": _q_grouping_sets,
         "full_outer_reconcile": _q_full_outer_reconcile,
         "interval_join": _q_interval_join,
@@ -5749,6 +5818,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "exact_sample": _EXACT_SAMPLE_SQL,
         "shard_documents": _SHARD_DOCUMENTS_SQL,
+        "pack_sequences": _pack_sequences_sql(),
         "grouping_sets": _GROUPING_SETS_SQL,
         "full_outer_reconcile": _FULL_OUTER_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,

@@ -130,6 +130,36 @@ def encode_count(
     return n
 
 
+def vocab_from_ranks(ranks: dict[tuple[str, str], int]) -> dict[str, int]:
+    """The canonical id numbering of a freshly-trained byte-level BPE
+    vocabulary: ids 0..255 are the 256 byte units in BYTE-VALUE order
+    (via the published byte<->unicode bijection), and merge rank ``r``'s
+    merged token gets id ``256 + r`` — fully determined by the merges
+    file alone, no separate vocab artifact to keep in sync.  (Published
+    GPT-2 ships an arbitrary-order vocab.json instead; for a tokenizer
+    trained from scratch this numbering IS the standard construction.)"""
+    vocab = {_BYTE_MAP[b]: b for b in range(256)}
+    for (a, b), r in ranks.items():
+        vocab[a + b] = 256 + r
+    return vocab
+
+
+def encode_ids(
+    text: str,
+    ranks: dict[tuple[str, str], int],
+    vocab: dict[str, int],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> list[int]:
+    """Token IDS (not just counts): the same merge loop as
+    :func:`encode`, mapped through :func:`vocab_from_ranks`.  Every
+    token an encode produces is either a byte unit or the result of a
+    recorded merge, so the lookup never misses."""
+    out: list[int] = []
+    for tok in pretokens(text):
+        out.extend(vocab[t] for t in bpe_word(tok, ranks, cache))
+    return out
+
+
 def load_ranks(path: str | pathlib.Path | None = None) -> dict[tuple[str, str], int]:
     """Read a GPT-2-format merges file (one ``left right`` pair per
     line, rank = line order; ``#``-prefixed lines are comments)."""

@@ -161,10 +161,24 @@ def pack_documents(
         return _greedy_pack(staged, max_tokens, id_col, by, greedy_chunk)
     if strategy != "fixed":
         raise ValueError(f"unknown packing strategy: {strategy!r}")
+    return _stream_offsets(staged, by, id_col, num_buckets).selectExpr(
+        by, id_col, "n_tokens", f"__start div {int(max_tokens)} AS pack_id"
+    )
 
+
+def _stream_offsets(
+    staged: DataFrame, by: str, id_col: str, num_buckets: int | None = None
+) -> DataFrame:
+    """Global exclusive token-prefix ``__start`` of every ``(by, id)``
+    row within its id-ordered ``by`` stream — the two-level prefix sum
+    documented in :func:`pack_documents` (range-partition so no domain
+    funnels through one task; per-bucket sums cumsum'd into broadcast
+    bucket offsets; bounded in-bucket window adds the local prefix).
+    Input is the narrow ``(by, id, n_tokens)`` projection; returns it
+    plus ``__start``."""
     from pyspark import StorageLevel
 
-    spark = df.sparkSession
+    spark = staged.sparkSession
     nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bucketed = (
         staged.repartitionByRange(nb, F.col(by), F.col(id_col))
@@ -191,13 +205,97 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0).cast("bigint"))
-    return (
-        bucketed.join(F.broadcast(offsets), ["__bkt", by])
-        .withColumn("__start", F.col("__off") + local)
-        .selectExpr(
-            by, id_col, "n_tokens", f"__start div {int(max_tokens)} AS pack_id"
-        )
+    return bucketed.join(F.broadcast(offsets), ["__bkt", by]).withColumn(
+        "__start", F.col("__off") + local
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "token_ids",
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    by: str = "source",
+    num_buckets: int | None = None,
+    keep_partial: bool = False,
+) -> DataFrame:
+    """Assemble ACTUAL fixed-length training sequences from per-document
+    token-id arrays: within each ``by`` stream (ordered by ``id_col``),
+    documents' ids are laid end to end and the stream is cut into
+    ``seq_len``-token windows — the materialization step
+    :func:`pack_documents` only plans (it assigns pack_ids; this emits
+    the packed ``token_ids`` rows a trainer reads).  Returns
+    ``(by, seq_id, token_ids, n_tokens, n_docs, first_id)``; the final
+    partial window is dropped unless ``keep_partial`` (standard
+    practice — a short tail sequence wastes a training slot).
+
+    Scale shape — O(docs) shuffle rows, never a token-level explode:
+
+    1. the narrow ``(by, id, n_tokens)`` projection gets its global
+       stream offset from the same two-level prefix sum as
+       :func:`pack_documents` (no per-domain funnel task);
+    2. each document emits one ARRAY SLICE per sequence window it
+       overlaps (``1 + n_tokens/seq_len`` rows, computed map-side with
+       ``sequence``/``slice`` — a document's ids never unbundle into
+       per-token rows);
+    3. one hash shuffle on ``(by, seq_id)`` assembles windows:
+       ``array_sort`` of ``(position, slice)`` structs then ``flatten``
+       — deterministic regardless of arrival order, partitions bounded
+       by ``seq_len`` tokens per window row.
+
+    Empty documents are excluded from the stream (they would emit no
+    tokens; excluding them keeps the offset math and the oracle's
+    filter identical).  Pair with :func:`..text.bpe_tokenize` for the
+    ids and :func:`shard_documents` on the output for the final
+    shuffled sharded write."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+    work = df.filter(F.size(F.col(tokens_col)) > 0)
+    staged = work.select(
+        F.col(by), F.col(id_col),
+        F.size(F.col(tokens_col)).cast("bigint").alias("n_tokens"),
+    )
+    offsets = _stream_offsets(staged, by, id_col, num_buckets).select(
+        by, id_col, "n_tokens", "__start"
+    )
+    joined = work.select(by, id_col, tokens_col).join(offsets, [by, id_col])
+    first_w = F.expr(f"__start div {L}")
+    last_w = F.expr(f"(__start + n_tokens - 1) div {L}")
+    exploded = joined.withColumn(
+        "seq_id", F.explode(F.sequence(first_w, last_w))
+    )
+    local0 = F.greatest(F.lit(0).cast("bigint"), F.col("seq_id") * L - F.col("__start"))
+    take = (
+        F.least(F.col("n_tokens"), (F.col("seq_id") + 1) * L - F.col("__start"))
+        - local0
+    )
+    parts = exploded.select(
+        by,
+        "seq_id",
+        F.col(id_col).alias("__pid"),
+        F.struct(
+            (F.col("__start") + local0).alias("p"),
+            F.slice(
+                F.col(tokens_col), (local0 + 1).cast("int"), take.cast("int")
+            ).alias("s"),
+        ).alias("ps"),
+    )
+    out = (
+        parts.groupBy(by, "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(F.array_sort(F.collect_list("ps")), lambda x: x["s"])
+            ).alias(tokens_col),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__pid").alias("first_id"),
+        )
+        .withColumn("n_tokens", F.size(F.col(tokens_col)))
+        .select(by, "seq_id", tokens_col, "n_tokens", "n_docs", "first_id")
+    )
+    if not keep_partial:
+        out = out.filter(F.col("n_tokens") == L)
+    return out
 
 
 def _greedy_pack(

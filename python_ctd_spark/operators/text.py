@@ -81,6 +81,38 @@ def bpe_token_count(
     return df.withColumn(out_col, count_udf(F.col(text_col)))
 
 
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    merges_path: str | None = None,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """REAL byte-level BPE token IDS — the tokenize step a training-data
+    pipeline actually ships (counts budget the packing; ids ARE the
+    data).  Same engine shape as :func:`bpe_token_count` (broadcast
+    ranks + the rank-derived vocab, Arrow-batched pandas UDF with a
+    per-batch word cache, map-side only); ids follow the canonical
+    trained-BPE numbering (byte value 0..255, then 256+merge_rank —
+    ``functions.bpe.vocab_from_ranks``), so the merges fixture fully
+    determines the vocabulary."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ..functions.bpe import encode_ids, load_ranks, vocab_from_ranks
+
+    ranks = load_ranks(merges_path)
+    bc = df.sparkSession.sparkContext.broadcast((ranks, vocab_from_ranks(ranks)))
+
+    def _ids(s):
+        r, v = bc.value
+        cache: dict = {}
+        return s.map(lambda t: encode_ids(t or "", r, v, cache))
+
+    ids_udf = F.pandas_udf(_ids, ArrayType(IntegerType()))
+    return df.withColumn(out_col, ids_udf(F.col(text_col)))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality features + a composite score:
     length, alpha ratio, punctuation density, stopword ratio, mean token

@@ -113,3 +113,40 @@ def test_pack_documents_budget_with_real_counts(spark):
     ref = {i: bpe.encode_count(t, ranks, cache) for i, t in enumerate(texts)}
     got = packed.set_index("doc_id").n_tokens
     assert all(got.loc[i] == ref[i] for i in range(60))
+
+
+def test_encode_ids_matches_encode_and_canonical_numbering():
+    """encode_ids is encode() mapped through the rank-derived vocab:
+    byte units get their byte value, merge r's token gets 256+r, and
+    the id sequence round-trips to the token sequence."""
+    ranks = bpe.load_ranks()
+    vocab = bpe.vocab_from_ranks(ranks)
+    assert len(vocab) == 256 + len(ranks)
+    inv = {i: t for t, i in vocab.items()}
+    text = "the cat sat on the mat, 42 times!"
+    toks = bpe.encode(text, ranks)
+    ids = bpe.encode_ids(text, ranks, vocab)
+    assert [inv[i] for i in ids] == toks
+    # byte units numbered by byte value
+    assert all(vocab[u] == b for b, u in bpe.bytes_to_unicode().items())
+    # merged tokens numbered by rank
+    for (a, b), r in list(ranks.items())[:10]:
+        assert vocab[a + b] == 256 + r
+
+
+def test_spark_tokenize_matches_reference(spark):
+    from python_ctd_spark.operators.text import bpe_tokenize
+
+    texts = [f"doc {i} says hello hello world {i % 7}" for i in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": texts})
+    )
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_tokenize(df).collect()
+    }
+    ranks = bpe.load_ranks()
+    vocab = bpe.vocab_from_ranks(ranks)
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        assert got[i] == bpe.encode_ids(t, ranks, vocab, cache), i

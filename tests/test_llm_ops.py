@@ -1391,6 +1391,70 @@ def test_semantic_cell_stats(spark):
 
 
 # ---------------------------------------------------------------------------
+# pack_sequences: fixed-length training-sequence assembly from token ids
+# ---------------------------------------------------------------------------
+
+def _seq_fixture(spark):
+    rows = [
+        ("a", 1, list(range(0, 7))),
+        ("a", 2, list(range(100, 103))),
+        ("a", 3, list(range(200, 212))),
+        ("a", 4, []),  # empty doc: excluded from the stream
+        ("b", 9, list(range(300, 305))),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "token_ids"])
+    )
+
+
+def test_pack_sequences_reconstructs_stream_and_straddles(spark):
+    from python_ctd_spark.operators.assemble import pack_sequences
+
+    out = (
+        pack_sequences(_seq_fixture(spark), seq_len=5, keep_partial=True)
+        .toPandas().sort_values(["source", "seq_id"]).reset_index(drop=True)
+    )
+    a = out[out.source == "a"]
+    # concatenating windows reconstructs the id-ordered token stream
+    got = [t for tl in a.token_ids for t in tl]
+    assert got == list(range(0, 7)) + list(range(100, 103)) + list(range(200, 212))
+    # doc 1 (7 tokens) straddles into window 1, where doc 2 joins it
+    w1 = a[a.seq_id == 1].iloc[0]
+    assert list(w1.token_ids) == [5, 6, 100, 101, 102]
+    assert w1.n_docs == 2 and w1.first_id == 1
+    # per-source streams are independent
+    b = out[out.source == "b"].iloc[0]
+    assert list(b.token_ids) == list(range(300, 305)) and b.seq_id == 0
+    # the partial tail is present only with keep_partial
+    assert (a.n_tokens == 5).sum() == len(a) - 1 and a.n_tokens.iloc[-1] == 2
+    full = pack_sequences(_seq_fixture(spark), seq_len=5).toPandas()
+    assert (full.n_tokens == 5).all() and len(full) == 5
+
+
+def test_pack_sequences_deterministic_under_repartitioning(spark):
+    from python_ctd_spark.operators.assemble import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ids = docs.select(
+        "source", "doc_id",
+        F.expr(
+            "transform(sequence(1, CAST(doc_id % 37 AS INT)),"
+            " i -> CAST(doc_id * 31 + i AS INT))"
+        ).alias("token_ids"),
+    )
+
+    def run(src, nb):
+        from python_ctd_spark.operators.assemble import pack_sequences
+
+        return (
+            pack_sequences(src, seq_len=64, num_buckets=nb)
+            .toPandas().sort_values(["source", "seq_id"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(ids, 8), run(ids.repartition(13), 3))
+
+
+# ---------------------------------------------------------------------------
 # shard_documents: deterministic global shuffle + balanced shard assignment
 # ---------------------------------------------------------------------------
 

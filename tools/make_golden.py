@@ -125,6 +125,36 @@ def make_bpe(sf_dir: str, tag: str) -> None:
     print(f"wrote {path} ({len(out)} rows)")
 
 
+def make_bpe_ids(sf_dir: str, tag: str) -> None:
+    """Golden for the tokenize->pack pipeline: per-document token ID
+    arrays from the pure-Python reference encoder + the rank-derived
+    canonical vocab (functions/bpe.py:vocab_from_ranks) — the DuckDB
+    oracle re-packs these ids in SQL, so equality checks BOTH the live
+    Spark tokenizer and the sequence assembly."""
+    from python_ctd_spark.functions.bpe import (
+        encode_ids, load_ranks, vocab_from_ranks,
+    )
+
+    ranks = load_ranks()
+    vocab = vocab_from_ranks(ranks)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    cache: dict = {}
+    rows = [
+        (int(d), s, encode_ids(t or "", ranks, vocab, cache))
+        for d, s, t in zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["source"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+    ]
+    out = pd.DataFrame(rows, columns=["doc_id", "source", "token_ids"])
+    path = GOLDEN_DIR / f"bpe_token_ids_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -136,6 +166,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         print(f"wrote {path} ({len(out)} rows)")
     make_multimodal_real(sf_dir, tag)
     make_bpe(sf_dir, tag)
+    make_bpe_ids(sf_dir, tag)
 
 
 if __name__ == "__main__":

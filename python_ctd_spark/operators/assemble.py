@@ -174,8 +174,12 @@ def _stream_offsets(
     documented in :func:`pack_documents` (range-partition so no domain
     funnels through one task; per-bucket sums cumsum'd into broadcast
     bucket offsets; bounded in-bucket window adds the local prefix).
-    Input is the narrow ``(by, id, n_tokens)`` projection; returns it
-    plus ``__start``."""
+    Input is the ``(by, id, n_tokens)`` projection — extra payload
+    columns (e.g. the token-id arrays themselves) simply ride the range
+    shuffle and come back with ``__start``, which saves the full-data
+    join a separate offsets table would force (the aggregate branch
+    column-prunes the persisted relation, so the payload never enters
+    the bucket sums)."""
     from pyspark import StorageLevel
 
     spark = staged.sparkSession
@@ -251,15 +255,14 @@ def pack_sequences(
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     L = int(seq_len)
-    work = df.filter(F.size(F.col(tokens_col)) > 0)
-    staged = work.select(
+    staged = df.filter(F.size(F.col(tokens_col)) > 0).select(
         F.col(by), F.col(id_col),
         F.size(F.col(tokens_col)).cast("bigint").alias("n_tokens"),
+        F.col(tokens_col),
     )
-    offsets = _stream_offsets(staged, by, id_col, num_buckets).select(
-        by, id_col, "n_tokens", "__start"
+    joined = _stream_offsets(staged, by, id_col, num_buckets).select(
+        by, id_col, "n_tokens", tokens_col, "__start"
     )
-    joined = work.select(by, id_col, tokens_col).join(offsets, [by, id_col])
     first_w = F.expr(f"__start div {L}")
     last_w = F.expr(f"(__start + n_tokens - 1) div {L}")
     exploded = joined.withColumn(

@@ -2100,6 +2100,11 @@ def _q_pack_sequences(spark, sf_dir):
         "n_docs",
         "first_id",
         f"{checksum} AS checksum",
+        # document-boundary offsets (attention-mask reset points),
+        # pinned as count + sum so the oracle re-derives them from
+        # positions where a document's first token lands
+        "size(boundaries) AS n_boundaries",
+        "aggregate(boundaries, 0L, (acc, x) -> acc + x) AS boundary_sum",
     )
 
 
@@ -2117,11 +2122,11 @@ WITH g AS (
          unnest(range(1, len(token_ids) + 1)) AS lpos
   FROM g
 ), pos AS (
-  SELECT source, doc_id, tid,
+  SELECT source, doc_id, tid, lpos,
          row_number() OVER (PARTITION BY source ORDER BY doc_id, lpos) - 1 AS gpos
   FROM tok
 ), seqd AS (
-  SELECT source, doc_id, tid,
+  SELECT source, doc_id, tid, lpos,
          CAST(gpos // {_SEQ_LEN} AS INT) AS seq_id,
          gpos % {_SEQ_LEN} AS spos
   FROM pos
@@ -2130,7 +2135,9 @@ SELECT source, seq_id,
        CAST(COUNT(*) AS INT) AS n_tokens,
        COUNT(DISTINCT doc_id) AS n_docs,
        MIN(doc_id) AS first_id,
-       CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum
+       CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum,
+       CAST(COUNT(*) FILTER (lpos = 1) AS INT) AS n_boundaries,
+       CAST(COALESCE(SUM(spos) FILTER (lpos = 1), 0) AS BIGINT) AS boundary_sum
 FROM seqd
 GROUP BY source, seq_id
 HAVING COUNT(*) = {_SEQ_LEN}

@@ -229,8 +229,13 @@ def pack_sequences(
     ``seq_len``-token windows — the materialization step
     :func:`pack_documents` only plans (it assigns pack_ids; this emits
     the packed ``token_ids`` rows a trainer reads).  Returns
-    ``(by, seq_id, token_ids, n_tokens, n_docs, first_id)``; the final
-    partial window is dropped unless ``keep_partial`` (standard
+    ``(by, seq_id, token_ids, n_tokens, n_docs, first_id,
+    boundaries)`` where ``boundaries`` lists the 0-based in-sequence
+    offsets at which a NEW document starts — exactly what a trainer
+    needs to reset attention masks / position ids at document joins (a
+    window fully inside one long document has an empty list; offset 0
+    appears only when a document begins at the window edge).  The
+    final partial window is dropped unless ``keep_partial`` (standard
     practice — a short tail sequence wastes a training slot).
 
     Scale shape — O(docs) shuffle rows, never a token-level explode:
@@ -282,19 +287,37 @@ def pack_sequences(
             F.slice(
                 F.col(tokens_col), (local0 + 1).cast("int"), take.cast("int")
             ).alias("s"),
+            # a document STARTS inside this window iff its slice begins
+            # at the document's first token; its in-sequence offset is
+            # then p mod L — the attention-mask reset point
+            F.when(local0 == 0, (F.col("__start") % L).cast("int")).alias("b"),
         ).alias("ps"),
     )
     out = (
         parts.groupBy(by, "seq_id")
         .agg(
-            F.flatten(
-                F.transform(F.array_sort(F.collect_list("ps")), lambda x: x["s"])
-            ).alias(tokens_col),
+            F.sort_array(F.collect_list("ps")).alias("__ps"),
             F.count(F.lit(1)).alias("n_docs"),
             F.min("__pid").alias("first_id"),
         )
+        .select(
+            by,
+            "seq_id",
+            F.flatten(F.transform(F.col("__ps"), lambda x: x["s"])).alias(
+                tokens_col
+            ),
+            "n_docs",
+            "first_id",
+            F.filter(
+                F.transform(F.col("__ps"), lambda x: x["b"]),
+                lambda b: b.isNotNull(),
+            ).alias("boundaries"),
+        )
         .withColumn("n_tokens", F.size(F.col(tokens_col)))
-        .select(by, "seq_id", tokens_col, "n_tokens", "n_docs", "first_id")
+        .select(
+            by, "seq_id", tokens_col, "n_tokens", "n_docs", "first_id",
+            "boundaries",
+        )
     )
     if not keep_partial:
         out = out.filter(F.col("n_tokens") == L)

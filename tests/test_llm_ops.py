@@ -1429,6 +1429,11 @@ def test_pack_sequences_reconstructs_stream_and_straddles(spark):
     assert (a.n_tokens == 5).sum() == len(a) - 1 and a.n_tokens.iloc[-1] == 2
     full = pack_sequences(_seq_fixture(spark), seq_len=5).toPandas()
     assert (full.n_tokens == 5).all() and len(full) == 5
+    # document-boundary offsets: doc1 at window-0 offset 0, doc2 joins
+    # window 1 at offset 7%5=2, doc3 opens window 2 at offset 0, and a
+    # window fully inside doc3 has NO boundary
+    assert [list(b) for b in a.boundaries] == [[0], [2], [0], [], []]
+    assert list(out[out.source == "b"].boundaries.iloc[0]) == [0]
 
 
 def test_pack_sequences_deterministic_under_repartitioning(spark):

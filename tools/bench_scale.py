@@ -20,7 +20,7 @@ Measurements (pick by arg):
   a files-read metric pruned to the matching date directory.
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
-        probe-sq8|probe-pq|cc-chain|semantic|partition-prune]   (default docs)
+        probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune]  (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -633,6 +633,57 @@ def measure_pq(mult: int, n_queries: int = 10) -> dict:
         spark.stop()
 
 
+def measure_pack(mult: int, seq_len: int = 512) -> dict:
+    """pack_sequences assembly at mult-x documents: verifies the O(docs)
+    claim — the shuffle ships per-window array slices, never per-token
+    rows, so wall should track the document count ~linearly (the token
+    stream is synthesized natively so the measurement isolates the
+    ASSEMBLY, not the Python BPE loop).  Records wall, window counts,
+    and the parts:docs ratio (each doc emits 1 + n_tokens/seq_len
+    slices; a token-level explode would make this ratio ~avg_tokens)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.assemble import pack_sequences
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_pack_x{mult}")
+    tmp = tempfile.mkdtemp(prefix="scale_pack_")
+    try:
+        path = stage_docs(mult, tmp)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        # deterministic synthetic ids, ~128 tokens/doc
+        ids = docs.select(
+            "source", "doc_id",
+            F.expr(
+                "transform(sequence(1, 64 + CAST(doc_id % 128 AS INT)),"
+                " i -> CAST((doc_id * 131 + i) % 50000 AS INT))"
+            ).alias("token_ids"),
+        )
+        walls = []
+        out_rows = total_tokens = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            agg = pack_sequences(ids, seq_len=seq_len).agg(
+                {"n_tokens": "sum", "seq_id": "count"}
+            ).collect()[0]
+            walls.append(time.perf_counter() - t0)
+            out_rows, total_tokens = int(agg[1]), int(agg[0])
+            spark.catalog.clearCache()
+        avg_tokens = total_tokens / max(out_rows, 1)
+        return {
+            "mult": mult,
+            "n_docs": n_docs,
+            "full_windows": out_rows,
+            "packed_tokens": total_tokens,
+            "parts_per_doc_bound": round(1 + (avg_tokens / seq_len), 2),
+            "wall_s": round(min(walls), 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -654,6 +705,9 @@ if __name__ == "__main__":
     if what == "probe-pq":
         for m in (1, 10):
             results[f"pq_x{m}"] = measure_pq(m)
+    if what == "pack":
+        for m in (1, 10):
+            results[f"pack_x{m}"] = measure_pack(m)
     if what == "cc-chain":
         for n in (1000, 10000):
             results[f"cc_chain_{n}"] = measure_cc_chain(n)

@@ -20,10 +20,11 @@ score; only that sliver touches the raw vectors for the decimal-exact
 cosine re-rank — the same two-phase shape as
 :func:`..similarity.quantized_topk`.
 
-Engine-portable determinism (the repo's oracle contract): every
-ranking-relevant number is either an exact DECIMAL sum (order-
-independent, so Spark folds == SQL SUM) or a double derived from such
-sums by the identical expression — encode argmin, LUT entries, ADC
+Engine-portable determinism (the repo's oracle contract): the encode
+argmin is INTEGER-exact (coordinates quantized at 1e-6, BIGINT scores
+— see ``_pq_assign``), and every other ranking-relevant number is an
+exact DECIMAL sum (order-independent, so Spark folds == SQL SUM) or a
+double derived from one by the identical expression — LUT entries, ADC
 totals, and the re-rank cosine are all bit-identical in Spark and
 DuckDB at any parallelism.
 
@@ -55,16 +56,6 @@ def _dec_fold(prods: str) -> str:
     return (
         f"aggregate({prods}, CAST(0 AS DECIMAL(38,15)), "
         "(acc, x) -> CAST(acc + x AS DECIMAL(38,15)))"
-    )
-
-
-def _dec_dot2(vec_sql: str, lits: str) -> str:
-    """2*<v, c> as an exact decimal: the *2 happens on the DOUBLE product
-    (an exponent bump — exact in IEEE) BEFORE the decimal cast, so both
-    engines quantize the identical double."""
-    return _dec_fold(
-        f"zip_with({vec_sql}, array({lits}), "
-        "(x, c) -> CAST(x * c * 2.0D AS DECIMAL(30,15)))"
     )
 
 
@@ -146,7 +137,11 @@ def _pq_assign(c: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     decimal settle, and codegen to straight-line arithmetic.  The
     1e-6 coordinate shift is irrelevant to clustering — it only moves
     code boundaries by ~1e-6, and PQ's reconstruction error is orders
-    of magnitude larger by construction.
+    of magnitude larger by construction.  Domain bound: the BIGINT fold
+    holds while ``dsub * 2 * (|x| * 1e6)^2 < 2^63``, i.e. coordinate
+    magnitudes up to ~200 at dsub=8 — far above embedding-scale data
+    (unit-norm vectors are ~1); beyond that ANSI mode fails loudly
+    (BIGINT overflow error), never silently — normalize first.
 
     Three earlier designs are documented so they stay dead: pure
     DECIMAL(38,15) score folds (8.2s for 2000 rows at sf0.1 —

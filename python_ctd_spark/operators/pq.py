@@ -124,7 +124,9 @@ def _qlit(x: float) -> int:
     return int(math.floor(float(x) * _QSCALE + 0.5))
 
 
-def _pq_assign(c: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+def _pq_assign(
+    c: DataFrame, codebooks: list[list[list[float]]], with_norm: bool = True
+) -> DataFrame:
     """Map-side per-subspace argmin -> ``(id, e, __codes)`` with
     ``__codes`` the 0-based code array.  The corpus never shuffles.
 
@@ -190,6 +192,12 @@ def _pq_assign(c: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     codes = "array(" + ", ".join(
         f"CAST(__c{j} AS TINYINT)" for j in range(m)
     ) + ")"
+    if not with_norm:
+        # training only needs the codes — skip the norm-literal driver
+        # query (one 1-row Spark query per call otherwise)
+        return coded.selectExpr(
+            "id", "e", f"{codes} AS __codes", "rand() AS __nd"
+        ).select("id", "e", "__codes")
     # reconstructed-norm^2 lookup: |recon(v)|^2 = sum_j |C[j][code_j]|^2.
     # The m*ksub code norms are evaluated ONCE (driver-side, through
     # Spark's own decimal semantics — _norm2_decimals) and embedded as
@@ -270,7 +278,7 @@ def pq_train(
     books = pq_seed_codebooks(corpus, id_col, vec_col, m, ksub)
     d = len(books[0][0])
     for _ in range(int(iters)):
-        assigned = _pq_assign(train, books)
+        assigned = _pq_assign(train, books, with_norm=False)
         parts = F.explode(
             F.array(
                 *[

@@ -230,6 +230,33 @@ class Corpus:
             )
         )
 
+    def tokenize(self, merges_path: str | None = None,
+                 out_col: str = "token_ids") -> "Corpus":
+        """Real byte-level BPE token IDS
+        (:func:`..operators.text.bpe_tokenize`): map-side, broadcast
+        merge table, rank-derived canonical vocabulary."""
+        return self._wrap(
+            text.bpe_tokenize(self.df, self.text_col, merges_path, out_col)
+        )
+
+    def pack_sequences(self, seq_len: int = 2048,
+                       tokens_col: str = "token_ids", **kw) -> DataFrame:
+        """Fixed-length training sequences from :meth:`tokenize` output
+        (:func:`..operators.assemble.pack_sequences`) — different row
+        shape, so a plain DataFrame: one row per ``seq_len``-token
+        window with document-boundary offsets."""
+        return assemble.pack_sequences(
+            self.df, tokens_col, seq_len, self.id_col, self.domain_col, **kw
+        )
+
+    def shard(self, n_shards: int, seed: str = "") -> "Corpus":
+        """Deterministic global shuffle + balanced shard assignment
+        (:func:`..operators.assemble.shard_documents`): vary ``seed``
+        per epoch for a reproducible per-epoch re-deal."""
+        return self._wrap(
+            assemble.shard_documents(self.df, n_shards, self.id_col, seed)
+        )
+
     def gopher_filter(self, min_words: int = 50,
                       max_words: int = 100_000) -> "Corpus":
         """Chainable form of :meth:`gopher_rules`: keep only documents

@@ -1459,6 +1459,36 @@ def test_pack_sequences_deterministic_under_repartitioning(spark):
     pd.testing.assert_frame_equal(run(ids, 8), run(ids.repartition(13), 3))
 
 
+def test_corpus_fluent_tail_tokenize_pack_shard(spark):
+    """The fluent end of the training pipeline: Corpus.tokenize()
+    .pack_sequences() and .shard() match their functional forms."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.operators.assemble import (
+        pack_sequences, shard_documents,
+    )
+    from python_ctd_spark.operators.text import bpe_tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(80)
+    c = Corpus(docs).tokenize()
+    assert "token_ids" in c.df.columns
+    a = (
+        c.pack_sequences(seq_len=64).drop("token_ids", "boundaries")
+        .toPandas().sort_values(["source", "seq_id"]).reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(bpe_tokenize(docs), seq_len=64)
+        .drop("token_ids", "boundaries")
+        .toPandas().sort_values(["source", "seq_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    s = Corpus(docs).shard(4, seed="e0").df.select("doc_id", "shard").toPandas()
+    t = shard_documents(docs, 4, seed="e0").select("doc_id", "shard").toPandas()
+    pd.testing.assert_frame_equal(
+        s.sort_values("doc_id").reset_index(drop=True),
+        t.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shard_documents: deterministic global shuffle + balanced shard assignment
 # ---------------------------------------------------------------------------

@@ -1656,7 +1656,10 @@ def _q_minhash_dedup(spark, sf_dir):
     return minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.2)
 
 
-def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
+def _minhash_sql(
+    k: int = 16, bands: int = 8, threshold: float = 0.2,
+    table: str = "documents",
+) -> str:
     from python_ctd_spark.operators.dedup import MH_PRIME, mh_coeffs
 
     r = k // bands
@@ -1672,7 +1675,7 @@ def _minhash_sql(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
     )
     return f"""
 WITH t AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM {table}
 ), hashed AS (
   SELECT doc_id,
          list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
@@ -5062,6 +5065,191 @@ FROM clustered GROUP BY cluster_id
 """
 
 
+# the end-to-end training-dataset composition (VERDICT r8 item 1):
+# clean -> dedup -> mix -> tokenize -> pack -> shard, one driver row.
+# Mixture: ten sources kept whole, two downsampled, the other eight
+# dropped — exercises all three domain_mix rate regimes in the tail.
+_TD_TARGETS = {f"src{i}": 1e6 for i in range(10)} | {"src10": 8.0, "src11": 15.0}
+_TD_SEQ_LEN = 128
+_TD_SHARDS = 4
+_TD_SEED = "r9"
+
+
+def _q_training_dataset(spark, sf_dir):
+    """END-TO-END training-dataset build (VERDICT r8 item 1) — the full
+    pipeline tail composed in ONE query, so the driver audits the
+    stage-boundary contracts (keeper sets into mixing, id ordering into
+    the packer's stream offsets) and not just each stage in isolation:
+
+      documents -> gopher_rules keep (clean) -> dedup_clusters keepers
+      (fuzzy dedup) -> domain_mix (curated mixture) -> bpe_tokenize
+      (real byte-level BPE ids) -> pack_sequences(seq_len=128) (actual
+      fixed-length sequences) -> shard_documents over the sequence key
+      (deterministic shuffle) -> per-shard counts + position-weighted
+      BIGINT checksum.
+
+    Every stage is the exact operator audited standalone (gopher_rules /
+    dedup_apply / domain_mix / bpe_token_count / pack_sequences /
+    shard_documents rows); the oracle below composes those rows' DuckDB
+    CTEs over the kernel-golden id arrays, so a green here pins the
+    composition itself.
+
+    Plan audit (the 100 TB shape): gopher verdicts and BPE tokenize are
+    map-side (native expressions / broadcast-ranks pandas UDF); dedup
+    candidates are an LSH band equi-join; the keep/keeper id sets are
+    corpus-SIZED, so they join on doc_id (hash-partitionable, AQE picks
+    the strategy — broadcasting them would OOM at scale; only the
+    per-domain mixture rates broadcast); pack_sequences is one hash
+    shuffle on (source, seq_id) with O(docs) slice rows; shard
+    assignment is row-local; the final per-shard rollup
+    partial-aggregates map-side.  One shuffle per stage boundary, no
+    driver-side collect anywhere."""
+    from python_ctd_spark.operators.assemble import (
+        domain_mix, pack_sequences, shard_documents,
+    )
+    from python_ctd_spark.operators.dedup import dedup_clusters
+    from python_ctd_spark.operators.text import bpe_tokenize, gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = docs.join(gopher_rules(docs).filter("keep").select("doc_id"), "doc_id")
+    keepers = kept.join(
+        dedup_clusters(kept, threshold=0.5).filter("is_keeper").select("doc_id"),
+        "doc_id",
+    )
+    mixed = domain_mix(keepers, _TD_TARGETS)
+    seqs = pack_sequences(bpe_tokenize(mixed), seq_len=_TD_SEQ_LEN)
+    checksum = (
+        "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
+        "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x)"
+    )
+    staged = seqs.selectExpr(
+        "source",
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        "size(boundaries) AS n_boundaries",
+        f"{checksum} AS checksum",
+        "concat(source, '|', CAST(seq_id AS STRING)) AS seq_key",
+    )
+    sharded = shard_documents(
+        staged, _TD_SHARDS, key_col="seq_key", seed=_TD_SEED, rank=False
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("n_docs").cast("bigint").alias("sum_docs"),
+        F.sum("n_boundaries").cast("bigint").alias("sum_boundaries"),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+def _training_dataset_sql() -> str:
+    """The composed oracle: each stage is the SAME DuckDB formulation its
+    standalone row uses — gopher keep predicate (_GOPHER_SQL), minhash
+    pairs + recursive-CTE connected components (_dedup_clusters_sql),
+    md5-keyed mixture rates (_domain_mix_sql), kernel-golden BPE id
+    arrays (the bpe_token_count / pack_sequences golden parquet), the
+    unnest-repack sequence build (_pack_sequences_sql), and the
+    md5-uniform shard bins (_SHARD_DOCUMENTS_SQL) — re-rooted on the
+    previous stage's CTE instead of the raw documents table."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {t!r}" for s, t in sorted(_TD_TARGETS.items())
+    )
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           len(lt) AS n,
+           CAST(list_aggregate(list_transform(lt, w -> length(w)), 'sum') AS DOUBLE) AS wlen,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS DOUBLE) AS symbols,
+           CAST(len(list_filter(lt, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_words,
+           len(list_filter(lt, w -> list_contains(['the','a','of','and','to','in','is','for','that','it'], w))) AS stop_hits
+    FROM (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+      FROM documents
+    )
+  )
+  WHERE n >= 50 AND n <= 100000 AND wlen / n >= 3.0 AND wlen / n <= 10.0
+    AND symbols / n <= 0.1 AND alpha_words / n >= 0.8 AND stop_hits >= 2
+), pairs AS (
+{_minhash_sql(threshold=0.5, table="kept")}
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), keepers AS (
+  SELECT k.doc_id, k.source
+  FROM kept k LEFT JOIN comp c ON c.doc_id = k.doc_id
+  WHERE COALESCE(c.cluster_id, k.doc_id) = k.doc_id
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM keepers GROUP BY source
+), rated AS (
+  SELECT source,
+         CASE WHEN (CASE {cases} END) IS NOT NULL
+              THEN least(1.0, (CASE {cases} END) / CAST(n AS DOUBLE)) END AS rate
+  FROM counts
+), mixed AS (
+  SELECT k.doc_id, k.source
+  FROM keepers k JOIN rated r USING (source)
+  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+        < r.rate
+), g AS (
+  SELECT m.doc_id, m.source, t.token_ids
+  FROM mixed m
+  JOIN read_parquet('{p}/bpe_token_ids_sf0.01.parquet') t USING (doc_id)
+  WHERE len(t.token_ids) > 0
+), tok AS (
+  SELECT doc_id, source, unnest(token_ids) AS tid,
+         unnest(range(1, len(token_ids) + 1)) AS lpos
+  FROM g
+), pos AS (
+  SELECT source, doc_id, tid, lpos,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id, lpos) - 1 AS gpos
+  FROM tok
+), seqd AS (
+  SELECT source, doc_id, tid, lpos,
+         CAST(gpos // {_TD_SEQ_LEN} AS INT) AS seq_id,
+         gpos % {_TD_SEQ_LEN} AS spos
+  FROM pos
+), seqs AS (
+  SELECT source, seq_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) FILTER (lpos = 1) AS BIGINT) AS n_boundaries,
+         CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum
+  FROM seqd
+  GROUP BY source, seq_id
+  HAVING COUNT(*) = {_TD_SEQ_LEN}
+), sharded AS (
+  SELECT *,
+         CAST(floor(
+           (('0x' || substr(md5('{_TD_SEED}|' || source || '|' || CAST(seq_id AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0) * {_TD_SHARDS}) AS INT) AS shard
+  FROM seqs
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_docs) AS BIGINT) AS sum_docs,
+       CAST(SUM(n_boundaries) AS BIGINT) AS sum_boundaries,
+       CAST(SUM(checksum) AS BIGINT) AS checksum,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM sharded GROUP BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (r7): the 12 query *shapes* not yet in the registry,
 # adapted to the driver schema (no partsupp / commitdate / phone columns —
@@ -5648,6 +5836,8 @@ def _window_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _window_order({
+        # -- r9 window: new in r9 --------------------------------------
+        "training_dataset": _q_training_dataset,
         # -- r7 window: new in r7 --------------------------------------
         "ivf_index_probe": _q_ivf_index_probe,
         "streaming_incremental_dedup": _q_streaming_inc_dedup,
@@ -5908,6 +6098,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "dedup_apply": _dedup_apply_sql(),
+        "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),
         "domain_mix": _domain_mix_sql(),
         "domain_mix_temp": _DOMAIN_MIX_TEMP_SQL,

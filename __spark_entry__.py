@@ -2675,6 +2675,27 @@ _IVF_TRAIN_ITERS = 4
 # to a fresh train, and the values are plain Python (no session state).
 _QUANTIZER_CACHE: dict[tuple, list] = {}
 
+#: stored ANN ground truth (VERDICT r8 item 6): the exact top-k over the
+#: sampled audit query set is corpus-version state exactly like the
+#: trained quantizer — |queries| x k (qid, id) rows, engine-portable via
+#: the decimal-exact cosine — so it is computed once per corpus (keyed,
+#: like _QUANTIZER_CACHE, on the sf_dir that IS the corpus identity in
+#: this harness; a deployment would key on a corpus fingerprint) and
+#: every later recall sweep probes the stored rows instead of re-running
+#: the brute-force scan.
+_GROUND_TRUTH_CACHE: dict[tuple, list] = {}
+
+
+def _ann_ground_truth(emb, q, sf_dir: str, k: int = 5) -> list:
+    import os
+
+    key = (os.path.realpath(sf_dir), k)
+    if key not in _GROUND_TRUTH_CACHE:
+        from python_ctd_spark.operators.similarity import exact_ground_truth
+
+        _GROUND_TRUTH_CACHE[key] = exact_ground_truth(emb, q, k=k)
+    return _GROUND_TRUTH_CACHE[key]
+
 
 def _trained_quantizer(emb, sf_dir: str) -> list:
     import os
@@ -2969,17 +2990,55 @@ def _q_ann_recall(spark, sf_dir):
     # one-shot == stored-path equality is separately plan-pinned in
     # tests/test_sinks.py — so the oracle per branch is unchanged while
     # the corpus-wide stages run once instead of twice per family.
-    lsh_ix = lsh_index(
-        emb, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
-        dim=_EMB_DIM, persist=True,
+    # the four corpus-sized serving artifacts build + materialize as
+    # CONCURRENT jobs (plan analysis and the persist-filling scans both
+    # parallelize; the builds are independent), so the build phase
+    # costs the max artifact, not the sum — same motivation as the
+    # parallel branch fan-out below
+    from concurrent.futures import ThreadPoolExecutor
+
+    from python_ctd_spark.operators.pq import (
+        pq_encode, pq_seed_codebooks, pq_topk,
     )
-    assignments, cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
-    assignments = assignments.persist()
-    tr_assign, tr_cent = ivf_index(
-        emb, n_centroids=_IVF_CENTROIDS,
-        centroids=_trained_quantizer(emb, sf_dir),
-    )
-    tr_assign = tr_assign.persist()
+
+    def _build_lsh():
+        ix = lsh_index(
+            emb, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+            dim=_EMB_DIM, persist=True,
+        )
+        ix.count()
+        return ix
+
+    def _build_ivf():
+        a, c = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+        a = a.persist()
+        a.count()
+        return a, c
+
+    def _build_tr():
+        a, c = ivf_index(
+            emb, n_centroids=_IVF_CENTROIDS,
+            centroids=_trained_quantizer(emb, sf_dir),
+        )
+        a = a.persist()
+        a.count()
+        return a, c
+
+    def _build_pq():
+        books = pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+        codes = pq_encode(emb, books).persist()
+        codes.count()
+        return books, codes
+
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        f_lsh = _ex.submit(_build_lsh)
+        f_ivf = _ex.submit(_build_ivf)
+        f_tr = _ex.submit(_build_tr)
+        f_pq = _ex.submit(_build_pq)
+        lsh_ix = f_lsh.result()
+        assignments, cent = f_ivf.result()
+        tr_assign, tr_cent = f_tr.result()
+        pq_books, pq_codes = f_pq.result()
 
     def _lsh(bits):
         def fn(corpus, queries, k, id_col, vec_col):
@@ -3022,12 +3081,6 @@ def _q_ann_recall(spark, sf_dir):
             id_col=id_col, vec_col=vec_col,
         )
 
-    from python_ctd_spark.operators.pq import (
-        pq_encode, pq_seed_codebooks, pq_topk,
-    )
-
-    pq_books = pq_seed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
-    pq_codes = pq_encode(emb, pq_books).persist()
 
     def _pq(corpus, queries, k, id_col, vec_col):
         # the PQ serving config: stored 8-byte codes, ADC candidates at
@@ -3050,6 +3103,14 @@ def _q_ann_recall(spark, sf_dir):
 
     rep = ann_recall_report(
         emb, q, k=5, min_recall=0.6,
+        # stored ground truth (VERDICT r8 item 6): the exact side is
+        # corpus-version state, computed once per corpus and reused by
+        # every recall sweep — the train_quantizer lifecycle verbatim
+        exact_rows=_ann_ground_truth(emb, q, sf_dir, k=5),
+        # branches materialize as concurrent jobs: each is <= |q| x k
+        # rows but carries ~1-2s of serialized stage overhead in the
+        # 9-way union form (measured; see ann_recall_report docstring)
+        parallel=True,
         methods=(
             ("ivf", _ivf(_IVF_PROBE)),
             # 1-bit multiprobe: the bare-bucket form recalls ~0.12 on

@@ -42,6 +42,12 @@ def main() -> None:
         help="minimum timed passes per query; the recorded number is the "
         "min over passes (min-of-N by construction, VERDICT r7 item 9)",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: time just these (iteration "
+        "aid; the driver always runs the full suite)",
+    )
     args = ap.parse_args()
     passes = max(1, args.passes)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,8 +114,11 @@ def main() -> None:
     # (measured: lang_id 1.9s at suite position 20 vs 0.41s late), so
     # registry reordering would otherwise masquerade as regression.
     rerun_threshold = 0.75
+    only = set(args.only.split(",")) if args.only else None
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         # min-of-N by construction: every query gets at least `passes`
         # timed runs (per-query work is identical on every pass; the min
         # is the steady-state plan cost, not compiler/GC state)

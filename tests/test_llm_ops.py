@@ -1284,6 +1284,41 @@ def test_ann_recall_report_custom_probe_method(spark):
         similarity.ann_recall_report(corpus, queries, k=3, methods=("bogus",))
 
 
+def test_ann_recall_report_parallel_equals_sequential(spark):
+    """The concurrent-materialization path (parallel=True: branch plans
+    built + collected in worker threads, report assembled from bounded
+    driver rows) is an EXECUTION strategy, not a semantic change — the
+    report must be row-identical to the sequential union form,
+    including the empty-exact-query row and the stored-ground-truth
+    (exact_rows) shortcut."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(v) for v in vecs]})
+    )
+    queries = corpus.filter("vec_id < 4")
+    kw = dict(
+        k=3,
+        methods=("ivf", "lsh"),
+        ivf_kwargs={"n_centroids": 2, "n_probe": 1, "kmeans_iters": 1},
+        lsh_kwargs={"n_planes": 4, "n_tables": 2, "dim": 8, "n_probe_bits": 1},
+    )
+    seq = (
+        similarity.ann_recall_report(corpus, queries, **kw)
+        .toPandas().sort_values(["method", "qid"]).reset_index(drop=True)
+    )
+    gt = similarity.exact_ground_truth(corpus, queries, k=3)
+    par = (
+        similarity.ann_recall_report(
+            corpus, queries, exact_rows=gt, parallel=True, **kw
+        )
+        .toPandas().sort_values(["method", "qid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(seq, par, check_dtype=False)
+
+
 def test_quantize_vectors_schema_and_error_bound(spark):
     """int8 codes come back as array<tinyint> (the 4-8x storage claim
     needs the narrow physical type) and reconstruction error is bounded

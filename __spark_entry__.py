@@ -1314,7 +1314,86 @@ _PQ_KSUB = 16
 _PQ_MARGIN = 8
 
 
-def _pq_ann_sql(k: int = 5, margin: int | None = None) -> str:
+def _pq_cb_sql(trained_iters: int | None = None) -> str:
+    """CTE chain ``seedrows ... cb`` producing the PQ codebook relation
+    ``(code, j, si, cv)``.  Seed form: first-ksub corpus rows sliced
+    into subspaces (pq_seed_codebooks).  Trained form: the seed
+    followed by ``trained_iters`` integer-exact Lloyd rounds — the same
+    arithmetic as ``operators/pq.pq_train`` (1e-6-quantized BIGINT
+    argmin assignment, ``sum(floor(x*1e6+0.5))`` coordinate updates,
+    two correctly-rounded IEEE divisions per coordinate, empty cells
+    keep their previous centroid), verified bit-identical to the books
+    Spark collects."""
+    dsub = _EMB_DIM // _PQ_M
+    seed_inner = f"""  SELECT code,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         cv
+  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM seedrows)"""
+    head = f"""seedrows AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+), cb AS (
+{seed_inner}
+)"""
+    if trained_iters is None:
+        return head
+    parts = [f"""seedrows AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+), cb_t0 AS (
+{seed_inner}
+), tcoords AS (
+  SELECT vec_id AS id,
+         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+         CAST((pos - 1) % {dsub} AS INT) AS si,
+         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM embeddings)
+)"""]
+    for t in range(trained_iters):
+        parts.append(f""", cbq_t{t} AS (
+  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM cb_t{t}
+), cbn2_t{t} AS (
+  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq_t{t} GROUP BY j, code
+), sdots_t{t} AS (
+  SELECT c.id, c.j, b.code, SUM(c.vq * b.cq * 2) AS d2
+  FROM tcoords c JOIN cbq_t{t} b ON b.j = c.j AND b.si = c.si
+  GROUP BY c.id, c.j, b.code
+), asg_t{t} AS (
+  SELECT id, j, code FROM (
+    SELECT s.id, s.j, s.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+                              ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
+    FROM sdots_t{t} s JOIN cbn2_t{t} n ON n.j = s.j AND n.code = s.code
+  ) WHERE brk = 1
+), upd_t{t} AS (
+  SELECT a.j, a.code, c.si, COUNT(*) AS n, SUM(c.vq) AS s
+  FROM asg_t{t} a JOIN tcoords c ON c.id = a.id AND c.j = a.j
+  GROUP BY a.j, a.code, c.si
+), cb_t{t + 1} AS (
+  SELECT p.code, p.j, p.si,
+         CASE WHEN u.n IS NOT NULL
+              THEN CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE) / 1000000.0
+              ELSE p.cv END AS cv
+  FROM cb_t{t} p
+  LEFT JOIN upd_t{t} u ON u.j = p.j AND u.code = p.code AND u.si = p.si
+)""")
+    parts.append(
+        f", cb AS (\n  SELECT code, j, si, cv FROM cb_t{trained_iters}\n)"
+    )
+    return "".join(parts)
+
+
+def _pq_ann_sql(
+    k: int = 5, margin: int | None = None, trained_iters: int | None = None
+) -> str:
     """Closed-form oracle for the PQ/ADC path: re-derive the seed
     codebooks from the parquet (first-ksub rows, subspace slices),
     encode every corpus vector by the INTEGER-exact L2 argmin contract
@@ -1326,19 +1405,7 @@ def _pq_ann_sql(k: int = 5, margin: int | None = None) -> str:
     dsub = _EMB_DIM // _PQ_M
     margin = _PQ_MARGIN if margin is None else margin
     return f"""
-WITH seedrows AS (
-  SELECT vec_id, embedding,
-         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
-), cb AS (
-  SELECT code,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         cv
-  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM seedrows)
-), cbn AS (
+WITH {_pq_cb_sql(trained_iters)}, cbn AS (
   SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
   FROM cb GROUP BY j, code
 ), cbq AS (
@@ -1448,7 +1515,10 @@ def _q_ivf_pq_probe(spark, sf_dir):
     )
 
 
-def _ivf_pq_sql(k: int = 5, n_probe: int = 2, margin: int | None = None) -> str:
+def _ivf_pq_sql(
+    k: int = 5, n_probe: int = 2, margin: int | None = None,
+    trained_iters: int | None = None,
+) -> str:
     """Oracle for the IVF,PQ composition: the _ivf_ann_sql candidate
     CTEs (seed centroids -> decimal-exact assignment -> probed cells)
     feed the _pq_ann_sql scoring CTEs (seed codebooks -> integer-exact
@@ -1480,19 +1550,7 @@ WITH cent AS (
 ), cand AS (
   SELECT DISTINCT p.qid, a.id
   FROM assigned a JOIN cprobes p ON a.cell = p.cell AND a.id != p.qid
-), seedrows AS (
-  SELECT vec_id, embedding,
-         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
-), cb AS (
-  SELECT code,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         cv
-  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM seedrows)
-), cbn AS (
+), {_pq_cb_sql(trained_iters)}, cbn AS (
   SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
   FROM cb GROUP BY j, code
 ), cbq AS (
@@ -2697,6 +2755,27 @@ def _ann_ground_truth(emb, q, sf_dir: str, k: int = 5) -> list:
     return _GROUND_TRUTH_CACHE[key]
 
 
+#: trained PQ codebooks (VERDICT r8 item 3): same train-once/store
+#: lifecycle as _QUANTIZER_CACHE — pq_train's Lloyd loop is
+#: integer-exact and order-independent, so the books are corpus-version
+#: driver state, trained offline and reused by every encode/probe
+_PQ_TRAIN_ITERS = 2
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+
+
+def _trained_pq_books(emb, sf_dir: str) -> list:
+    import os
+
+    key = (os.path.realpath(sf_dir), _PQ_M, _PQ_KSUB, _PQ_TRAIN_ITERS)
+    if key not in _PQ_BOOKS_CACHE:
+        from python_ctd_spark.operators.pq import pq_train
+
+        _PQ_BOOKS_CACHE[key] = pq_train(
+            emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_TRAIN_ITERS
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
 def _trained_quantizer(emb, sf_dir: str) -> list:
     import os
 
@@ -2966,7 +3045,13 @@ def _q_ann_recall(spark, sf_dir):
     approximate path; 0.76 at sf0.1, the honest cost of 8-byte codes;
     ``ivf_pq``, new r8: the composed FAISS-style index — cells prune,
     codes score — sharing the seed-IVF assignments and PQ codes with
-    the sibling branches).
+    the sibling branches), AND the TRAINED-codebook PQ serving configs
+    (``pq_trained`` / ``ivf_pq_trained``, new r9 — VERDICT r8 item 3:
+    pq_train's stored Lloyd books through the same train-once/store
+    lifecycle as the IVF quantizer, memoized in ``_PQ_BOOKS_CACHE``;
+    on this corpus trained books plateau at 0.72 vs the seed's 0.76 at
+    margin=16 — the same honestly-measured phenomenon as
+    ``ivf_trained``, see PLANS.md r9 for the margin dial table).
 
     The report is materialized eagerly (it is |methods| x |queries|
     rows by construction) so the corpus-sized shared artifacts — the
@@ -3030,15 +3115,25 @@ def _q_ann_recall(spark, sf_dir):
         codes.count()
         return books, codes
 
-    with ThreadPoolExecutor(max_workers=4) as _ex:
+    def _build_pq_trained():
+        # trained books are memoized driver state (train once per
+        # corpus); the stored-code table rebuild is one map-side pass
+        books = _trained_pq_books(emb, sf_dir)
+        codes = pq_encode(emb, books).persist()
+        codes.count()
+        return books, codes
+
+    with ThreadPoolExecutor(max_workers=5) as _ex:
         f_lsh = _ex.submit(_build_lsh)
         f_ivf = _ex.submit(_build_ivf)
         f_tr = _ex.submit(_build_tr)
         f_pq = _ex.submit(_build_pq)
+        f_pqt = _ex.submit(_build_pq_trained)
         lsh_ix = f_lsh.result()
         assignments, cent = f_ivf.result()
         tr_assign, tr_cent = f_tr.result()
         pq_books, pq_codes = f_pq.result()
+        pqt_books, pqt_codes = f_pqt.result()
 
     def _lsh(bits):
         def fn(corpus, queries, k, id_col, vec_col):
@@ -3101,6 +3196,25 @@ def _q_ann_recall(spark, sf_dir):
             id_col=id_col, vec_col=vec_col,
         )
 
+    def _pq_trained(corpus, queries, k, id_col, vec_col):
+        # TRAINED codebooks as the audited serving config (VERDICT r8
+        # item 3): pq_train's stored books through the same probe shape
+        return pq_topk(
+            pqt_codes, corpus, queries, codebooks=pqt_books, k=k,
+            margin=16, id_col=id_col, vec_col=vec_col,
+        )
+
+    def _ivf_pq_trained(corpus, queries, k, id_col, vec_col):
+        from python_ctd_spark.operators.pq import ivf_pq_probe
+
+        # composed IVF,PQ with trained books — shares the seed-IVF
+        # assignments with the sibling branches, probes trained codes
+        return ivf_pq_probe(
+            assignments, cent, pqt_codes, corpus, queries,
+            codebooks=pqt_books, k=k, n_probe=2, margin=_PQ_MARGIN,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     rep = ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         # stored ground truth (VERDICT r8 item 6): the exact side is
@@ -3133,6 +3247,9 @@ def _q_ann_recall(spark, sf_dir):
             ("pq", _pq),
             # the composed IVF,PQ serving shape (new r8)
             ("ivf_pq", _ivf_pq),
+            # trained PQ books as audited serving configs (new r9)
+            ("pq_trained", _pq_trained),
+            ("ivf_pq_trained", _ivf_pq_trained),
         ),
     )
     # the report is |methods| x |queries| rows — materialize it, then
@@ -3143,6 +3260,7 @@ def _q_ann_recall(spark, sf_dir):
     assignments.unpersist()
     tr_assign.unpersist()
     pq_codes.unpersist()
+    pqt_codes.unpersist()
     return out
 
 
@@ -3159,7 +3277,8 @@ def _ann_recall_sql() -> str:
     methods_cte = " UNION ALL ".join(
         f"SELECT '{m}' AS method"
         for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8",
-                  "ivf_trained", "pq", "ivf_pq")
+                  "ivf_trained", "pq", "ivf_pq", "pq_trained",
+                  "ivf_pq_trained")
     )
     return f"""
 WITH exact AS (
@@ -3182,6 +3301,10 @@ WITH exact AS (
   SELECT qid, id FROM ({_pq_ann_sql(5, margin=16)}) x
 ), ivfpq AS (
   SELECT qid, id FROM ({_ivf_pq_sql()}) x
+), pqtr AS (
+  SELECT qid, id FROM ({_pq_ann_sql(5, margin=16, trained_iters=_PQ_TRAIN_ITERS)}) x
+), ivfpqtr AS (
+  SELECT qid, id FROM ({_ivf_pq_sql(trained_iters=_PQ_TRAIN_ITERS)}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -3200,6 +3323,10 @@ WITH exact AS (
   SELECT 'pq' AS method, qid, id FROM pqm
   UNION ALL
   SELECT 'ivf_pq' AS method, qid, id FROM ivfpq
+  UNION ALL
+  SELECT 'pq_trained' AS method, qid, id FROM pqtr
+  UNION ALL
+  SELECT 'ivf_pq_trained' AS method, qid, id FROM ivfpqtr
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id

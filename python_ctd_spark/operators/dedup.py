@@ -897,10 +897,15 @@ def connected_components(
             )
         return labels
 
+    # no distinct(): label propagation only ever MIN-aggregates over the
+    # neighbor list, and a min is idempotent under duplicate edges — the
+    # dedupe would cost a full extra shuffle of the edge list for zero
+    # semantic effect (the LSH pair generators already emit unique
+    # pairs; a caller with pathologically duplicated edges pays in join
+    # width, not correctness, and can pre-distinct itself)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
         .persist()
     )
     # seed labels at the one-hop minimum (this IS round 1, fused into the

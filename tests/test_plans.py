@@ -325,3 +325,53 @@ def test_quantized_ann_corpus_never_shuffles_before_rank(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """VERDICT r8 item 8: AQE's runtime skew-join split, asserted on the
+    executed plan of a planted 90%-hot-key sort-merge join (the
+    tools/bench_scale.py skew-join fixture, shrunk).  Thresholds scale
+    with the fixture (same ratios as the 256m/64m/5 defaults), the
+    dimension is non-broadcastable by config (modeling a dim too big to
+    broadcast — when it fits, F.broadcast makes skew moot), and the
+    assertion reads SortMergeJoin(skew=true) from the FINALIZED adaptive
+    plan — the split that actually happened, not the config that allows
+    it.  The wall/speedup evidence lives in bench_scale + PLANS.md r9."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100).alias("key"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("attr")
+        )
+        j = (
+            fact.join(dim, "key")
+            .groupBy("attr")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        rows = j.collect()
+        assert len(rows) == 11  # key 0 + the 10 mod-10 survivors
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

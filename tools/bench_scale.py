@@ -18,9 +18,14 @@ Measurements (pick by arg):
 - **partition-prune**: a one-day rollup against flat vs
   event_date-partitioned 10x archives — non-empty PartitionFilters and
   a files-read metric pruned to the matching date directory.
+- **skew-join**: planted 90%-hot-key sort-merge join at 1x/10x — the
+  executed plan must show ``SortMergeJoin(skew=true)`` (AQE actually
+  split the hot partitions) and wall with handling on must stay
+  bounded while handling off degrades with the hot key.
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
-        probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune]  (default docs)
+        probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|
+        skew-join]  (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -275,6 +280,82 @@ def measure_semantic(mult: int, cap: int = 500, hot_frac_mod: int = 5) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
+
+
+def measure_skew_join(mult: int) -> dict:
+    """VERDICT r8 item 8 evidence: AQE's runtime skew-join handling on a
+    planted-zipfian key — the one scale guard not previously
+    evidence-pinned.  A fact table with 90% of its rows on ONE key
+    sort-merge-joins a 1000-row dimension (auto-broadcast disabled: the
+    fixture models a dimension too big to broadcast — when it DOES fit,
+    ``F.broadcast`` makes skew moot, which is always the first move).
+    Thresholds are scaled to the fixture (skewedPartitionThreshold 1m /
+    advisory 512k / factor 2 — the same RATIOS as the 256m/64m/5
+    defaults at cluster scale) so the optimizer faces the same decision
+    it would at 100 TB.  Asserts the executed plan shows
+    ``SortMergeJoin(skew=true)`` (the split actually happened, not just
+    the config) and reports wall with handling on vs off.
+
+    When is ``salted_agg`` still needed?  AQE skew handling covers
+    JOINS only — a skewed ``groupBy`` key gets partial (map-side)
+    aggregation for free, which absorbs skew when the aggregate state
+    is tiny (sums/counts), but high-cardinality state per hot key
+    (collect_list/distinct counts) still needs the explicit two-stage
+    salt.  PLANS.md r9 has the decision table."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_skew_x{mult}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    n = 2_000_000 * mult
+
+    def run(skew_on: bool) -> tuple[float, bool]:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
+        )
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000).alias("key"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            # ~64-byte payload so the hot partition is bytes-skewed,
+            # not just row-skewed (the optimizer decides on bytes)
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("attr")
+        )
+        j = (
+            fact.join(dim, "key")
+            .groupBy("attr")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        t0 = time.perf_counter()
+        rows = j.collect()
+        wall = round(time.perf_counter() - t0, 2)
+        assert len(rows) == 101  # key 0 + the 9-mod-10 survivors
+        # the DataFrame's OWN QueryExecution carries the finalized
+        # adaptive plan after collect() — a .write builds a fresh one
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return wall, "skew=true" in plan
+
+    run(True)  # warm (JIT + shuffle services)
+    wall_on, split_on = run(True)
+    wall_off, split_off = run(False)
+    assert split_on, "AQE did not split the planted skewed partitions"
+    assert not split_off
+    return {
+        "rows": n,
+        "wall_skew_on_s": wall_on,
+        "wall_skew_off_s": wall_off,
+        "plan_shows_skew_split": split_on,
+        "speedup": round(wall_off / max(wall_on, 1e-9), 2),
+    }
 
 
 def measure_cc_chain(n: int) -> dict:
@@ -716,4 +797,7 @@ if __name__ == "__main__":
             results[f"semantic_x{m}"] = measure_semantic(m)
     if what == "partition-prune":
         results["prune_x10"] = measure_partition_prune(10)
+    if what == "skew-join":
+        for m in (1, 10):
+            results[f"skew_join_x{m}"] = measure_skew_join(m)
     print(json.dumps(results, indent=1))

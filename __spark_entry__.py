@@ -17,43 +17,256 @@ execution would otherwise diverge in float ULPs):
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+# the registry spans sibling packages (tools/oracles, tools/registry,
+# python_ctd_spark) — make this file importable by absolute path too
+# (spec_from_file_location) by ensuring its directory is on sys.path
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_DIR not in _sys.path:
+    _sys.path.insert(0, _REPO_DIR)
+
+# Oracle SQL and shared parameters live in tools/oracles/* (pure
+# refactor, VERDICT r8 item 9): strings are byte-identical to the
+# pre-split registry, so stamp fingerprints survive.  Everything is
+# re-imported here so queries(), oracle_sql(), and external callers
+# (tests, tools) keep their existing names.
+from tools.oracles.params import (
+    _EMB_DIM,
+    _IVF_CENTROIDS,
+    _IVF_PROBE,
+    _IVF_TRAIN_ITERS,
+    _MIX_TARGETS,
+    _NEARDUP_PLANES,
+    _NEARDUP_TABLES,
+    _PQ_KSUB,
+    _PQ_M,
+    _PQ_MARGIN,
+    _PQ_TRAIN_ITERS,
+    _SAMPLE_RATES,
+    _SEQ_LEN,
+    _SERVING_PROBE_BITS,
+    _SMOOTH_WINDOW_LEN,
+    _STREAM_SHARD_BOUND,
+    _STREAM_WINDOW_US,
+    _TD_SEED,
+    _TD_SEQ_LEN,
+    _TD_SHARDS,
+    _TD_TARGETS,
+)
+from tools.oracles.ann import (
+    _EMBEDDING_TOPK_SQL,
+    _QUANTIZED_ANN_SQL,
+    _ann_index_probe_sql,
+    _ann_recall_sql,
+    _ivf_ann_sql,
+    _ivf_pq_sql,
+    _ivf_sq_sql,
+    _ivf_trained_sql,
+    _lsh_ann_sql,
+    _neardup_sql,
+    _plane_sig_expr,
+    _pq_ann_sql,
+    _pq_cb_sql,
+    _semantic_cell_stats_sql,
+    _semantic_dedup_sql,
+    _sq8_ann_sql,
+)
+from tools.oracles.ctd import (
+    _BARRIER_LAYER_SQL,
+    _BINDATA_INTERP_SQL,
+    _BINDATA_SQL,
+    _BOTTLE_MEAN_SQL,
+    _CTD_PIPELINE_SQL,
+    _CUMSUM_SQL,
+    _DESPIKE_SQL,
+    _FFILL_SQL,
+    _GAP_SQL,
+    _INTERPOLATE_SQL,
+    _MAXDEPTH_SQL,
+    _MLD_SQL,
+    _MOVINGAVERAGE_SQL,
+    _NUNIQUE_SQL,
+    _PIVOT_SQL,
+    _PRESS_CHECK_SQL,
+    _REMOVE_ABOVE_WATER_SQL,
+    _REMOVE_UP_TO_SQL,
+    _SESSIONIZE_SQL,
+    _SIGMA0_SQL,
+    _SPLIT_SQL,
+    _ctm_sql,
+    _golden_sql,
+    _smooth_native_sql,
+)
+from tools.oracles.dedup import (
+    _CONTAINMENT_SQL,
+    _DEDUP_EXACT_SQL,
+    _DEDUP_LINES_SQL,
+    _DUP_PASSAGES_SQL,
+    _NGRAM_JACCARD_SQL,
+    _SHINGLE_SQL,
+    _decontaminate_sql,
+    _dedup_apply_sql,
+    _dedup_clusters_sql,
+    _incremental_dedup_sql,
+    _minhash_sql,
+    _shingle_sql,
+    _simhash_sql,
+)
+from tools.oracles.relational import (
+    _ASOF_JOIN_SQL,
+    _CUBE_EVENTS_SQL,
+    _FULL_OUTER_SQL,
+    _GROUPING_SETS_SQL,
+    _INTERVAL_JOIN_SQL,
+    _JSON_EXTRACT_SQL,
+    _MULTIMODAL_FRAMES_SQL,
+    _PERCENTILES_SQL,
+    _RANGE_WINDOW_SQL,
+    _SALTED_ROLLUP_SQL,
+    _SET_OPS_SQL,
+    _SKETCH_ACCURACY_SQL,
+    _TOPK_SQL,
+    _UNPIVOT_SQL,
+    _WINDOW_RANKS_SQL,
+    _multimodal_real_sql,
+)
+from tools.oracles.streaming import (
+    _DESPIKE_CLOSEOUT_SQL,
+    _STATEFUL_DESPIKE_SQL,
+    _STREAMING_BINDATA_SQL,
+    _STREAMING_DEDUP_SQL,
+    _STREAMING_ENRICH_SQL,
+    _STREAMING_JOIN_SQL,
+    _STREAMING_SESSIONS_SQL,
+    _STREAMING_WINDOWED_SQL,
+    _streaming_ann_sql,
+    _streaming_inc_dedup_sql,
+)
+from tools.oracles.tail import (
+    _DOMAIN_MIX_TEMP_SQL,
+    _EXACT_SAMPLE_SQL,
+    _PACK_DOCUMENTS_SQL,
+    _PACK_GREEDY_SQL,
+    _QUANTILE_FILTER_SQL,
+    _SHARD_DOCUMENTS_SQL,
+    _bpe_token_sql,
+    _domain_mix_sql,
+    _pack_sequences_sql,
+    _stratified_sample_sql,
+    _training_dataset_sql,
+)
+from tools.oracles.text import (
+    _CHUNK_DOCUMENTS_SQL,
+    _DOMAIN_STATS_SQL,
+    _FINGERPRINT_SQL,
+    _GOPHER_SQL,
+    _LANG_ID_SQL,
+    _PII_REDACT_SQL,
+    _REPETITION_SQL,
+    _TEXT_NORMALIZE_SQL,
+    _TEXT_QUALITY_SQL,
+    _TEXT_STATS_SQL,
+    _TFIDF_SQL,
+    _UNIGRAM_LOGPROB_SQL,
+)
+from tools.oracles.tpch import (
+    _BRAND_NATION_SQL,
+    _CORRELATED_SQL,
+    _Q10_SQL,
+    _Q11_SQL,
+    _Q12_SQL,
+    _Q13_SQL,
+    _Q14_SQL,
+    _Q15_SQL,
+    _Q16_SQL,
+    _Q17_SQL,
+    _Q18_SQL,
+    _Q19_SQL,
+    _Q1_SQL,
+    _Q20_SQL,
+    _Q21_SQL,
+    _Q22_SQL,
+    _Q2_SQL,
+    _Q3_SQL,
+    _Q4_SQL,
+    _Q5_SQL,
+    _Q6_SQL,
+    _Q7_SQL,
+    _Q8_SQL,
+    _Q9_SQL,
+    _REGION_REVENUE_SQL,
+    _ROLLUP_SQL,
+    _SEMI_ANTI_SQL,
+)
+
+# Phase 2 of the r9 split: the TPC-H and streaming query callables
+# (and shared table plumbing) live in tools/registry/* — source text
+# verbatim, so getsource fingerprints survive.
+from tools.registry.base import TABLES, _EV_KW, _ev, _t, _with_gap, davg, dsum
+from tools.registry.tpch import (
+    _q10_returned_items,
+    _q11_important_parts,
+    _q12_ship_delay,
+    _q13_order_count_dist,
+    _q14_promo_effect,
+    _q15_top_supplier,
+    _q16_supplier_cnt,
+    _q17_small_qty_revenue,
+    _q18_large_orders,
+    _q19_disjunctive_revenue,
+    _q1_pricing_summary,
+    _q20_qty_suppliers,
+    _q21_waiting_suppliers,
+    _q22_idle_customers,
+    _q2_min_cost_supplier,
+    _q3_top_orders,
+    _q4_order_priority,
+    _q5_local_supplier,
+    _q6_forecast_revenue,
+    _q7_volume_shipping,
+    _q8_market_share,
+    _q9_profit_by_nation_year,
+    _q_brand_nation_profit,
+    _q_correlated_subquery,
+    _q_region_revenue,
+    _q_rollup,
+    _q_semi_anti,
+)
+from tools.registry.streaming import (
+    _STREAM_DUP_CACHE,
+    _STREAM_IX_BUILT,
+    _STREAM_PDF_CACHE,
+    _STREAM_RUN_COUNTER,
+    _STREAM_SENTINEL_ID,
+    _STREAM_STAGE_CACHE,
+    _drop_stale_table,
+    _q_despike_closeout,
+    _q_stateful_despike,
+    _q_streaming_ann,
+    _q_streaming_bindata,
+    _q_streaming_dedup,
+    _q_streaming_enrich,
+    _q_streaming_inc_dedup,
+    _q_streaming_join,
+    _q_streaming_sessions,
+    _q_streaming_windowed,
+    _stage_pdf_parts,
+    _stored_stream_lsh_index,
+    _stored_stream_mh_index,
+    _stream_stage,
+    _stream_stage_dup,
+    _table_name,
+)
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def dsum(c) -> F.Column:
-    """Order-independent (exact) sum of a double expression."""
-    c = c if isinstance(c, F.Column) else F.col(c)
-    return F.sum(c.cast("decimal(25,6)")).cast("double")
-
-
-def davg(c) -> F.Column:
-    """avg via exact decimal sum / count (matches the SQL twin exactly)."""
-    c = c if isinstance(c, F.Column) else F.col(c)
-    return F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c)
-
-
-#: cast-shaped view of the events table: user_id = cast, (ts_us, event_id)
-#: = deterministic scan order, value = the physical channel.  events.parquet
-#: may carry TIMESTAMP(NANOS) — read as a nanosecond long (nanosAsLong) and
-#: truncated to micros, exactly DuckDB's behavior — or timestamp[us], which
-#: Spark reads as TIMESTAMP_NTZ and _ev converts to naive epoch micros via a
-#: UTC-pinned cast; either way both engines order and diff identical integers.
-_EV_KW = {"by": "user_id", "order": ["ts_us", "event_id"], "pressure": "value"}
 
 
 # ---------------------------------------------------------------------------
@@ -66,522 +279,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_ctd_pipeline(spark, "/root/testdata/sf0.001")
 
 
-def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-_Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
 # ---------------------------------------------------------------------------
 # joins / TPC-H-ish
 # ---------------------------------------------------------------------------
-
-def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join customer x orders x lineitem, top-10 orders by revenue.
-
-    Plan notes: customer is the small side -> broadcast; revenue ranking on
-    the exact decimal sum with o_orderkey tie-break for determinism.
-    """
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    )
-    rev = (
-        joined.groupBy("o_orderkey")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-    return rev
-
-
-_Q3_SQL = """
-SELECT o_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey
-ORDER BY revenue DESC, o_orderkey
-LIMIT 10
-"""
-
-
-def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue from orders where the customer and the
-    supplier share a nation, per nation of one region, one order year.
-
-    Plan notes: the only shuffle join is lineitem x orders (both big,
-    orders pre-filtered to the year so the probe side shrinks first);
-    customer, supplier, nation, region are all broadcast — the
-    c_nationkey = s_nationkey equality rides the broadcast joins as a
-    post-join filter, never a shuffle key.  Revenue is the exact decimal
-    sum so the ranking is engine-stable."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
-    )
-
-
-_Q5_SQL = """
-SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY n_name
-ORDER BY revenue DESC, n_name
-"""
-
-
-_CORRELATED_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice
-FROM orders o
-WHERE o_totalprice > (
-  SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
-           / COUNT(*)
-  FROM orders o2
-  WHERE o2.o_custkey = o.o_custkey
-)
-ORDER BY o_custkey, o_orderkey
-"""
-
-
-def _q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery through the SQL surface: orders more
-    than twice their customer's average.  Catalyst decorrelates this to
-    an aggregate + join (no per-row re-execution — verify in the plan:
-    one Aggregate over orders, one join, no nested-loop), and the
-    identical SQL text runs on DuckDB as the oracle.  The inner average
-    is the exact decimal sum / count so the comparison is engine-stable.
-    """
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_CORRELATED_SQL)
-
-
-def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: shipping volume between two nations in both
-    directions, per year — the disjunctive (OR-of-pairs) join condition.
-
-    Plan notes: both nation copies broadcast and the OR condition
-    evaluates as a post-join filter on the broadcast results, so the
-    disjunction never forces a cartesian or blocks pushdown; the only
-    shuffle joins are the fact-fact pairs."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
-    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(pair)
-    )
-    return (
-        joined.groupBy(
-            "supp_nation", "cust_nation",
-            F.year("l_shipdate").cast("bigint").alias("l_year"),
-        )
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-_Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
-     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
-)
-GROUP BY 1, 2, 3
-ORDER BY 1, 2, 3
-"""
-
-
-def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers with orders whose total quantity
-    exceeds a threshold (group-HAVING semi-join feeding a top-N).
-
-    Plan notes: the HAVING aggregate reduces lineitem to one row per
-    qualifying order BEFORE anything joins — the semi-join side is the
-    already-aggregated sliver, never raw lineitem; customer broadcasts;
-    the top-100 rides a TakeOrderedAndProject (no global sort
-    materialization)."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 250.0)
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            "o_totalprice", "sum_qty",
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-_Q18_SQL = """
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-FROM orders
-JOIN (
-  SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
-  FROM lineitem
-  GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 250.0
-) big ON o_orderkey = big.l_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 100
-"""
-
-
-def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem -> orders -> customer -> nation -> region star join;
-    nation/region are broadcast dimensions."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_REGION_REVENUE_SQL = """
-SELECT r_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dsum("o_totalprice").alias("total"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
-    )
-
-
-_ROLLUP_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
-       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
-FROM orders
-GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-"""
-
-
-def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi + anti join surface: customers with (and without) open orders."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    with_open = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return (
-        with_open.select("c_custkey", F.lit("open").alias("bucket"))
-        .unionByName(without.select("c_custkey", F.lit("none").alias("bucket")))
-    )
-
-
-_SEMI_ANTI_SQL = """
-SELECT c_custkey, 'open' AS bucket FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-UNION ALL
-SELECT c_custkey, 'none' AS bucket FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-"""
-
-
-def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders per priority that shipped at least one
-    line after the order date, one quarter.  The EXISTS compiles to a
-    left-semi join whose equi key is l_orderkey; the l_shipdate >
-    o_orderdate part rides as the semi join's residual condition — no
-    pre-aggregation of lineitem, no distinct."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > orders.o_orderdate),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-_Q4_SQL = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-  AND EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-  )
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
-    one quarter.  lineitem x orders is the only shuffle join (orders
-    pre-filtered to the quarter); customer and nation broadcast.
-    Decimal revenue + explicit c_custkey tie-break make the LIMIT 20
-    cut engine-stable."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
-    )
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-_Q10_SQL = """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-"""
-
-
-def _q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (shipmode replaced by a ship-delay bucket — the
-    testdata lineitem carries no l_shipmode): per bucket, line counts of
-    high- vs low-priority orders via conditional aggregation, one
-    year.  One shuffle join + one aggregate; the CASE pair is map-side."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        )
-        .withColumn(
-            "delay_bucket",
-            F.when(delay > 90, "slow").when(delay > 30, "medium").otherwise("fast"),
-        )
-        .groupBy("delay_bucket")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-        .orderBy("delay_bucket")
-    )
-
-
-_Q12_SQL = """
-SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
-            THEN 'slow'
-            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
-            THEN 'medium' ELSE 'fast' END AS delay_bucket,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY 1
-ORDER BY delay_bucket
-"""
-
-
-def _q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: revenue share of one part type in one month —
-    a global conditional-aggregate ratio.  part broadcasts into the
-    filtered lineitem scan; both sums are decimal so the single output
-    row is bit-stable."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-06-01"))
-        & (F.col("l_shipdate") < F.lit("1996-07-01"))
-    )
-    part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            (
-                F.lit(100.0)
-                * dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
-                / dsum(rev)
-            ).alias("economy_revenue_pct"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-        .select(F.round("economy_revenue_pct", 6).alias("economy_revenue_pct"), "n_lines")
-    )
-
-
-_Q14_SQL = """
-SELECT ROUND(
-         100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
-                                     THEN l_extendedprice * (1 - l_discount)
-                                     ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
-         6) AS economy_revenue_pct,
-       COUNT(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
-"""
 
 
 # ---------------------------------------------------------------------------
 # reference operators on the events "cast" (user_id / ts / value)
 # ---------------------------------------------------------------------------
-
-def _ev(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the timestamp[us] branch below casts TIMESTAMP_NTZ -> TIMESTAMP, which
-    # reads the naive value in the *session* timezone; entry()/queries()
-    # accept externally built sessions, so pin it rather than assume
-    # session.get_spark was the builder.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        # nanosecond-long parquet timestamps: truncate to micros
-        return ev.withColumn("ts_us", F.expr("ts div 1000"))
-    # timestamp[us] parquet: naive micros since epoch, matching DuckDB's
-    # epoch_us(ts) (session timezone is pinned to UTC in session._DEFAULTS)
-    return ev.withColumn("ts_us", F.expr("unix_micros(cast(ts as timestamp))"))
 
 
 def _q_remove_above_water(spark, sf_dir):
@@ -594,22 +299,11 @@ def _q_remove_above_water(spark, sf_dir):
     return out.select("event_id", "user_id", "depth")
 
 
-_REMOVE_ABOVE_WATER_SQL = """
-SELECT event_id, user_id, CAST(value AS DOUBLE) - 250.0 AS depth
-FROM events WHERE CAST(value AS DOUBLE) - 250.0 >= 0
-"""
-
-
 def _q_remove_up_to(spark, sf_dir):
     from python_ctd_spark.operators.filters import remove_up_to
 
     out = remove_up_to(_ev(spark, sf_dir), 100.0, pressure="value")
     return out.select("event_id", "user_id", "value")
-
-
-_REMOVE_UP_TO_SQL = """
-SELECT event_id, user_id, value FROM events WHERE value >= 100.0
-"""
 
 
 def _q_split(spark, sf_dir):
@@ -619,36 +313,12 @@ def _q_split(spark, sf_dir):
     return out.select("event_id", "user_id", "leg")
 
 
-_SPLIT_SQL = """
-WITH m AS (
-  SELECT user_id, max(value) AS mx FROM events GROUP BY user_id
-), s AS (
-  SELECT e.user_id, min(e.ts) AS split_ts
-  FROM events e JOIN m ON e.user_id = m.user_id AND e.value = m.mx
-  GROUP BY e.user_id
-)
-SELECT e.event_id, e.user_id,
-       CASE WHEN e.ts <= s.split_ts THEN 'down' ELSE 'up' END AS leg
-FROM events e JOIN s ON e.user_id = s.user_id
-"""
-
-
 def _q_press_check(spark, sf_dir):
     from python_ctd_spark.operators.ordered import press_check
 
     ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
     out = press_check(ev, cols=["v"], **_EV_KW)
     return out.select("event_id", "user_id", "value", "v")
-
-
-_PRESS_CHECK_SQL = """
-SELECT event_id, user_id, value,
-       CASE WHEN value < max(value) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-            THEN NULL ELSE CAST(value AS DOUBLE) END AS v
-FROM events
-"""
 
 
 def _q_movingaverage(spark, sf_dir):
@@ -663,43 +333,12 @@ def _q_movingaverage(spark, sf_dir):
     return ev.select("event_id", "user_id", ma.alias("ma4"))
 
 
-_MOVINGAVERAGE_SQL = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) / 4.0 AS ma4
-FROM events
-"""
-
-
-def _with_gap(ev):
-    """NULL-injected channel: clicks lose their value (deterministic)."""
-    return ev.withColumn(
-        "v",
-        F.when(F.col("event_type") == "click", F.lit(None).cast("double")).otherwise(
-            F.col("value").cast("double")
-        ),
-    )
-
-
-_GAP_SQL = "CASE WHEN event_type = 'click' THEN NULL ELSE CAST(value AS DOUBLE) END"
-
-
 def _q_ffill(spark, sf_dir):
     from python_ctd_spark.operators.ordered import ffill
 
     ev = _with_gap(_ev(spark, sf_dir))
     out = ffill(ev, cols=["v"], by="user_id", order=["ts_us", "event_id"])
     return out.select("event_id", "user_id", "v")
-
-
-_FFILL_SQL = f"""
-SELECT event_id, user_id,
-       last_value({_GAP_SQL} IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-FROM events
-"""
 
 
 def _q_interpolate(spark, sf_dir):
@@ -715,34 +354,6 @@ def _q_interpolate(spark, sf_dir):
         ev, cols=["v"], by="user_id", order=["ts_us", "event_id"], pressure="tpos"
     )
     return out.select("event_id", "user_id", F.round(F.col("v"), 4).alias("v"))
-
-
-_INTERPOLATE_SQL = f"""
-WITH base AS (
-  SELECT event_id, user_id, ts,
-         CAST(epoch_us(ts) AS DOUBLE) AS tpos,
-         {_GAP_SQL} AS v
-  FROM events
-), nb AS (
-  SELECT event_id, user_id, tpos, v,
-         last_value(CASE WHEN v IS NOT NULL THEN tpos END IGNORE NULLS) OVER wp AS pp,
-         last_value(v IGNORE NULLS) OVER wp AS pv,
-         first_value(CASE WHEN v IS NOT NULL THEN tpos END IGNORE NULLS) OVER wn AS np,
-         first_value(v IGNORE NULLS) OVER wn AS nv
-  FROM base
-  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wn AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-)
-SELECT event_id, user_id,
-       ROUND(CASE WHEN v IS NOT NULL THEN v
-            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-              CASE WHEN np = pp THEN pv
-                   ELSE pv + (tpos - pp) * (nv - pv) / (np - pp) END
-            ELSE NULL END, 4) AS v
-FROM nb
-"""
 
 
 def _q_bindata_average(spark, sf_dir):
@@ -765,51 +376,6 @@ def _q_bindata_average(spark, sf_dir):
     return out.select("user_id", F.col("p").alias("bin_center"), "ch")
 
 
-_BINDATA_SQL = """
-WITH bounds AS (
-  SELECT user_id,
-         -- direction-insensitive bounds (the operator binds least/greatest
-         -- of the endpoint values so the upcast bins too)
-         CAST(CEIL(LEAST(first(CAST(value AS DOUBLE) ORDER BY ts, event_id),
-                         last(CAST(value AS DOUBLE) ORDER BY ts, event_id))) AS DOUBLE) AS start,
-         CAST(FLOOR(GREATEST(first(CAST(value AS DOUBLE) ORDER BY ts, event_id),
-                             last(CAST(value AS DOUBLE) ORDER BY ts, event_id))) AS DOUBLE) AS stop
-  FROM events GROUP BY user_id
-), spans AS (
-  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
-  FROM bounds
-), grid AS (
-  SELECT user_id, start, unnest(generate_series(0, nedges - 2)) AS bin
-  FROM spans WHERE nedges >= 2
-), binned0 AS (
-  SELECT e.user_id, s.start, s.nedges,
-         CAST(CEIL((CAST(e.value AS DOUBLE) - s.start) / 50.0) AS BIGINT) - 1 AS bin0,
-         CAST(e.value AS DOUBLE) AS ch
-  FROM events e JOIN spans s ON e.user_id = s.user_id
-  WHERE s.nedges >= 2
-), binned AS (
-  -- edge-comparison correction, mirroring the Spark operator: the
-  -- arithmetic bin index can be 1 ULP off pd.cut's direct comparisons
-  SELECT user_id, nedges,
-         CASE WHEN ch > start + (bin0 + 1) * 50.0 THEN bin0 + 1
-              WHEN ch <= start + bin0 * 50.0 THEN bin0 - 1
-              ELSE bin0 END AS bin,
-         ch
-  FROM binned0
-), aggd AS (
-  SELECT user_id, bin,
-         CAST(SUM(CAST(ch AS DECIMAL(25,6))) AS DOUBLE) / COUNT(ch) AS ch
-  FROM binned
-  WHERE bin BETWEEN 0 AND nedges - 2
-  GROUP BY user_id, bin
-)
-SELECT g.user_id,
-       g.start + (g.bin + 0.5) * 50.0 AS bin_center,
-       a.ch AS ch
-FROM grid g LEFT JOIN aggd a ON g.user_id = a.user_id AND g.bin = a.bin
-"""
-
-
 def _q_despike(spark, sf_dir):
     """Native Wild-Edit despike (exact reference semantics incl. the
     last-complete-window tail rule) on the events cast."""
@@ -818,46 +384,6 @@ def _q_despike(spark, sf_dir):
     ev = _ev(spark, sf_dir).withColumn("v", F.col("value").cast("double"))
     out = despike(ev, n1=1.0, n2=2.0, block=10, cols=["v"], **_EV_KW)
     return out.select("event_id", "user_id", "v")
-
-
-_DESPIKE_SQL = """
-WITH e AS (
-  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v,
-         row_number() OVER w0 - 1 AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n,
-         avg(CAST(value AS DOUBLE)) OVER wf AS m1r,
-         stddev_pop(CAST(value AS DOUBLE)) OVER wf AS s1r
-  FROM events
-  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
-         wf AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
-), p1 AS (
-  SELECT *,
-         last_value(CASE WHEN rn <= n - 10 THEN m1r END IGNORE NULLS) OVER wp AS m1,
-         last_value(CASE WHEN rn <= n - 10 THEN s1r END IGNORE NULLS) OVER wp AS s1
-  FROM e
-  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-), c1 AS (
-  SELECT *, CASE WHEN abs(v - m1) > 1.0 * s1 THEN NULL ELSE v END AS v1
-  FROM p1
-), e2 AS (
-  SELECT *, avg(v1) OVER wf2 AS m2r, stddev_pop(v1) OVER wf2 AS s2r
-  FROM c1
-  WINDOW wf2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
-), p2 AS (
-  SELECT *,
-         last_value(CASE WHEN rn <= n - 10 THEN m2r END IGNORE NULLS) OVER wp2 AS m2,
-         last_value(CASE WHEN rn <= n - 10 THEN s2r END IGNORE NULLS) OVER wp2 AS s2
-  FROM e2
-  WINDOW wp2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT event_id, user_id,
-       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
-FROM p2
-"""
 
 
 def _q_bottle_mean(spark, sf_dir):
@@ -870,15 +396,6 @@ def _q_bottle_mean(spark, sf_dir):
     )
 
 
-_BOTTLE_MEAN_SQL = """
-SELECT user_id,
-       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-           / COUNT(CAST(value AS DOUBLE)) AS mean_value,
-       COUNT(*) AS n_scans
-FROM events GROUP BY user_id
-"""
-
-
 def _q_maxdepth(spark, sf_dir):
     from python_ctd_spark.operators.derive import get_maxdepth
 
@@ -889,23 +406,11 @@ def _q_maxdepth(spark, sf_dir):
     return out.select("user_id", F.col("v").alias("maxdepth"))
 
 
-_MAXDEPTH_SQL = f"""
-SELECT user_id,
-       max(CASE WHEN {_GAP_SQL} IS NOT NULL THEN CAST(value AS DOUBLE) END) AS maxdepth
-FROM events GROUP BY user_id
-"""
-
-
 def _q_nunique(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     return ev.groupBy("user_id").agg(
         F.countDistinct("event_type").alias("n_types")
     )
-
-
-_NUNIQUE_SQL = """
-SELECT user_id, COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id
-"""
 
 
 def _q_cell_thermal_mass(spark, sf_dir):
@@ -920,42 +425,12 @@ def _q_cell_thermal_mass(spark, sf_dir):
     return out.select("event_id", "user_id", F.round("ctm", 6).alias("ctm"))
 
 
-def _ctm_sql() -> str:
-    alpha = 0.03
-    beta = 1.0 / 7
-    sample_interval = 1.0 / 15
-    a = 2 * alpha / (sample_interval * beta + 2)
-    b = 1 - (2 * a / alpha)
-    return f"""
-WITH e AS (
-  SELECT event_id, user_id, ts,
-         CAST(value AS DOUBLE) / 20.0 AS t,
-         CAST(value AS DOUBLE) / 100.0 AS c
-  FROM events
-)
-SELECT event_id, user_id,
-       ROUND(-1.0 * {b!r} * c + {a!r} * (0.1 * (1.0 + 0.006 * (t - 20.0)))
-             * (t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS ctm
-FROM e
-"""
-
-
 def _q_mixed_layer_depth(spark, sf_dir):
     from python_ctd_spark.operators.derive import mixed_layer_depth
 
     ev = _ev(spark, sf_dir).withColumn("ct", F.col("value").cast("double") / F.lit(10.0))
     out = mixed_layer_depth(ev, ct="ct", by="user_id", order=["ts_us", "event_id"])
     return out.select("event_id", "user_id", F.col("MLD").alias("mld"))
-
-
-_MLD_SQL = """
-SELECT event_id, user_id,
-       (first_value(CAST(value AS DOUBLE) / 10.0) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        - CAST(value AS DOUBLE) / 10.0) < 0.5 AS mld
-FROM events
-"""
 
 
 def _q_cumsum(spark, sf_dir):
@@ -969,15 +444,6 @@ def _q_cumsum(spark, sf_dir):
     return ev.select("event_id", "user_id", run.alias("running_value"))
 
 
-_CUMSUM_SQL = """
-SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-FROM events
-"""
-
-
 def _q_topk_per_group(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
@@ -988,15 +454,6 @@ def _q_topk_per_group(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("user_id", "event_id", "value", F.col("rk").cast("int").alias("rk"))
     )
-
-
-_TOPK_SQL = """
-SELECT user_id, event_id, value, CAST(rk AS INT) AS rk FROM (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
-  FROM events
-) WHERE rk <= 3
-"""
 
 
 def _q_sessionize(spark, sf_dir):
@@ -1016,20 +473,6 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
-_SESSIONIZE_SQL = """
-WITH g AS (
-  SELECT user_id,
-         CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-)
-SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-FROM g GROUP BY user_id
-"""
-
-
 def _q_pivot_event_counts(spark, sf_dir):
     """BTL Statistic-style pivot: long event rows -> one wide row per user."""
     ev = _ev(spark, sf_dir)
@@ -1038,17 +481,6 @@ def _q_pivot_event_counts(spark, sf_dir):
     for t in types:
         out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
     return out
-
-
-_PIVOT_SQL = """
-SELECT user_id,
-       COUNT(*) FILTER (event_type = 'click') AS n_click,
-       COUNT(*) FILTER (event_type = 'view') AS n_view,
-       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
-       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
-       COUNT(*) FILTER (event_type = 'error') AS n_error
-FROM events GROUP BY user_id
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -1062,12 +494,6 @@ def _q_dedup_exact(spark, sf_dir):
         docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
-
-
-_DEDUP_EXACT_SQL = """
-SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-FROM documents GROUP BY md5(text)
-"""
 
 
 def _q_text_stats(spark, sf_dir):
@@ -1084,16 +510,6 @@ def _q_text_stats(spark, sf_dir):
         (alpha / n_chars).alias("alpha_ratio"),
         (n_chars / n_tokens).alias("chars_per_token"),
     )
-
-
-_TEXT_STATS_SQL = r"""
-SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       length(text) AS n_chars_txt,
-       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-       length(text) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token
-FROM documents
-"""
 
 
 def _q_lang_id(spark, sf_dir):
@@ -1124,25 +540,6 @@ def _q_lang_id(spark, sf_dir):
     return d.select("doc_id", "hits_en", "hits_es", "hits_fr", pred.alias("pred_lang"))
 
 
-_LANG_ID_SQL = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-  FROM documents
-), h AS (
-  SELECT doc_id,
-         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for'))) AS hits_en,
-         len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','los','por'))) AS hits_es,
-         len(list_filter(toks, x -> x IN ('le','la','de','et','que','les','des','pour'))) AS hits_fr
-  FROM t
-)
-SELECT doc_id, hits_en, hits_es, hits_fr,
-       CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-            WHEN hits_es >= hits_fr THEN 'es'
-            ELSE 'fr' END AS pred_lang
-FROM h
-"""
-
-
 def _q_fingerprint(spark, sf_dir):
     """Deterministic rolling document fingerprint: polynomial hash over
     tokens, token weight = ascii(first char)*31 + length."""
@@ -1161,18 +558,6 @@ def _q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
-_FINGERPRINT_SQL = r"""
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-            list_transform(regexp_split_to_array(trim(text), '\s+'),
-                           t -> CAST(ascii(t) AS BIGINT) * 31 + length(t))),
-         (acc, x) -> (acc * 131 + x) % 1000000007
-       ) AS fingerprint
-FROM documents
-"""
-
-
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for 10 query vectors.
 
@@ -1189,29 +574,6 @@ def _q_embedding_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=5).withColumnRenamed("id", "vec_id")
 
 
-_EMBEDDING_TOPK_SQL = """
-WITH q AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
-), prod AS (
-  SELECT q.qid, e.vec_id,
-         unnest(q.qe)::DOUBLE AS qv, unnest(e.embedding)::DOUBLE AS ev
-  FROM q JOIN embeddings e ON e.vec_id <> q.qid
-), dots AS (
-  SELECT qid, vec_id,
-         CAST(SUM(CAST(qv * ev AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(ev * ev AS DECIMAL(30,15))) AS DOUBLE) AS ee
-  FROM prod GROUP BY qid, vec_id
-), scored AS (
-  SELECT qid, vec_id, dot / (sqrt(qq) * sqrt(ee)) AS cos,
-         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(ee)) DESC, vec_id) AS rk
-  FROM dots
-)
-SELECT qid, vec_id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
-FROM scored WHERE rk <= 5
-"""
-
-
 def _q_quantized_ann(spark, sf_dir):
     """Int8-quantized cosine top-5 for 10 query vectors (exact re-rank).
 
@@ -1226,64 +588,6 @@ def _q_quantized_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return quantized_topk(emb, q, k=5, margin=4).withColumnRenamed("id", "vec_id")
-
-
-def _sq8_ann_sql(k: int = 5, margin: int = 4) -> str:
-    """Closed-form oracle for the int8-quantized ANN path: replicate the
-    half-up quantization (floor(x/s + 0.5) — round() tie behavior
-    differs between engines, floor(x+0.5) does not), integer candidate
-    scoring, and decimal-exact re-rank."""
-    return f"""
-WITH qbase AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
-), qz0 AS (
-  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM qbase
-), qz1 AS (
-  SELECT vec_id, e, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale FROM qz0
-), qz AS (
-  SELECT vec_id, e,
-         list_transform(e, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qv
-  FROM qz1
-), qq AS (
-  SELECT vec_id AS qid, e AS qe, qv AS qu FROM qz WHERE vec_id < 10
-), iprod AS (
-  SELECT qq.qid, c.vec_id AS id, unnest(qq.qu) AS a, unnest(c.qv) AS b
-  FROM qq JOIN qz c ON c.vec_id <> qq.qid
-), qdots AS (
-  SELECT qid, id,
-         CAST(SUM(a * b) AS DOUBLE)
-           / sqrt(CAST(SUM(a * a) * SUM(b * b) AS DOUBLE)) AS qcos
-  FROM iprod GROUP BY qid, id
-), cands AS (
-  SELECT qid, id, qcos,
-         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS rkq
-  FROM qdots
-), cprod AS (
-  SELECT cd.qid, cd.id, cd.qcos,
-         unnest(qq.qe) AS qv_el, unnest(b2.e) AS ev_el
-  FROM cands cd
-  JOIN qq ON qq.qid = cd.qid
-  JOIN qbase b2 ON b2.vec_id = cd.id
-  WHERE cd.rkq <= {margin * k}
-), cdots AS (
-  SELECT qid, id, any_value(qcos) AS qcos,
-         CAST(SUM(CAST(qv_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv_el * qv_el AS DECIMAL(30,15))) AS DOUBLE) AS nq,
-         CAST(SUM(CAST(ev_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS ne
-  FROM cprod GROUP BY qid, id
-), qscored AS (
-  SELECT qid, id, qcos, dot / (sqrt(nq) * sqrt(ne)) AS cos,
-         row_number() OVER (
-           PARTITION BY qid ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, id) AS rk
-  FROM cdots
-)
-SELECT qid, id AS vec_id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
-       CAST(rk AS INT) AS rk
-FROM qscored WHERE rk <= {k}
-"""
-
-
-_QUANTIZED_ANN_SQL = _sq8_ann_sql()
 
 
 def _q_pq_ann_topk(spark, sf_dir):
@@ -1307,186 +611,6 @@ def _q_pq_ann_topk(spark, sf_dir):
     codes = pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") < 10)
     return pq_topk(codes, emb, q, books, k=5, margin=_PQ_MARGIN)
-
-
-_PQ_M = 8
-_PQ_KSUB = 16
-_PQ_MARGIN = 8
-
-
-def _pq_cb_sql(trained_iters: int | None = None) -> str:
-    """CTE chain ``seedrows ... cb`` producing the PQ codebook relation
-    ``(code, j, si, cv)``.  Seed form: first-ksub corpus rows sliced
-    into subspaces (pq_seed_codebooks).  Trained form: the seed
-    followed by ``trained_iters`` integer-exact Lloyd rounds — the same
-    arithmetic as ``operators/pq.pq_train`` (1e-6-quantized BIGINT
-    argmin assignment, ``sum(floor(x*1e6+0.5))`` coordinate updates,
-    two correctly-rounded IEEE divisions per coordinate, empty cells
-    keep their previous centroid), verified bit-identical to the books
-    Spark collects."""
-    dsub = _EMB_DIM // _PQ_M
-    seed_inner = f"""  SELECT code,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         cv
-  FROM (SELECT code, unnest(embedding)::DOUBLE AS cv,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM seedrows)"""
-    head = f"""seedrows AS (
-  SELECT vec_id, embedding,
-         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
-), cb AS (
-{seed_inner}
-)"""
-    if trained_iters is None:
-        return head
-    parts = [f"""seedrows AS (
-  SELECT vec_id, embedding,
-         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
-), cb_t0 AS (
-{seed_inner}
-), tcoords AS (
-  SELECT vec_id AS id,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS vq
-  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM embeddings)
-)"""]
-    for t in range(trained_iters):
-        parts.append(f""", cbq_t{t} AS (
-  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
-  FROM cb_t{t}
-), cbn2_t{t} AS (
-  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq_t{t} GROUP BY j, code
-), sdots_t{t} AS (
-  SELECT c.id, c.j, b.code, SUM(c.vq * b.cq * 2) AS d2
-  FROM tcoords c JOIN cbq_t{t} b ON b.j = c.j AND b.si = c.si
-  GROUP BY c.id, c.j, b.code
-), asg_t{t} AS (
-  SELECT id, j, code FROM (
-    SELECT s.id, s.j, s.code,
-           row_number() OVER (PARTITION BY s.id, s.j
-                              ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
-    FROM sdots_t{t} s JOIN cbn2_t{t} n ON n.j = s.j AND n.code = s.code
-  ) WHERE brk = 1
-), upd_t{t} AS (
-  SELECT a.j, a.code, c.si, COUNT(*) AS n, SUM(c.vq) AS s
-  FROM asg_t{t} a JOIN tcoords c ON c.id = a.id AND c.j = a.j
-  GROUP BY a.j, a.code, c.si
-), cb_t{t + 1} AS (
-  SELECT p.code, p.j, p.si,
-         CASE WHEN u.n IS NOT NULL
-              THEN CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE) / 1000000.0
-              ELSE p.cv END AS cv
-  FROM cb_t{t} p
-  LEFT JOIN upd_t{t} u ON u.j = p.j AND u.code = p.code AND u.si = p.si
-)""")
-    parts.append(
-        f", cb AS (\n  SELECT code, j, si, cv FROM cb_t{trained_iters}\n)"
-    )
-    return "".join(parts)
-
-
-def _pq_ann_sql(
-    k: int = 5, margin: int | None = None, trained_iters: int | None = None
-) -> str:
-    """Closed-form oracle for the PQ/ADC path: re-derive the seed
-    codebooks from the parquet (first-ksub rows, subspace slices),
-    encode every corpus vector by the INTEGER-exact L2 argmin contract
-    (coordinates quantized at 1e-6, maximize sum 2*q(c)*q(x) - q(c)^2
-    in BIGINT; |x|^2 is constant per subspace), score query-corpus
-    pairs by the decimal-exact LUT sum over the 8 chosen codes, cut to
-    margin*k on the ADC cosine, and re-rank the sliver decimal-exact on
-    the raw vectors — the same arithmetic the Spark operator runs."""
-    dsub = _EMB_DIM // _PQ_M
-    margin = _PQ_MARGIN if margin is None else margin
-    return f"""
-WITH {_pq_cb_sql(trained_iters)}, cbn AS (
-  SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
-  FROM cb GROUP BY j, code
-), cbq AS (
-  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
-  FROM cb
-), cbn2 AS (
-  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq GROUP BY j, code
-), coords AS (
-  SELECT vec_id AS id,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         v
-  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM embeddings)
-), sdots AS (
-  SELECT c.id, c.j, b.code,
-         SUM(CAST(floor(c.v * 1000000.0 + 0.5) AS BIGINT) * b.cq * 2) AS d2
-  FROM coords c JOIN cbq b ON b.j = c.j AND b.si = c.si
-  GROUP BY c.id, c.j, b.code
-), best AS (
-  SELECT s.id, s.j, s.code,
-         row_number() OVER (PARTITION BY s.id, s.j
-                            ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
-  FROM sdots s JOIN cbn2 n ON n.j = s.j AND n.code = s.code
-), codes AS (
-  SELECT id, j, code FROM best WHERE brk = 1
-), pqn AS (
-  SELECT c.id, CAST(SUM(n.n2) AS DOUBLE) AS pqnorm
-  FROM codes c JOIN cbn n ON n.j = c.j AND n.code = c.code
-  GROUP BY c.id
-), qlut AS (
-  SELECT c.id AS qid, b.j, b.code,
-         SUM(CAST(c.v * b.cv AS DECIMAL(30,15))) AS lut
-  FROM coords c JOIN cb b ON b.j = c.j AND b.si = c.si
-  WHERE c.id < 10
-  GROUP BY c.id, b.j, b.code
-), qnorm AS (
-  SELECT id AS qid,
-         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS qn
-  FROM coords WHERE id < 10 GROUP BY id
-), adc AS (
-  SELECT l.qid, c.id, CAST(SUM(l.lut) AS DOUBLE) AS adc
-  FROM codes c
-  JOIN qlut l ON l.j = c.j AND l.code = c.code
-  WHERE c.id <> l.qid
-  GROUP BY l.qid, c.id
-), qscored AS (
-  SELECT a.qid, a.id,
-         CASE WHEN p.pqnorm > 0 AND q.qn > 0
-              THEN a.adc / (q.qn * sqrt(p.pqnorm)) ELSE -2.0 END AS qcos
-  FROM adc a JOIN pqn p ON p.id = a.id JOIN qnorm q ON q.qid = a.qid
-), cands AS (
-  SELECT qid, id, qcos,
-         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
-  FROM qscored
-), sliver AS (
-  SELECT qid, id, qcos FROM cands WHERE crk <= {margin * k}
-), rprod AS (
-  SELECT s.qid, s.id, s.qcos,
-         unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
-  FROM sliver s
-  JOIN embeddings eq ON eq.vec_id = s.qid
-  JOIN embeddings ec ON ec.vec_id = s.id
-), rdots AS (
-  SELECT qid, id, ANY_VALUE(qcos) AS qcos,
-         CAST(SUM(CAST(qv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv2 * qv2 AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(cv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS cc
-  FROM rprod GROUP BY qid, id
-), finals AS (
-  SELECT qid, id, qcos, dot / (sqrt(qq) * sqrt(cc)) AS cos,
-         row_number() OVER (
-           PARTITION BY qid
-           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
-  FROM rdots
-)
-SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
-       CAST(rk AS INT) AS rk
-FROM finals WHERE rk <= {k}
-"""
 
 
 def _q_ivf_pq_probe(spark, sf_dir):
@@ -1515,138 +639,10 @@ def _q_ivf_pq_probe(spark, sf_dir):
     )
 
 
-def _ivf_pq_sql(
-    k: int = 5, n_probe: int = 2, margin: int | None = None,
-    trained_iters: int | None = None,
-) -> str:
-    """Oracle for the IVF,PQ composition: the _ivf_ann_sql candidate
-    CTEs (seed centroids -> decimal-exact assignment -> probed cells)
-    feed the _pq_ann_sql scoring CTEs (seed codebooks -> integer-exact
-    encode -> decimal LUT/ADC on the candidate pairs only -> margin*k
-    cut -> decimal-exact re-rank)."""
-    dsub = _EMB_DIM // _PQ_M
-    margin = _PQ_MARGIN if margin is None else margin
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), cp AS (
-  SELECT e.vec_id AS id, c.cid,
-         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
-  FROM embeddings e CROSS JOIN cent c
-), cd AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp GROUP BY id, cid
-), cranked AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cd
-), assigned AS (
-  SELECT id, cid AS cell FROM cranked WHERE rk = 1
-), cprobes AS (
-  SELECT id AS qid, cid AS cell FROM cranked WHERE id < 10 AND rk <= {n_probe}
-), cand AS (
-  SELECT DISTINCT p.qid, a.id
-  FROM assigned a JOIN cprobes p ON a.cell = p.cell AND a.id != p.qid
-), {_pq_cb_sql(trained_iters)}, cbn AS (
-  SELECT j, code, SUM(CAST(cv * cv AS DECIMAL(30,15))) AS n2
-  FROM cb GROUP BY j, code
-), cbq AS (
-  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
-  FROM cb
-), cbn2 AS (
-  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq GROUP BY j, code
-), coords AS (
-  SELECT vec_id AS id,
-         CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
-         CAST((pos - 1) % {dsub} AS INT) AS si,
-         v
-  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-               unnest(range(1, {_EMB_DIM} + 1)) AS pos
-        FROM embeddings)
-), sdots AS (
-  SELECT c.id, c.j, b.code,
-         SUM(CAST(floor(c.v * 1000000.0 + 0.5) AS BIGINT) * b.cq * 2) AS d2
-  FROM coords c JOIN cbq b ON b.j = c.j AND b.si = c.si
-  GROUP BY c.id, c.j, b.code
-), best AS (
-  SELECT s.id, s.j, s.code,
-         row_number() OVER (PARTITION BY s.id, s.j
-                            ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
-  FROM sdots s JOIN cbn2 n ON n.j = s.j AND n.code = s.code
-), codes AS (
-  SELECT id, j, code FROM best WHERE brk = 1
-), pqn AS (
-  SELECT c.id, CAST(SUM(n.n2) AS DOUBLE) AS pqnorm
-  FROM codes c JOIN cbn n ON n.j = c.j AND n.code = c.code
-  GROUP BY c.id
-), qlut AS (
-  SELECT c.id AS qid, b.j, b.code,
-         SUM(CAST(c.v * b.cv AS DECIMAL(30,15))) AS lut
-  FROM coords c JOIN cb b ON b.j = c.j AND b.si = c.si
-  WHERE c.id < 10
-  GROUP BY c.id, b.j, b.code
-), qnorm AS (
-  SELECT id AS qid,
-         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS qn
-  FROM coords WHERE id < 10 GROUP BY id
-), adc AS (
-  SELECT ca.qid, ca.id, CAST(SUM(l.lut) AS DOUBLE) AS adc
-  FROM cand ca
-  JOIN codes c ON c.id = ca.id
-  JOIN qlut l ON l.qid = ca.qid AND l.j = c.j AND l.code = c.code
-  GROUP BY ca.qid, ca.id
-), qscored AS (
-  SELECT a.qid, a.id,
-         CASE WHEN p.pqnorm > 0 AND q.qn > 0
-              THEN a.adc / (q.qn * sqrt(p.pqnorm)) ELSE -2.0 END AS qcos
-  FROM adc a JOIN pqn p ON p.id = a.id JOIN qnorm q ON q.qid = a.qid
-), cands AS (
-  SELECT qid, id, qcos,
-         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
-  FROM qscored
-), sliver AS (
-  SELECT qid, id, qcos FROM cands WHERE crk <= {margin * k}
-), rprod AS (
-  SELECT s.qid, s.id, s.qcos,
-         unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
-  FROM sliver s
-  JOIN embeddings eq ON eq.vec_id = s.qid
-  JOIN embeddings ec ON ec.vec_id = s.id
-), rdots AS (
-  SELECT qid, id, ANY_VALUE(qcos) AS qcos,
-         CAST(SUM(CAST(qv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv2 * qv2 AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(cv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS cc
-  FROM rprod GROUP BY qid, id
-), finals AS (
-  SELECT qid, id, qcos, dot / (sqrt(qq) * sqrt(cc)) AS cos,
-         row_number() OVER (
-           PARTITION BY qid
-           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
-  FROM rdots
-)
-SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
-       CAST(rk AS INT) AS rk
-FROM finals WHERE rk <= {k}
-"""
-
-
 # ---------------------------------------------------------------------------
 # LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
 # python_ctd_spark.operators.{dedup,similarity,text})
 # ---------------------------------------------------------------------------
-
-_SHINGLE_SQL = r"""
-list_distinct(list_transform(
-  range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 3, 0) + 1),
-  i -> concat_ws(' ',
-        regexp_split_to_array(lower(trim(text)), '\s+')[i + 1],
-        regexp_split_to_array(lower(trim(text)), '\s+')[i + 2],
-        regexp_split_to_array(lower(trim(text)), '\s+')[i + 3])))
-"""
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1654,26 +650,6 @@ def _q_ngram_jaccard(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.2)
-
-
-_NGRAM_JACCARD_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
-), shared AS (
-  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
-  FROM (SELECT doc_id, unnest(sh) AS g FROM t) l
-  JOIN (SELECT doc_id, unnest(sh) AS g FROM t) r
-    ON l.g = r.g AND l.doc_id < r.doc_id
-  GROUP BY l.doc_id, r.doc_id
-), sized AS (
-  SELECT s.id_a, s.id_b,
-         s.inter::DOUBLE / (ta.nsh + tb.nsh - s.inter)::DOUBLE AS j
-  FROM shared s
-  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) ta ON ta.doc_id = s.id_a
-  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) tb ON tb.doc_id = s.id_b
-)
-SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM sized WHERE j >= 0.2
-"""
 
 
 def _q_containment_dedup(spark, sf_dir):
@@ -1687,79 +663,11 @@ def _q_containment_dedup(spark, sf_dir):
     return containment_pairs(docs, threshold=0.4)
 
 
-_CONTAINMENT_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
-), shared AS (
-  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
-  FROM (SELECT doc_id, unnest(sh) AS g FROM t) l
-  JOIN (SELECT doc_id, unnest(sh) AS g FROM t) r
-    ON l.g = r.g AND l.doc_id < r.doc_id
-  GROUP BY l.doc_id, r.doc_id
-), sized AS (
-  SELECT s.id_a, s.id_b,
-         s.inter::DOUBLE / least(ta.nsh, tb.nsh)::DOUBLE AS c
-  FROM shared s
-  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) ta ON ta.doc_id = s.id_a
-  JOIN (SELECT doc_id, len(sh) AS nsh FROM t) tb ON tb.doc_id = s.id_b
-)
-SELECT id_a, id_b, ROUND(c, 6) AS containment FROM sized WHERE c >= 0.4
-"""
-
-
 def _q_minhash_dedup(spark, sf_dir):
     from python_ctd_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.2)
-
-
-def _minhash_sql(
-    k: int = 16, bands: int = 8, threshold: float = 0.2,
-    table: str = "documents",
-) -> str:
-    from python_ctd_spark.operators.dedup import MH_PRIME, mh_coeffs
-
-    r = k // bands
-    sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(hm, x -> (({a} * x) + {b}) % {MH_PRIME})) AS h{i}"
-        for i, (a, b) in enumerate(mh_coeffs(k))
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
-            b=b, cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
-        )
-        for b in range(bands)
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM {table}
-), hashed AS (
-  SELECT doc_id,
-         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-  FROM t
-), hm_t AS (
-  SELECT doc_id, hs, list_transform(hs, x -> x % {MH_PRIME}) AS hm FROM hashed
-), sigs AS (
-  SELECT doc_id, hs,
-         {sig_exprs}
-  FROM hm_t
-), banded AS (
-{band_rows}
-), cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r
-    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
-), verified AS (
-  -- Jaccard over the 60-bit shingle hashes, mirroring the Spark side
-  -- (long-array intersect; collision odds ~1e-50 per pair)
-  SELECT c.id_a, c.id_b,
-         len(list_intersect(ta.hs, tb.hs))::DOUBLE
-           / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs)))::DOUBLE AS j
-  FROM cand c JOIN hashed ta ON ta.doc_id = c.id_a JOIN hashed tb ON tb.doc_id = c.id_b
-)
-SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
-"""
 
 
 def _q_incremental_dedup(spark, sf_dir):
@@ -1777,59 +685,6 @@ def _q_incremental_dedup(spark, sf_dir):
     )
 
 
-def _incremental_dedup_sql(k: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
-    from python_ctd_spark.operators.dedup import MH_PRIME, mh_coeffs
-
-    r = k // bands
-    sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(hm, x -> (({a} * x) + {b}) % {MH_PRIME})) AS h{i}"
-        for i, (a, b) in enumerate(mh_coeffs(k))
-    )
-    band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig FROM sigs".format(
-            b=b, cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
-        )
-        for b in range(bands)
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
-), hashed AS (
-  SELECT doc_id,
-         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-  FROM t
-), hm_t AS (
-  SELECT doc_id, hs, list_transform(hs, x -> x % {MH_PRIME}) AS hm FROM hashed
-), sigs AS (
-  SELECT doc_id, hs,
-         {sig_exprs}
-  FROM hm_t
-), banded AS (
-{band_rows}
-), cand AS (
-  SELECT DISTINCT nw.doc_id AS new_id, ix.doc_id AS old_id
-  FROM banded nw JOIN banded ix
-    ON nw.band = ix.band AND nw.bsig = ix.bsig
-   AND nw.doc_id % 5 = 0 AND ix.doc_id % 5 != 0
-), verified AS (
-  SELECT c.new_id, c.old_id,
-         len(list_intersect(tn.hs, to_.hs))::DOUBLE
-           / (len(tn.hs) + len(to_.hs) - len(list_intersect(tn.hs, to_.hs)))::DOUBLE AS j
-  FROM cand c
-  JOIN hashed tn ON tn.doc_id = c.new_id
-  JOIN hashed to_ ON to_.doc_id = c.old_id
-), matches AS (
-  SELECT new_id, COUNT(*) AS n_dups, MIN(old_id) AS matched_id,
-         ROUND(MAX(j), 6) AS best_jaccard
-  FROM verified WHERE j >= {threshold} GROUP BY new_id
-)
-SELECT d.doc_id, m.new_id IS NOT NULL AS is_dup,
-       COALESCE(m.n_dups, 0) AS n_dups, m.matched_id, m.best_jaccard
-FROM documents d LEFT JOIN matches m ON m.new_id = d.doc_id
-WHERE d.doc_id % 5 = 0
-"""
-
-
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs (64-bit fingerprint, banded Hamming
     blocking) — full SQL oracle generated from the same bit layout."""
@@ -1837,70 +692,6 @@ def _q_simhash_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=6, bands=4)
-
-
-def _simhash_sql(max_hamming: int = 6, bands: int = 4) -> str:
-    """Generated oracle for the SimHash pipeline: per-token md5 split into
-    low/high 60-bit streams, 64 majority-vote bit sums, banded block
-    equi-join, bit_count(xor) verification.  Shift-and-mask on the signed
-    fingerprint matches Spark's shiftrightunsigned because the mask cuts
-    away the sign-extension bits."""
-    width = 64 // bands
-
-    def bit_expr(b: int) -> str:
-        stream = "hl" if b < 60 else "hh2"
-        mask = 1 << (b % 60)
-        val = (1 << b) if b < 63 else -(1 << 63)
-        return (
-            f"(CASE WHEN 2 * len(list_filter({stream}, x -> (x & {mask}) != 0)) > n "
-            f"THEN {val} ELSE 0 END)"
-        )
-
-    sig_sum = "\n         + ".join(bit_expr(b) for b in range(64))
-    block_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, sh, {b} AS blk, (sh >> {b * width}) & {(1 << width) - 1} AS bval FROM sig"
-        for b in range(bands)
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
-), h AS (
-  SELECT doc_id, len(toks) AS n, list_transform(toks, s -> md5(s)) AS hs FROM t
-), hx AS (
-  SELECT doc_id, n,
-         list_transform(hs, x -> ('0x' || substr(x, 1, 15))::BIGINT) AS hl,
-         list_transform(hs, x -> ('0x' || substr(x, 17, 15))::BIGINT) AS hh2
-  FROM h
-), sig AS (
-  SELECT doc_id,
-         {sig_sum} AS sh
-  FROM hx
-), blocks AS (
-{block_rows}
-), cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM blocks l JOIN blocks r
-    ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id
-)
-SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
-FROM cand c
-JOIN sig sa ON sa.doc_id = c.id_a
-JOIN sig sb ON sb.doc_id = c.id_b
-WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
-"""
-
-
-_NEARDUP_PLANES = 6
-_NEARDUP_TABLES = 4
-_EMB_DIM = 64
-#: multiprobe width of the STORED-index serving config (ann_index_probe
-#: + the lsh_served branch of the ann_recall audit).  Raised 1 -> 2 in
-#: r7 after the audit measured mean recall 0.70 with 3/10 queries under
-#: the 0.6 gate at 1 bit vs 0.98 with 10/10 passing at 2 bits, at no
-#: measurable wall cost (probe fan-out is query-side only: 7 -> 22
-#: buckets per (query, table); the stored index is untouched).  Trade
-#: table in PLANS.md r7.
-_SERVING_PROBE_BITS = 2
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -1911,53 +702,6 @@ def _q_embedding_neardup(spark, sf_dir):
         emb, threshold=0.45, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
         dim=_EMB_DIM,
     )
-
-
-def _plane_sig_expr(table: int) -> str:
-    """Bucket-signature SQL for one LSH table: the deterministic
-    Rademacher plane signs (same md5 parity as the Spark side) inlined as
-    literal +-1 coefficients; the signed sums chain left-to-right exactly
-    like F.aggregate."""
-    from python_ctd_spark.operators.similarity import _plane_sign
-
-    bits = []
-    for p in range(_NEARDUP_PLANES):
-        terms = "0.0"
-        for d in range(_EMB_DIM):
-            s = _plane_sign(table * 1000 + p, d)
-            terms = f"({terms} + (embedding[{d + 1}]::DOUBLE * {float(s)!r}))"
-        bits.append(f"(CASE WHEN {terms} >= 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
-
-
-def _neardup_sql(threshold: float = 0.45) -> str:
-    sig_union = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {t} AS tbl, {_plane_sig_expr(t)} AS bkt FROM embeddings"
-        for t in range(_NEARDUP_TABLES)
-    )
-    return f"""
-WITH sigs AS (
-{sig_union}
-), cand AS (
-  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-  FROM sigs l JOIN sigs r
-    ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
-), prod AS (
-  SELECT c.id_a, c.id_b,
-         unnest(ea.embedding)::DOUBLE AS av, unnest(eb.embedding)::DOUBLE AS bv
-  FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.id_a
-  JOIN embeddings eb ON eb.vec_id = c.id_b
-), dots AS (
-  SELECT id_a, id_b,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM prod GROUP BY id_a, id_b
-)
-SELECT id_a, id_b, ROUND(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos
-FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= {threshold}
-"""
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
@@ -1972,58 +716,6 @@ def _q_lsh_ann_topk(spark, sf_dir):
         emb, queries_side, k=5, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
         dim=_EMB_DIM,
     )
-
-
-def _lsh_ann_sql(k: int = 5, masks: list[int] | None = None) -> str:
-    sig_union = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {t} AS tbl, {_plane_sig_expr(t)} AS bkt FROM embeddings"
-        for t in range(_NEARDUP_TABLES)
-    )
-    if masks:
-        # multiprobe: each query probes its bucket plus every Hamming-
-        # neighbor bucket given by the XOR masks (same list the Spark
-        # operator derives from probe_masks())
-        probe_list = ", ".join(f"xor(bkt, {m})" for m in masks)
-        q_cte = (
-            f"  SELECT vec_id AS qid, tbl, unnest([{probe_list}]) AS bkt\n"
-            "  FROM sigs WHERE vec_id < 10"
-        )
-    else:
-        q_cte = "  SELECT vec_id AS qid, tbl, bkt FROM sigs WHERE vec_id < 10"
-    return f"""
-WITH sigs AS (
-{sig_union}
-), q AS (
-{q_cte}
-), cand AS (
-  SELECT DISTINCT q.qid, s.vec_id AS id
-  FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bkt = q.bkt AND s.vec_id != q.qid
-), prod AS (
-  SELECT c.qid, c.id,
-         unnest(eq.embedding)::DOUBLE AS qv, unnest(ec.embedding)::DOUBLE AS cv
-  FROM cand c
-  JOIN embeddings eq ON eq.vec_id = c.qid
-  JOIN embeddings ec ON ec.vec_id = c.id
-), dots AS (
-  SELECT qid, id,
-         CAST(SUM(CAST(qv * cv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE) AS cc
-  FROM prod GROUP BY qid, id
-), scored AS (
-  SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos,
-         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
-  FROM dots
-)
-SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
-FROM scored WHERE rk <= {k}
-"""
-
-
-def _ann_index_probe_sql() -> str:
-    from python_ctd_spark.operators.similarity import probe_masks as _pm
-
-    return _lsh_ann_sql(5, _pm(_NEARDUP_PLANES, _SERVING_PROBE_BITS))
 
 
 def _q_ann_index_probe(spark, sf_dir):
@@ -2065,38 +757,6 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
-_TEXT_QUALITY_SQL = r"""
-WITH t AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks,
-         length(text)::DOUBLE AS n_chars,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
-         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE AS punct
-  FROM documents
-), f AS (
-  SELECT doc_id,
-         len(toks)::DOUBLE AS n_tok, n_chars, alpha, punct,
-         len(list_filter(ltoks, x -> x IN
-             ('the','a','of','and','to','in','is','for','that','it')))::DOUBLE AS stop_hits,
-         len(list_distinct(ltoks))::DOUBLE AS n_distinct
-  FROM t
-)
-SELECT doc_id,
-       CAST(n_tok AS BIGINT) AS n_tokens,
-       alpha / n_chars AS alpha_ratio,
-       punct / n_chars AS punct_ratio,
-       stop_hits / n_tok AS stopword_ratio,
-       n_distinct / n_tok AS distinct_token_ratio,
-       ROUND(0.25 * least(n_tok / 100.0, 1.0)
-           + 0.25 * (alpha / n_chars)
-           + 0.2 * least(stop_hits / n_tok * 5.0, 1.0)
-           + 0.2 * (n_distinct / n_tok)
-           + 0.1 * (1.0 - least(punct / n_chars * 10.0, 1.0)), 6) AS quality
-FROM f
-"""
-
-
 def _q_bpe_token_count(spark, sf_dir):
     """REAL byte-level BPE token counts (VERDICT r7 item 5): the
     merge-table tokenizer (operators/text.bpe_token_count — broadcast
@@ -2115,22 +775,6 @@ def _q_bpe_token_count(spark, sf_dir):
         token_count("text").alias("ws_tokens"),
         "bpe_tokens",
     )
-
-
-def _bpe_token_sql() -> str:
-    import pathlib
-
-    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
-    return rf"""
-SELECT d.doc_id,
-       len(regexp_split_to_array(trim(d.text), '\s+')) AS ws_tokens,
-       g.bpe_tokens
-FROM documents d
-JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
-"""
-
-
-_SEQ_LEN = 128
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -2169,42 +813,6 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
-def _pack_sequences_sql() -> str:
-    import pathlib
-
-    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
-    return f"""
-WITH g AS (
-  SELECT doc_id, source, token_ids
-  FROM read_parquet('{p}/bpe_token_ids_sf0.01.parquet')
-  WHERE len(token_ids) > 0
-), tok AS (
-  SELECT doc_id, source, unnest(token_ids) AS tid,
-         unnest(range(1, len(token_ids) + 1)) AS lpos
-  FROM g
-), pos AS (
-  SELECT source, doc_id, tid, lpos,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id, lpos) - 1 AS gpos
-  FROM tok
-), seqd AS (
-  SELECT source, doc_id, tid, lpos,
-         CAST(gpos // {_SEQ_LEN} AS INT) AS seq_id,
-         gpos % {_SEQ_LEN} AS spos
-  FROM pos
-)
-SELECT source, seq_id,
-       CAST(COUNT(*) AS INT) AS n_tokens,
-       COUNT(DISTINCT doc_id) AS n_docs,
-       MIN(doc_id) AS first_id,
-       CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum,
-       CAST(COUNT(*) FILTER (lpos = 1) AS INT) AS n_boundaries,
-       CAST(COALESCE(SUM(spos) FILTER (lpos = 1), 0) AS BIGINT) AS boundary_sum
-FROM seqd
-GROUP BY source, seq_id
-HAVING COUNT(*) = {_SEQ_LEN}
-"""
-
-
 def _q_ctd_pipeline(spark, sf_dir):
     """Flagship composite: the reference's canonical fluent chain
     (README.md:39-58) end-to-end — remove_up_to -> split -> down leg ->
@@ -2233,104 +841,6 @@ def _q_ctd_pipeline(spark, sf_dir):
     )
 
 
-_CTD_PIPELINE_SQL = """
-WITH f AS (
-  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS p,
-         CAST(value AS DOUBLE) * 0.5 + 10.0 AS ch
-  FROM events
-  WHERE CAST(value AS DOUBLE) >= 25.0
-), m AS (
-  SELECT user_id, max(p) AS mx FROM f GROUP BY user_id
-), s AS (
-  SELECT f.user_id, min(f.ts) AS split_ts
-  FROM f JOIN m ON f.user_id = m.user_id AND f.p = m.mx
-  GROUP BY f.user_id
-), down AS (
-  SELECT f.* FROM f JOIN s ON f.user_id = s.user_id WHERE f.ts <= s.split_ts
-), checked AS (
-  SELECT event_id, user_id, ts, p,
-         CASE WHEN p < max(p) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              THEN NULL ELSE ch END AS ch
-  FROM down
-), bounds AS (
-  SELECT user_id,
-         CAST(CEIL(LEAST(first(p ORDER BY ts, event_id),
-                         last(p ORDER BY ts, event_id))) AS DOUBLE) AS start,
-         CAST(FLOOR(GREATEST(first(p ORDER BY ts, event_id),
-                             last(p ORDER BY ts, event_id))) AS DOUBLE) AS stop
-  FROM checked GROUP BY user_id
-), spans AS (
-  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS nedges
-  FROM bounds
-), grid AS (
-  SELECT user_id, start, unnest(generate_series(0, nedges - 2)) AS bin
-  FROM spans WHERE nedges >= 2
-), binned0 AS (
-  SELECT c.user_id, s.start, s.nedges,
-         CAST(CEIL((c.p - s.start) / 50.0) AS BIGINT) - 1 AS bin0, c.p, c.ch
-  FROM checked c JOIN spans s ON c.user_id = s.user_id
-  WHERE s.nedges >= 2
-), binned AS (
-  SELECT user_id, nedges,
-         CASE WHEN p > start + (bin0 + 1) * 50.0 THEN bin0 + 1
-              WHEN p <= start + bin0 * 50.0 THEN bin0 - 1
-              ELSE bin0 END AS bin,
-         ch
-  FROM binned0
-), aggd AS (
-  SELECT user_id, bin,
-         CAST(SUM(CAST(ch AS DECIMAL(25,6))) AS DOUBLE) / COUNT(ch) AS ch
-  FROM binned WHERE bin BETWEEN 0 AND nedges - 2
-  GROUP BY user_id, bin
-)
-SELECT g.user_id, g.start + (g.bin + 0.5) * 50.0 AS bin_center,
-       ROUND(a.ch, 4) AS ch
-FROM grid g LEFT JOIN aggd a ON g.user_id = a.user_id AND g.bin = a.bin
-"""
-
-
-def _q_brand_nation_profit(spark, sf_dir):
-    """TPC-H-Q9-flavored profit rollup: lineitem x part x supplier x
-    nation, revenue per (brand, nation).
-
-    Plan notes: part/supplier/nation are dimensions -> all three broadcast
-    (the 100 TB fact side never shuffles for the joins); one exchange for
-    the final hash aggregate with map-side combine.
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 1200.0)
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
-        .agg(
-            dsum(rev).alias("revenue"),
-            dsum("l_quantity").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-_BRAND_NATION_SQL = """
-SELECT p_brand AS brand, n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       COUNT(*) AS n_lines
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-WHERE p_retailprice > 1200.0
-GROUP BY p_brand, n_name
-"""
-
-
 # ---------------------------------------------------------------------------
 # remaining reference operators: bindata(interpolate), smooth, lp_filter,
 # barrier layer thickness
@@ -2351,51 +861,6 @@ def _q_bindata_interp(spark, sf_dir):
         by="user_id", order=["ts_us", "event_id"], pressure="p",
     )
     return out.select("user_id", F.col("p").alias("grid_p"), F.round("ch", 4).alias("ch"))
-
-
-_BINDATA_INTERP_SQL = """
-WITH base AS (
-  SELECT user_id, ts, event_id,
-         CAST(value AS DOUBLE) AS p,
-         CAST(value AS DOUBLE) * 1.5 + 3.0 AS ch
-  FROM events
-), bounds AS (
-  SELECT user_id,
-         CAST(CEIL(LEAST(first(p ORDER BY ts, event_id),
-                         last(p ORDER BY ts, event_id))) AS DOUBLE) AS start,
-         CAST(FLOOR(GREATEST(first(p ORDER BY ts, event_id),
-                             last(p ORDER BY ts, event_id))) AS DOUBLE) AS stop
-  FROM base GROUP BY user_id
-), spans AS (
-  SELECT user_id, start, CAST(CEIL((stop - start) / 50.0) AS BIGINT) AS n
-  FROM bounds
-), grid AS (
-  SELECT user_id, start + unnest(generate_series(0, n - 1)) * 50.0 AS p,
-         1 AS is_grid, NULL::DOUBLE AS ch
-  FROM spans WHERE n >= 1
-), u AS (
-  SELECT user_id, p, 0 AS is_grid, ch FROM base
-  UNION ALL
-  SELECT user_id, p, is_grid, ch FROM grid
-), nb AS (
-  SELECT user_id, p, is_grid,
-         last_value(CASE WHEN is_grid = 0 THEN p END IGNORE NULLS) OVER wp AS pp,
-         last_value(CASE WHEN is_grid = 0 THEN ch END IGNORE NULLS) OVER wp AS pv,
-         first_value(CASE WHEN is_grid = 0 THEN p END IGNORE NULLS) OVER wn AS np_,
-         first_value(CASE WHEN is_grid = 0 THEN ch END IGNORE NULLS) OVER wn AS nv
-  FROM u
-  WINDOW wp AS (PARTITION BY user_id ORDER BY p, is_grid
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wn AS (PARTITION BY user_id ORDER BY p, is_grid
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-)
-SELECT user_id, p AS grid_p,
-       ROUND(CASE WHEN pp IS NULL THEN nv
-                  WHEN np_ IS NULL THEN pv
-                  WHEN np_ = pp THEN pv
-                  ELSE pv + (p - pp) * (nv - pv) / (np_ - pp) END, 4) AS ch
-FROM nb WHERE is_grid = 1
-"""
 
 
 def _q_lp_filter(spark, sf_dir):
@@ -2435,19 +900,6 @@ def _q_smooth(spark, sf_dir):
     return out.select("event_id", "user_id", "v")
 
 
-def _golden_sql(name: str) -> str:
-    """Oracle over a kernel-golden parquet: expected values precomputed by
-    the pure-NumPy reference kernels (tools/make_golden.py).  Only valid at
-    sf0.01 — the scale the driver's correctness gate runs at."""
-    import pathlib
-
-    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
-    return f"SELECT event_id, user_id, v FROM read_parquet('{p}/{name}_sf0.01.parquet')"
-
-
-_SMOOTH_WINDOW_LEN = 11
-
-
 def _q_smooth_native(spark, sf_dir):
     """JVM-native hanning smoothing (edge rows renormalize over available
     samples) — identical to exact smooth away from the edges, 100%
@@ -2460,46 +912,6 @@ def _q_smooth_native(spark, sf_dir):
         by="user_id", order=["ts_us", "event_id"],
     )
     return out.select("event_id", "user_id", F.round("v", 4).alias("v"))
-
-
-def _smooth_native_sql() -> str:
-    """Generated oracle: the same kernel weights as explicit lead/lag
-    terms, chained left-to-right so double accumulation order is identical
-    to the Spark expression."""
-    from python_ctd_spark.functions.signal_numpy import window_weights
-
-    wl = _SMOOTH_WINDOW_LEN
-    weights = window_weights("hanning", wl)
-    c_off = (wl - 1) // 2
-    terms, norms = [], []
-    for j, wt in enumerate(weights):
-        d = j - c_off
-        if d == 0:
-            xj = "v"
-        elif d < 0:
-            xj = f"lag(v, {-d}) OVER wo"
-        else:
-            xj = f"lead(v, {d}) OVER wo"
-        terms.append(f"COALESCE(({xj}) * {float(wt)!r}, 0.0)")
-        norms.append(f"CASE WHEN ({xj}) IS NOT NULL THEN {float(wt)!r} ELSE 0.0 END")
-    num = terms[0]
-    for t in terms[1:]:
-        num = f"({num} + {t})"
-    den = norms[0]
-    for t in norms[1:]:
-        den = f"({den} + {t})"
-    return f"""
-WITH base AS (
-  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v FROM events
-), sm AS (
-  SELECT event_id, user_id, {num} AS num, {den} AS den
-  FROM base
-  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT event_id, user_id,
-       ROUND(CASE WHEN den > 0 THEN num / den END, 4) AS v
-FROM sm
-"""
 
 
 def _q_barrier_layer(spark, sf_dir):
@@ -2520,44 +932,6 @@ def _q_barrier_layer(spark, sf_dir):
     return out.select("event_id", "user_id", "BLT")
 
 
-_SIGMA0_SQL = (
-    "(1026.45 * (1.0 - (2.07e-4 + 5.0e-6 * ({ct} - 15.0)) * ({ct} - 15.0)"
-    " + 7.6e-4 * ({sa} - 35.16504)) - 1000.0)"
-)
-
-_BARRIER_LAYER_SQL = f"""
-WITH base AS (
-  SELECT event_id, user_id, ts,
-         35.0 + CAST(value AS DOUBLE) / 1000.0 AS sa,
-         28.0 - CAST(value AS DOUBLE) / 50.0 AS ct
-  FROM events
-), l1 AS (
-  SELECT event_id, user_id, ts, sa, ct,
-         {_SIGMA0_SQL.format(sa='sa', ct='ct')} AS sig,
-         first_value(ct) OVER wa AS ct0,
-         first_value(sa) OVER wa AS sa0,
-         first_value({_SIGMA0_SQL.format(sa='sa', ct='ct')}) OVER wa AS sig0
-  FROM base
-  WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-), l2 AS (
-  SELECT event_id, user_id, sa, ct, sig, ct0, sa0, sig0,
-         last_value(CASE WHEN ct0 - ct < 0.5 THEN ct END IGNORE NULLS) OVER wa AS ct_mld
-  FROM l1
-  WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-)
-SELECT event_id, user_id,
-       (sig - {_SIGMA0_SQL.format(sa='sa0', ct='ct_mld')})
-         < (sig0 - {_SIGMA0_SQL.format(sa='sa0', ct='ct_mld')}) AS BLT
-FROM l2
-"""
-
-
-_IVF_CENTROIDS = 16
-_IVF_PROBE = 3
-
-
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF-style ANN (the second scale path beside LSH): deterministic
     seed centroids -> cell assignment (broadcast argmax, no corpus
@@ -2569,54 +943,6 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return ivf_topk(
         emb, queries_side, k=5, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
     )
-
-
-def _ivf_ann_sql(k: int = 5, n_probe: int | None = None) -> str:
-    n_probe = _IVF_PROBE if n_probe is None else n_probe
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), cp AS (
-  SELECT e.vec_id AS id, c.cid,
-         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
-  FROM embeddings e CROSS JOIN cent c
-), cd AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp GROUP BY id, cid
-), ranked AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cd
-), assigned AS (
-  SELECT id, cid AS cell FROM ranked WHERE rk = 1
-), probes AS (
-  SELECT id AS qid, cid AS cell FROM ranked WHERE id < 10 AND rk <= {n_probe}
-), cand AS (
-  SELECT DISTINCT p.qid, a.id
-  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
-), prod AS (
-  SELECT c.qid, c.id,
-         unnest(eq.embedding)::DOUBLE AS qv, unnest(ec.embedding)::DOUBLE AS cv
-  FROM cand c
-  JOIN embeddings eq ON eq.vec_id = c.qid
-  JOIN embeddings ec ON ec.vec_id = c.id
-), dots AS (
-  SELECT qid, id,
-         CAST(SUM(CAST(qv * cv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE) AS cc
-  FROM prod GROUP BY qid, id
-), scored AS (
-  SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos,
-         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
-  FROM dots
-)
-SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
-FROM scored WHERE rk <= {k}
-"""
 
 
 def _q_ivf_sq_probe(spark, sf_dir):
@@ -2643,85 +969,6 @@ def _q_ivf_sq_probe(spark, sf_dir):
         k=5, n_probe=2, margin=4,
     )
 
-
-def _ivf_sq_sql(k: int = 5, n_probe: int = 2, margin: int = 4) -> str:
-    """Oracle for the IVF,SQ8 composition: the _ivf_ann_sql candidate
-    CTEs (seed centroids -> assignment -> probed cells) feed the
-    _sq8_ann_sql scoring CTEs (half-up int8 quantization -> BIGINT dot
-    cut -> decimal-exact re-rank of the margin*k sliver)."""
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), cp AS (
-  SELECT e.vec_id AS id, c.cid,
-         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
-  FROM embeddings e CROSS JOIN cent c
-), cd AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp GROUP BY id, cid
-), ranked AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cd
-), assigned AS (
-  SELECT id, cid AS cell FROM ranked WHERE rk = 1
-), probes AS (
-  SELECT id AS qid, cid AS cell FROM ranked WHERE id < 10 AND rk <= {n_probe}
-), cand AS (
-  SELECT DISTINCT p.qid, a.id
-  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.id != p.qid
-), sbase AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
-), sqz0 AS (
-  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM sbase
-), sqz1 AS (
-  SELECT vec_id, e, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale FROM sqz0
-), sqz AS (
-  SELECT vec_id, e,
-         list_transform(e, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qv
-  FROM sqz1
-), iprod AS (
-  SELECT cnd.qid, cnd.id, unnest(qc.qv) AS a, unnest(cc.qv) AS b
-  FROM cand cnd
-  JOIN sqz qc ON qc.vec_id = cnd.qid
-  JOIN sqz cc ON cc.vec_id = cnd.id
-), qdots AS (
-  SELECT qid, id,
-         CAST(SUM(a * b) AS DOUBLE)
-           / sqrt(CAST(SUM(a * a) * SUM(b * b) AS DOUBLE)) AS qcos
-  FROM iprod GROUP BY qid, id
-), sliver AS (
-  SELECT qid, id, qcos,
-         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS rkq
-  FROM qdots
-), cprod AS (
-  SELECT s.qid, s.id, s.qcos,
-         unnest(qb.e) AS qv_el, unnest(cb.e) AS ev_el
-  FROM sliver s
-  JOIN sbase qb ON qb.vec_id = s.qid
-  JOIN sbase cb ON cb.vec_id = s.id
-  WHERE s.rkq <= {margin * k}
-), cdots AS (
-  SELECT qid, id, any_value(qcos) AS qcos,
-         CAST(SUM(CAST(qv_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv_el * qv_el AS DECIMAL(30,15))) AS DOUBLE) AS nq,
-         CAST(SUM(CAST(ev_el * ev_el AS DECIMAL(30,15))) AS DOUBLE) AS ne
-  FROM cprod GROUP BY qid, id
-), qscored AS (
-  SELECT qid, id, qcos, dot / (sqrt(nq) * sqrt(ne)) AS cos,
-         row_number() OVER (
-           PARTITION BY qid ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, id) AS rk
-  FROM cdots
-)
-SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
-FROM qscored WHERE rk <= {k}
-"""
-
-
-_IVF_TRAIN_ITERS = 4
 
 # Offline-trained quantizer cache, keyed by corpus + training params.
 # The real IVF lifecycle trains the coarse quantizer ONCE (FAISS-style)
@@ -2755,11 +1002,6 @@ def _ann_ground_truth(emb, q, sf_dir: str, k: int = 5) -> list:
     return _GROUND_TRUTH_CACHE[key]
 
 
-#: trained PQ codebooks (VERDICT r8 item 3): same train-once/store
-#: lifecycle as _QUANTIZER_CACHE — pq_train's Lloyd loop is
-#: integer-exact and order-independent, so the books are corpus-version
-#: driver state, trained offline and reused by every encode/probe
-_PQ_TRAIN_ITERS = 2
 _PQ_BOOKS_CACHE: dict[tuple, list] = {}
 
 
@@ -2790,95 +1032,6 @@ def _trained_quantizer(emb, sf_dir: str) -> list:
     return _QUANTIZER_CACHE[key]
 
 
-def _ivf_trained_sql(k: int = 5, n_probe: int = 2, iters: int | None = None) -> str:
-    """Oracle for the TRAINED IVF path (VERDICT r7 item 4): DuckDB
-    re-runs the oracle-exact Lloyd loop itself — per iteration, the
-    decimal-exact cosine argmax assignment (same CTE shape as the seed
-    oracle) followed by the engine-portable centroid update
-    ``sum(floor(x*1e6 + 0.5))`` per coordinate, cast to double and
-    scaled by the exact binary factor 2^-30
-    (similarity._kmeans_centroids exact mode) — then probes the final
-    centroids with the standard candidate/re-rank tail.  Every step is
-    order-independent, so the recomputed centroids are bit-identical to
-    the ones Spark collects and inlines as literals."""
-    iters = _IVF_TRAIN_ITERS if iters is None else iters
-    parts = [f"""cent0 AS (
-  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), eb AS (
-  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-), epos AS (
-  SELECT id, unnest(e) AS v, unnest(range(1, {_EMB_DIM} + 1)) AS pos FROM eb
-)"""]
-    for t in range(iters):
-        parts.append(f"""cp{t} AS (
-  SELECT e.id, c.cid, unnest(e.e) AS av, unnest(c.ce) AS bv
-  FROM eb e CROSS JOIN cent{t} c
-), cd{t} AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp{t} GROUP BY id, cid
-), asg{t} AS (
-  SELECT id, cid FROM (
-    SELECT id, cid, row_number() OVER (
-      PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-    FROM cd{t}) WHERE rk = 1
-), up{t} AS (
-  SELECT a.cid, u.pos,
-         SUM(CAST(floor(u.v * 1000000.0 + 0.5) AS BIGINT)) AS m
-  FROM asg{t} a JOIN epos u ON u.id = a.id
-  GROUP BY a.cid, u.pos
-), cent{t + 1} AS (
-  SELECT c.cid, COALESCE(u.ce, c.ce) AS ce
-  FROM cent{t} c LEFT JOIN (
-    SELECT cid, list(CAST(m AS DOUBLE) / 1073741824.0 ORDER BY pos) AS ce
-    FROM up{t} GROUP BY cid) u USING (cid)
-)""")
-    parts.append(f"""cpF AS (
-  SELECT e.id, c.cid, unnest(e.e) AS av, unnest(c.ce) AS bv
-  FROM eb e CROSS JOIN cent{iters} c
-), cdF AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cpF GROUP BY id, cid
-), rankedF AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cdF
-), assignedF AS (
-  SELECT id, cid AS cell FROM rankedF WHERE rk = 1
-), probesF AS (
-  SELECT id AS qid, cid AS cell FROM rankedF WHERE id < 10 AND rk <= {n_probe}
-), candF AS (
-  SELECT DISTINCT p.qid, a.id
-  FROM assignedF a JOIN probesF p ON a.cell = p.cell AND a.id != p.qid
-), prodF AS (
-  SELECT c.qid, c.id,
-         unnest(eq.embedding)::DOUBLE AS qv, unnest(ec.embedding)::DOUBLE AS cv
-  FROM candF c
-  JOIN embeddings eq ON eq.vec_id = c.qid
-  JOIN embeddings ec ON ec.vec_id = c.id
-), dotsF AS (
-  SELECT qid, id,
-         CAST(SUM(CAST(qv * cv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(qv * qv AS DECIMAL(30,15))) AS DOUBLE) AS qq,
-         CAST(SUM(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE) AS cc
-  FROM prodF GROUP BY qid, id
-), scoredF AS (
-  SELECT qid, id, dot / (sqrt(qq) * sqrt(cc)) AS cos,
-         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
-  FROM dotsF
-)
-SELECT qid, id, ROUND(cos, 6) AS cos, CAST(rk AS INT) AS rk
-FROM scoredF WHERE rk <= {k}""")
-    return "WITH " + ",\n".join(parts)
-
-
 def _q_semantic_cell_stats(spark, sf_dir):
     """Per-cell occupancy/pair-cost audit for semantic dedup (VERDICT r7
     item 3: similarity.semantic_cell_stats) — semantic_dedup's cost is
@@ -2891,36 +1044,6 @@ def _q_semantic_cell_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assignments, _cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
     return semantic_cell_stats(assignments)
-
-
-def _semantic_cell_stats_sql() -> str:
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), cp AS (
-  SELECT e.vec_id AS id, c.cid,
-         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
-  FROM embeddings e CROSS JOIN cent c
-), cd AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp GROUP BY id, cid
-), ranked AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cd
-), assigned AS (
-  SELECT id, cid AS cell FROM ranked WHERE rk = 1
-), occ AS (
-  SELECT cell, COUNT(*) AS n_rows FROM assigned GROUP BY cell
-)
-SELECT cell, n_rows,
-       CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS n_pairs,
-       ROUND(n_rows::DOUBLE / SUM(n_rows) OVER (), 6) AS occupancy_frac
-FROM occ
-"""
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -2940,57 +1063,6 @@ def _q_semantic_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assignments, _cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
     return semantic_dedup(assignments, emb, threshold=0.45)
-
-
-def _semantic_dedup_sql(threshold: float = 0.45) -> str:
-    """Oracle for semantic_dedup: the _ivf_ann_sql assignment CTEs
-    (seed centroids -> per-vector argmax cell) feed a within-cell
-    id_a < id_b pair join, decimal-exact cosines, and a keep-lowest-id
-    left join."""
-    return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-), cp AS (
-  SELECT e.vec_id AS id, c.cid,
-         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
-  FROM embeddings e CROSS JOIN cent c
-), cd AS (
-  SELECT id, cid,
-         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM cp GROUP BY id, cid
-), ranked AS (
-  SELECT id, cid, row_number() OVER (
-    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
-  FROM cd
-), assigned AS (
-  SELECT id, cid AS cell FROM ranked WHERE rk = 1
-), sbase AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
-), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
-), prod AS (
-  SELECT p.id_a, p.id_b, unnest(ea.e) AS x, unnest(eb.e) AS y
-  FROM pairs p
-  JOIN sbase ea ON ea.vec_id = p.id_a
-  JOIN sbase eb ON eb.vec_id = p.id_b
-), dots AS (
-  SELECT id_a, id_b,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS aa,
-         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS bb
-  FROM prod GROUP BY id_a, id_b
-), dup AS (
-  SELECT id_b AS id, id_a AS dup_of, dot / (sqrt(aa) * sqrt(bb)) AS cosv,
-         row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rkd
-  FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= {threshold}
-)
-SELECT a.id, a.cell, d.dup_of IS NULL AS keep,
-       d.dup_of, ROUND(d.cosv, 6) AS dup_cos
-FROM assigned a LEFT JOIN (SELECT * FROM dup WHERE rkd = 1) d ON d.id = a.id
-"""
 
 
 def _q_ivf_index_probe(spark, sf_dir):
@@ -3264,86 +1336,6 @@ def _q_ann_recall(spark, sf_dir):
     return out
 
 
-def _ann_recall_sql() -> str:
-    """Composes the already-verified ANN oracles (exact, IVF, LSH, and
-    both stored-index serving configs) into the recall report — the
-    oracle is the same joins/aggregates the Spark operator runs, over
-    the same sub-results.  ``lsh_served`` probes a stored index at the
-    serving multiprobe width (_SERVING_PROBE_BITS bits vs the one-shot
-    ``lsh`` branch's 1); ``ivf_served`` narrows to n_probe=2;
-    ``ivf_trained`` re-runs the oracle-exact Lloyd loop in SQL
-    (_ivf_trained_sql)."""
-    from python_ctd_spark.operators.similarity import probe_masks as _pm
-    methods_cte = " UNION ALL ".join(
-        f"SELECT '{m}' AS method"
-        for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8",
-                  "ivf_trained", "pq", "ivf_pq", "pq_trained",
-                  "ivf_pq_trained")
-    )
-    return f"""
-WITH exact AS (
-  SELECT qid, vec_id AS id FROM ({_EMBEDDING_TOPK_SQL}) x
-), ivf AS (
-  SELECT qid, id FROM ({_ivf_ann_sql()}) x
-), lsh AS (
-  SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, 1))}) x
-), lshp AS (
-  SELECT qid, id FROM ({_lsh_ann_sql(5, _pm(_NEARDUP_PLANES, _SERVING_PROBE_BITS))}) x
-), ivfp AS (
-  SELECT qid, id FROM ({_ivf_ann_sql(5, n_probe=2)}) x
-), sq8 AS (
-  SELECT qid, vec_id AS id FROM ({_sq8_ann_sql()}) x
-), ivfsq AS (
-  SELECT qid, id FROM ({_ivf_sq_sql()}) x
-), ivftr AS (
-  SELECT qid, id FROM ({_ivf_trained_sql()}) x
-), pqm AS (
-  SELECT qid, id FROM ({_pq_ann_sql(5, margin=16)}) x
-), ivfpq AS (
-  SELECT qid, id FROM ({_ivf_pq_sql()}) x
-), pqtr AS (
-  SELECT qid, id FROM ({_pq_ann_sql(5, margin=16, trained_iters=_PQ_TRAIN_ITERS)}) x
-), ivfpqtr AS (
-  SELECT qid, id FROM ({_ivf_pq_sql(trained_iters=_PQ_TRAIN_ITERS)}) x
-), approx AS (
-  SELECT 'ivf' AS method, qid, id FROM ivf
-  UNION ALL
-  SELECT 'lsh' AS method, qid, id FROM lsh
-  UNION ALL
-  SELECT 'lsh_served' AS method, qid, id FROM lshp
-  UNION ALL
-  SELECT 'ivf_served' AS method, qid, id FROM ivfp
-  UNION ALL
-  SELECT 'sq8' AS method, qid, id FROM sq8
-  UNION ALL
-  SELECT 'ivf_sq8' AS method, qid, id FROM ivfsq
-  UNION ALL
-  SELECT 'ivf_trained' AS method, qid, id FROM ivftr
-  UNION ALL
-  SELECT 'pq' AS method, qid, id FROM pqm
-  UNION ALL
-  SELECT 'ivf_pq' AS method, qid, id FROM ivfpq
-  UNION ALL
-  SELECT 'pq_trained' AS method, qid, id FROM pqtr
-  UNION ALL
-  SELECT 'ivf_pq_trained' AS method, qid, id FROM ivfpqtr
-), hits AS (
-  SELECT a.method, a.qid, COUNT(*) AS n_hits
-  FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
-  GROUP BY a.method, a.qid
-), base AS (
-  SELECT m.method, e.qid, COUNT(*) AS n_exact
-  FROM exact e CROSS JOIN ({methods_cte}) m
-  GROUP BY m.method, e.qid
-)
-SELECT b.method, b.qid, b.n_exact,
-       COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
-       ROUND(COALESCE(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE, 6) AS recall,
-       COALESCE(h.n_hits, 0)::DOUBLE / b.n_exact::DOUBLE >= 0.6 AS recall_ok
-FROM base b LEFT JOIN hits h ON h.method = b.method AND h.qid = b.qid
-"""
-
-
 def _q_multimodal_frames(spark, sf_dir):
     """Multimodal plumbing end-to-end on the driver tables: document text
     bytes stand in for an opaque media blob; header-sniff metadata (JVM
@@ -3370,21 +1362,6 @@ def _q_multimodal_frames(spark, sf_dir):
     return agg.join(meta, "doc_id").select(
         "doc_id", "n_frames", "frame_bytes", "n_bytes", "format"
     )
-
-
-_MULTIMODAL_FRAMES_SQL = """
-WITH b AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
-), m AS (
-  SELECT doc_id, text, n, greatest(n // 16, 1) AS nf FROM b
-)
-SELECT doc_id,
-       CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
-       CAST(CASE WHEN n < 16 THEN n ELSE ((nf + 3) // 4) * 16 END AS BIGINT) AS frame_bytes,
-       CAST(n AS BIGINT) AS n_bytes,
-       CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'unknown' END AS format
-FROM m
-"""
 
 
 def _q_multimodal_real_decode(spark, sf_dir):
@@ -3435,16 +1412,6 @@ def _q_multimodal_real_decode(spark, sf_dir):
     )
 
 
-def _multimodal_real_sql() -> str:
-    import pathlib
-
-    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
-    return (
-        "SELECT doc_id, format, CAST(n_bytes AS BIGINT) AS n_bytes, "
-        f"f0, f1, f2, f3 FROM read_parquet('{p}/multimodal_real_sf0.01.parquet')"
-    )
-
-
 def _q_dedup_clusters(spark, sf_dir):
     """Fuzzy duplicate clusters: MinHash-LSH pairs -> connected
     components (iterative min-label propagation) -> per-doc cluster id +
@@ -3454,30 +1421,6 @@ def _q_dedup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_clusters(docs, threshold=0.5)
-
-
-def _dedup_clusters_sql() -> str:
-    # threshold must track the Spark side's dedup_clusters(threshold=0.5);
-    # band shape tracks the operator default (k=16, bands=8 -> r=2)
-    return f"""
-WITH RECURSIVE pairs AS (
-{_minhash_sql(threshold=0.5)}
-), sym AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-), comp AS (
-  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-)
-SELECT d.doc_id,
-       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
-FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-"""
 
 
 def _q_salted_rollup(spark, sf_dir):
@@ -3508,16 +1451,6 @@ def _q_salted_rollup(spark, sf_dir):
     )
 
 
-_SALTED_ROLLUP_SQL = """
-SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       COUNT(l_orderkey) AS n,
-       MIN(l_extendedprice) AS min_price,
-       MAX(l_extendedprice) AS max_price
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
 def _q_percentiles(spark, sf_dir):
     """Exact grouped percentiles (sort-based `percentile`, linear
     interpolation — the same estimator as DuckDB's quantile_cont).  At
@@ -3537,17 +1470,6 @@ def _q_percentiles(spark, sf_dir):
         *[F.round(F.col("ps")[i], 4).alias(f"p{int(p*100)}") for i, p in enumerate(qs)],
         "n",
     )
-
-
-_PERCENTILES_SQL = """
-SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
-       COUNT(*) AS n
-FROM lineitem GROUP BY l_returnflag
-"""
 
 
 def _q_asof_join(spark, sf_dir):
@@ -3575,700 +1497,6 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
-_ASOF_JOIN_SQL = """
-WITH v AS (
-  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS view_ts_us, value AS view_value
-  FROM events WHERE event_type = 'view'
-), p AS (
-  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT p.event_id, p.user_id, p.ts_us, v.view_ts_us, v.view_value
-FROM p ASOF LEFT JOIN v
-  ON p.user_id = v.user_id AND p.ts_us >= v.view_ts_us
-"""
-
-
-_STREAM_RUN_COUNTER = [0]
-_STREAM_STAGE_CACHE: dict[str, str] = {}
-
-
-def _stream_stage(spark, sf_dir: str) -> str:
-    """Stage the closed event archive as 3 time-ranged parquet parts
-    (earliest range first, arrival order = mtime order) so file-source
-    streams replay real incremental micro-batches."""
-    import glob
-    import os
-    import tempfile
-
-    stage = _STREAM_STAGE_CACHE.get(sf_dir)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix="events_stream_")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartitionByRange(3, "ts")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        t0 = os.path.getmtime(stage) - 1000
-        for i, f in enumerate(sorted(glob.glob(f"{stage}/part-*.parquet"))):
-            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
-        _STREAM_STAGE_CACHE[sf_dir] = stage
-    return stage
-
-
-def _q_streaming_windowed(spark, sf_dir):
-    """Structured Streaming surface in the driver contract: the event
-    archive replayed through ``readStream`` (one file per micro-batch),
-    event-time 1-day tumbling windows per user with a watermark, drained
-    with an availableNow trigger into a memory sink.
-
-    Complete output mode, so on a closed input the streaming result is
-    *exactly* the batch aggregation — which is the oracle (the streaming
-    == batch twin law that tests/test_streaming.py asserts per operator).
-    Window starts are epoch-aligned; emitted as epoch microseconds so the
-    oracle compare is timestamp-representation-free.
-    """
-    import glob
-    import os
-    import tempfile
-
-    from python_ctd_spark.streaming import (
-        event_stream, run_to_memory, state_partitions, windowed_stats,
-    )
-
-    # The file stream source replays a *directory* in file-arrival order;
-    # stage the closed archive as 3 time-ranged parts (earliest range
-    # first) so the drain exercises real incremental micro-batches, the
-    # same growing-archive layout tests/test_streaming.py uses.
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    res = windowed_stats(sdf, window="1 day", watermark="1 hour")
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(
-            res, f"stream_win_stats_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-        )
-    return tbl.select(
-        F.unix_micros(F.col("w_start")).alias("w_start_us"),
-        "user_id",
-        "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
-        "max_value",
-    )
-
-
-def _q_streaming_sessions(spark, sf_dir):
-    """Native streaming session windows (F.session_window): a session
-    closes after 6 hours of inactivity; complete-mode drain over the
-    replayed archive equals the batch session assignment, which the
-    oracle recomputes with the classic lag-gap + running-sum
-    sessionization (break when the gap is >= the window's [start, end)
-    exclusive bound; session end = last event + gap)."""
-    from python_ctd_spark.streaming import event_stream, run_to_memory, session_windows
-
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    res = session_windows(sdf, gap="6 hours", watermark="1 hour")
-    _STREAM_RUN_COUNTER[0] += 1
-    from python_ctd_spark.streaming import state_partitions
-
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(
-            res, f"stream_sessions_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-        )
-    return tbl.select(
-        F.unix_micros(F.col("s_start")).alias("s_start_us"),
-        F.unix_micros(F.col("s_end")).alias("s_end_us"),
-        "user_id",
-        "n_events",
-    )
-
-
-_STREAMING_SESSIONS_SQL = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
-              THEN 1 ELSE 0 END AS brk
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-  SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS sid
-  FROM g
-)
-SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS s_start_us,
-       CAST(MAX(epoch_us(ts)) + 21600000000 AS BIGINT) AS s_end_us,
-       user_id, COUNT(*) AS n_events
-FROM s GROUP BY user_id, sid
-"""
-
-
-def _q_streaming_bindata(spark, sf_dir):
-    """Streaming bindata: complete-mode (cast, pressure-bin) rollup over
-    the replayed event archive — the incremental twin of the batch
-    bindata aggregate (reference ctd/processing.py:112-129), with
-    delta-aligned right-closed bins (a cast-relative origin is not a
-    streaming quantity; state stays one row per (cast, bin)).  On the
-    closed input the drain equals the identical batch aggregation, which
-    is the oracle."""
-    from python_ctd_spark.streaming import event_stream, run_to_memory, streaming_bindata
-
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    res = streaming_bindata(sdf, delta=100.0)
-    _STREAM_RUN_COUNTER[0] += 1
-    from python_ctd_spark.streaming import state_partitions
-
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(
-            res, f"stream_bindata_{_STREAM_RUN_COUNTER[0]}", output_mode="complete"
-        )
-    # no rounding: the decimal sum and integer count are engine-identical,
-    # so the IEEE division is bit-identical too — rounding can only
-    # *introduce* half-ULP tie disagreements
-    return tbl.select("user_id", "bin_center", "n", "mean_value")
-
-
-_STREAMING_BINDATA_SQL = """
-SELECT user_id,
-       (CAST(ceil(CAST(value AS DOUBLE) / 100.0) AS BIGINT) - 1) * 100.0 + 50.0
-           AS bin_center,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value)
-           AS mean_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-def _q_stateful_despike(spark, sf_dir):
-    """Streaming Wild-Edit despike: per-cast bounded buffering via
-    applyInPandasWithState (state = last 2*block rows per cast); emits a
-    row once 2*block-1 rows of lookahead exist, at which point the
-    verdict is provably identical to the batch kernel's — so the oracle
-    is the batch despike SQL restricted to the stable prefix of each
-    cast.  Flagged (and originally-NULL) values surface as NULL, matching
-    the batch operator's output convention."""
-    from python_ctd_spark.streaming import event_stream, run_to_memory, stateful_despike
-
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    res = stateful_despike(sdf, n1=1.0, n2=2.0, block=10)
-    _STREAM_RUN_COUNTER[0] += 1
-    from python_ctd_spark.streaming import state_partitions
-
-    # 16, not the pure-JVM drains' 8: the pandas state kernel does real
-    # per-row Python work, so worker parallelism still pays at local[32]
-    # (measured sf0.1: 32 -> 6.1s, 16 -> 4.6s, 8 -> 5.7s, 4 -> 8.4s)
-    with state_partitions(spark, 16):
-        tbl = run_to_memory(res, f"stream_despike_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.select(
-        "event_id",
-        "user_id",
-        F.when(~F.isnan("despiked"), F.col("despiked")).alias("v"),
-    )
-
-
-# the batch despike oracle (see _DESPIKE_SQL) with block=10, filtered to
-# each cast's stable prefix: rows with at least 2*block-1 = 19 rows of
-# lookahead (rn <= n - 20)
-_STATEFUL_DESPIKE_SQL = """
-WITH e AS (
-  SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v,
-         row_number() OVER w0 - 1 AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n,
-         avg(CAST(value AS DOUBLE)) OVER wf AS m1r,
-         stddev_pop(CAST(value AS DOUBLE)) OVER wf AS s1r
-  FROM events
-  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id),
-         wf AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
-), p1 AS (
-  SELECT *,
-         last_value(CASE WHEN rn <= n - 10 THEN m1r END IGNORE NULLS) OVER wp AS m1,
-         last_value(CASE WHEN rn <= n - 10 THEN s1r END IGNORE NULLS) OVER wp AS s1
-  FROM e
-  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-), c1 AS (
-  SELECT *, CASE WHEN abs(v - m1) > 1.0 * s1 THEN NULL ELSE v END AS v1
-  FROM p1
-), e2 AS (
-  SELECT *, avg(v1) OVER wf2 AS m2r, stddev_pop(v1) OVER wf2 AS s2r
-  FROM c1
-  WINDOW wf2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
-), p2 AS (
-  SELECT *,
-         last_value(CASE WHEN rn <= n - 10 THEN m2r END IGNORE NULLS) OVER wp2 AS m2,
-         last_value(CASE WHEN rn <= n - 10 THEN s2r END IGNORE NULLS) OVER wp2 AS s2
-  FROM e2
-  WINDOW wp2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT event_id, user_id,
-       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
-FROM p2
-WHERE rn <= n - 20
-"""
-
-
-_STREAM_DUP_CACHE: dict = {}
-
-
-def _stream_stage_dup(spark, sf_dir):
-    """The staged archive with every part file REDELIVERED: arrival
-    order f1, f1', f2, f2', f3, f3' (mtime-ordered), simulating an
-    at-least-once transport that re-sends each shard once."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    stage = _STREAM_DUP_CACHE.get(sf_dir)
-    if stage is None or not os.path.isdir(stage):
-        src = _stream_stage(spark, sf_dir)
-        stage = tempfile.mkdtemp(prefix="events_stream_dup_")
-        t0 = os.path.getmtime(src) - 2000
-        for i, f in enumerate(sorted(glob.glob(f"{src}/part-*.parquet"))):
-            orig = os.path.join(stage, f"a{i:02d}.parquet")
-            redeliver = os.path.join(stage, f"b{i:02d}.parquet")
-            shutil.copy(f, orig)
-            shutil.copy(f, redeliver)
-            os.utime(orig, (t0 + 20 * i, t0 + 20 * i))
-            os.utime(redeliver, (t0 + 20 * i + 10, t0 + 20 * i + 10))
-        _STREAM_DUP_CACHE[sf_dir] = stage
-    return stage
-
-
-def _q_streaming_dedup(spark, sf_dir):
-    """Exactly-once ingest from an at-least-once transport: the archive
-    arrives with every shard redelivered once, and
-    dropDuplicatesWithinWatermark (bounded key state — the watermark
-    evicts keys, unlike plain streaming dropDuplicates) restores the
-    original event set.  Oracle: the clean events table, verbatim."""
-    from python_ctd_spark.streaming import (
-        dedup_stream, event_stream, run_to_memory, state_partitions,
-    )
-
-    sdf = event_stream(spark, _stream_stage_dup(spark, sf_dir), max_files=None)
-    res = dedup_stream(sdf, keys=["event_id"], watermark="12 hours")
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(res, f"stream_dedup_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.select("event_id", "user_id", "event_type", "value")
-
-
-_STREAMING_DEDUP_SQL = """
-SELECT event_id, user_id, event_type, value FROM events
-"""
-
-
-def _q_streaming_enrich(spark, sf_dir):
-    """Stream-static join: the replayed event stream enriched with the
-    static customer dimension (broadcast, stateless, append mode — no
-    watermark needed).  On the closed archive the drain equals the
-    batch left join, which is the oracle."""
-    from python_ctd_spark.streaming import (
-        event_stream, run_to_memory, state_partitions, stream_static_enrich,
-    )
-
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    dim = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    res = stream_static_enrich(
-        sdf.select("event_id", "user_id", "value"), dim, ["user_id"]
-    )
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(res, f"stream_enrich_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.select(
-        "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
-    )
-
-
-_STREAMING_ENRICH_SQL = """
-SELECT event_id, user_id, c_mktsegment AS segment, value
-FROM events LEFT JOIN customer ON user_id = c_custkey
-"""
-
-
-_STREAM_PDF_CACHE: dict = {}
-#: sentinel id for driver-built streams: one far-future row advances the
-#: watermark past every real window so append-mode aggregates emit on
-#: the availableNow drain; its output rows are filtered before compare
-_STREAM_SENTINEL_ID = 2_000_000_000
-#: epoch micros of 2024-01-01 00:00:00 UTC — the single 1-day window all
-#: driver-built stream rows land in (shared with the SQL oracles)
-_STREAM_WINDOW_US = 1_704_067_200_000_000
-#: new-shard bound for the streaming dedup row (keeps every new doc at
-#: sf<=0.01; caps the per-round drain cost at larger SFs)
-_STREAM_SHARD_BOUND = 2000
-
-
-def _stage_pdf_parts(tag: str, sf_dir: str, build_parts) -> str:
-    """Stage a small driver-built pandas archive as time-ordered parquet
-    parts (arrival order = mtime order = event-time order — the
-    growing-archive layout the watermark contract assumes) for
-    file-source streams.  ``build_parts() -> [pandas.DataFrame, ...]``,
-    earliest event range first, each carrying an ``event_time`` column;
-    timestamps are written as microseconds (Spark's reader rejects
-    pandas' default TIMESTAMP(NANOS)).  Cached per (tag, sf_dir)."""
-    import os
-    import tempfile
-
-    key = (tag, sf_dir)
-    stage = _STREAM_PDF_CACHE.get(key)
-    if stage is None or not os.path.isdir(stage):
-        stage = tempfile.mkdtemp(prefix=f"{tag}_stream_")
-        t0 = os.path.getmtime(stage) - 1000
-        for i, pdf in enumerate(build_parts()):
-            p = os.path.join(stage, f"part-{i}.parquet")
-            pdf.to_parquet(
-                p, coerce_timestamps="us", allow_truncated_timestamps=True
-            )
-            os.utime(p, (t0 + 10 * i, t0 + 10 * i))
-        _STREAM_PDF_CACHE[key] = stage
-    return stage
-
-
-def _stored_stream_mh_index(spark, sf_dir):
-    """The existing-corpus MinHash index as STORED bucketed tables
-    (signatures by id for exact-Jaccard verification; band rows by
-    (band, bsig) for exchange-free candidate joins), built once per
-    session per sf_dir — the write-once serving twin of
-    :func:`_stored_stream_lsh_index`."""
-    from python_ctd_spark.io import sinks
-    from python_ctd_spark.operators.dedup import band_rows, minhash_signatures
-
-    sig_name = _table_name("t_stream_mh_sig_", sf_dir)
-    band_name = _table_name("t_stream_mh_band_", sf_dir)
-    if ("mh", sf_dir) not in _STREAM_IX_BUILT:
-        _drop_stale_table(spark, sig_name)
-        _drop_stale_table(spark, band_name)
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        sinks.write_bucketed(
-            minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)),
-            sig_name, buckets=8, by="id", sort_by="id",
-        )
-        sinks.write_bucketed(
-            band_rows(sinks.read_table(spark, sig_name), 8, 2),
-            band_name, buckets=8, by=["band", "bsig"], sort_by=["band", "bsig"],
-        )
-        _STREAM_IX_BUILT.add(("mh", sf_dir))
-    return sinks.read_table(spark, sig_name), sinks.read_table(spark, band_name)
-
-
-def _q_streaming_inc_dedup(spark, sf_dir):
-    """Streaming ingest-gate dedup in the driver contract: the new-shard
-    documents (doc_id % 5 == 0) arrive as a 3-file time-ordered stream
-    and probe the STORED MinHash band index of the existing corpus
-    (streaming/pipeline.streaming_incremental_dedup — stream-static
-    band-key joins, exact-Jaccard verification, one watermarked windowed
-    aggregate; seed rows keep candidate-less docs).  Every event lands
-    in the single 2024-01-01 day window, so on the closed drain the
-    verdicts equal batch incremental_dedup exactly — the oracle is the
-    batch SQL plus the constant window column."""
-    import pandas as pd
-
-    from python_ctd_spark.streaming import (
-        run_to_memory, state_partitions, streaming_incremental_dedup,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index, ix_banded = _stored_stream_mh_index(spark, sf_dir)
-
-    def build_parts():
-        # the arriving shard is bounded (doc_id < 2000 keeps every new
-        # doc at sf<=0.01 and 400 of 1000 at sf0.1) — per-doc drain cost
-        # is the measured quantity, not shard size; the oracle applies
-        # the same bound
-        npdf = docs.filter(
-            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < _STREAM_SHARD_BOUND)
-        ).toPandas()
-        npdf["event_time"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
-            npdf["doc_id"] % 24, unit="h"
-        )
-        npdf = npdf.sort_values(
-            ["event_time", "doc_id"], kind="mergesort"
-        ).reset_index(drop=True)
-        half = max(1, len(npdf) // 2)
-        sentinel = pd.DataFrame(
-            {
-                "doc_id": [_STREAM_SENTINEL_ID],
-                "text": ["watermark advance sentinel"],
-                "event_time": [pd.Timestamp("2024-03-01")],
-            }
-        )
-        return [npdf.iloc[:half], npdf.iloc[half:], sentinel]
-
-    stage = _stage_pdf_parts("inc_dedup", sf_dir, build_parts)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(stage).schema
-    # single-batch drain (see event_stream): the sentinel still closes
-    # the day window via the trailing no-data micro-batch
-    sdf = spark.readStream.schema(schema).parquet(stage)
-    res = streaming_incremental_dedup(
-        sdf, index, index_banded=ix_banded, threshold=0.5,
-        window="1 day", watermark="1 hour",
-    )
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(res, f"stream_incdedup_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.filter(F.col("doc_id") != _STREAM_SENTINEL_ID).select(
-        F.unix_micros("window_start").alias("w_start_us"),
-        "doc_id", "is_dup", "n_dups", "matched_id", "best_jaccard",
-    )
-
-
-def _streaming_inc_dedup_sql() -> str:
-    return f"""
-SELECT CAST({_STREAM_WINDOW_US} AS BIGINT) AS w_start_us, x.*
-FROM ({_incremental_dedup_sql()}) x
-WHERE x.doc_id < {_STREAM_SHARD_BOUND}
-"""
-
-
-#: stored-index tables already (re)built this SESSION, keyed by
-#: (artifact, sf_dir).  The streaming serving rows probe bucketed
-#: warehouse tables — the write-once/probe-forever serving shape — but
-#: a table left over from a PREVIOUS session may describe older
-#: testdata, so the first touch per session always rebuilds it.
-_STREAM_IX_BUILT: set = set()
-
-
-def _table_name(prefix: str, sf_dir: str) -> str:
-    import re as _re
-
-    return prefix + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
-
-
-def _drop_stale_table(spark, name: str) -> None:
-    """Make room for a per-session rebuild: drop the catalog entry AND
-    any orphaned warehouse directory a previous session left behind
-    (saveAsTable refuses a managed-table location that exists without a
-    catalog entry)."""
-    import os
-    import shutil
-
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    p = os.path.join(wh.removeprefix("file:"), name)
-    if os.path.isdir(p):
-        shutil.rmtree(p, ignore_errors=True)
-
-
-def _stored_stream_lsh_index(spark, sf_dir):
-    """The corpus LSH index as a STORED bucketed table (io.sinks), built
-    once per session per sf_dir: the streaming serving drain then pays
-    probe cost only — queries arrive forever, the index was written
-    once — instead of re-deriving the corpus signature table on every
-    drain (~1s of the row's wall at sf0.1)."""
-    from python_ctd_spark.io import sinks
-    from python_ctd_spark.operators.similarity import lsh_index
-
-    name = _table_name("t_stream_lsh_ix_", sf_dir)
-    if ("lsh", sf_dir) not in _STREAM_IX_BUILT:
-        _drop_stale_table(spark, name)
-        emb = _t(spark, sf_dir, "embeddings")
-        sinks.write_bucketed(
-            lsh_index(
-                emb, n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
-                dim=_EMB_DIM,
-            ),
-            name, buckets=8, by=["tbl", "bkt"], sort_by=["tbl", "bkt"],
-        )
-        _STREAM_IX_BUILT.add(("lsh", sf_dir))
-    return sinks.read_table(spark, name)
-
-
-def _q_streaming_ann(spark, sf_dir):
-    """Streaming ANN serving in the driver contract: query vectors
-    arrive as a time-ordered stream and probe the STORED corpus LSH
-    index (a bucketed warehouse table, rebuilt once per session —
-    the write-once/probe-forever serving shape) at the recall-gated
-    serving width (streaming/pipeline.streaming_ann_probe —
-    stream-static bucket joins, decimal-exact scoring, one watermarked
-    windowed top-k).  All queries land in the single 2024-01-01 day
-    window, so the drain equals the batch ann_index_probe result
-    exactly — the oracle is the same SQL plus the constant window
-    column."""
-    import pandas as pd
-
-    from python_ctd_spark.streaming import (
-        run_to_memory, state_partitions, streaming_ann_probe,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    ix = _stored_stream_lsh_index(spark, sf_dir)
-
-    def build_parts():
-        qpdf = emb.filter(F.col("vec_id") < 10).select(
-            "vec_id", "embedding"
-        ).toPandas()
-        qpdf["embedding"] = qpdf["embedding"].map(
-            lambda v: [float(x) for x in v]
-        )
-        qpdf["event_time"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
-            qpdf["vec_id"] % 9, unit="h"
-        )
-        qpdf = qpdf.sort_values(
-            ["event_time", "vec_id"], kind="mergesort"
-        ).reset_index(drop=True)
-        sentinel = pd.DataFrame(
-            {
-                "vec_id": [_STREAM_SENTINEL_ID],
-                "embedding": [qpdf["embedding"].iloc[0]],
-                "event_time": [pd.Timestamp("2024-03-01")],
-            }
-        )
-        return [qpdf.iloc[:5], qpdf.iloc[5:], sentinel]
-
-    stage = _stage_pdf_parts("ann_probe", sf_dir, build_parts)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(stage).schema
-    # single-batch drain (see event_stream): the sentinel still closes
-    # the day window via the trailing no-data micro-batch
-    sdf = spark.readStream.schema(schema).parquet(stage)
-    res = streaming_ann_probe(
-        sdf, ix, emb, k=5, n_planes=_NEARDUP_PLANES,
-        n_tables=_NEARDUP_TABLES, dim=_EMB_DIM,
-        n_probe_bits=_SERVING_PROBE_BITS,
-        window="1 day", watermark="1 hour",
-    )
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4 state partitions: single-batch drains over modest archives are
-    # per-task-overhead-bound (measured sf0.1: 8 -> 4 saves 15-30% on
-    # every JVM drain; despike keeps 16 for its pandas kernel)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(res, f"stream_ann_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.filter(F.col("qid") != _STREAM_SENTINEL_ID).select(
-        F.unix_micros("window_start").alias("w_start_us"),
-        "qid", "id", "cos", "rk",
-    )
-
-
-def _streaming_ann_sql() -> str:
-    return f"""
-SELECT CAST({_STREAM_WINDOW_US} AS BIGINT) AS w_start_us, x.*
-FROM ({_ann_index_probe_sql()}) x
-"""
-
-
-def _q_streaming_join(spark, sf_dir):
-    """Stream-stream inner join (attribution shape): purchases joined to
-    the same user's clicks within the preceding 6 hours, drained over
-    the replayed archive.  The event-time bound in the join condition is
-    what lets Spark evict join state; on the closed input the drain
-    equals the identical batch join, which is the oracle."""
-    from python_ctd_spark.streaming import (
-        event_stream, run_to_memory, state_partitions, stream_stream_join,
-    )
-
-    # single-batch drain: output is batching-invariant (twin laws);
-    # the multi-batch replay is covered by tests/test_streaming.py
-    sdf = event_stream(spark, _stream_stage(spark, sf_dir), max_files=None)
-    res = stream_stream_join(sdf, within="6 hours", watermark="12 hours")
-    _STREAM_RUN_COUNTER[0] += 1
-    # 4, not the aggregate drains' 8: a stream-stream join runs TWO
-    # state stores (left/right buffers) per partition per trigger, so
-    # the per-task overhead doubles (measured sf0.1: 16 -> 7.8s,
-    # 8 -> 4.4s, 4 -> 3.2s, 2 -> 3.0s; identical rows)
-    with state_partitions(spark, 4):
-        tbl = run_to_memory(res, f"stream_join_{_STREAM_RUN_COUNTER[0]}")
-    return tbl.select(
-        "user_id", "l_id", "r_id",
-        F.unix_micros(F.col("l_time")).alias("l_time_us"),
-        (F.unix_micros(F.col("r_time")) - F.unix_micros(F.col("l_time"))).alias("lag_us"),
-    )
-
-
-_STREAMING_JOIN_SQL = """
-SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
-       CAST(epoch_us(l.ts) AS BIGINT) AS l_time_us,
-       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_us
-FROM events l
-JOIN events r
-  ON l.user_id = r.user_id
- AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
-WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-"""
-
-
-def _q_despike_closeout(spark, sf_dir):
-    """Batch close-out of the streaming despike: verdicts for each
-    cast's final 2*block-1 rows — the positions streaming rightly holds
-    back because their verdicts depend on where the cast ends.  Oracle
-    is the batch despike SQL restricted to the complement of the
-    streaming query's stable prefix, so streaming emissions ∪ this
-    query == the batch kernel row for row."""
-    from python_ctd_spark.streaming import despike_closeout
-
-    ev = _ev(spark, sf_dir).withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us"))
-    )
-    out = despike_closeout(ev, n1=1.0, n2=2.0, block=10)
-    return out.select(
-        "user_id", "event_id", "value",
-        F.when(~F.isnan("despiked"), F.col("despiked")).alias("despiked"),
-    )
-
-
-# the batch despike oracle restricted to each cast's TAIL (rn > n - 20):
-# exactly the rows the streaming query's stable-prefix filter excludes
-_DESPIKE_CLOSEOUT_SQL = _STATEFUL_DESPIKE_SQL.replace(
-    """SELECT event_id, user_id,
-       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS v
-FROM p2
-WHERE rn <= n - 20""",
-    """SELECT user_id, event_id, v AS value,
-       CASE WHEN abs(v - m2) > 2.0 * s2 THEN NULL ELSE v END AS despiked
-FROM p2
-WHERE rn > n - 20""",
-)
-assert "WHERE rn > n - 20" in _DESPIKE_CLOSEOUT_SQL
-
-
-_STREAMING_WINDOWED_SQL = """
-SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS w_start_us,
-       user_id,
-       COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS sum_value,
-       MAX(value) AS max_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
 # ---------------------------------------------------------------------------
 # engine-surface extensions: json / ranking / range frames / grouping sets /
 # set ops / unpivot (absent from the reference — SURVEY.md §2.10 — but part
@@ -4294,16 +1522,6 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
-_JSON_EXTRACT_SQL = """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(25,6))) AS DOUBLE) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-GROUP BY event_type
-"""
-
-
 def _q_window_ranks(spark, sf_dir):
     """The ranking-function surface (rank/dense_rank/percent_rank/
     cume_dist/ntile) the reference never needed (SURVEY.md §2.6) — one
@@ -4323,20 +1541,6 @@ def _q_window_ranks(spark, sf_dir):
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(wt).alias("quartile"),
     )
-
-
-_WINDOW_RANKS_SQL = """
-SELECT event_id, user_id,
-       rank() OVER w AS rnk,
-       dense_rank() OVER w AS drnk,
-       percent_rank() OVER w AS prank,
-       cume_dist() OVER w AS cdist,
-       ntile(4) OVER wt AS quartile
-FROM events
-WHERE CAST(value AS DOUBLE) IS NOT NULL
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC),
-       wt AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC, event_id)
-"""
 
 
 def _q_range_window(spark, sf_dir):
@@ -4364,17 +1568,6 @@ def _q_range_window(spark, sf_dir):
     )
 
 
-_RANGE_WINDOW_SQL = """
-SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
-       CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) OVER w AS DOUBLE)
-           / count(CAST(value AS DOUBLE)) OVER w AS trailing_mean
-FROM events
-WHERE CAST(value AS DOUBLE) IS NOT NULL
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE)
-             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
-"""
-
-
 def _q_cube_events(spark, sf_dir):
     """CUBE over (event_type, user bucket) with GROUPING() flags — the
     grouping-sets surface (free in Spark, absent in the reference,
@@ -4392,16 +1585,6 @@ def _q_cube_events(spark, sf_dir):
             F.grouping("bucket").cast("int").alias("g_bucket"),
         )
     )
-
-
-_CUBE_EVENTS_SQL = """
-SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
-       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-       CAST(GROUPING(event_type) AS INT) AS g_type,
-       CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
-FROM events
-GROUP BY CUBE (event_type, user_id % 10)
-"""
 
 
 def _q_interval_join(spark, sf_dir):
@@ -4429,49 +1612,6 @@ def _q_interval_join(spark, sf_dir):
     )
 
 
-_INTERVAL_JOIN_SQL = """
-WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
-), w AS (
-  SELECT user_id, MIN(ts_us) AS lo, MIN(ts_us) + 604800000000 AS hi
-  FROM ev GROUP BY user_id
-)
-SELECT e.user_id, COUNT(*) AS n_first_week,
-       CAST(SUM(CAST(CAST(e.value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS first_week_value
-FROM ev e JOIN w ON e.user_id = w.user_id AND e.ts_us >= w.lo AND e.ts_us <= w.hi
-GROUP BY e.user_id
-"""
-
-
-def _q16_supplier_cnt(spark, sf_dir):
-    """TPC-H Q16 shape (partsupp replaced by lineitem — the testdata has
-    no partsupp): distinct suppliers per (brand, size) with a brand
-    exclusion.  COUNT(DISTINCT) compiles to the four-stage distinct
-    aggregate: partial dedup on (group, suppkey) BELOW the first
-    exchange, final dedup, partial count, final count — the distinct
-    stream shrinks before it ever shuffles, the remaining §2.4
-    aggregate plan shape."""
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7, 10, 15)
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
-    )
-
-
-_Q16_SQL = """
-SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10, 15)
-GROUP BY p_brand, p_size
-ORDER BY supplier_cnt DESC, p_brand, p_size
-"""
-
-
 def _q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS — the asymmetric-set case cube/rollup
     can't express: ((type, bucket), (type), (bucket)) WITHOUT the grand
@@ -4479,16 +1619,6 @@ def _q_grouping_sets(spark, sf_dir):
     identical text is the oracle."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_GROUPING_SETS_SQL)
-
-
-_GROUPING_SETS_SQL = """
-SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
-       CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-       CAST(GROUPING(event_type) AS INT) AS g_type,
-       CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
-FROM events
-GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), (user_id % 10))
-"""
 
 
 def _q_full_outer_reconcile(spark, sf_dir):
@@ -4519,22 +1649,6 @@ def _q_full_outer_reconcile(spark, sf_dir):
     ).select("nationkey", "n_name", "n_customers", "n_suppliers")
 
 
-_FULL_OUTER_SQL = """
-WITH c AS (
-  SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey
-), s AS (
-  SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey
-), j AS (
-  SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
-         COALESCE(n_customers, 0) AS n_customers,
-         COALESCE(n_suppliers, 0) AS n_suppliers
-  FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
-)
-SELECT j.nationkey, n.n_name, j.n_customers, j.n_suppliers
-FROM j LEFT JOIN nation n ON j.nationkey = n.n_nationkey
-"""
-
-
 def _q_set_ops(spark, sf_dir):
     """INTERSECT / EXCEPT set semantics (SURVEY.md §2.7 lists them absent
     from the reference): heavy clickers who are also heavy viewers, minus
@@ -4557,17 +1671,6 @@ def _q_set_ops(spark, sf_dir):
     return heavy("click").intersect(heavy("view")).subtract(bad)
 
 
-_SET_OPS_SQL = """
-SELECT user_id FROM events WHERE event_type = 'click'
-GROUP BY user_id HAVING COUNT(*) >= 15
-INTERSECT
-SELECT user_id FROM events WHERE event_type = 'view'
-GROUP BY user_id HAVING COUNT(*) >= 15
-EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error' AND CAST(value AS DOUBLE) > 240
-"""
-
-
 def _q_unpivot_lineitem(spark, sf_dir):
     """unpivot/melt: the four lineitem measures to long form (the tidy
     layout SURVEY.md §1.4 recommends for schema-varying fleets).  Native
@@ -4580,22 +1683,6 @@ def _q_unpivot_lineitem(spark, sf_dir):
         "measure",
         "val",
     )
-
-
-_UNPIVOT_SQL = """
-SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
-UNION ALL
-SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
-UNION ALL
-SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
-UNION ALL
-SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
-"""
-
-
-#: per-event-type keep rates: drop most views/clicks, keep every error —
-#: the classic class-rebalancing shape of a training-data sampler.
-_SAMPLE_RATES = {"view": 0.1, "click": 0.25, "error": 1.0}
 
 
 def _q_stratified_sample(spark, sf_dir):
@@ -4612,19 +1699,6 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
-def _stratified_sample_sql() -> str:
-    cases = " ".join(
-        f"WHEN event_type = '{v}' THEN {r!r}"
-        for v, r in sorted(_SAMPLE_RATES.items())
-    )
-    return f"""
-SELECT event_id, user_id, event_type
-FROM events
-WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
-      < (CASE {cases} ELSE 0.5 END)
-"""
-
-
 def _q_tfidf_topterms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (rational idf — see
     operators/text.py:tfidf_top_terms for why not log)."""
@@ -4632,30 +1706,6 @@ def _q_tfidf_topterms(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "text", "doc_id", k=3)
-
-
-_TFIDF_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
-), dfreq AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-), n AS (
-  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
-), scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
-  FROM tf JOIN dfreq USING (term) CROSS JOIN n
-)
-SELECT doc_id, term, tf, df, score,
-       CAST(rk AS INT) AS rk
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
-  FROM scored
-)
-WHERE rk <= 3
-"""
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -4670,26 +1720,6 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
-_REPETITION_SQL = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS lt FROM documents
-), s AS (
-  SELECT doc_id, lt, len(lt) AS n,
-         list_transform(range(0, greatest(len(lt) - 2, 0) + 1),
-                        i -> concat_ws(' ', lt[i + 1], lt[i + 2])) AS bg
-  FROM t
-)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_tokens,
-       ROUND(len(list_distinct(lt))::DOUBLE / n, 6) AS distinct_token_frac,
-       ROUND(1.0 - len(list_distinct(bg))::DOUBLE / len(bg), 6) AS dup_bigram_frac,
-       ROUND(list_max(list_transform(list_distinct(lt),
-                      x -> len(list_filter(lt, y -> y = x))))::DOUBLE / n, 6)
-         AS top_token_frac
-FROM s
-"""
-
-
 def _q_sketch_accuracy(spark, sf_dir):
     """Sketch aggregates (HLL++ distinct, approx percentiles) run beside
     their exact twins and reduced to per-group verdict booleans — the
@@ -4700,18 +1730,6 @@ def _q_sketch_accuracy(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return sketch_accuracy_report(docs)
-
-
-_SKETCH_ACCURACY_SQL = """
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct_texts,
-       TRUE AS hll_ok,
-       TRUE AS p50_ok,
-       TRUE AS p90_ok
-FROM documents
-GROUP BY source
-"""
 
 
 def _q_text_normalize(spark, sf_dir):
@@ -4729,21 +1747,6 @@ def _q_text_normalize(spark, sf_dir):
     )
 
 
-_TEXT_NORMALIZE_SQL = r"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_before,
-       CAST(length(t) AS BIGINT) AS n_after,
-       t AS text_norm
-FROM (
-  SELECT doc_id, text,
-         lower(trim(regexp_replace(
-           regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-           '\s+', ' ', 'g'))) AS t
-  FROM documents
-)
-"""
-
-
 def _q_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText hard quality rules with named per-rule
     verdicts (filter + audit in one pass); all native expressions,
@@ -4752,36 +1755,6 @@ def _q_gopher_rules(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return gopher_rules(docs)
-
-
-_GOPHER_SQL = r"""
-WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS lt
-  FROM documents
-), s AS (
-  SELECT doc_id, len(lt) AS n,
-    CAST(list_aggregate(list_transform(lt, w -> length(w)), 'sum') AS DOUBLE) AS wlen,
-    CAST(length(text) - length(replace(text, '#', ''))
-         + len(string_split_regex(text, '\.\.\.')) - 1 AS DOUBLE) AS symbols,
-    CAST(len(list_filter(lt, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_words,
-    len(list_filter(lt, w -> list_contains(['the','a','of','and','to','in','is','for','that','it'], w))) AS stop_hits
-  FROM t
-)
-SELECT doc_id,
-  CAST(n AS BIGINT) AS n_words,
-  ROUND(wlen / n, 6) AS mean_word_len,
-  ROUND(symbols / n, 6) AS symbol_word_ratio,
-  ROUND(alpha_words / n, 6) AS alpha_word_frac,
-  CAST(stop_hits AS BIGINT) AS stop_hits,
-  (n >= 50 AND n <= 100000) AS rule_word_count,
-  (wlen / n >= 3.0 AND wlen / n <= 10.0) AS rule_mean_word_len,
-  (symbols / n <= 0.1) AS rule_symbol_ratio,
-  (alpha_words / n >= 0.8) AS rule_alpha_words,
-  (stop_hits >= 2) AS rule_stopwords,
-  (n >= 50 AND n <= 100000 AND wlen / n >= 3.0 AND wlen / n <= 10.0
-   AND symbols / n <= 0.1 AND alpha_words / n >= 0.8 AND stop_hits >= 2) AS keep
-FROM s
-"""
 
 
 def _q_dup_passages(spark, sf_dir):
@@ -4795,27 +1768,6 @@ def _q_dup_passages(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return cross_doc_ngram_stats(docs, n=5, min_docs=2)
-
-
-_DUP_PASSAGES_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents
-),
-pos AS (
-  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
-  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 5 + 2)) AS i) ix
-),
-pdg AS (SELECT doc_id, g, count(*) AS c FROM pos GROUP BY 1, 2),
-gdf AS (SELECT g, count(*) AS n_docs FROM pdg GROUP BY 1)
-SELECT p.doc_id,
-       CAST(SUM(p.c) AS BIGINT) AS n_ngrams,
-       ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN p.c ELSE 0 END) * 1.0 / SUM(p.c), 6)
-         AS dup_ngram_frac,
-       MAX(f.n_docs) AS max_ngram_df
-FROM pdg p JOIN gdf f USING (g)
-GROUP BY 1
-"""
 
 
 def _q_domain_stats(spark, sf_dir):
@@ -4846,22 +1798,6 @@ def _q_domain_stats(spark, sf_dir):
     )
 
 
-_DOMAIN_STATS_SQL = r"""
-SELECT source,
-       COUNT(*) AS n_docs,
-       -- DuckDB SUM(BIGINT) widens to HUGEINT (surfaces as float64 in
-       -- Arrow) while Spark stays BIGINT; pin the oracle to BIGINT.
-       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       ROUND(CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DECIMAL(25,6))) AS DOUBLE)
-             / COUNT(*), 6) AS mean_tokens,
-       ROUND(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.5), 4)
-         AS p50_tokens,
-       ROUND(quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0.9), 4)
-         AS p90_tokens
-FROM documents GROUP BY source
-"""
-
-
 def _q_pack_greedy(spark, sf_dir):
     """First-fit greedy packing (close a window early when the next doc
     would overflow): the sequential per-stream recurrence runs in
@@ -4874,27 +1810,6 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
-_PACK_GREEDY_SQL = r"""
-WITH RECURSIVE t AS (
-  SELECT source, doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM documents
-), g(source, doc_id, n_tokens, rn, fill, pack_id) AS (
-  SELECT source, doc_id, n_tokens, rn, n_tokens, CAST(0 AS BIGINT)
-  FROM t WHERE rn = 1
-  UNION ALL
-  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
-         CASE WHEN g.fill + t.n_tokens > 128 THEN t.n_tokens
-              ELSE g.fill + t.n_tokens END,
-         CASE WHEN g.fill + t.n_tokens > 128 THEN g.pack_id + 1
-              ELSE g.pack_id END
-  FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
-)
-SELECT source, doc_id, n_tokens, pack_id FROM g
-"""
-
-
 def _q_pii_redact(spark, sf_dir):
     """Digit-run redaction over the raw JSON props (the PII-scrub shape:
     one regexp_replace pass rewrites, one regexp_extract_all pass
@@ -4904,28 +1819,6 @@ def _q_pii_redact(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = redact_numbers(ev, "props")
     return out.select("event_id", "redacted", "n_redacted")
-
-
-_PII_REDACT_SQL = """
-SELECT event_id,
-       regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
-       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
-FROM events
-"""
-
-
-def _shingle_sql(n: int) -> str:
-    """DuckDB twin of dedup.with_shingles for word-``n``-grams: distinct
-    n-grams, out-of-range indices yield NULL and concat_ws skips them,
-    so a short doc produces one shingle of all its tokens."""
-    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
-    parts = ",\n        ".join(f"{toks}[i + {j + 1}]" for j in range(n))
-    return f"""
-list_distinct(list_transform(
-  range(0, greatest(len({toks}) - {n}, 0) + 1),
-  i -> concat_ws(' ',
-        {parts})))
-"""
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -4941,30 +1834,6 @@ def _q_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, n=5)
 
 
-def _decontaminate_sql() -> str:
-    return f"""
-WITH sh AS (
-  SELECT doc_id, {_shingle_sql(5)} AS sh FROM documents
-), hashed AS (
-  SELECT doc_id,
-         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-  FROM sh
-), bench AS (
-  SELECT DISTINCT unnest(hs) AS g FROM hashed WHERE doc_id % 5 = 0
-), inv AS (
-  SELECT doc_id, unnest(hs) AS g FROM hashed WHERE doc_id % 5 != 0
-)
-SELECT inv.doc_id, COUNT(*) AS n_contaminated
-FROM inv JOIN bench USING (g)
-GROUP BY inv.doc_id
-"""
-
-
-#: domain-mix targets (docs per source): downsample two sources hard,
-#: keep one whole (target above its count), drop every unlisted source.
-_MIX_TARGETS = {"src0": 10.0, "src1": 40.0, "src2": 1e6, "src3": 12.0}
-
-
 def _q_domain_mix(spark, sf_dir):
     """Mixture weighting: per-domain keep rate min(1, target/count),
     md5-keyed Bernoulli decisions (deterministic, oracle-checkable);
@@ -4974,29 +1843,6 @@ def _q_domain_mix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = domain_mix(docs, _MIX_TARGETS)
     return out.select("doc_id", "source")
-
-
-def _domain_mix_sql() -> str:
-    cases = " ".join(
-        f"WHEN source = '{s}' THEN {t!r}" for s, t in sorted(_MIX_TARGETS.items())
-    )
-    return f"""
-WITH counts AS (
-  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
-), rated AS (
-  -- CASE without ELSE yields NULL for unlisted domains; keep it NULL
-  -- (u < NULL is false -> dropped) instead of feeding least(), which
-  -- ignores NULLs and would resurrect them at rate 1.0
-  SELECT source,
-         CASE WHEN (CASE {cases} END) IS NOT NULL
-              THEN least(1.0, (CASE {cases} END) / CAST(n AS DOUBLE)) END AS rate
-  FROM counts
-)
-SELECT d.doc_id, d.source
-FROM documents d JOIN rated r USING (source)
-WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
-      < r.rate
-"""
 
 
 def _q_domain_mix_temp(spark, sf_dir):
@@ -5010,23 +1856,6 @@ def _q_domain_mix_temp(spark, sf_dir):
         docs, total=250.0, alpha=0.5, key_col="doc_id", domain_col="lang"
     )
     return out.select("doc_id", "lang")
-
-
-_DOMAIN_MIX_TEMP_SQL = """
-WITH counts AS (
-  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
-), p AS (
-  SELECT lang, n, POWER(n::DOUBLE, 0.5) AS w FROM counts
-), z AS (
-  SELECT SUM(w) AS z FROM p
-), rated AS (
-  SELECT lang, least(1.0, 250.0 * (w / z.z) / n::DOUBLE) AS rate FROM p, z
-)
-SELECT d.doc_id, d.lang
-FROM documents d JOIN rated r USING (lang)
-WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
-      < r.rate
-"""
 
 
 def _q_dedup_lines(spark, sf_dir):
@@ -5047,27 +1876,6 @@ def _q_dedup_lines(spark, sf_dir):
     return out.select("doc_id", "text_dedup", "n_lines", "n_removed")
 
 
-_DEDUP_LINES_SQL = """
-WITH pages AS (
-  SELECT doc_id,
-         concat_ws(chr(10), text, 'nav home login search footer',
-                   text, 'nav home login search footer') AS text
-  FROM documents
-), s AS (
-  SELECT doc_id, string_split(text, chr(10)) AS lines FROM pages
-)
-SELECT doc_id,
-       array_to_string(
-         list_filter(lines, (x, i) -> list_position(lines, x) = i),
-         chr(10)) AS text_dedup,
-       CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(len(lines)
-            - len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
-            AS BIGINT) AS n_removed
-FROM s
-"""
-
-
 def _q_quantile_filter(spark, sf_dir):
     """Per-domain outlier trim: keep documents inside the [p10, p90]
     n_chars band of their source.  Tiny exact-percentile aggregate
@@ -5080,19 +1888,6 @@ def _q_quantile_filter(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
-_QUANTILE_FILTER_SQL = """
-WITH b AS (
-  SELECT source,
-         quantile_cont(n_chars::DOUBLE, 0.1) AS lo,
-         quantile_cont(n_chars::DOUBLE, 0.9) AS hi
-  FROM documents GROUP BY source
-)
-SELECT d.doc_id, d.source, d.n_chars
-FROM documents d JOIN b USING (source)
-WHERE d.n_chars::DOUBLE >= b.lo AND d.n_chars::DOUBLE <= b.hi
-"""
-
-
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window 64, stride 48): the
     1->N map-side fan-out that preps long documents for RAG indexing or
@@ -5101,21 +1896,6 @@ def _q_chunk_documents(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, window=64, stride=48)
-
-
-_CHUNK_DOCUMENTS_SQL = r"""
-WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-), s AS (
-  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
-  FROM t
-)
-SELECT doc_id,
-       CAST(start // 48 AS BIGINT) AS chunk_id,
-       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
-       CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tokens
-FROM s
-"""
 
 
 def _q_unigram_logprob(spark, sf_dir):
@@ -5128,26 +1908,6 @@ def _q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
-_UNIGRAM_LOGPROB_SQL = r"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-  FROM documents
-), counts AS (
-  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
-), total AS (
-  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM counts
-), scored AS (
-  SELECT doc_id, COUNT(*) AS n_tokens,
-         CAST(SUM(CAST(ln(c::DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) AS slc
-  FROM toks JOIN counts USING (tok) GROUP BY doc_id
-)
-SELECT doc_id, n_tokens,
-       ROUND(slc / n_tokens - ln((SELECT t FROM total)), 4) AS avg_logprob
-FROM scored
-"""
-
-
 def _q_exact_sample(spark, sf_dir):
     """Fixed-budget sampling: exactly 10 documents per source in
     deterministic hash order — the exact-count complement of the
@@ -5158,19 +1918,6 @@ def _q_exact_sample(spark, sf_dir):
     return exact_sample(docs, 10, "doc_id", by="source").select(
         "doc_id", "source"
     )
-
-
-_EXACT_SAMPLE_SQL = """
-WITH ranked AS (
-  SELECT doc_id, source,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-                    doc_id) AS rn
-  FROM documents
-)
-SELECT doc_id, source FROM ranked WHERE rn <= 10
-"""
 
 
 def _q_shard_documents(spark, sf_dir):
@@ -5190,22 +1937,6 @@ def _q_shard_documents(spark, sf_dir):
     )
 
 
-_SHARD_DOCUMENTS_SQL = """
-WITH u AS (
-  SELECT doc_id,
-         ('0x' || substr(md5('r8|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-           / 4294967296.0 AS u
-  FROM documents
-)
-SELECT doc_id,
-       CAST(floor(u * 8) AS INT) AS shard,
-       CAST(row_number() OVER (
-         PARTITION BY CAST(floor(u * 8) AS INT)
-         ORDER BY u, doc_id) AS INT) AS shuffle_rank
-FROM u
-"""
-
-
 def _q_pack_documents(spark, sf_dir):
     """Concat-and-chunk context packing: per source, docs laid end to
     end and cut into 2048-token windows; one exchange + one sort."""
@@ -5213,19 +1944,6 @@ def _q_pack_documents(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return pack_documents(docs, max_tokens=2048)
-
-
-_PACK_DOCUMENTS_SQL = r"""
-SELECT source, doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       -- windowed SUM widens to HUGEINT in DuckDB; pin the quotient to
-       -- BIGINT so the value hash matches Spark's bigint pack_id
-       CAST(COALESCE(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-                     OVER (PARTITION BY source ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            // 2048 AS BIGINT) AS pack_id
-FROM documents
-"""
 
 
 def _q_dedup_apply(spark, sf_dir):
@@ -5241,26 +1959,6 @@ def _q_dedup_apply(spark, sf_dir):
         cl.groupBy(F.col("cluster_id").alias("doc_id"))
         .agg((F.count(F.lit(1)) - 1).alias("n_dups_removed"))
     )
-
-
-def _dedup_apply_sql() -> str:
-    return f"""
-WITH clustered AS (
-{_dedup_clusters_sql()}
-)
-SELECT cluster_id AS doc_id, COUNT(*) - 1 AS n_dups_removed
-FROM clustered GROUP BY cluster_id
-"""
-
-
-# the end-to-end training-dataset composition (VERDICT r8 item 1):
-# clean -> dedup -> mix -> tokenize -> pack -> shard, one driver row.
-# Mixture: ten sources kept whole, two downsampled, the other eight
-# dropped — exercises all three domain_mix rate regimes in the tail.
-_TD_TARGETS = {f"src{i}": 1e6 for i in range(10)} | {"src10": 8.0, "src11": 15.0}
-_TD_SEQ_LEN = 128
-_TD_SHARDS = 4
-_TD_SEED = "r9"
 
 
 def _q_training_dataset(spark, sf_dir):
@@ -5332,112 +2030,6 @@ def _q_training_dataset(spark, sf_dir):
     )
 
 
-def _training_dataset_sql() -> str:
-    """The composed oracle: each stage is the SAME DuckDB formulation its
-    standalone row uses — gopher keep predicate (_GOPHER_SQL), minhash
-    pairs + recursive-CTE connected components (_dedup_clusters_sql),
-    md5-keyed mixture rates (_domain_mix_sql), kernel-golden BPE id
-    arrays (the bpe_token_count / pack_sequences golden parquet), the
-    unnest-repack sequence build (_pack_sequences_sql), and the
-    md5-uniform shard bins (_SHARD_DOCUMENTS_SQL) — re-rooted on the
-    previous stage's CTE instead of the raw documents table."""
-    import pathlib
-
-    p = pathlib.Path(__file__).resolve().parent / "tests" / "data" / "golden"
-    cases = " ".join(
-        f"WHEN source = '{s}' THEN {t!r}" for s, t in sorted(_TD_TARGETS.items())
-    )
-    return f"""
-WITH RECURSIVE kept AS (
-  SELECT doc_id, source, text FROM (
-    SELECT doc_id, source, text,
-           len(lt) AS n,
-           CAST(list_aggregate(list_transform(lt, w -> length(w)), 'sum') AS DOUBLE) AS wlen,
-           CAST(length(text) - length(replace(text, '#', ''))
-                + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS DOUBLE) AS symbols,
-           CAST(len(list_filter(lt, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS alpha_words,
-           len(list_filter(lt, w -> list_contains(['the','a','of','and','to','in','is','for','that','it'], w))) AS stop_hits
-    FROM (
-      SELECT doc_id, source, text,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
-      FROM documents
-    )
-  )
-  WHERE n >= 50 AND n <= 100000 AND wlen / n >= 3.0 AND wlen / n <= 10.0
-    AND symbols / n <= 0.1 AND alpha_words / n >= 0.8 AND stop_hits >= 2
-), pairs AS (
-{_minhash_sql(threshold=0.5, table="kept")}
-), sym AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-), comp AS (
-  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
-), keepers AS (
-  SELECT k.doc_id, k.source
-  FROM kept k LEFT JOIN comp c ON c.doc_id = k.doc_id
-  WHERE COALESCE(c.cluster_id, k.doc_id) = k.doc_id
-), counts AS (
-  SELECT source, COUNT(*) AS n FROM keepers GROUP BY source
-), rated AS (
-  SELECT source,
-         CASE WHEN (CASE {cases} END) IS NOT NULL
-              THEN least(1.0, (CASE {cases} END) / CAST(n AS DOUBLE)) END AS rate
-  FROM counts
-), mixed AS (
-  SELECT k.doc_id, k.source
-  FROM keepers k JOIN rated r USING (source)
-  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
-        < r.rate
-), g AS (
-  SELECT m.doc_id, m.source, t.token_ids
-  FROM mixed m
-  JOIN read_parquet('{p}/bpe_token_ids_sf0.01.parquet') t USING (doc_id)
-  WHERE len(t.token_ids) > 0
-), tok AS (
-  SELECT doc_id, source, unnest(token_ids) AS tid,
-         unnest(range(1, len(token_ids) + 1)) AS lpos
-  FROM g
-), pos AS (
-  SELECT source, doc_id, tid, lpos,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id, lpos) - 1 AS gpos
-  FROM tok
-), seqd AS (
-  SELECT source, doc_id, tid, lpos,
-         CAST(gpos // {_TD_SEQ_LEN} AS INT) AS seq_id,
-         gpos % {_TD_SEQ_LEN} AS spos
-  FROM pos
-), seqs AS (
-  SELECT source, seq_id,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         CAST(COUNT(*) FILTER (lpos = 1) AS BIGINT) AS n_boundaries,
-         CAST(SUM((spos + 1) * tid) AS BIGINT) AS checksum
-  FROM seqd
-  GROUP BY source, seq_id
-  HAVING COUNT(*) = {_TD_SEQ_LEN}
-), sharded AS (
-  SELECT *,
-         CAST(floor(
-           (('0x' || substr(md5('{_TD_SEED}|' || source || '|' || CAST(seq_id AS VARCHAR)), 1, 8))::BIGINT
-            / 4294967296.0) * {_TD_SHARDS}) AS INT) AS shard
-  FROM seqs
-)
-SELECT shard,
-       CAST(COUNT(*) AS BIGINT) AS n_sequences,
-       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-       CAST(SUM(n_docs) AS BIGINT) AS sum_docs,
-       CAST(SUM(n_boundaries) AS BIGINT) AS sum_boundaries,
-       CAST(SUM(checksum) AS BIGINT) AS checksum,
-       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-FROM sharded GROUP BY shard
-"""
-
-
 # ---------------------------------------------------------------------------
 # TPC-H completion (r7): the 12 query *shapes* not yet in the registry,
 # adapted to the driver schema (no partsupp / commitdate / phone columns —
@@ -5451,546 +2043,6 @@ FROM sharded GROUP BY shard
 # Q19 disjunctive pushdown, Q20 qty-threshold semi-join, Q21 exists /
 # not-exists waiting suppliers, Q22 anti-join idle customers.
 # ---------------------------------------------------------------------------
-
-
-def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (correlated MIN over a dimension-filtered join).
-    No partsupp table here, so supply cost := l_extendedprice/l_quantity
-    per offer row from lineitem; for each STANDARD/size-15 part, keep the
-    EUROPE suppliers matching the per-part minimum unit cost.
-
-    Plan notes: all four dims broadcast; the correlated MIN decorrelates
-    to one partial-agg groupBy on l_partkey joined back on (key, cost) —
-    no per-row re-execution; per-row double division is IEEE-identical
-    across engines so the equality join is engine-stable."""
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    eu_supp = (
-        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    offers = (
-        _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
-        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost")
-    )
-    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
-    return (
-        offers.join(
-            min_cost,
-            (offers.p_partkey == F.col("mc_partkey"))
-            & (offers.unit_cost == F.col("min_cost")),
-        )
-        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "min_cost")
-        .distinct()
-    )
-
-
-_Q2_SQL = """
-WITH offers AS (
-    SELECT part.p_partkey, p_name, s_name, n_name, s_acctbal,
-           l_extendedprice / l_quantity AS unit_cost
-    FROM lineitem
-    JOIN part     ON l_partkey = part.p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE p_type = 'STANDARD' AND p_size = 15 AND r_name = 'EUROPE'
-)
-SELECT DISTINCT o.p_partkey, o.p_name, o.s_name, o.n_name, o.s_acctbal, m.min_cost
-FROM offers o
-JOIN (SELECT p_partkey, MIN(unit_cost) AS min_cost FROM offers GROUP BY p_partkey) m
-  ON o.p_partkey = m.p_partkey AND o.unit_cost = m.min_cost
-"""
-
-
-def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: single-table filter + agg — the pushdown showcase.  All
-    three predicates reach the parquet scan (PushedFilters) and only the
-    four referenced columns are read (ReadSchema); the agg is one
-    partial+final pair with no join."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01"))
-        & (F.col("l_discount") >= F.lit(0.05))
-        & (F.col("l_discount") <= F.lit(0.07))
-        & (F.col("l_quantity") < F.lit(24.0))
-    ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-_Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
-  AND l_quantity < CAST(24.0 AS DOUBLE)
-"""
-
-
-def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8: NATION_3's share of ECONOMY-part revenue sold to AMERICA
-    customers, per order year.  Share = conditional exact-decimal sum /
-    exact-decimal sum, so the double division is engine-stable.
-
-    Plan notes: the two nation copies, region, part and customer all
-    broadcast; the only shuffle joins are lineitem x orders."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    n_cust = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
-    )
-    n_supp = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
-        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01"))
-        )
-    )
-    return (
-        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(
-            (
-                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / dsum(vol)
-            ).alias("mkt_share"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-_Q8_SQL = """
-SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-         AS mkt_share,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation nc ON c_nationkey = nc.n_nationkey
-JOIN region   ON nc.n_regionkey = r_regionkey
-JOIN nation ns ON s_nationkey = ns.n_nationkey
-WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY o_year
-"""
-
-
-def _q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit attribution by supplier nation x ship year
-    for parts whose name contains 'gear'.  No partsupp here, so profit :=
-    revenue (the ps_supplycost term is dropped); the LIKE filter on the
-    broadcast part dim prunes before the fact join."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
-    supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("l_shipdate").cast("long").alias("o_year"),
-        )
-        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_rows"))
-    )
-
-
-_Q9_SQL = """
-SELECT n_name AS nation,
-       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-         AS sum_profit,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%gear%'
-GROUP BY n_name, o_year
-"""
-
-
-def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (group HAVING > fraction-of-total scalar
-    subquery).  No partsupp, so 'stock value' := lineitem revenue shipped
-    by NATION_5 suppliers, per part; keep parts above 0.1% of the total.
-
-    Plan notes: the scalar total is a one-row agg broadcast into the
-    HAVING filter (crossJoin of a broadcast single row — no shuffle);
-    both sides of the comparison are exact decimal sums cast to double,
-    so the threshold compare is engine-stable."""
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    filtered = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
-    )
-    by_part = filtered.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        dsum("l_extendedprice").alias("part_value")
-    )
-    total = filtered.agg(dsum("l_extendedprice").alias("total_value"))
-    return (
-        by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("total_value") * 0.001)
-        .select("p_partkey", "part_value")
-    )
-
-
-_Q11_SQL = """
-WITH filtered AS (
-    SELECT l_partkey, l_extendedprice
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_5'
-)
-SELECT l_partkey AS p_partkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS part_value
-FROM filtered
-GROUP BY l_partkey
-HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) >
-       (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 0.001
-        FROM filtered)
-"""
-
-
-def _q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: customer x orders LEFT outer join (filter inside the
-    join so zero-order customers survive), count per customer, then the
-    distribution of counts.  Two shuffles total: one on the join key, one
-    tiny one on the count value."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-_Q13_SQL = """
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM (
-    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
-    FROM customer
-    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-    GROUP BY c_custkey
-)
-GROUP BY c_count
-"""
-
-
-def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: revenue per supplier over 1996Q1, select the
-    supplier(s) whose revenue equals the max — the scalar-subquery-on-max
-    shape.  Max equality over exact decimal sums is engine-stable; ties
-    all surface (no LIMIT), exactly like the reference query."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01"))
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(vol).alias("total_revenue")
-    )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
-    supp = _t(spark, sf_dir, "supplier")
-    return (
-        rev.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-_Q15_SQL = """
-WITH revenue AS (
-    SELECT l_suppkey AS supplier_no,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-             AS total_revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-    GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, total_revenue
-FROM revenue JOIN supplier ON supplier_no = s_suppkey
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-"""
-
-
-def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: revenue from Brand#3 lineitems whose quantity is below
-    20% of that part's average quantity — the correlated-AVG shape.
-    Catalyst decorrelates to a per-part agg joined back; the 0.2x
-    threshold is (exact decimal avg) * double, identical per part in
-    both engines."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    li = _t(spark, sf_dir, "lineitem")
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    limits = brand_li.groupBy(F.col("p_partkey").alias("lim_partkey")).agg(
-        (davg("l_quantity") * 0.2).alias("qty_limit")
-    )
-    return (
-        brand_li.join(limits, F.col("p_partkey") == F.col("lim_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_limit"))
-        .agg(
-            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-_Q17_SQL = """
-WITH brand_li AS (
-    SELECT p_partkey, l_quantity, l_extendedprice
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand = 'Brand#3'
-),
-limits AS (
-    SELECT p_partkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
-             / COUNT(l_quantity) * 0.2 AS qty_limit
-    FROM brand_li GROUP BY p_partkey
-)
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM brand_li JOIN limits USING (p_partkey)
-WHERE l_quantity < qty_limit
-"""
-
-
-def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19: OR-of-three (brand, size, quantity) branches — the
-    disjunctive-predicate showcase.  The common conjunct (the part join)
-    stays a single broadcast hash join; the disjunction evaluates as a
-    post-join filter and the per-branch part predicates are pushed into
-    the broadcast side scan."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    b1 = (
-        (F.col("p_brand") == "Brand#12")
-        & F.col("p_size").between(1, 5)
-        & F.col("l_quantity").between(1.0, 11.0)
-    )
-    b2 = (
-        (F.col("p_brand") == "Brand#23")
-        & F.col("p_size").between(1, 10)
-        & F.col("l_quantity").between(10.0, 20.0)
-    )
-    b3 = (
-        (F.col("p_brand") == "Brand#15")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(20.0, 30.0)
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(b1 | b2 | b3).agg(
-        dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
-    )
-
-
-_Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-         AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-       AND l_quantity BETWEEN 1.0 AND 11.0)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-       AND l_quantity BETWEEN 10.0 AND 20.0)
-   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 20.0 AND 30.0)
-"""
-
-
-def _q20_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: NATION_9 suppliers who shipped more than 300
-    units of red parts during 1996 — the agg-subquery semi-join chain.
-    No partsupp/availqty, so the threshold runs on shipped quantity.
-    The part dim broadcasts pre-filtered; the supplier filter join is a
-    broadcast too, so the only shuffle is the per-supplier agg."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01"))
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
-    shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_suppkey")
-        .agg(dsum("l_quantity").alias("red_qty"))
-        .filter(F.col("red_qty") > 300.0)
-    )
-    return (
-        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(shipped, supp.s_suppkey == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "red_qty")
-    )
-
-
-_Q20_SQL = """
-WITH shipped AS (
-    SELECT l_suppkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS red_qty
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_name LIKE '%red%'
-      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY l_suppkey
-    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 300.0
-)
-SELECT s_suppkey, s_name, red_qty
-FROM supplier
-JOIN nation  ON s_nationkey = n_nationkey
-JOIN shipped ON s_suppkey = l_suppkey
-WHERE n_name = 'NATION_9'
-"""
-
-
-def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
-    finished multi-supplier order.  No receipt/commit dates, so 'late' :=
-    shipped more than 90 days after the order date.  The EXISTS /
-    NOT-EXISTS pair collapses to per-(order, supplier) and per-order
-    aggregates joined back — two hash aggs and one join, no correlated
-    re-execution."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    late = (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).cast("int")
-    os = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("is_late"))
-    )
-    per_order = os.groupBy(F.col("l_orderkey").alias("ord_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
-    return (
-        os.join(per_order, os.l_orderkey == F.col("ord_key"))
-        .filter(
-            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-        )
-        .join(F.broadcast(supp), os.l_suppkey == supp.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-_Q21_SQL = """
-WITH os AS (
-    SELECT l_orderkey, l_suppkey,
-           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS is_late
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_orderstatus = 'F'
-    GROUP BY l_orderkey, l_suppkey
-),
-per_order AS (
-    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
-    FROM os GROUP BY l_orderkey
-)
-SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM os
-JOIN per_order USING (l_orderkey)
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
-GROUP BY s_suppkey, s_name
-"""
-
-
-def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-average (positive) balances
-    and no RECENT (2001+) orders, grouped by nation — scalar subquery +
-    anti-join.  No phone column, so the country-code grouping becomes
-    the nation dim; this synthetic data gives every customer at least
-    one lifetime order, so 'idle' anti-joins against the recent slice to
-    keep the result non-degenerate.
-
-    Plan notes: the scalar average is a broadcast one-row agg; the
-    NOT-EXISTS is a left_anti hash join on o_custkey (never a nested
-    loop) with the date filter pushed to the orders scan; nation
-    broadcasts."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2001-01-01")
-    )
-    nat = _t(spark, sf_dir, "nation")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        davg("c_acctbal").alias("avg_bal")
-    )
-    return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal").alias("totacctbal"),
-        )
-    )
-
-
-_Q22_SQL = """
-SELECT n_name AS nation,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
-                          / COUNT(c_acctbal)
-                   FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-GROUP BY n_name
-"""
 
 
 # ---------------------------------------------------------------------------

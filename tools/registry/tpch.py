@@ -1,0 +1,670 @@
+"""TPC-H Q1-Q22 query callables (driver-schema adaptations).
+
+Moved verbatim from __spark_entry__.py (VERDICT r8 item 9 phase 2)."""
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from tools.oracles.tpch import _CORRELATED_SQL
+from tools.registry.base import _t, davg, dsum
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+def _q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer x orders x lineitem, top-10 orders by revenue.
+
+    Plan notes: customer is the small side -> broadcast; revenue ranking on
+    the exact decimal sum with o_orderkey tie-break for determinism.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    rev = (
+        joined.groupBy("o_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the customer and the
+    supplier share a nation, per nation of one region, one order year.
+
+    Plan notes: the only shuffle join is lineitem x orders (both big,
+    orders pre-filtered to the year so the probe side shrinks first);
+    customer, supplier, nation, region are all broadcast — the
+    c_nationkey = s_nationkey equality rides the broadcast joins as a
+    post-join filter, never a shuffle key.  Revenue is the exact decimal
+    sum so the ranking is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+def _q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders more
+    than twice their customer's average.  Catalyst decorrelates this to
+    an aggregate + join (no per-row re-execution — verify in the plan:
+    one Aggregate over orders, one join, no nested-loop), and the
+    identical SQL text runs on DuckDB as the oracle.  The inner average
+    is the exact decimal sum / count so the comparison is engine-stable.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions, per year — the disjunctive (OR-of-pairs) join condition.
+
+    Plan notes: both nation copies broadcast and the OR condition
+    evaluates as a post-join filter on the broadcast results, so the
+    disjunction never forces a cartesian or blocks pushdown; the only
+    shuffle joins are the fact-fact pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold (group-HAVING semi-join feeding a top-N).
+
+    Plan notes: the HAVING aggregate reduces lineitem to one row per
+    qualifying order BEFORE anything joins — the semi-join side is the
+    already-aggregated sliver, never raw lineitem; customer broadcasts;
+    the top-100 rides a TakeOrderedAndProject (no global sort
+    materialization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> orders -> customer -> nation -> region star join;
+    nation/region are broadcast dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join surface: customers with (and without) open orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    with_open = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_open.select("c_custkey", F.lit("open").alias("bucket"))
+        .unionByName(without.select("c_custkey", F.lit("none").alias("bucket")))
+    )
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that shipped at least one
+    line after the order date, one quarter.  The EXISTS compiles to a
+    left-semi join whose equi key is l_orderkey; the l_shipdate >
+    o_orderdate part rides as the semi join's residual condition — no
+    pre-aggregation of lineitem, no distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.  lineitem x orders is the only shuffle join (orders
+    pre-filtered to the quarter); customer and nation broadcast.
+    Decimal revenue + explicit c_custkey tie-break make the LIMIT 20
+    cut engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+def _q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode replaced by a ship-delay bucket — the
+    testdata lineitem carries no l_shipmode): per bucket, line counts of
+    high- vs low-priority orders via conditional aggregation, one
+    year.  One shuffle join + one aggregate; the CASE pair is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .withColumn(
+            "delay_bucket",
+            F.when(delay > 90, "slow").when(delay > 30, "medium").otherwise("fast"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+def _q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: revenue share of one part type in one month —
+    a global conditional-aggregate ratio.  part broadcasts into the
+    filtered lineitem scan; both sums are decimal so the single output
+    row is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+                / dsum(rev)
+            ).alias("economy_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(F.round("economy_revenue_pct", 6).alias("economy_revenue_pct"), "n_lines")
+    )
+
+def _q_brand_nation_profit(spark, sf_dir):
+    """TPC-H-Q9-flavored profit rollup: lineitem x part x supplier x
+    nation, revenue per (brand, nation).
+
+    Plan notes: part/supplier/nation are dimensions -> all three broadcast
+    (the 100 TB fact side never shuffles for the joins); one exchange for
+    the final hash aggregate with map-side combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 1200.0)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(rev).alias("revenue"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+def _q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp replaced by lineitem — the testdata has
+    no partsupp): distinct suppliers per (brand, size) with a brand
+    exclusion.  COUNT(DISTINCT) compiles to the four-stage distinct
+    aggregate: partial dedup on (group, suppkey) BELOW the first
+    exchange, final dedup, partial count, final count — the distinct
+    stream shrinks before it ever shuffles, the remaining §2.4
+    aggregate plan shape."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 7, 10, 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN over a dimension-filtered join).
+    No partsupp table here, so supply cost := l_extendedprice/l_quantity
+    per offer row from lineitem; for each STANDARD/size-15 part, keep the
+    EUROPE suppliers matching the per-part minimum unit cost.
+
+    Plan notes: all four dims broadcast; the correlated MIN decorrelates
+    to one partial-agg groupBy on l_partkey joined back on (key, cost) —
+    no per-row re-execution; per-row double division is IEEE-identical
+    across engines so the equality join is engine-stable."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.p_partkey == F.col("mc_partkey"))
+            & (offers.unit_cost == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "min_cost")
+        .distinct()
+    )
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + agg — the pushdown showcase.  All
+    three predicates reach the parquet scan (PushedFilters) and only the
+    four referenced columns are read (ReadSchema); the agg is one
+    partial+final pair with no join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= F.lit(0.05))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < F.lit(24.0))
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ECONOMY-part revenue sold to AMERICA
+    customers, per order year.  Share = conditional exact-decimal sum /
+    exact-decimal sum, so the double division is engine-stable.
+
+    Plan notes: the two nation copies, region, part and customer all
+    broadcast; the only shuffle joins are lineitem x orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+def _q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit attribution by supplier nation x ship year
+    for parts whose name contains 'gear'.  No partsupp here, so profit :=
+    revenue (the ps_supplycost term is dropped); the LIKE filter on the
+    broadcast part dim prunes before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group HAVING > fraction-of-total scalar
+    subquery).  No partsupp, so 'stock value' := lineitem revenue shipped
+    by NATION_5 suppliers, per part; keep parts above 0.1% of the total.
+
+    Plan notes: the scalar total is a one-row agg broadcast into the
+    HAVING filter (crossJoin of a broadcast single row — no shuffle);
+    both sides of the comparison are exact decimal sums cast to double,
+    so the threshold compare is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    filtered = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+    )
+    by_part = filtered.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("l_extendedprice").alias("part_value")
+    )
+    total = filtered.agg(dsum("l_extendedprice").alias("total_value"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("p_partkey", "part_value")
+    )
+
+def _q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer x orders LEFT outer join (filter inside the
+    join so zero-order customers survive), count per customer, then the
+    distribution of counts.  Two shuffles total: one on the join key, one
+    tiny one on the count value."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: revenue per supplier over 1996Q1, select the
+    supplier(s) whose revenue equals the max — the scalar-subquery-on-max
+    shape.  Max equality over exact decimal sums is engine-stable; ties
+    all surface (no LIMIT), exactly like the reference query."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(vol).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from Brand#3 lineitems whose quantity is below
+    20% of that part's average quantity — the correlated-AVG shape.
+    Catalyst decorrelates to a per-part agg joined back; the 0.2x
+    threshold is (exact decimal avg) * double, identical per part in
+    both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    limits = brand_li.groupBy(F.col("p_partkey").alias("lim_partkey")).agg(
+        (davg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    return (
+        brand_li.join(limits, F.col("p_partkey") == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-three (brand, size, quantity) branches — the
+    disjunctive-predicate showcase.  The common conjunct (the part join)
+    stays a single broadcast hash join; the disjunction evaluates as a
+    post-join filter and the per-branch part predicates are pushed into
+    the broadcast side scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1.0, 11.0)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10.0, 20.0)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20.0, 30.0)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+def _q20_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_9 suppliers who shipped more than 300
+    units of red parts during 1996 — the agg-subquery semi-join chain.
+    No partsupp/availqty, so the threshold runs on shipped quantity.
+    The part dim broadcasts pre-filtered; the supplier filter join is a
+    broadcast too, so the only shuffle is the per-supplier agg."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > 300.0)
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(shipped, supp.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "red_qty")
+    )
+
+def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order.  No receipt/commit dates, so 'late' :=
+    shipped more than 90 days after the order date.  The EXISTS /
+    NOT-EXISTS pair collapses to per-(order, supplier) and per-order
+    aggregates joined back — two hash aggs and one join, no correlated
+    re-execution."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = os.groupBy(F.col("l_orderkey").alias("ord_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        os.join(per_order, os.l_orderkey == F.col("ord_key"))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), os.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+def _q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) balances
+    and no RECENT (2001+) orders, grouped by nation — scalar subquery +
+    anti-join.  No phone column, so the country-code grouping becomes
+    the nation dim; this synthetic data gives every customer at least
+    one lifetime order, so 'idle' anti-joins against the recent slice to
+    keep the result non-degenerate.
+
+    Plan notes: the scalar average is a broadcast one-row agg; the
+    NOT-EXISTS is a left_anti hash join on o_custkey (never a nested
+    loop) with the date filter pushed to the orders scan; nation
+    broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+

@@ -152,7 +152,17 @@ def _entry_closure(src: str, entry, _seen: set[str] | None = None) -> str:
         obj = getattr(entry, name, None)
         if obj is None:
             continue
-        if inspect.isfunction(obj) and obj.__module__ == entry.__name__:
+        if inspect.isfunction(obj) and (
+            obj.__module__ == entry.__name__
+            # r9 registry split: helpers/callables re-imported from
+            # tools.registry.* / tools.oracles.* are still entry-module
+            # state for fingerprint purposes — their SOURCE TEXT is what
+            # the hash covers, and the split moved it verbatim, so
+            # following them here keeps fingerprints byte-stable across
+            # the refactor (the point of VERDICT r8 item 9's "fingerprints
+            # must survive" constraint)
+            or (obj.__module__ or "").startswith("tools.")
+        ):
             try:
                 fsrc = inspect.getsource(obj)
             except OSError:

@@ -1988,8 +1988,11 @@ def _q_training_dataset(spark, sf_dir):
     per-domain mixture rates broadcast); pack_sequences is one hash
     shuffle on (source, seq_id) with O(docs) slice rows; shard
     assignment is row-local; the final per-shard rollup
-    partial-aggregates map-side.  One shuffle per stage boundary, no
-    driver-side collect anywhere."""
+    partial-aggregates map-side.  One shuffle per stage boundary; the
+    only driver-side materialization is the <= n_shards-row report
+    itself (the bounded-report pattern, as in ann_recall) — the token
+    table persists across the packer's two references and is released
+    after the report."""
     from python_ctd_spark.operators.assemble import (
         domain_mix, pack_sequences, shard_documents,
     )
@@ -2003,7 +2006,19 @@ def _q_training_dataset(spark, sf_dir):
         "doc_id",
     )
     mixed = domain_mix(keepers, _TD_TARGETS)
-    seqs = pack_sequences(bpe_tokenize(mixed), seq_len=_TD_SEQ_LEN)
+    # materialize the tokenized frame: pack_sequences' two-level prefix
+    # sum references its input TWICE (offsets aggregate + the join
+    # back), and without a materialization point each reference re-runs
+    # the whole clean -> dedup -> mix -> BPE upstream.  localCheckpoint
+    # beats persist() here (8.6s vs 14s vs 13s plain at sf0.1): it
+    # truncates the giant BPE lineage into plain RDD blocks without the
+    # SQL-cache canonicalization/serialization machinery.  A real
+    # pipeline materializes exactly here too — token ids are the
+    # dataset being built, not a throwaway intermediate (it would write
+    # a parquet table; on executor loss a local checkpoint recomputes
+    # from the table, the standard tradeoff noted on the CC loop too).
+    tok = bpe_tokenize(mixed).localCheckpoint(eager=False)
+    seqs = pack_sequences(tok, seq_len=_TD_SEQ_LEN)
     checksum = (
         "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
         "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x)"
@@ -2020,7 +2035,7 @@ def _q_training_dataset(spark, sf_dir):
     sharded = shard_documents(
         staged, _TD_SHARDS, key_col="seq_key", seed=_TD_SEED, rank=False
     )
-    return sharded.groupBy("shard").agg(
+    rep = sharded.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.sum("n_docs").cast("bigint").alias("sum_docs"),
@@ -2028,6 +2043,11 @@ def _q_training_dataset(spark, sf_dir):
         F.sum("checksum").cast("bigint").alias("checksum"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+    # the report is <= n_shards rows by construction — materialize it
+    # eagerly (the ann_recall pattern) so the checkpointed token blocks
+    # become unreferenced and GC-able instead of riding the returned
+    # plan's lineage for the session
+    return spark.createDataFrame(rep.collect(), rep.schema)
 
 
 # ---------------------------------------------------------------------------

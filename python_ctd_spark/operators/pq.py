@@ -125,7 +125,8 @@ def _qlit(x: float) -> int:
 
 
 def _pq_assign(
-    c: DataFrame, codebooks: list[list[list[float]]], with_norm: bool = True
+    c: DataFrame, codebooks: list[list[list[float]]], with_norm: bool = True,
+    keep: tuple = (),
 ) -> DataFrame:
     """Map-side per-subspace argmin -> ``(id, e, __codes)`` with
     ``__codes`` the 0-based code array.  The corpus never shuffles.
@@ -164,7 +165,7 @@ def _pq_assign(
     d = len(codebooks[0][0])
 
     quant = c.selectExpr(
-        "id", "e",
+        "id", "e", *keep,
         f"transform(e, x -> CAST(floor(x * {_QSCALE!r}D + 0.5D) AS BIGINT)) AS xq",
     )
     score_arrays = []
@@ -178,7 +179,7 @@ def _pq_assign(
             for cv in book
         )
         score_arrays.append(f"array({scores}) AS __s{j}")
-    staged = quant.selectExpr("id", "e", *score_arrays)
+    staged = quant.selectExpr("id", "e", *keep, *score_arrays)
     code_cols = [
         f"CAST(array_position(__s{j}, array_max(__s{j})) AS INT) - 1 AS __c{j}"
         for j in range(m)
@@ -187,7 +188,7 @@ def _pq_assign(
     # lookup each reference every __c{j}, and CollapseProject would
     # otherwise re-inline the whole argmin chain once per reference
     coded = staged.selectExpr(
-        "id", "e", *code_cols, "rand() AS __nd1"
+        "id", "e", *keep, *code_cols, "rand() AS __nd1"
     ).drop("__nd1")
     codes = "array(" + ", ".join(
         f"CAST(__c{j} AS TINYINT)" for j in range(m)
@@ -196,8 +197,8 @@ def _pq_assign(
         # training only needs the codes — skip the norm-literal driver
         # query (one 1-row Spark query per call otherwise)
         return coded.selectExpr(
-            "id", "e", f"{codes} AS __codes", "rand() AS __nd"
-        ).select("id", "e", "__codes")
+            "id", "e", *keep, f"{codes} AS __codes", "rand() AS __nd"
+        ).select("id", "e", *keep, "__codes")
     # reconstructed-norm^2 lookup: |recon(v)|^2 = sum_j |C[j][code_j]|^2.
     # The m*ksub code norms are evaluated ONCE (driver-side, through
     # Spark's own decimal semantics — _norm2_decimals) and embedded as
@@ -503,6 +504,184 @@ def ivf_pq_probe(
         cand.join(codes.select("id", "pq_codes", "pqnorm"), "id")
         .join(F.broadcast(q2.select("qid", "__lut", "__qn")), "qid")
         .selectExpr("qid", "id", f"{_adc_qcos_sql(m, ksub)} AS qcos")
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))
+    cands = scored.withColumn("__rkq", F.row_number().over(w_q)).filter(
+        F.col("__rkq") <= margin * k
+    )
+    return _exact_rerank(
+        cands, corpus, q2.select("qid", "qe"), k, id_col, vec_col
+    )
+
+
+def _cell_centroid_expr(cent_rows: list[tuple[int, list[float]]]) -> str:
+    """SQL expression mapping the in-frame ``cell`` id to its centroid
+    as a literal double array — ``element_at(map(...), cell)``, bounded
+    by n_centroids (the quantizer is driver state by contract)."""
+    entries = ", ".join(
+        f"{int(cid)}, array({', '.join(_dlit(x) for x in ce)})"
+        for cid, ce in cent_rows
+    )
+    return f"element_at(map({entries}), cell)"
+
+
+def _recon_expr(codebooks: list[list[list[float]]], codes_col: str = "__codes") -> str:
+    """SQL expression reconstructing the PQ decode of the in-frame code
+    ARRAY column: concat of the m chosen sub-vectors, each an
+    ``element_at`` over the literal codebook."""
+    subs = []
+    for j, book in enumerate(codebooks):
+        arrays = ", ".join(
+            f"array({', '.join(_dlit(x) for x in cv)})" for cv in book
+        )
+        subs.append(
+            f"element_at(array({arrays}), "
+            f"CAST(element_at({codes_col}, {j + 1}) AS INT) + 1)"
+        )
+    return "concat(" + ", ".join(subs) + ")"
+
+
+def ivf_pq_residual_encode(
+    assignments: DataFrame,
+    cent: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """The RESIDUAL IVF,PQ code table — FAISS's actual IVF,PQ encoding
+    (Jégou et al. 2011 §IV): each vector is PQ-encoded as its residual
+    ``x - centroid(cell(x))`` rather than raw, because residuals have a
+    fraction of the raw variance (the coarse quantizer absorbs the
+    corpus's macro-structure), so the same 8-byte budget spends its
+    codewords on the fine structure that actually separates neighbors
+    within a cell.  Returns ``((id, cell, pq_codes, pqnorm), books)``
+    where ``pqnorm`` is the squared norm of the RECONSTRUCTION
+    ``centroid + decode(codes)`` (exact decimal fold — what the ADC
+    cosine normalizes by) and ``books`` are the residual codebooks
+    (seeded from the first-ksub residuals when not supplied — pass
+    stored books for the production rebuild path, as
+    :func:`pq_encode`).
+
+    Keeping ``cell`` IN the code table makes it the whole serving
+    index: bucketed by cell, a probe scans only the probed cells and
+    reads codes from the same rows — no assignments join at query time.
+
+    Scale shape: one id-keyed join (corpus x assignments — co-partition
+    or bucket both by id at 100 TB), then everything is map-side: the
+    residual subtraction against the literal centroid map, the
+    integer-exact sub-space argmin, and the reconstruction-norm fold.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    cent_rows = sorted(
+        ((int(r["cid"]), [float(x) for x in r["ce"]])
+         for r in cent.select("cid", "ce").collect()),
+        key=lambda t: t[0],
+    )
+    ce_expr = _cell_centroid_expr(cent_rows)
+    res = (
+        c.join(assignments.select("id", "cell"), "id")
+        .selectExpr(
+            "id", "cell",
+            f"zip_with(e, {ce_expr}, (x, c) -> x - c) AS res",
+        )
+    )
+    if codebooks is None:
+        # seed from residuals of rows that are NOT the coarse centroids:
+        # with the seed quantizer, the first-ksub rows ARE the centroids
+        # and their residuals are identically zero — useless codewords
+        seed_src = res.filter(
+            ~F.col("id").isin([cid for cid, _ in cent_rows])
+        )
+        codebooks = pq_seed_codebooks(seed_src, id_col="id", vec_col="res",
+                                      m=m, ksub=ksub)
+    coded = _pq_assign(
+        res.select("id", F.col("res").alias("e"), "cell"), codebooks,
+        with_norm=False, keep=("cell",),
+    )
+    # |centroid + decode(codes)|^2, decimal-exact: double addition per
+    # coordinate first (engine-identical), then the exact square fold
+    recon_norm = _dec_norm2(
+        f"zip_with({ce_expr}, {_recon_expr(codebooks)}, (c, r) -> c + r)"
+    )
+    out = coded.selectExpr(
+        "id", "cell", "__codes AS pq_codes",
+        f"CAST({recon_norm} AS DOUBLE) AS pqnorm",
+        # non-deterministic barrier (see _pq_assign): keeps downstream
+        # filters from re-inlining the argmin fold per reference
+        "rand() AS __nd",
+    ).select("id", "cell", "pq_codes", "pqnorm")
+    return out, codebooks
+
+
+def ivf_pq_residual_probe(
+    cent: DataFrame,
+    rcodes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    margin: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Probe the residual IVF,PQ index: ``cos(q, x̂)`` with
+    ``x̂ = centroid(cell) + decode(codes)`` decomposes as
+    ``(<q, centroid> + Σ_j LUT[j][code_j]) / (|q|·|x̂|)`` — the
+    centroid dot is computed once per (query, probed cell) on the
+    broadcast-sized probe set (exact decimal), the LUT is the standard
+    per-query ADC table built against the RESIDUAL codebooks, and
+    ``|x̂|`` is the stored reconstruction norm.  Candidates cut to
+    ``margin*k`` on the ADC cosine; the sliver re-ranks decimal-exact
+    on raw vectors.  Returns ``(qid, id, qcos, cos, rk)``.
+
+    Same candidate-pruning/scan shape as :func:`ivf_pq_probe` (cells
+    prune, 8-byte codes score), but the codes spend their precision on
+    within-cell structure — the recall-per-byte upgrade the residual
+    encoding exists for (measured side by side in ``ann_recall``).
+
+    Snapshot contract: ``rcodes`` must be built by
+    :func:`ivf_pq_residual_encode` against this ``cent`` and these
+    ``codebooks``."""
+    from .similarity import _nearest_cells
+
+    mlen = len(codebooks)
+    ksub = len(codebooks[0])
+    qid = query_id_col or id_col
+
+    q2 = _query_lut(queries, codebooks, qid, vec_col)
+    cent_rows = sorted(
+        ((int(r["cid"]), [float(x) for x in r["ce"]])
+         for r in cent.select("cid", "ce").collect()),
+        key=lambda t: t[0],
+    )
+    ce_expr = _cell_centroid_expr(cent_rows)
+    qcdot = _dec_fold(
+        f"zip_with(qe, {ce_expr}, (x, c) -> CAST(x * c AS DECIMAL(30,15)))"
+    )
+    probes = (
+        _nearest_cells(q2.select("qid", "qe"), "qid", "qe", n_probe, cent)
+        .selectExpr("qid", "cell", f"{qcdot} AS __qcdot")
+    )
+    adc = (
+        f"CAST(aggregate(sequence(0, {mlen - 1}), __qcdot, "
+        f"(acc, j) -> CAST(acc + element_at(__lut, j * {ksub} + "
+        "CAST(element_at(pq_codes, j + 1) AS INT) + 1) AS DECIMAL(38,15))) "
+        "AS DOUBLE)"
+    )
+    qcos = (
+        f"CASE WHEN pqnorm > 0.0D AND __qn > 0.0D "
+        f"THEN {adc} / (__qn * sqrt(pqnorm)) ELSE -2.0D END"
+    )
+    scored = (
+        rcodes.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .join(F.broadcast(q2.select("qid", "__lut", "__qn")), "qid")
+        .selectExpr("qid", "id", f"{qcos} AS qcos")
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("id"))
     cands = scored.withColumn("__rkq", F.row_number().over(w_q)).filter(

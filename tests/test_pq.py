@@ -244,3 +244,88 @@ def test_pq_rejects_bad_shapes(spark, emb):
     df, _ = emb
     with pytest.raises(ValueError, match="not divisible"):
         pq.pq_seed_codebooks(df, m=7)
+
+
+def test_ivf_pq_residual_beats_plain_on_clustered_corpus(spark):
+    """The residual encoding's designed advantage (Jégou 2011 §IV): on
+    a corpus with real cluster structure, encoding x - centroid(cell)
+    spends the 8-byte budget on within-cell structure the coarse
+    quantizer can't represent, so recall@k at the same margin must beat
+    plain IVF,PQ.  (On near-isotropic data the ordering flips — the
+    driver corpus measures that side in ann_recall; this test pins that
+    the implementation DELIVERS the advantage where it exists.)"""
+    from python_ctd_spark.operators.similarity import cosine_topk, ivf_index
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(scale=10.0, size=(16, 64))
+    rows = [
+        (i, [float(x) for x in
+             (centers[i % 16] + rng.normal(scale=0.5, size=64)).round(4)])
+        for i in range(800)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).persist()
+    corpus.count()
+    q = corpus.filter("vec_id < 6")
+    gt: dict = {}
+    for r in cosine_topk(corpus, q, k=5).select("qid", "id").collect():
+        gt.setdefault(r.qid, set()).add(r.id)
+    total = sum(len(v) for v in gt.values())
+
+    assignments, cent = ivf_index(corpus, n_centroids=16)
+    assignments = assignments.persist()
+    assignments.count()
+    books = pq.pq_seed_codebooks(corpus)
+    codes = pq.pq_encode(corpus, books)
+    rcodes, rbooks = pq.ivf_pq_residual_encode(assignments, cent, corpus)
+
+    def recall(res):
+        return sum(1 for r in res if r.id in gt.get(r.qid, ())) / total
+
+    plain = recall(
+        pq.ivf_pq_probe(
+            assignments, cent, codes, corpus, q, books,
+            k=5, n_probe=2, margin=8,
+        ).select("qid", "id").collect()
+    )
+    residual = recall(
+        pq.ivf_pq_residual_probe(
+            cent, rcodes, corpus, q, rbooks, k=5, n_probe=2, margin=8,
+        ).select("qid", "id").collect()
+    )
+    assert residual > plain, (residual, plain)
+    assert residual >= 0.5
+    corpus.unpersist()
+    assignments.unpersist()
+
+
+def test_ivf_pq_residual_code_table_is_self_contained(spark, emb):
+    """The residual code table carries its cell, so a probe touches NO
+    assignments table (one fewer stored artifact at query time) and the
+    stored pqnorm is the exact reconstruction norm |centroid +
+    decode(codes)|^2 — verified against a driver-side recompute."""
+    import math
+
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    df, _ = emb
+    assignments, cent = ivf_index(df, n_centroids=16)
+    rcodes, rbooks = pq.ivf_pq_residual_encode(assignments, cent, df)
+    assert set(rcodes.columns) == {"id", "cell", "pq_codes", "pqnorm"}
+    cent_map = {
+        int(r["cid"]): [float(x) for x in r["ce"]]
+        for r in cent.collect()
+    }
+    d = len(rbooks[0][0])
+    for r in rcodes.orderBy("id").limit(20).collect():
+        ce = cent_map[int(r["cell"])]
+        recon = [
+            ce[j * d + i] + rbooks[j][int(c)][i]
+            for j, c in enumerate(r["pq_codes"])
+            for i in range(d)
+        ]
+        expect = sum(v * v for v in recon)
+        assert math.isclose(expect, r["pqnorm"], rel_tol=1e-9), (
+            r["id"], expect, r["pqnorm"]
+        )

@@ -786,7 +786,7 @@ def _ann_recall_sql() -> str:
         f"SELECT '{m}' AS method"
         for m in ("ivf", "lsh", "lsh_served", "ivf_served", "sq8", "ivf_sq8",
                   "ivf_trained", "pq", "ivf_pq", "pq_trained",
-                  "ivf_pq_trained")
+                  "ivf_pq_trained", "ivf_pq_res")
     )
     return f"""
 WITH exact AS (
@@ -813,6 +813,8 @@ WITH exact AS (
   SELECT qid, id FROM ({_pq_ann_sql(5, margin=16, trained_iters=_PQ_TRAIN_ITERS)}) x
 ), ivfpqtr AS (
   SELECT qid, id FROM ({_ivf_pq_sql(trained_iters=_PQ_TRAIN_ITERS)}) x
+), ivfpqres AS (
+  SELECT qid, id FROM ({_ivf_pq_residual_sql()}) x
 ), approx AS (
   SELECT 'ivf' AS method, qid, id FROM ivf
   UNION ALL
@@ -835,6 +837,8 @@ WITH exact AS (
   SELECT 'pq_trained' AS method, qid, id FROM pqtr
   UNION ALL
   SELECT 'ivf_pq_trained' AS method, qid, id FROM ivfpqtr
+  UNION ALL
+  SELECT 'ivf_pq_res' AS method, qid, id FROM ivfpqres
 ), hits AS (
   SELECT a.method, a.qid, COUNT(*) AS n_hits
   FROM approx a JOIN exact e ON e.qid = a.qid AND e.id = a.id
@@ -851,3 +855,163 @@ SELECT b.method, b.qid, b.n_exact,
 FROM base b LEFT JOIN hits h ON h.method = b.method AND h.qid = b.qid
 """
 
+
+
+def _ivf_pq_residual_sql(
+    k: int = 5, n_probe: int = 2, margin: int | None = None
+) -> str:
+    """Oracle for the RESIDUAL IVF,PQ composition (operators/pq.py:
+    ivf_pq_residual_encode/_probe — FAISS's actual IVF,PQ form): the
+    seed-centroid assignment CTEs feed a residual computation (IEEE
+    double subtraction, engine-identical), seed codebooks come from the
+    first-ksub NON-CENTROID residual rows (centroid rows' residuals are
+    identically zero), the integer-exact argmin encodes residuals, the
+    stored norm is |centroid + decode(codes)|^2 (decimal-exact), and
+    scoring decomposes as (q·centroid + ADC LUT sum) / (|q|·|recon|)
+    with every ranking-relevant number an exact decimal."""
+    dsub = _EMB_DIM // _PQ_M
+    margin = _PQ_MARGIN if margin is None else margin
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), cranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM cranked WHERE rk = 1
+), centpos AS (
+  SELECT cid, unnest(ce)::DOUBLE AS cev, unnest(range(1, {_EMB_DIM} + 1)) AS pos
+  FROM cent
+), rescoords AS (
+  -- residual = x - centroid(cell(x)), per coordinate (IEEE double)
+  SELECT a.id, a.cell,
+         CAST(floor((x.pos - 1) / {dsub}) AS INT) AS j,
+         CAST((x.pos - 1) % {dsub} AS INT) AS si,
+         x.v - cp2.cev AS rv
+  FROM assigned a
+  JOIN (SELECT vec_id AS id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, {_EMB_DIM} + 1)) AS pos
+        FROM embeddings) x ON x.id = a.id
+  JOIN centpos cp2 ON cp2.cid = a.cell AND cp2.pos = x.pos
+), seedids AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id NOT IN (SELECT cid FROM cent)
+  ORDER BY vec_id LIMIT {_PQ_KSUB}
+), cb AS (
+  -- residual codebooks seeded from the first-ksub non-centroid rows
+  SELECT s.code, r.j, r.si, r.rv AS cv
+  FROM (SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS code
+        FROM seedids) s
+  JOIN rescoords r ON r.id = s.vec_id
+), cbq AS (
+  SELECT code, j, si, CAST(floor(cv * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM cb
+), cbn2 AS (
+  SELECT j, code, SUM(cq * cq) AS n2i FROM cbq GROUP BY j, code
+), sdots AS (
+  SELECT c.id, c.j, b.code,
+         SUM(CAST(floor(c.rv * 1000000.0 + 0.5) AS BIGINT) * b.cq * 2) AS d2
+  FROM rescoords c JOIN cbq b ON b.j = c.j AND b.si = c.si
+  GROUP BY c.id, c.j, b.code
+), best AS (
+  SELECT s.id, s.j, s.code,
+         row_number() OVER (PARTITION BY s.id, s.j
+                            ORDER BY (s.d2 - n.n2i) DESC, s.code) AS brk
+  FROM sdots s JOIN cbn2 n ON n.j = s.j AND n.code = s.code
+), codes AS (
+  SELECT id, j, code FROM best WHERE brk = 1
+), reconpos AS (
+  -- x_hat coordinate = centroid + decode(code), per position
+  SELECT a.id, cp2.pos, cp2.cev + b.cv AS xv
+  FROM assigned a
+  JOIN centpos cp2 ON cp2.cid = a.cell
+  JOIN codes c ON c.id = a.id
+   AND c.j = CAST(floor((cp2.pos - 1) / {dsub}) AS INT)
+  JOIN cb b ON b.j = c.j AND b.code = c.code
+   AND b.si = CAST((cp2.pos - 1) % {dsub} AS INT)
+), pqn AS (
+  SELECT id, CAST(SUM(CAST(xv * xv AS DECIMAL(30,15))) AS DOUBLE) AS pqnorm
+  FROM reconpos GROUP BY id
+), qcoords AS (
+  SELECT vec_id AS qid, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, {_EMB_DIM} + 1)) AS pos
+  FROM embeddings WHERE vec_id < 10
+), qlut AS (
+  SELECT q.qid, b.j, b.code,
+         SUM(CAST(q.v * b.cv AS DECIMAL(30,15))) AS lut
+  FROM (SELECT qid, v,
+               CAST(floor((pos - 1) / {dsub}) AS INT) AS j,
+               CAST((pos - 1) % {dsub} AS INT) AS si
+        FROM qcoords) q
+  JOIN cb b ON b.j = q.j AND b.si = q.si
+  GROUP BY q.qid, b.j, b.code
+), qnorm AS (
+  SELECT qid, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS qn
+  FROM qcoords GROUP BY qid
+), cprobes AS (
+  SELECT id AS qid, cid AS cell FROM cranked WHERE id < 10 AND rk <= {n_probe}
+), qcdot AS (
+  -- q . centroid, exact decimal, per probed (query, cell)
+  SELECT p.qid, p.cell,
+         SUM(CAST(q.v * cp2.cev AS DECIMAL(30,15))) AS qcd
+  FROM cprobes p
+  JOIN qcoords q ON q.qid = p.qid
+  JOIN centpos cp2 ON cp2.cid = p.cell AND cp2.pos = q.pos
+  GROUP BY p.qid, p.cell
+), cand AS (
+  SELECT p.qid, a.id, p.cell
+  FROM assigned a JOIN cprobes p ON a.cell = p.cell AND a.id != p.qid
+), adc AS (
+  SELECT ca.qid, ca.id,
+         CAST(ANY_VALUE(d.qcd) + SUM(l.lut) AS DOUBLE) AS adc
+  FROM cand ca
+  JOIN qcdot d ON d.qid = ca.qid AND d.cell = ca.cell
+  JOIN codes c ON c.id = ca.id
+  JOIN qlut l ON l.qid = ca.qid AND l.j = c.j AND l.code = c.code
+  GROUP BY ca.qid, ca.id
+), qscored AS (
+  SELECT a.qid, a.id,
+         CASE WHEN p.pqnorm > 0 AND q.qn > 0
+              THEN a.adc / (q.qn * sqrt(p.pqnorm)) ELSE -2.0 END AS qcos
+  FROM adc a JOIN pqn p ON p.id = a.id JOIN qnorm q ON q.qid = a.qid
+), cands AS (
+  SELECT qid, id, qcos,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, id) AS crk
+  FROM qscored
+), sliver AS (
+  SELECT qid, id, qcos FROM cands WHERE crk <= {margin * k}
+), rprod AS (
+  SELECT s.qid, s.id, s.qcos,
+         unnest(eq.embedding)::DOUBLE AS qv2, unnest(ec.embedding)::DOUBLE AS cv2
+  FROM sliver s
+  JOIN embeddings eq ON eq.vec_id = s.qid
+  JOIN embeddings ec ON ec.vec_id = s.id
+), rdots AS (
+  SELECT qid, id, ANY_VALUE(qcos) AS qcos,
+         CAST(SUM(CAST(qv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(qv2 * qv2 AS DECIMAL(30,15))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(cv2 * cv2 AS DECIMAL(30,15))) AS DOUBLE) AS cc
+  FROM rprod GROUP BY qid, id
+), finals AS (
+  SELECT qid, id, qcos, dot / (sqrt(qq) * sqrt(cc)) AS cos,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, id) AS rk
+  FROM rdots
+)
+SELECT qid, id, ROUND(qcos, 6) AS qcos, ROUND(cos, 6) AS cos,
+       CAST(rk AS INT) AS rk
+FROM finals WHERE rk <= {k}
+"""

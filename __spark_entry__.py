@@ -2031,6 +2031,57 @@ def _q_dedup_apply(spark, sf_dir):
     )
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (new r9,
+    operators/assemble.leakage_safe_split): the split decision hashes
+    the document's DEDUP-CLUSTER id, so near-duplicate documents can
+    never straddle the train/test boundary — splitting by row hash
+    would put ~2·f·(1-f) of every duplicate pair on opposite sides,
+    which is exactly the train-on-test contamination an eval must rule
+    out.  Reuses the corpus's dedup pass (dedup_clusters) as the
+    cluster mapping; md5-keyed boundaries make the assignment
+    deterministic across runs, partitionings, and engines, so the
+    oracle selects identical splits.  Cluster-atomicity (every member
+    of a cluster shares its split) is pinned in tests/test_llm_ops.py;
+    this row value-checks the assignment itself."""
+    from python_ctd_spark.operators.assemble import leakage_safe_split
+    from python_ctd_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cl = dedup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_id", "cluster_id")
+    out = leakage_safe_split(docs, cl, _SPLIT_FRACTIONS, seed="r9")
+    return out.select("doc_id", "split")
+
+
+def _leakage_safe_split_sql() -> str:
+    # boundaries cut in SORTED split-name order on the same uniform —
+    # must track leakage_safe_split's chain exactly
+    names = sorted(_SPLIT_FRACTIONS)
+    acc = 0.0
+    branches = []
+    for n in names[:-1]:
+        acc += _SPLIT_FRACTIONS[n]
+        branches.append(f"WHEN u < {acc!r} THEN '{n}'")
+    case = " ".join(branches)
+    return f"""
+WITH clustered AS (
+{_dedup_clusters_sql()}
+), keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('r9|' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM clustered
+)
+SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split
+FROM keyed
+"""
+
+
 def _q_training_dataset(spark, sf_dir):
     """END-TO-END training-dataset build (VERDICT r8 item 1) — the full
     pipeline tail composed in ONE query, so the driver audits the
@@ -2265,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumsum": _q_cumsum,
         "decontaminate": _q_decontaminate,
         "dedup_apply": _q_dedup_apply,
+        "leakage_safe_split": _q_leakage_safe_split,
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
         "domain_mix": _q_domain_mix,
@@ -2322,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _pq_ann_sql(),
         "ivf_pq_probe": _ivf_pq_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),

@@ -257,6 +257,22 @@ class Corpus:
             assemble.shard_documents(self.df, n_shards, self.id_col, seed)
         )
 
+    def split(self, fractions: dict, threshold: float = 0.5,
+              seed: str = "") -> "Corpus":
+        """Leakage-safe train/val/test assignment
+        (:func:`..operators.assemble.leakage_safe_split`): the split
+        decision hashes the document's fuzzy-dedup CLUSTER id, so
+        near-duplicates never straddle the train/test boundary."""
+        clusters = dedup.dedup_clusters(
+            self.df, text_col=self.text_col, id_col=self.id_col,
+            threshold=threshold,
+        ).select(self.id_col, "cluster_id")
+        return self._wrap(
+            assemble.leakage_safe_split(
+                self.df, clusters, fractions, self.id_col, seed
+            )
+        )
+
     def gopher_filter(self, min_words: int = 50,
                       max_words: int = 100_000) -> "Corpus":
         """Chainable form of :meth:`gopher_rules`: keep only documents

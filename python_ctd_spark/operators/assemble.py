@@ -424,3 +424,67 @@ def shard_documents(
         w = Window.partitionBy("shard").orderBy("shard_u", key_col)
         out = out.withColumn("shuffle_rank", F.row_number().over(w))
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: the split decision hashes the document's dedup CLUSTER id,
+    not its own id, so every member of a near-duplicate cluster lands in
+    the same split.  Splitting by row hash — the naive approach — puts
+    ~(1 - Σf²) of every duplicate pair on opposite sides of the
+    train/test boundary, which is exactly the train-on-test
+    contamination an eval is supposed to rule out.
+
+    ``clusters`` is :func:`..dedup.dedup_clusters` output (or any
+    ``(doc_id, cluster_id)`` mapping — e.g. a stored table from the
+    corpus's dedup pass, reused here for free); documents absent from it
+    are their own singleton cluster.  ``fractions`` maps split name ->
+    fraction, must sum to 1 (within 1e-9); split boundaries are cut on
+    the md5 uniform of ``seed|cluster_id`` in SORTED split-name order,
+    so assignment is deterministic across runs, retries, partitionings,
+    and engines (the :func:`~..sampling.hash_uniform` contract).
+
+    Returns ``df`` plus ``split``.  Scale shape: one id-keyed join
+    against the cluster mapping (broadcast if it is the keeper-set
+    sketch, hash join at corpus scale), then a map-side row-local
+    decision — the corpus never shuffles for the decision itself.
+    Fraction accuracy is binomial over CLUSTERS (the independence
+    unit), so at corpus scale splits land within
+    ±3·sqrt(n_clusters·f(1-f)) of the target — exact-count splits are
+    impossible without breaking the cluster atomicity that is the
+    point."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    cl = clusters.select(
+        F.col(id_col).alias("__sid"), F.col("cluster_id").alias("__cl")
+    )
+    u = hash_uniform(
+        F.concat(F.lit(f"{seed}|"),
+                 F.coalesce(F.col("__cl"), F.col(id_col)).cast("string"))
+    )
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return (
+        df.join(cl, df[id_col] == cl["__sid"], "left")
+        .withColumn("split", expr)
+        .drop("__sid", "__cl")
+    )

@@ -1632,3 +1632,52 @@ def test_shard_documents_assignment_is_map_side(spark):
     )
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every member of a near-duplicate cluster must land in the SAME
+    split (the operator's reason to exist), fractions must land within
+    the binomial bound over clusters, unmapped docs behave as singleton
+    clusters, and the assignment must be invariant under
+    repartitioning.  Bad fractions must raise."""
+    from python_ctd_spark.operators.assemble import leakage_safe_split
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    # planted clusters of 4: cluster id = floor(doc_id / 4) * 4, but
+    # only even clusters are IN the mapping — odd ones exercise the
+    # unmapped->singleton path
+    cl = (
+        docs.filter((F.col("doc_id") / 4).cast("int") % 2 == 0)
+        .select(
+            "doc_id",
+            (F.floor(F.col("doc_id") / 4) * 4).alias("cluster_id"),
+        )
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, cl, fr, seed="t")
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"doc_id", "split"}
+    assert len(pdf) == 1000
+    # atomicity over the mapped clusters
+    mapped = pdf[(pdf.doc_id // 4) % 2 == 0].copy()
+    mapped["cl"] = (mapped.doc_id // 4) * 4
+    assert (mapped.groupby("cl")["split"].nunique() == 1).all()
+    # fractions within 4 sigma over the ~625 independence units
+    # (125 mapped clusters + 500 singletons)
+    import math
+
+    n_units = 125 + 500
+    for name, f in fr.items():
+        got = (pdf["split"] == name).mean()
+        bound = 4 * math.sqrt(f * (1 - f) / n_units)
+        assert abs(got - f) <= bound + 4 / n_units, (name, got, f)
+    # repartition invariance
+    pdf2 = (
+        leakage_safe_split(docs.repartition(13), cl.repartition(7), fr, seed="t")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        pdf.sort_values("doc_id").reset_index(drop=True), pdf2
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, cl, {"a": 0.5, "b": 0.6})

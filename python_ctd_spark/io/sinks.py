@@ -58,3 +58,81 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_training_shards(
+    seqs: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "seq_key",
+    seed: str = "",
+    mode: str = "overwrite",
+) -> dict:
+    """Materialize packed training sequences as the sharded dataset a
+    trainer actually reads: deterministic shard assignment
+    (:func:`..operators.assemble.shard_documents` — md5-uniform, skew-
+    impossible), ONE file per shard in shuffle order, a dataloader can
+    open ``shard=i/`` with no index — plus a driver-written MANIFEST
+    (row/token counts and a position-weighted BIGINT checksum per
+    shard) so a consumer can verify integrity without rescanning.
+
+    Layout: ``path/shard=N/part-*.parquet`` (Hive-partitioned by
+    ``shard`` — partition pruning gives a worker its shard as a
+    directory listing) and ``path/_manifest.json``.
+
+    Scale shape: the assignment is row-local; ``repartition(n_shards,
+    shard)`` + ``sortWithinPartitions(shard, shard_u)`` is exactly the
+    one exchange + per-shard sort any sharded writer performs, with
+    partitions balanced by hash uniformity; the manifest aggregate is
+    one map-side-combined pass over the written columns (n_shards
+    result rows).  Exactly-once: parquet writes are atomic per task +
+    driver commit protocol; ``mode="overwrite"`` replaces the whole
+    dataset, never merges.  At 100 TB pick ``n_shards`` so one shard
+    fits the file budget (e.g. 100k shards of ~1 GB).
+
+    Returns the manifest dict (also written to ``_manifest.json``)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.assemble import shard_documents
+
+    sharded = shard_documents(
+        seqs, n_shards, key_col=key_col, seed=seed, rank=False
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_u")
+        .drop("shard_u")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = seqs.sparkSession
+    back = spark.read.parquet(path)
+    checksum = (
+        "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
+        "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x)"
+    )
+    has_tokens = "token_ids" in back.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if has_tokens:
+        aggs += [
+            F.sum(F.size("token_ids")).cast("bigint").alias("n_tokens"),
+            F.sum(F.expr(checksum)).cast("bigint").alias("checksum"),
+        ]
+    per_shard = {
+        int(r["shard"]): {k: int(r[k]) for k in r.asDict() if k != "shard"}
+        for r in back.groupBy("shard").agg(*aggs).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "key_col": key_col,
+        "total_rows": sum(s["n_rows"] for s in per_shard.values()),
+        "shards": {str(k): per_shard[k] for k in sorted(per_shard)},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

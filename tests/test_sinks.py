@@ -396,3 +396,71 @@ def test_ivf_sq_probe_against_stored_artifacts(spark):
     finally:
         for t in ("t_sq_assign", "t_sq_cent", "t_sq_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_training_shards_layout_manifest_and_integrity(spark, tmp_path):
+    """The training-tail SINK: one parquet file per shard directory
+    (dataloaders open shard=i/ with no index), within-shard rows in
+    shuffle (shard_u) order, a manifest whose per-shard counts/tokens/
+    checksums match an independent recompute, read-back == source
+    content, and a shard=N read prunes to that one directory."""
+    import json
+
+    from python_ctd_spark.operators.assemble import pack_sequences
+    from python_ctd_spark.operators.sampling import hash_uniform
+
+    ids = spark.range(300).selectExpr(
+        "concat('s', id % 3) AS source",
+        "id AS doc_id",
+        "transform(sequence(1, 40 + CAST(id % 50 AS INT)),"
+        " i -> CAST((id * 7 + i) % 999 AS INT)) AS token_ids",
+    )
+    seqs = pack_sequences(ids, seq_len=64).withColumn(
+        "seq_key", F.concat_ws("|", "source", "seq_id")
+    )
+    n_src = seqs.count()
+    path = str(tmp_path / "shards")
+    manifest = sinks.write_training_shards(seqs, path, 4, seed="e0")
+
+    # layout: one file per shard dir
+    import glob
+    import os
+
+    for shard_dir in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (shard_dir, files)
+    assert len(glob.glob(os.path.join(path, "shard=*"))) <= 4
+
+    # manifest == file copy == recompute
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == json.loads(json.dumps(manifest))
+    assert manifest["total_rows"] == n_src
+    back = spark.read.parquet(path)
+    assert back.count() == n_src
+    recount = {
+        int(r["shard"]): (int(r["n"]), int(r["t"]))
+        for r in back.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("token_ids")).alias("t"),
+        ).collect()
+    }
+    for s, (n, t) in recount.items():
+        assert manifest["shards"][str(s)]["n_rows"] == n
+        assert manifest["shards"][str(s)]["n_tokens"] == t
+
+    # within-shard file order == shard_u (shuffle) order
+    for shard_dir in glob.glob(os.path.join(path, "shard=*")):
+        pdf = (
+            spark.read.parquet(shard_dir)
+            .withColumn(
+                "u", hash_uniform(F.concat(F.lit("e0|"), F.col("seq_key")))
+            )
+            .toPandas()
+        )
+        assert (pdf["u"].values == sorted(pdf["u"].values)).all()
+
+    # shard=2 read prunes to one directory's file
+    one = back.filter(F.col("shard") == 2).agg(F.count(F.lit(1)))
+    one.collect()
+    (m_one,) = _scan_metrics(one)
+    assert m_one["numPartitions"] == 1 and m_one["numFiles"] == 1, m_one

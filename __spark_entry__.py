@@ -37,6 +37,7 @@ if _REPO_DIR not in _sys.path:
 # re-imported here so queries(), oracle_sql(), and external callers
 # (tests, tools) keep their existing names.
 from tools.oracles.params import (
+    _SPLIT_FRACTIONS,
     _EMB_DIM,
     _IVF_CENTROIDS,
     _IVF_PROBE,
@@ -2031,9 +2032,6 @@ def _q_dedup_apply(spark, sf_dir):
     )
 
 
-_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
-
-
 def _q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split (new r9,
     operators/assemble.leakage_safe_split): the split decision hashes
@@ -2089,17 +2087,19 @@ def _q_training_dataset(spark, sf_dir):
     the packer's stream offsets) and not just each stage in isolation:
 
       documents -> gopher_rules keep (clean) -> dedup_clusters keepers
-      (fuzzy dedup) -> domain_mix (curated mixture) -> bpe_tokenize
-      (real byte-level BPE ids) -> pack_sequences(seq_len=128) (actual
-      fixed-length sequences) -> shard_documents over the sequence key
-      (deterministic shuffle) -> per-shard counts + position-weighted
-      BIGINT checksum.
+      (fuzzy dedup) -> leakage_safe_split TRAIN cut (the SAME cluster
+      table pays for both the keeper set and the split — near-dups
+      never straddle train/eval) -> domain_mix (curated mixture) ->
+      bpe_tokenize (real byte-level BPE ids) ->
+      pack_sequences(seq_len=128) (actual fixed-length sequences) ->
+      shard_documents over the sequence key (deterministic shuffle) ->
+      per-shard counts + position-weighted BIGINT checksum.
 
     Every stage is the exact operator audited standalone (gopher_rules /
-    dedup_apply / domain_mix / bpe_token_count / pack_sequences /
-    shard_documents rows); the oracle below composes those rows' DuckDB
-    CTEs over the kernel-golden id arrays, so a green here pins the
-    composition itself.
+    dedup_apply / leakage_safe_split / domain_mix / bpe_token_count /
+    pack_sequences / shard_documents rows); the oracle below composes
+    those rows' DuckDB CTEs over the kernel-golden id arrays, so a
+    green here pins the composition itself.
 
     Plan audit (the 100 TB shape): gopher verdicts and BPE tokenize are
     map-side (native expressions / broadcast-ranks pandas UDF); dedup
@@ -2115,18 +2115,22 @@ def _q_training_dataset(spark, sf_dir):
     table persists across the packer's two references and is released
     after the report."""
     from python_ctd_spark.operators.assemble import (
-        domain_mix, pack_sequences, shard_documents,
+        domain_mix, leakage_safe_split, pack_sequences, shard_documents,
     )
     from python_ctd_spark.operators.dedup import dedup_clusters
     from python_ctd_spark.operators.text import bpe_tokenize, gopher_rules
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept = docs.join(gopher_rules(docs).filter("keep").select("doc_id"), "doc_id")
+    clusters = dedup_clusters(kept, threshold=0.5)
     keepers = kept.join(
-        dedup_clusters(kept, threshold=0.5).filter("is_keeper").select("doc_id"),
-        "doc_id",
+        clusters.filter("is_keeper").select("doc_id"), "doc_id"
     )
-    mixed = domain_mix(keepers, _TD_TARGETS)
+    train = leakage_safe_split(
+        keepers, clusters.select("doc_id", "cluster_id"),
+        _SPLIT_FRACTIONS, seed=_TD_SEED,
+    ).filter(F.col("split") == "train").drop("split")
+    mixed = domain_mix(train, _TD_TARGETS)
     # materialize the tokenized frame: pack_sequences' two-level prefix
     # sum references its input TWICE (offsets aggregate + the join
     # back), and without a materialization point each reference re-runs

@@ -68,3 +68,5 @@ _TD_SHARDS = 4
 
 _TD_SEED = "r9"
 
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}

@@ -8,6 +8,7 @@ from tools.oracles.params import (
     _MIX_TARGETS,
     _SAMPLE_RATES,
     _SEQ_LEN,
+    _SPLIT_FRACTIONS,
     _TD_SEED,
     _TD_SEQ_LEN,
     _TD_SHARDS,
@@ -198,6 +199,18 @@ def _training_dataset_sql() -> str:
     cases = " ".join(
         f"WHEN source = '{s}' THEN {t!r}" for s, t in sorted(_TD_TARGETS.items())
     )
+    # train band on the sorted-name cumulative boundaries — must track
+    # leakage_safe_split's when-chain exactly
+    names = sorted(_SPLIT_FRACTIONS)
+    acc, lo, hi = 0.0, 0.0, 1.0
+    for n in names[:-1]:
+        nxt = acc + _SPLIT_FRACTIONS[n]
+        if n == "train":
+            lo, hi = acc, nxt
+        acc = nxt
+    if names[-1] == "train":
+        lo, hi = acc, 1.0
+    train_lo, train_hi = lo, hi
     return f"""
 WITH RECURSIVE kept AS (
   SELECT doc_id, source, text FROM (
@@ -232,8 +245,18 @@ WITH RECURSIVE kept AS (
   SELECT k.doc_id, k.source
   FROM kept k LEFT JOIN comp c ON c.doc_id = k.doc_id
   WHERE COALESCE(c.cluster_id, k.doc_id) = k.doc_id
+), train AS (
+  -- leakage-safe split, TRAIN band: the split hashes the cluster id,
+  -- and a keeper IS its cluster's minimum (cluster_id == doc_id), so
+  -- the keeper-set split key reduces to the keeper's own id
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('{_TD_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM keepers
+  ) WHERE u >= {train_lo!r} AND u < {train_hi!r}
 ), counts AS (
-  SELECT source, COUNT(*) AS n FROM keepers GROUP BY source
+  SELECT source, COUNT(*) AS n FROM train GROUP BY source
 ), rated AS (
   SELECT source,
          CASE WHEN (CASE {cases} END) IS NOT NULL
@@ -241,7 +264,7 @@ WITH RECURSIVE kept AS (
   FROM counts
 ), mixed AS (
   SELECT k.doc_id, k.source
-  FROM keepers k JOIN rated r USING (source)
+  FROM train k JOIN rated r USING (source)
   WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
         < r.rate
 ), g AS (

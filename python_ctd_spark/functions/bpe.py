@@ -180,14 +180,28 @@ def train_merges(texts, n_merges: int = 512, min_freq: int = 2) -> list[tuple[st
     training, Sennrich et al. 2016): count pre-token frequencies once,
     then repeatedly merge the most frequent adjacent pair.  Ties break
     on the lexicographically smallest pair, so training is fully
-    deterministic.  Driver-side tooling (fixture generation), not an
-    engine operator."""
+    deterministic.  Driver-side reference; the engine-scale twin is
+    :func:`..operators.text.bpe_train` (Spark counts the corpus, then
+    this same merge loop runs on the collected vocabulary)."""
     from collections import Counter
 
     word_freq: Counter = Counter()
     for t in texts:
         for tok in pretokens(t or ""):
             word_freq[tok] += 1
+    return merge_loop(dict(word_freq), n_merges, min_freq)
+
+
+def merge_loop(
+    word_freq: dict, n_merges: int = 512, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """The BPE merge loop over a (pre-token -> corpus frequency)
+    vocabulary — bounded driver state (unique pre-tokens, not corpus
+    rows), so it is shared verbatim by the serial reference trainer and
+    the distributed :func:`..operators.text.bpe_train`: identical input
+    vocabulary -> byte-identical merge table."""
+    from collections import Counter
+
     words: dict[str, tuple[str, ...]] = {w: tuple(w) for w in word_freq}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

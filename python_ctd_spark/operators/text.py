@@ -39,6 +39,65 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     return F.size(pieces).cast("bigint")
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 512,
+    min_freq: int = 2,
+    min_word_freq: int = 1,
+    max_vocab: int | None = None,
+) -> list[tuple[str, str]]:
+    """Train the byte-level BPE merge table ON THE CORPUS, distributed:
+    the corpus-sized work — pre-tokenizing every document and counting
+    pre-token frequencies — is ONE Spark pass (Arrow-batched
+    pre-tokenizer UDF, explode, hash aggregate with map-side combine);
+    the merge loop then runs on the collected ``(pre-token, freq)``
+    vocabulary, which is BOUNDED driver state (unique pre-tokens, not
+    corpus rows — the same lifecycle as ``train_quantizer``/
+    ``pq_train``: train once, store the merges, tokenize forever).
+
+    Byte-identical to the serial reference trainer
+    (:func:`..functions.bpe.train_merges`) by construction: both run
+    :func:`..functions.bpe.merge_loop` on the same vocabulary, and the
+    Spark count of a multiset equals the serial count (test-pinned).
+
+    At 100 TB the raw pre-token vocabulary can itself be large;
+    ``min_word_freq`` prunes hapax noise IN the aggregate (a word seen
+    < k times cannot influence early merges at any realistic scale) and
+    ``max_vocab`` keeps the top-N by (freq desc, word) — both
+    deterministic, both applied before the collect so driver state
+    stays capped.  Write the result with the GPT-2 merges format next
+    to the corpus and feed ``merges_path=`` of :func:`bpe_tokenize`."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.bpe import merge_loop, pretokens
+
+    def _pre(s):
+        return s.map(lambda t: pretokens(t or ""))
+
+    pre_udf = F.pandas_udf(_pre, ArrayType(StringType()))
+    counts = (
+        df.select(F.explode(pre_udf(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    if min_word_freq > 1:
+        counts = counts.filter(F.col("f") >= min_word_freq)
+    if max_vocab is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("f").desc(), F.col("w"))
+        counts = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_vocab)
+            .drop("__rk")
+        )
+    word_freq = {r["w"]: int(r["f"]) for r in counts.collect()}
+    return merge_loop(word_freq, n_merges, min_freq)
+
+
 def bpe_token_count(
     df: DataFrame,
     text_col: str = "text",

@@ -150,3 +150,33 @@ def test_spark_tokenize_matches_reference(spark):
     cache: dict = {}
     for i, t in enumerate(texts):
         assert got[i] == bpe.encode_ids(t, ranks, vocab, cache), i
+
+
+def test_bpe_train_distributed_equals_serial_reference(spark):
+    """The engine-scale trainer (operators/text.bpe_train: one Spark
+    corpus pass for the pre-token counts, then the shared merge_loop on
+    the collected vocabulary) must produce a merge table BYTE-IDENTICAL
+    to the serial reference trainer on the same corpus — the property
+    that makes the committed fixture reproducible at fleet scale.
+    Pruning knobs must also behave: max_vocab keeps the top-N by
+    (freq desc, word) deterministically."""
+    import pyarrow.parquet as pq
+
+    from python_ctd_spark.functions.bpe import train_merges
+    from python_ctd_spark.operators.text import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    assert bpe_train(docs, n_merges=48) == train_merges(texts, n_merges=48)
+    # repartitioning cannot change a count aggregate -> identical table
+    assert bpe_train(docs.repartition(7), n_merges=48) == bpe_train(
+        docs, n_merges=48
+    )
+    # pruned-vocab training still yields a valid, deterministic table
+    pruned = bpe_train(docs, n_merges=16, min_word_freq=2, max_vocab=500)
+    assert len(pruned) == 16 and pruned == bpe_train(
+        docs, n_merges=16, min_word_freq=2, max_vocab=500
+    )

@@ -2122,7 +2122,12 @@ def _q_training_dataset(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept = docs.join(gopher_rules(docs).filter("keep").select("doc_id"), "doc_id")
-    clusters = dedup_clusters(kept, threshold=0.5)
+    # the cluster table is referenced TWICE (keeper filter + the split
+    # mapping) — checkpoint it so the LSH/CC chain runs once, same
+    # rationale (and same measured persist-vs-checkpoint ordering) as
+    # the token-table checkpoint below; a real pipeline stores this
+    # table anyway (it IS the dedup pass's output artifact)
+    clusters = dedup_clusters(kept, threshold=0.5).localCheckpoint(eager=False)
     keepers = kept.join(
         clusters.filter("is_keeper").select("doc_id"), "doc_id"
     )

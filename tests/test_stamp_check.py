@@ -119,9 +119,17 @@ def test_entry_helper_closure_reaches_shared_helpers(sc):
 
     closure = sc._entry_closure("return _t(spark, sf_dir, 'events')", entry)
     assert "def _t(" in closure
+    # the r9 registry split moved _t to tools/registry/base.py — the
+    # closure must keep following helpers RE-IMPORTED from tools.*
+    # (their source text is what the hash covers), or every moved
+    # helper would silently drop out of every fingerprint
+    import tools.registry.base as _base
+
+    assert entry._t is _base._t and entry._t.__module__ == "tools.registry.base"
     closure = sc._entry_closure("x = _NEARDUP_PLANES", entry)
     assert "_NEARDUP_PLANES=6" in closure
     # transitive: a helper that itself calls another helper pulls both
+    # (both now live in tools.oracles.ann — cross-module transitivity)
     closure = sc._entry_closure("_ann_index_probe_sql()", entry)
     assert "def _lsh_ann_sql(" in closure
 

@@ -151,6 +151,7 @@ from tools.oracles.streaming import (
     _streaming_inc_dedup_sql,
 )
 from tools.oracles.tail import (
+    _tokenizer_stats_sql,
     _DOMAIN_MIX_TEMP_SQL,
     _EXACT_SAMPLE_SQL,
     _PACK_DOCUMENTS_SQL,
@@ -810,6 +811,41 @@ def _q_bpe_token_count(spark, sf_dir):
         "doc_id",
         token_count("text").alias("ws_tokens"),
         "bpe_tokens",
+    )
+
+
+def _q_tokenizer_stats(spark, sf_dir):
+    """Per-domain tokenizer dashboard (new r9) — the table an ML
+    engineer inspects after training/choosing a tokenizer: fertility
+    (BPE tokens per whitespace word; high fertility on a domain means
+    the merge table under-represents it) and compression (chars per
+    BPE token), with decimal-exact sums so the ratios hash-match any
+    engine.  Live tokenizer on the Spark side (bpe_token_count over the
+    committed merges fixture, map-side); kernel-golden counts on the
+    oracle side — the same split as the bpe_token_count row, lifted to
+    the per-domain aggregate a tokenizer decision actually reads."""
+    from python_ctd_spark.operators.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    staged = bpe_token_count(docs).select(
+        "source",
+        token_count("text").alias("ws"),
+        F.length("text").cast("bigint").alias("chars"),
+        "bpe_tokens",
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.sum("chars").cast("bigint").alias("chars"),
+        F.round(
+            F.sum("bpe_tokens").cast("double") / F.sum("ws").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double")
+            / F.sum("bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
     )
 
 
@@ -2326,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_apply": _q_dedup_apply,
         "leakage_safe_split": _q_leakage_safe_split,
+        "tokenizer_stats": _q_tokenizer_stats,
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
         "domain_mix": _q_domain_mix,
@@ -2384,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_probe": _ivf_pq_sql(),
         "ivf_pq_residual": _ivf_pq_residual_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
+        "tokenizer_stats": _tokenizer_stats_sql(),
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),

@@ -28,6 +28,32 @@ FROM documents d
 JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
 """
 
+def _tokenizer_stats_sql() -> str:
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "golden"
+    return rf"""
+WITH j AS (
+  SELECT d.source,
+         len(regexp_split_to_array(trim(d.text), '\s+')) AS ws,
+         length(d.text) AS chars,
+         g.bpe_tokens
+  FROM documents d
+  JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       ROUND(CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+         AS fertility,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe_tokens) AS DOUBLE), 6)
+         AS chars_per_token
+FROM j GROUP BY source
+"""
+
+
 def _pack_sequences_sql() -> str:
     import pathlib
 

@@ -37,6 +37,7 @@ if _REPO_DIR not in _sys.path:
 # re-imported here so queries(), oracle_sql(), and external callers
 # (tests, tools) keep their existing names.
 from tools.oracles.params import (
+    _BPE_TRAIN_MERGES,
     _SPLIT_FRACTIONS,
     _EMB_DIM,
     _IVF_CENTROIDS,
@@ -151,6 +152,7 @@ from tools.oracles.streaming import (
     _streaming_inc_dedup_sql,
 )
 from tools.oracles.tail import (
+    _bpe_train_sql,
     _tokenizer_stats_sql,
     _DOMAIN_MIX_TEMP_SQL,
     _EXACT_SAMPLE_SQL,
@@ -811,6 +813,27 @@ def _q_bpe_token_count(spark, sf_dir):
         "doc_id",
         token_count("text").alias("ws_tokens"),
         "bpe_tokens",
+    )
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE TRAINING as a driver row (VERDICT r9 item 2):
+    operators/text.bpe_train — ONE Spark counting pass (Arrow
+    pre-tokenizer UDF -> explode -> map-side-combined hash aggregate),
+    the r10 capped defaults (min_word_freq=2, distributed
+    TakeOrdered top-500k), then the shared merge loop on the bounded
+    collected vocabulary.  Oracle: the golden merge table trained by
+    the SERIAL pure-Python reference on the same documents
+    (tools/make_golden.py make_bpe_train), so equality audits the
+    distributed counting + top-N pass — the half that can actually
+    break under partial aggregation or partitioning."""
+    from python_ctd_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(docs, n_merges=_BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
     )
 
 
@@ -2262,6 +2285,8 @@ def _window_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _window_order({
+        # -- r10 window: new in r10 ------------------------------------
+        "bpe_train": _q_bpe_train,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
         # -- r7 window: new in r7 --------------------------------------
@@ -2404,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_train": _bpe_train_sql(),
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q8_market_share": _Q8_SQL,

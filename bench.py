@@ -141,17 +141,21 @@ def main() -> None:
         timings[name] = round(best, 2)
 
     total = round(sum(timings.values()), 2)
-    full_line = json.dumps(
-        {
-            "metric": "query_suite_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "passes": passes,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    # a filtered --only run must never masquerade as the real suite:
+    # mark BOTH the persisted record and the stdout line with the
+    # explicit query list so BENCH_r* consumers can tell them apart
+    only_marker = sorted(only) if only is not None else None
+    full_record = {
+        "metric": "query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "sf": sf,
+    }
+    if only_marker is not None:
+        full_record["only"] = only_marker
+    full_line = json.dumps(full_record, separators=(",", ":"))
     # The harness tail-captures ~2000 chars of stdout; the full 99-query
     # map is ~2.3 KB and was clipped mid-JSON three rounds running
     # ("parsed": null in BENCH_r04-r06).  So: persist the FULL record to
@@ -162,19 +166,19 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    compact_line = json.dumps(
-        {
-            "metric": "query_suite_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "n_queries": len(timings),
-            "passes": passes,
-            "full": "BENCH_out.json",
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    compact_record = {
+        "metric": "query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "passes": passes,
+        "full": "BENCH_out.json",
+        "sf": sf,
+    }
+    if only_marker is not None:
+        compact_record["only"] = only_marker
+    compact_line = json.dumps(compact_record, separators=(",", ":"))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
         f.write(full_line + "\n")
     try:

@@ -263,10 +263,14 @@ class Corpus:
         (:func:`..operators.assemble.leakage_safe_split`): the split
         decision hashes the document's fuzzy-dedup CLUSTER id, so
         near-duplicates never straddle the train/test boundary."""
+        from pyspark.sql import functions as F
+
+        # dedup_clusters normalizes its id column to the literal name
+        # "doc_id"; alias it back so any caller-chosen id_col works
         clusters = dedup.dedup_clusters(
             self.df, text_col=self.text_col, id_col=self.id_col,
             threshold=threshold,
-        ).select(self.id_col, "cluster_id")
+        ).select(F.col("doc_id").alias(self.id_col), "cluster_id")
         return self._wrap(
             assemble.leakage_safe_split(
                 self.df, clusters, fractions, self.id_col, seed

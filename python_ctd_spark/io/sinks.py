@@ -111,9 +111,14 @@ def write_training_shards(
     )
     spark = seqs.sparkSession
     back = spark.read.parquet(path)
+    # empty-array guard: sequence(1, 0) is [1, 0] in Spark, so the
+    # zip_with would yield [null, null] and the row checksum NULL —
+    # an all-empty shard would then sum to NULL and int() would crash;
+    # empty rows contribute an explicit 0 instead
     checksum = (
+        "CASE WHEN size(token_ids) = 0 THEN 0L ELSE "
         "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
-        "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x)"
+        "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x) END"
     )
     has_tokens = "token_ids" in back.columns
     aggs = [F.count(F.lit(1)).alias("n_rows")]

@@ -1127,14 +1127,24 @@ def semantic_cell_stats(assignments: DataFrame) -> DataFrame:
     that sum long before it dominates row counts.  One aggregate over
     the (id, cell) table — run it on every stored IVF index refresh."""
     n = F.col("n_rows").cast("bigint")
-    return (
+    per_cell = (
         assignments.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("n_pairs", (n * (n - 1) / 2).cast("bigint"))
+    )
+    # corpus total via 1-row agg + broadcast cross-join, NOT an
+    # empty-partition window (VERDICT r9 item 4): the window form
+    # funnels the per-cell table through one partition and logs
+    # "WindowExec: No Partition Defined" on every run; the broadcast
+    # of the single total row keeps the per-cell side fully parallel
+    total = per_cell.agg(F.sum("n_rows").cast("bigint").alias("__total"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
         .withColumn(
             "occupancy_frac",
-            F.round(n / F.sum(n).over(Window.partitionBy()), 6),
+            F.round(n / F.col("__total"), 6),
         )
+        .drop("__total")
     )
 
 
@@ -1448,12 +1458,13 @@ def ann_recall_report(
             for qid in qids:
                 n_exact = len(exact_by_q.get(qid, ()))
                 n_hits = hit_counts.get((name, qid), 0)
-                recall_v = (
-                    round(n_hits / n_exact, 6) if n_exact > 0 else None
-                )
+                # verdict on the UNROUNDED ratio (same contract as the
+                # sequential path); round only the reported value
+                ratio = n_hits / n_exact if n_exact > 0 else None
                 out_rows.append((
-                    name, qid, n_exact, n_hits, recall_v,
-                    None if recall_v is None else recall_v >= min_recall,
+                    name, qid, n_exact, n_hits,
+                    None if ratio is None else round(ratio, 6),
+                    None if ratio is None else ratio >= min_recall,
                 ))
         qid_t = dict(queries.dtypes)[id_col]
         return spark.createDataFrame(
@@ -1470,7 +1481,13 @@ def ann_recall_report(
     for t in tagged[1:]:
         approxes = approxes.unionByName(t)
 
-    exact_ids = spark.createDataFrame(exact_rows)
+    # explicit schema so an EMPTY ground truth (every query degenerate
+    # or filtered) still builds — n_exact=0 rows, not an infer error
+    qid_t = dict(queries.dtypes)[id_col]
+    cid_t = dict(corpus.dtypes)[id_col]
+    exact_ids = spark.createDataFrame(
+        exact_rows, f"qid {qid_t}, id {cid_t}"
+    )
     hits = (
         approxes.join(F.broadcast(exact_ids), ["qid", "id"], "left_semi")
         .groupBy("method", "qid")

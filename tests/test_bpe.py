@@ -170,13 +170,51 @@ def test_bpe_train_distributed_equals_serial_reference(spark):
     texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
         "text"
     ].to_pylist()
-    assert bpe_train(docs, n_merges=48) == train_merges(texts, n_merges=48)
+    # uncapped form (explicit opt-in since r10: the DEFAULTS cap driver
+    # state) is byte-identical to the serial reference
+    uncapped = dict(min_word_freq=1, max_vocab=None)
+    assert bpe_train(docs, n_merges=48, **uncapped) == train_merges(
+        texts, n_merges=48
+    )
     # repartitioning cannot change a count aggregate -> identical table
-    assert bpe_train(docs.repartition(7), n_merges=48) == bpe_train(
-        docs, n_merges=48
+    assert bpe_train(docs.repartition(7), n_merges=48, **uncapped) == bpe_train(
+        docs, n_merges=48, **uncapped
     )
     # pruned-vocab training still yields a valid, deterministic table
     pruned = bpe_train(docs, n_merges=16, min_word_freq=2, max_vocab=500)
     assert len(pruned) == 16 and pruned == bpe_train(
         docs, n_merges=16, min_word_freq=2, max_vocab=500
     )
+    # the capped DEFAULTS equal a serially-pruned reference: count in
+    # Python, apply the same (freq desc, word) top-N, share merge_loop
+    from collections import Counter
+
+    from python_ctd_spark.functions.bpe import merge_loop, pretokens
+
+    wf = Counter(tok for t in texts for tok in pretokens(t or ""))
+    wf = {w: f for w, f in wf.items() if f >= 2}
+    top = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:500_000])
+    assert bpe_train(docs, n_merges=48) == merge_loop(top, 48, 2)
+
+
+def test_bpe_train_topn_plan_is_distributed(spark):
+    """VERDICT r9 item 1 plan pin: the max_vocab top-N must compile to
+    TakeOrderedAndProject (per-task local top-N + bounded merge), and
+    NO single-partition window/global sort may survive anywhere in the
+    count plan — the shape that collapses a 10^9-word count table into
+    one task at fleet scale."""
+    from python_ctd_spark.operators.text import bpe_pretoken_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = bpe_pretoken_counts(docs, max_vocab=1000)
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # top-1000 of the real corpus counts matches a driver-side sort of
+    # the unlimited counts (two-stage == global, value-checked)
+    full = bpe_pretoken_counts(docs, max_vocab=None).collect()
+    expect = sorted(
+        ((r["w"], r["f"]) for r in full), key=lambda wf: (-wf[1], wf[0])
+    )[:1000]
+    got = [(r["w"], r["f"]) for r in counts.collect()]
+    assert got == expect

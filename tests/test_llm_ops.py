@@ -1681,3 +1681,53 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     )
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, cl, {"a": 0.5, "b": 0.6})
+
+
+def test_ann_recall_report_all_queries_empty_exact(spark):
+    """ADVICE r9: a fully EMPTY ground truth (every query degenerate or
+    filtered — exact_rows == []) must still build the report with
+    n_exact = 0 rows in BOTH execution modes; the sequential path's
+    createDataFrame needs the explicit schema for that (an empty list
+    cannot be schema-inferred)."""
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(8, [0.9, 0.1]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(
+        k=2, methods=("ivf",),
+        ivf_kwargs={"n_centroids": 1, "n_probe": 1, "kmeans_iters": 1},
+    )
+    for parallel in (False, True):
+        rep = (
+            similarity.ann_recall_report(
+                corpus, queries, exact_rows=[], parallel=parallel, **kw
+            )
+            .toPandas().set_index("qid")
+        )
+        assert set(rep.index) == {8, 9}, parallel
+        assert (rep["n_exact"] == 0).all(), parallel
+        assert rep["recall"].isna().all(), parallel
+
+
+def test_corpus_split_non_default_id_col(spark):
+    """ADVICE r9: Corpus.split must work for any id_col — the internal
+    dedup_clusters frame normalizes its id column to the literal name
+    'doc_id', which used to break the join back onto the corpus when
+    id_col != 'doc_id'.  The split must also stay cluster-atomic under
+    the renamed key."""
+    from python_ctd_spark.corpus import Corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+        .withColumnRenamed("doc_id", "item_id")
+    )
+    c = Corpus(docs, id_col="item_id")
+    out = c.split({"train": 0.8, "val": 0.1, "test": 0.1}).df
+    pdf = out.toPandas()
+    assert len(pdf) == 60
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    assert "item_id" in pdf.columns

@@ -464,3 +464,26 @@ def test_write_training_shards_layout_manifest_and_integrity(spark, tmp_path):
     one.collect()
     (m_one,) = _scan_metrics(one)
     assert m_one["numPartitions"] == 1 and m_one["numFiles"] == 1, m_one
+
+
+def test_write_training_shards_all_empty_token_arrays(spark, tmp_path):
+    """ADVICE r9: sequence(1, 0) is [1, 0] in Spark, so an unguarded
+    zip_with checksum over an EMPTY token_ids array is NULL — a shard
+    whose every row is empty then sums to NULL and the manifest
+    aggregation crashes on int(None).  Empty rows must contribute an
+    explicit checksum of 0 and still be counted."""
+    import json
+    import os
+
+    seqs = spark.range(8).selectExpr(
+        "CAST(id AS STRING) AS seq_key",
+        "CAST(array() AS ARRAY<INT>) AS token_ids",
+    )
+    path = str(tmp_path / "empty_shards")
+    manifest = sinks.write_training_shards(seqs, path, 2, seed="e1")
+    assert manifest["total_rows"] == 8
+    for s in manifest["shards"].values():
+        assert s["n_tokens"] == 0
+        assert s["checksum"] == 0
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == json.loads(json.dumps(manifest))

@@ -155,6 +155,38 @@ def make_bpe_ids(sf_dir: str, tag: str) -> None:
     print(f"wrote {path} ({len(out)} rows)")
 
 
+def make_bpe_train(sf_dir: str, tag: str) -> None:
+    """Golden for the ``bpe_train`` driver row (VERDICT r9 item 2): the
+    SERIAL reference trainer — a pure-Python Counter over the documents
+    table, the same capped defaults (min_word_freq=2, top-500k by
+    (freq desc, word)), then the shared merge loop — written as the
+    merge table ``(rank, lhs, rhs)``.  Equality with the distributed
+    trainer audits the Spark counting + TakeOrdered top-N pass, the
+    genuinely distributed (and genuinely breakable) half."""
+    from collections import Counter
+
+    from python_ctd_spark.functions.bpe import merge_loop, pretokens
+    from tools.oracles.params import _BPE_TRAIN_MERGES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf: Counter = Counter(
+        tok for t in tbl["text"].to_pylist() for tok in pretokens(t or "")
+    )
+    pruned = {w: f for w, f in wf.items() if f >= 2}
+    top = dict(
+        sorted(pruned.items(), key=lambda kv: (-kv[1], kv[0]))[:500_000]
+    )
+    merges = merge_loop(top, _BPE_TRAIN_MERGES, 2)
+    out = pd.DataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        columns=["rank", "lhs", "rhs"],
+    )
+    out["rank"] = out["rank"].astype("int32")
+    path = GOLDEN_DIR / f"bpe_train_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -167,6 +199,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     make_multimodal_real(sf_dir, tag)
     make_bpe(sf_dir, tag)
     make_bpe_ids(sf_dir, tag)
+    make_bpe_train(sf_dir, tag)
 
 
 if __name__ == "__main__":

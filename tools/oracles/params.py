@@ -70,3 +70,9 @@ _TD_SEED = "r9"
 
 
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+#: bpe_train driver row: merge-table length — bounded so the shared
+#: merge loop (O(n_merges x vocab) driver arithmetic, identical on both
+#: sides) stays a small constant next to the distributed counting pass
+#: the row actually audits.
+_BPE_TRAIN_MERGES = 160

@@ -28,6 +28,22 @@ FROM documents d
 JOIN read_parquet('{p}/bpe_token_count_sf0.01.parquet') g USING (doc_id)
 """
 
+def _bpe_train_sql() -> str:
+    """Oracle for the ``bpe_train`` driver row (VERDICT r9 item 2): the
+    golden merge table written by tools/make_golden.py make_bpe_train —
+    the SERIAL reference trainer (pure-Python Counter counting pass +
+    the same capped (freq desc, word) top-N + the shared merge loop)
+    over the same sf0.01 documents.  Equality value-checks the
+    distributed counting + TakeOrdered top-N pass end to end."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "golden"
+    return f"""
+SELECT rank, lhs, rhs
+FROM read_parquet('{p}/bpe_train_sf0.01.parquet')
+"""
+
+
 def _tokenizer_stats_sql() -> str:
     import pathlib
 

@@ -800,7 +800,7 @@ def _q_bpe_token_count(spark, sf_dir):
     """REAL byte-level BPE token counts (VERDICT r7 item 5): the
     merge-table tokenizer (operators/text.bpe_token_count — broadcast
     ranks, Arrow-batched pandas UDF, per-batch word cache) over the
-    committed merges fixture (tests/data/bpe/merges.txt, trained by
+    committed merges fixture (python_ctd_spark/data/bpe_merges.txt, trained by
     tools/make_bpe_fixture.py), beside the whitespace count.  The
     bpe_tokens oracle is a kernel-golden parquet precomputed by the
     pure-Python reference encoder (tools/make_golden.py make_bpe; the

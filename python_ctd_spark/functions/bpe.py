@@ -28,9 +28,12 @@ from __future__ import annotations
 import pathlib
 import re
 
+# shipped as package data (pyproject [tool.setuptools.package-data]) so
+# an installed wheel resolves the default merge table the same way the
+# repo checkout does
 DEFAULT_MERGES = (
-    pathlib.Path(__file__).resolve().parents[2]
-    / "tests" / "data" / "bpe" / "merges.txt"
+    pathlib.Path(__file__).resolve().parents[1]
+    / "data" / "bpe_merges.txt"
 )
 
 # GPT-2's pattern with re-compatible classes: \p{L} -> [^\W\d_],

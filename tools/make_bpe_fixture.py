@@ -2,7 +2,8 @@
 
 Trains a byte-level BPE merge table (python_ctd_spark.functions.bpe,
 the public GPT-2 scheme) on the sf0.001 documents corpus and writes it
-in the public GPT-2 merges format to tests/data/bpe/merges.txt.
+in the public GPT-2 merges format to python_ctd_spark/data/bpe_merges.txt
+(shipped as package data).
 Training is fully deterministic (frequency then lexicographic
 tie-break), so re-running this script on the same corpus reproduces
 the committed fixture byte-for-byte.
@@ -21,7 +22,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from python_ctd_spark.functions.bpe import train_merges  # noqa: E402
 
-OUT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "data" / "bpe"
+OUT = pathlib.Path(__file__).resolve().parent.parent / "python_ctd_spark" / "data"
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", n_merges: int = 512) -> None:
@@ -30,7 +31,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", n_merges: int = 512) -> None:
     )["text"].to_pylist()
     merges = train_merges(texts, n_merges=n_merges)
     OUT.mkdir(parents=True, exist_ok=True)
-    path = OUT / "merges.txt"
+    path = OUT / "bpe_merges.txt"
     with open(path, "w", encoding="utf-8") as f:
         f.write(f"# byte-level BPE merges, trained on {sf_dir}/documents"
                 f" ({len(merges)} merges)\n")

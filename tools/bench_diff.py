@@ -9,6 +9,15 @@ pairs survived the clipping).
 Usage:
     python tools/bench_diff.py BENCH_r06.json [--min-ratio 1.3]
     python tools/bench_diff.py path/to/old_BENCH_out.json
+    python tools/bench_diff.py BENCH_r09.json --fail-above 1.2
+
+``--fail-above R`` (VERDICT r9 item 7) turns the diff into a REGRESSION
+ALARM: exit nonzero naming every query that got >= R-times slower AND
+slowed by at least ``--min-abs`` seconds (the absolute floor keeps
+sub-second host jitter — measured at +/-5-20% on this machine — from
+tripping the alarm; a 0.10s -> 0.13s wobble is noise, a 8s -> 10s drift
+is not).  This replaces prose adjudication of host variance vs real
+regressions in the round notes.
 """
 
 from __future__ import annotations
@@ -24,6 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load_queries(path: str) -> dict[str, float]:
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
+    if d.get("only"):
+        print(f"warning: {os.path.basename(path)} is a FILTERED --only "
+              f"run ({len(d['only'])} queries), not a full suite")
     if isinstance(d.get("queries"), dict):
         return {k: float(v) for k, v in d["queries"].items()}
     parsed = d.get("parsed")
@@ -43,6 +55,12 @@ def main() -> None:
     ap.add_argument("--new", default=os.path.join(REPO, "BENCH_out.json"))
     ap.add_argument("--min-ratio", type=float, default=1.3,
                     help="report queries with new/old outside [1/r, r]")
+    ap.add_argument("--fail-above", type=float, default=None,
+                    help="exit nonzero if any query regressed by this "
+                    "ratio or more (e.g. 1.2 = +20%%)")
+    ap.add_argument("--min-abs", type=float, default=0.5,
+                    help="absolute slowdown floor (sec) for --fail-above; "
+                    "ratio blips below it are host jitter, not regressions")
     args = ap.parse_args()
     old = load_queries(args.old if os.path.exists(args.old)
                        else os.path.join(REPO, args.old))
@@ -63,6 +81,23 @@ def main() -> None:
         print(f"{n:30s} old={ov:6.2f} new={nv:6.2f} ratio={r:.2f}")
     if not moved:
         print(f"no query moved beyond {args.min_ratio}x")
+    if args.fail_above is not None:
+        regressed = sorted(
+            (n for n in common
+             if ratio[n] >= args.fail_above
+             and (new[n] - old[n]) >= args.min_abs),
+            key=lambda n: -(new[n] - old[n]),
+        )
+        if regressed:
+            names = ", ".join(
+                f"{n} ({old[n]:.2f}s -> {new[n]:.2f}s, {ratio[n]:.2f}x)"
+                for n in regressed
+            )
+            print(f"REGRESSION ALARM (>= {args.fail_above}x and >= "
+                  f"{args.min_abs}s slower): {names}")
+            raise SystemExit(2)
+        print(f"regression alarm clean (threshold {args.fail_above}x, "
+              f"floor {args.min_abs}s)")
 
 
 if __name__ == "__main__":

@@ -869,6 +869,67 @@ def measure_tail(mult: int, seq_len: int = 512, n_shards: int = 64) -> dict:
         spark.stop()
 
 
+def measure_training_dataset(mult: int) -> dict:
+    """VERDICT r9 item 6: scale-run the COMPOSED training_dataset row
+    (clean -> dedup keepers -> leakage-safe TRAIN cut -> mixture -> BPE
+    ids -> packed sequences -> shard report) at mult-x documents — the
+    stages are individually scale-measured; this measures their
+    composition.  Asserted invariants:
+
+    - the driver sees only the <= n_shards-row report (the query's own
+      contract — the collect is the report build);
+    - shuffle bytes scale ~linearly with documents (each stage boundary
+      is one hash shuffle on corpus-sized keys; nothing quadratic
+      hides in the composition) — asserted by the CALLER across mults
+      via the shuffle_write_mb column;
+    - checkpoint sizes stay bounded by corpus size: the two
+      localCheckpoints (cluster table, tokenized frame) are O(docs)
+      rows; reported as rdd storage bytes for the PLANS table."""
+    import urllib.request
+
+    from python_ctd_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name=f"bench_td_x{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_td_")
+    try:
+        staged = stage_docs(mult, tmp)
+        os.rename(staged, os.path.join(tmp, "documents.parquet"))
+        t0 = time.perf_counter()
+        rep = entrymod.queries()["training_dataset"](spark, tmp)
+        rows = rep.collect()
+        wall = time.perf_counter() - t0
+        assert len(rows) <= 8, "report must stay <= n_shards rows"
+        # checkpointed block sizes (cluster table + tokenized frame)
+        try:
+            base = "http://localhost:4040/api/v1"
+            apps = json.load(urllib.request.urlopen(f"{base}/applications"))
+            rdds = json.load(urllib.request.urlopen(
+                f"{base}/applications/{apps[0]['id']}/storage/rdd"
+            ))
+            ckpt_mb = round(sum(r.get("memoryUsed", 0) +
+                                r.get("diskUsed", 0) for r in rdds) / 1e6, 1)
+        except Exception:
+            ckpt_mb = None
+        rec = {
+            "mult": mult,
+            "wall_s": round(wall, 2),
+            "n_report_rows": len(rows),
+            "sum_tokens": sum(int(r["sum_tokens"]) for r in rows),
+            "sum_docs": sum(int(r["sum_docs"]) for r in rows),
+            "checkpoint_mb": ckpt_mb,
+        }
+        rec.update(_shuffle_bytes())
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -907,4 +968,17 @@ if __name__ == "__main__":
     if what == "tail":
         for m in (1, 10, 100):
             results[f"tail_x{m}"] = measure_tail(m)
+    if what == "training-dataset":
+        for m in (1, 10):
+            results[f"training_dataset_x{m}"] = measure_training_dataset(m)
+        w1 = results["training_dataset_x1"]
+        w10 = results["training_dataset_x10"]
+        # ~linear wall and shuffle: 10x docs must cost < ~20x wall and
+        # < ~15x shuffle bytes (headroom for fixed per-stage overhead
+        # amortizing the other way); anything quadratic blows through
+        for key, bound in (("wall_s", 20.0), ("shuffle_write_mb", 15.0)):
+            if w1.get(key) and w10.get(key):
+                r = w10[key] / max(w1[key], 1e-9)
+                assert r < bound, f"{key} scaled {r:.1f}x at 10x docs"
+                results[f"{key}_ratio_10x"] = round(r, 2)
     print(json.dumps(results, indent=1))

@@ -230,6 +230,35 @@ class Corpus:
             )
         )
 
+    def train_tokenizer(
+        self,
+        save_path: str | None = None,
+        n_merges: int = 512,
+        min_word_freq: int = 2,
+        max_vocab: int | None = 500_000,
+    ) -> list[tuple[str, str]]:
+        """Train a byte-level BPE merge table ON this corpus
+        (:func:`..operators.text.bpe_train`: one distributed counting
+        pass with driver-state caps on by default, then the shared
+        merge loop) and optionally persist it in the GPT-2 merges
+        format (:func:`..functions.bpe.save_merges`) so later sessions
+        :meth:`tokenize` with ``merges_path=save_path`` — the complete
+        train-once/store/tokenize-forever lifecycle as one fluent
+        surface."""
+        from .functions.bpe import save_merges
+        from .operators.text import bpe_train
+
+        merges = bpe_train(
+            self.df, self.text_col, n_merges=n_merges,
+            min_word_freq=min_word_freq, max_vocab=max_vocab,
+        )
+        if save_path is not None:
+            save_merges(
+                merges, save_path,
+                header=f"byte-level BPE merges ({len(merges)} merges)",
+            )
+        return merges
+
     def tokenize(self, merges_path: str | None = None,
                  out_col: str = "token_ids") -> "Corpus":
         """Real byte-level BPE token IDS

@@ -163,6 +163,26 @@ def encode_ids(
     return out
 
 
+def save_merges(
+    merges: list[tuple[str, str]],
+    path: str | pathlib.Path,
+    header: str | None = None,
+) -> pathlib.Path:
+    """Write a merge table in the GPT-2 merges format (the inverse of
+    :func:`load_ranks`: one ``left right`` pair per line, rank = line
+    order, optional ``#`` header) — the store step of the
+    train-once/tokenize-forever lifecycle: ``bpe_train`` -> this ->
+    ``bpe_tokenize(merges_path=...)`` on any later session/cluster."""
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "w", encoding="utf-8") as f:
+        if header:
+            f.write(f"# {header}\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return p
+
+
 def load_ranks(path: str | pathlib.Path | None = None) -> dict[tuple[str, str], int]:
     """Read a GPT-2-format merges file (one ``left right`` pair per
     line, rank = line order; ``#``-prefixed lines are comments)."""

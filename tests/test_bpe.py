@@ -218,3 +218,36 @@ def test_bpe_train_topn_plan_is_distributed(spark):
     )[:1000]
     got = [(r["w"], r["f"]) for r in counts.collect()]
     assert got == expect
+
+
+def test_tokenizer_lifecycle_train_save_tokenize(spark, tmp_path):
+    """The full train-once lifecycle through the fluent surface:
+    Corpus.train_tokenizer trains distributed, save_merges round-trips
+    through the GPT-2 format (load_ranks(save(m)) == ranks(m)), and
+    tokenize(merges_path=...) on a FRESH Corpus consumes the stored
+    table — token ids must match encoding with the in-memory merges."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.functions.bpe import (
+        encode_ids, load_ranks, save_merges, vocab_from_ranks,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    path = str(tmp_path / "merges" / "trained.txt")
+    merges = Corpus(docs).train_tokenizer(save_path=path, n_merges=32)
+    assert 1 <= len(merges) <= 32
+    ranks = load_ranks(path)
+    assert ranks == {m: i for i, m in enumerate(merges)}
+    # round-trip determinism: saving what load_ranks read changes nothing
+    path2 = str(tmp_path / "again.txt")
+    save_merges(list(ranks), path2)
+    assert load_ranks(path2) == ranks
+
+    out = Corpus(docs).tokenize(merges_path=path).df.orderBy("doc_id")
+    vocab = vocab_from_ranks(ranks)
+    cache: dict = {}
+    for r in out.select("doc_id", "text", "token_ids").collect()[:10]:
+        assert list(r["token_ids"]) == encode_ids(
+            r["text"] or "", ranks, vocab, cache
+        ), r["doc_id"]

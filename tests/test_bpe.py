@@ -251,3 +251,32 @@ def test_tokenizer_lifecycle_train_save_tokenize(spark, tmp_path):
         assert list(r["token_ids"]) == encode_ids(
             r["text"] or "", ranks, vocab, cache
         ), r["doc_id"]
+
+
+def test_incremental_merge_loop_equals_naive_property():
+    """The r10 incremental merge loop (inverted pair->words index,
+    per-affected-word recount) must be byte-identical to the textbook
+    full-rescan loop on arbitrary vocabularies — including overlapping
+    self-pairs ('aaaa'), multi-occurrence pairs, and min_freq
+    early-stop."""
+    from hypothesis import given, settings, strategies as st
+
+    from python_ctd_spark.functions.bpe import merge_loop, merge_loop_naive
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=20),
+        st.integers(0, 30),
+        st.integers(1, 3),
+    )
+    def check(wf, n_merges, min_freq):
+        assert merge_loop(dict(wf), n_merges, min_freq) == merge_loop_naive(
+            dict(wf), n_merges, min_freq
+        )
+
+    check()
+    # the documented walkthrough corpus too
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+    assert merge_loop(dict(wf), 20, 2) == merge_loop_naive(dict(wf), 20, 2)

@@ -168,6 +168,7 @@ from tools.oracles.tail import (
 )
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
+    _STRIP_BOILERPLATE_SQL,
     _DOMAIN_STATS_SQL,
     _FINGERPRINT_SQL,
     _GOPHER_SQL,
@@ -834,6 +835,24 @@ def _q_bpe_train(spark, sf_dir):
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, lhs string, rhs string",
+    )
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate removal (new r10;
+    operators/text.strip_boilerplate — C4/RefinedWeb's template-line
+    rule): a token sequence appearing in >= 390 distinct documents is
+    chrome and is stripped everywhere.  The synthetic corpus has no
+    newlines, so the row runs the operator at sep=" " — "lines" are
+    words, which exercises the identical plan (posexplode -> two-level
+    distinct doc-frequency aggregate -> broadcast boilerplate join ->
+    order-preserving rebuild) with a 12/12 split of the eligible
+    vocabulary above/below the threshold at sf0.01."""
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_boilerplate(docs, min_docs=390, sep=" ").select(
+        "doc_id", "n_lines", "n_boiler", "text_clean"
     )
 
 
@@ -2287,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _window_order({
         # -- r10 window: new in r10 ------------------------------------
         "bpe_train": _q_bpe_train,
+        "strip_boilerplate": _q_strip_boilerplate,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
         # -- r7 window: new in r7 --------------------------------------
@@ -2430,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_train": _bpe_train_sql(),
+        "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q8_market_share": _Q8_SQL,

@@ -77,6 +77,19 @@ class Corpus:
         ).drop(self.text_col).withColumnRenamed("__norm", self.text_col)
         return self._wrap(out)
 
+    def strip_boilerplate(self, min_docs: int = 5,
+                          min_line_chars: int = 4) -> "Corpus":
+        """Remove lines appearing in >= min_docs DISTINCT documents
+        (:func:`..operators.text.strip_boilerplate` — the C4/RefinedWeb
+        template-chrome rule), REPLACING the text column; the
+        n_lines/n_boiler audit columns ride along."""
+        out = text.strip_boilerplate(
+            self.df, self.text_col, id_col=self.id_col,
+            min_docs=min_docs, min_line_chars=min_line_chars,
+            out_col="__clean",
+        ).drop(self.text_col).withColumnRenamed("__clean", self.text_col)
+        return self._wrap(out)
+
     def dedup_lines(self) -> "Corpus":
         """Collapse repeated lines inside each document (first occurrence
         kept, order preserved), REPLACING the text column; the

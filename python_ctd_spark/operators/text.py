@@ -600,6 +600,86 @@ def dedup_lines(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    min_line_chars: int = 4,
+    out_col: str = "text_clean",
+    sep: str = "\n",
+) -> DataFrame:
+    """CROSS-document boilerplate line removal (the C4/RefinedWeb
+    cleaning rule :func:`dedup_lines` cannot express): a line that
+    appears in >= ``min_docs`` DISTINCT documents is template chrome —
+    navigation, cookie banners, footers — and is stripped from every
+    document; lines shorter than ``min_line_chars`` (after trim) are
+    exempt (blank separators and "1." style fragments would otherwise
+    mass-trigger).  Emits ``out_col`` plus audit columns ``n_lines``
+    and ``n_boiler`` (lines removed per document).
+
+    Plan shape (the 100 TB shape): posexplode lines -> one hash
+    aggregate on the trimmed line keyed by md5 (``count(distinct doc)``
+    via a two-level (line, doc) pre-distinct, never a giant set) ->
+    broadcast-or-shuffle join of the BOILERPLATE set back onto the
+    exploded lines (the boilerplate set is tiny — lines crossing the
+    doc threshold — so AQE broadcasts it) -> re-assemble per document
+    with an order-preserving ``array_agg sort_array`` on the kept
+    (pos, line) pairs.  Three narrow-keyed shuffles, all on uniform
+    md5-ish keys; no driver materialization.
+
+    No reference counterpart (LLM-pipeline extension surface; the rule
+    is Raffel et al. 2020 §2.2's "citation/boilerplate" filter family
+    re-expressed relationally)."""
+    lines = F.split(F.col(text_col), re.escape(sep))
+    exploded = (
+        df.select(F.col(id_col).alias("__doc"), F.posexplode(lines))
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__line")
+        .withColumn("__key", F.md5(F.trim(F.col("__line"))))
+        .withColumn("__eligible", F.length(F.trim("__line")) >= min_line_chars)
+    )
+    boiler = (
+        exploded.filter("__eligible")
+        .select("__key", "__doc")
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__key", F.lit(True).alias("__boiler"))
+    )
+    kept = (
+        exploded.join(boiler, "__key", "left")
+        .withColumn(
+            "__drop", F.col("__eligible") & F.coalesce("__boiler", F.lit(False))
+        )
+    )
+    rebuilt = kept.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("__drop").cast("bigint")).alias("n_boiler"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct("__pos", F.col("__line").alias("l")),
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+        ).alias(out_col),
+    )
+    return df.join(
+        rebuilt.select(
+            F.col("__doc").alias(id_col), out_col, "n_lines", "n_boiler"
+        ),
+        id_col,
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -1731,3 +1731,47 @@ def test_corpus_split_non_default_id_col(spark):
     assert len(pdf) == 60
     assert set(pdf["split"]) <= {"train", "val", "test"}
     assert "item_id" in pdf.columns
+
+
+def test_strip_boilerplate_cross_doc_rule(spark):
+    """New r10: a line in >= min_docs DISTINCT documents is stripped
+    from every document; short lines are exempt; per-doc repeats count
+    once toward doc frequency; untouched docs come back verbatim; order
+    is preserved; and the Corpus method replaces text in place."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    chrome = "Cookie notice: accept all cookies"
+    rows = [
+        # doc 0 repeats the chrome line twice -> still ONE doc toward df
+        (0, f"{chrome}\nbody zero\n{chrome}\ntail zero"),
+        (1, f"{chrome}\nbody one"),
+        (2, f"body two\n{chrome}"),
+        (3, f"{chrome}\nbody three\nok"),   # 'ok' is short -> exempt
+        (4, "totally unique\nnothing shared"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        strip_boilerplate(df, min_docs=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text_clean"] == "body zero\ntail zero"
+    assert out.loc[0, "n_boiler"] == 2         # both copies stripped
+    assert out.loc[1, "text_clean"] == "body one"
+    assert out.loc[2, "text_clean"] == "body two"
+    assert out.loc[3, "text_clean"] == "body three\nok"
+    assert out.loc[4, "text_clean"] == "totally unique\nnothing shared"
+    assert out.loc[4, "n_boiler"] == 0
+    # below threshold: nothing stripped anywhere
+    none = strip_boilerplate(df, min_docs=5).toPandas()
+    assert (none["n_boiler"] == 0).all()
+    # repartition invariance (doc frequency is a count aggregate)
+    rep = (
+        strip_boilerplate(df.repartition(7), min_docs=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (rep["text_clean"] == out["text_clean"]).all()
+    # fluent form replaces the text column, audit columns ride along
+    c = Corpus(df).strip_boilerplate(min_docs=4).df.toPandas().set_index("doc_id")
+    assert c.loc[0, "text"] == "body zero\ntail zero"
+    assert {"n_lines", "n_boiler"} <= set(c.columns)

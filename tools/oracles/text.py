@@ -214,3 +214,29 @@ SELECT doc_id, n_tokens,
 FROM scored
 """
 
+
+
+_STRIP_BOILERPLATE_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, ' ')) AS line,
+         unnest(range(1, len(regexp_split_to_array(text, ' ')) + 1)) AS pos
+  FROM documents
+), e AS (
+  SELECT doc_id, pos, line, length(trim(line)) >= 4 AS elig FROM l
+), b AS (
+  SELECT trim(line) AS k FROM e WHERE elig
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 390
+), kept AS (
+  SELECT e.doc_id, e.pos, e.line,
+         (e.elig AND b.k IS NOT NULL) AS dropped
+  FROM e LEFT JOIN b ON trim(e.line) = b.k
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, ' ' ORDER BY pos), '')
+         AS text_clean
+FROM kept
+GROUP BY doc_id
+"""

@@ -168,6 +168,7 @@ from tools.oracles.tail import (
 )
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
+    _HEAVY_HITTERS_SQL,
     _STRIP_BOILERPLATE_SQL,
     _DOMAIN_STATS_SQL,
     _FINGERPRINT_SQL,
@@ -836,6 +837,25 @@ def _q_bpe_train(spark, sf_dir):
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, lhs string, rhs string",
     )
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters with a bounded-shuffle plan (new r10;
+    operators/sketches.heavy_hitters): tokens at >= 1% corpus
+    frequency.  The candidate pass is a per-partition Misra-Gries
+    summary (mapInPandas, O(capacity) state, NO shuffle) whose union
+    is a guaranteed superset of the true answer; the exact pass counts
+    only candidates (broadcast semi join), so the full token
+    vocabulary never shuffles — at 100 TB that is the difference
+    between shuffling billions of distinct keys and shuffling the
+    handful above threshold.  Output is exact, so the DuckDB oracle is
+    a plain GROUP BY ... HAVING."""
+    from python_ctd_spark.operators.sketches import heavy_hitters
+    from python_ctd_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", threshold_frac=0.01)
 
 
 def _q_strip_boilerplate(spark, sf_dir):
@@ -2307,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 window: new in r10 ------------------------------------
         "bpe_train": _q_bpe_train,
         "strip_boilerplate": _q_strip_boilerplate,
+        "heavy_hitters": _q_heavy_hitters,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
         # -- r7 window: new in r7 --------------------------------------
@@ -2451,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_train": _bpe_train_sql(),
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q8_market_share": _Q8_SQL,

@@ -101,3 +101,91 @@ def sketch_accuracy_report(
         rank_ok(0.5, 0).alias("p50_ok"),
         rank_ok(0.9, 1).alias("p90_ok"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent items with a bounded-shuffle plan (the two-pass
+    Misra-Gries scheme; Agarwal et al. 2013 "Mergeable Summaries"
+    prove the per-partition summaries preserve the frequency
+    guarantee): returns every value of ``col`` whose frequency is
+    >= ``threshold_frac`` of the total row count, with its EXACT count
+    and fraction — ``(value, n, frac)``.
+
+    Why not a plain groupBy: at 100 TB the full value set (token
+    vocabulary, URLs, n-grams) is billions of distinct keys, and the
+    exact groupBy shuffles ALL of them to find the handful above 1%.
+    Plan here:
+
+    1. **candidates** — one ``mapInPandas`` pass runs a Misra-Gries
+       summary of ``capacity`` counters PER INPUT PARTITION (no
+       shuffle; O(capacity) state per task).  MG guarantees any value
+       with partition frequency >= partition_rows/(capacity+1) survives
+       that partition's summary; a value at global frequency f*n must
+       exceed that bar in at least one partition, so with
+       ``capacity >= 2/threshold_frac`` (the default) the UNION of
+       per-partition candidates is a SUPERSET of the true heavy
+       hitters.  The union is tiny: <= n_partitions x capacity rows.
+    2. **exact pass** — count ONLY the candidates (broadcast semi
+       join, map-side pre-aggregation on a key set bounded by step 1)
+       and filter by the exact threshold.  Output is exact, so the
+       approximation never reaches the caller — it only prunes the
+       shuffle.
+
+    Deterministic for the ORACLE regardless of partitioning: step 1's
+    candidate set varies with partition layout, but it is always a
+    superset of the true answer and step 2 is exact, so the final rows
+    are partition-invariant (test-pinned)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if capacity is None:
+        capacity = max(8, int(2.0 / threshold_frac))
+    in_schema = df.select(F.col(col).cast("string").alias("v")).schema
+
+    def _mg(batches):
+        # weighted Misra-Gries (the mergeable-summaries form): fold each
+        # Arrow batch's EXACT value_counts (vectorized) into the summary,
+        # then prune back to `capacity` by subtracting the (capacity+1)-th
+        # largest count — Python work is O(distinct per batch + capacity),
+        # never O(rows)
+        from collections import Counter
+
+        agg: Counter = Counter()
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                agg[v] += int(c)
+            if len(agg) > capacity:
+                m = sorted(agg.values(), reverse=True)[capacity]
+                agg = Counter(
+                    {k: c - m for k, c in agg.items() if c - m > 0}
+                )
+        yield pd.DataFrame({"v": list(agg.keys())})
+
+    cands = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .mapInPandas(_mg, T.StructType([T.StructField("v", T.StringType())]))
+        .distinct()
+    )
+    import math
+
+    total = df.count()
+    # same double product + ceil as a SQL `ceil(frac * n)` twin computes
+    floor = math.ceil(threshold_frac * total) if total else 0
+    counted = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .join(F.broadcast(cands), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(max(floor, 1)))
+    )
+    return counted.select(
+        F.col("v").alias("value"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.lit(total).cast("double"), 6).alias("frac"),
+    )

@@ -1775,3 +1775,45 @@ def test_strip_boilerplate_cross_doc_rule(spark):
     c = Corpus(df).strip_boilerplate(min_docs=4).df.toPandas().set_index("doc_id")
     assert c.loc[0, "text"] == "body zero\ntail zero"
     assert {"n_lines", "n_boiler"} <= set(c.columns)
+
+
+def test_heavy_hitters_exact_with_bounded_candidates(spark):
+    """New r10 (sketches.heavy_hitters): the two-pass Misra-Gries
+    scheme must return the EXACT heavy-hitter set — partition-layout
+    invariant even though the candidate pass is not — with exact counts
+    and fractions, on a distribution whose tail vastly exceeds the MG
+    capacity (so the pruning path actually runs)."""
+    from python_ctd_spark.operators.sketches import heavy_hitters
+
+    # 3 hot values (1200/800/600 of 4600+2000) + 2000 singleton tail
+    rows = (
+        [("hot_a",)] * 1200 + [("hot_b",)] * 800 + [("hot_c",)] * 600
+        + [(f"tail_{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    total = len(rows)
+    for parts in (3, 17):
+        got = {
+            r["value"]: (r["n"], r["frac"])
+            for r in heavy_hitters(
+                df.repartition(parts), "v", threshold_frac=0.1, capacity=8
+            ).collect()
+        }
+        assert set(got) == {"hot_a", "hot_b", "hot_c"}, parts
+        assert got["hot_a"] == (1200, round(1200 / total, 6))
+        assert got["hot_c"][0] == 600
+    # threshold above every frequency -> empty, never an error
+    assert heavy_hitters(df, "v", threshold_frac=0.5).count() == 0
+    # at a 1% threshold (default capacity honors the >= 2/frac
+    # guarantee) the result equals a plain exact groupBy + HAVING
+    import math
+
+    big = heavy_hitters(df, "v", threshold_frac=0.01)
+    floor = math.ceil(0.01 * total)
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] >= floor
+    }
+    got = {r["value"]: r["n"] for r in big.collect()}
+    assert got == exact

@@ -240,3 +240,18 @@ SELECT doc_id,
 FROM kept
 GROUP BY doc_id
 """
+
+
+_HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS v FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM t
+)
+SELECT v AS value,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / (SELECT n FROM tot)::DOUBLE, 6) AS frac
+FROM t
+GROUP BY v
+HAVING COUNT(*) >= ceil(0.01 * (SELECT n FROM tot))
+"""

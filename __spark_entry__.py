@@ -168,6 +168,7 @@ from tools.oracles.tail import (
 )
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
+    _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
     _STRIP_BOILERPLATE_SQL,
     _DOMAIN_STATS_SQL,
@@ -856,6 +857,19 @@ def _q_heavy_hitters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     return heavy_hitters(toks, "tok", threshold_frac=0.01)
+
+
+def _q_frequent_ngrams(spark, sf_dir):
+    """Boilerplate-phrase mining (new r10; operators/text.frequent_ngrams
+    = native positional 3-grams -> sketches.heavy_hitters): every token
+    3-gram at >= 0.02% of all 3-gram instances, exact counts.  The
+    n-gram key space (16k distinct at sf0.01, quadratic in vocabulary
+    at web scale) never shuffles — only the Misra-Gries candidate
+    superset does; the oracle is the plain exact GROUP BY/HAVING."""
+    from python_ctd_spark.operators.text import frequent_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return frequent_ngrams(docs, n=3, threshold_frac=0.0002)
 
 
 def _q_strip_boilerplate(spark, sf_dir):
@@ -2328,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "strip_boilerplate": _q_strip_boilerplate,
         "heavy_hitters": _q_heavy_hitters,
+        "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
         # -- r7 window: new in r7 --------------------------------------
@@ -2473,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(),
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "frequent_ngrams": _FREQUENT_NGRAMS_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q8_market_share": _Q8_SQL,

@@ -143,10 +143,12 @@ def heavy_hitters(
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
+    if threshold_frac <= 0.0:
+        raise ValueError("threshold_frac must be > 0 (a zero threshold "
+                         "means 'every distinct value' — use a plain "
+                         "groupBy, there is nothing to prune)")
     if capacity is None:
         capacity = max(8, int(2.0 / threshold_frac))
-    in_schema = df.select(F.col(col).cast("string").alias("v")).schema
 
     def _mg(batches):
         # weighted Misra-Gries (the mergeable-summaries form): fold each

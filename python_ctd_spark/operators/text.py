@@ -680,6 +680,46 @@ def strip_boilerplate(
     )
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_frac: float = 0.0002,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Boilerplate-PHRASE mining: every whitespace token ``n``-gram at
+    >= ``threshold_frac`` of all n-gram instances, with exact counts —
+    the phrase-level twin of :func:`strip_boilerplate`'s line rule and
+    the standard way to FIND the template chrome before deciding what
+    to strip.  Composition: positional n-grams built natively
+    (``transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))``
+    — map-side, no Python), exploded, then
+    :func:`..sketches.heavy_hitters` (per-partition Misra-Gries
+    candidate superset + broadcast-semi exact count), so the n-gram
+    space — quadratically larger than the vocabulary — never shuffles;
+    only the candidates do."""
+    from .sketches import heavy_hitters
+
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, so short documents
+    # must short-circuit to an empty gram array, not an empty sequence
+    grams = (
+        df.withColumn("__t", tokens(text_col))
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(__t) >= {n} THEN "
+                    f"transform(sequence(1, size(__t) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(__t, i, {n}))) "
+                    "ELSE array() END"
+                )
+            ).alias("gram")
+        )
+    )
+    return heavy_hitters(
+        grams, "gram", threshold_frac=threshold_frac, capacity=capacity
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

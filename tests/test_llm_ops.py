@@ -1817,3 +1817,28 @@ def test_heavy_hitters_exact_with_bounded_candidates(spark):
     }
     got = {r["value"]: r["n"] for r in big.collect()}
     assert got == exact
+
+
+def test_frequent_ngrams_short_docs_and_exactness(spark):
+    """frequent_ngrams: documents shorter than n contribute no grams
+    (sequence(1,0) would otherwise emit a bogus descending range),
+    counts are exact, and the planted repeated phrase dominates."""
+    from python_ctd_spark.operators.text import frequent_ngrams
+
+    rows = [(i, "please accept all cookies now " + f"unique{i} filler{i}")
+            for i in range(20)] + [(99, "too short"), (100, ""), (101, "one")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["value"]: r["n"] for r in
+           frequent_ngrams(df, n=3, threshold_frac=0.15).collect()}
+    assert out["please accept all"] == 20
+    assert out["accept all cookies"] == 20
+    assert out["all cookies now"] == 20
+    assert all(v == 20 for v in out.values())
+    # "too short" (2 tokens) and empty docs contribute nothing: 7
+    # tokens -> 5 grams per long doc, so a 1-occurrence threshold
+    # recovers exactly 20 x 5 gram instances
+    all_grams = frequent_ngrams(df, n=3, threshold_frac=1e-9)
+    assert all_grams.agg(F.sum("n")).first()[0] == 20 * 5
+    # a zero threshold is a contract error, not an infinite capacity
+    with pytest.raises(ValueError, match="threshold_frac"):
+        frequent_ngrams(df, n=3, threshold_frac=0.0)

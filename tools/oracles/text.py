@@ -255,3 +255,22 @@ FROM t
 GROUP BY v
 HAVING COUNT(*) >= ceil(0.01 * (SELECT n FROM tot))
 """
+
+
+_FREQUENT_NGRAMS_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS v
+  FROM t WHERE len(toks) >= 3
+), tot AS (
+  SELECT COUNT(*) AS n FROM g
+)
+SELECT v AS value,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / (SELECT n FROM tot)::DOUBLE, 6) AS frac
+FROM g
+GROUP BY v
+HAVING COUNT(*) >= ceil(0.0002 * (SELECT n FROM tot))
+"""

@@ -406,6 +406,32 @@ class Corpus:
             self.df, self.domain_col, self.text_col, rsd=rsd, accuracy=accuracy
         )
 
+    def frequent_tokens(self, threshold_frac: float = 0.01,
+                        capacity: int | None = None) -> DataFrame:
+        """Exact tokens at >= threshold_frac of all token instances
+        (:func:`..operators.sketches.heavy_hitters` over the exploded
+        whitespace tokens): the vocabulary never shuffles, only the
+        Misra-Gries candidate superset does."""
+        from pyspark.sql import functions as F
+
+        from python_ctd_spark.operators.sketches import heavy_hitters
+        from python_ctd_spark.operators.text import tokens
+
+        toks = self.df.select(F.explode(tokens(self.text_col)).alias("tok"))
+        return heavy_hitters(toks, "tok", threshold_frac, capacity)
+
+    def frequent_ngrams(self, n: int = 3, threshold_frac: float = 0.0002,
+                        capacity: int | None = None) -> DataFrame:
+        """Boilerplate-phrase mining: exact token ``n``-grams above
+        threshold (:func:`..operators.text.frequent_ngrams`) — the
+        discovery step before :meth:`strip_boilerplate`."""
+        from python_ctd_spark.operators.text import frequent_ngrams
+
+        return frequent_ngrams(
+            self.df, self.text_col, n=n,
+            threshold_frac=threshold_frac, capacity=capacity,
+        )
+
     def domain_stats(self) -> DataFrame:
         """Per-domain doc/char totals, decimal-summed mean tokens, and
         exact token percentiles (swap percentile_approx at scale)."""

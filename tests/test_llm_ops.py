@@ -1842,3 +1842,32 @@ def test_frequent_ngrams_short_docs_and_exactness(spark):
     # a zero threshold is a contract error, not an infinite capacity
     with pytest.raises(ValueError, match="threshold_frac"):
         frequent_ngrams(df, n=3, threshold_frac=0.0)
+
+
+def test_strip_boilerplate_idempotent_and_corpus_mining(spark):
+    """Stripping is idempotent (a second pass over cleaned text finds
+    nothing: the chrome is gone, so no line crosses the doc-frequency
+    threshold), and the Corpus mining methods surface the same exact
+    counts as the operators they wrap."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    chrome = "accept all cookies to continue"
+    rows = [(i, f"{chrome}\nreal content {i}\nmore body {i * 3}")
+            for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    once = strip_boilerplate(df, min_docs=5).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = strip_boilerplate(once, min_docs=5).toPandas()
+    assert (twice["n_boiler"] == 0).all()
+    got = twice.set_index("doc_id")["text_clean"]
+    src = once.toPandas().set_index("doc_id")["text"]
+    assert (got == src).all()
+    # Corpus.frequent_tokens / frequent_ngrams == their operator twins
+    c = Corpus(df)
+    # 11 tokens x 6 docs = 66 instances; floor = ceil(0.08 * 66) = 6
+    ft = {r["value"]: r["n"] for r in c.frequent_tokens(0.08).collect()}
+    assert ft["cookies"] == 6 and ft["all"] == 6
+    fn = {r["value"]: r["n"] for r in c.frequent_ngrams(3, 0.08).collect()}
+    assert fn["accept all cookies"] == 6

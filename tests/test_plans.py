@@ -375,3 +375,52 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_candidate_pass_never_shuffles(spark):
+    """The Misra-Gries candidate pass is a map-side mapInPandas — no
+    Exchange may appear BELOW it (the whole point: the value space
+    reaches no shuffle); the exact pass joins the candidates broadcast,
+    and no SortMergeJoin exists anywhere in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.sketches import heavy_hitters
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    out = heavy_hitters(df, "tok", threshold_frac=0.01)
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the input below MapInPandas is the raw scan — candidate state is
+    # per-partition, so nothing between the scan and the summary may
+    # repartition (the executed-plan string nests children AFTER their
+    # parent, so the text following MapInPandas is its input subtree)
+    below = plan[plan.index("MapInPandas"):]
+    first_exchange = below.find("Exchange")
+    first_scan = below.find("Scan ")
+    assert first_scan != -1 and (
+        first_exchange == -1 or first_scan < first_exchange
+    ), "candidate pass must read the scan directly, not a shuffle"
+    # whole-plan shuffle budget: candidate distinct + exact agg + the
+    # broadcast — never one per distinct value set
+    assert _count(plan, "Exchange") <= 4
+
+
+def test_strip_boilerplate_plan_shapes(spark):
+    """Boilerplate set joins BROADCAST (it is the handful of lines over
+    the doc threshold), no cartesian product anywhere, and the rebuild
+    aggregates on the doc key."""
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = strip_boilerplate(docs, min_docs=400, sep=" ")
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -936,6 +936,54 @@ def measure_training_dataset(mult: int) -> dict:
         spark.stop()
 
 
+def measure_cleaning(mult: int) -> dict:
+    """r10 cleaning-family scale evidence: strip_boilerplate and
+    heavy_hitters over the mult-x staged near-dup corpus.  Invariants
+    asserted by the CALLER across mults: wall ~linear, and the
+    heavy-hitters CANDIDATE count bounded by partitions x capacity
+    (the quantity that replaces a full-vocabulary shuffle)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.sketches import heavy_hitters
+    from python_ctd_spark.operators.text import strip_boilerplate, tokens
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_clean_x{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_clean_")
+    try:
+        path = stage_docs(mult, tmp)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        sb = strip_boilerplate(docs, min_docs=390 * mult, sep=" ")
+        n_boiler = int(sb.agg(F.sum("n_boiler")).first()[0])
+        sb_wall = time.perf_counter() - t0
+        toks = docs.select(F.explode(tokens("text")).alias("tok"))
+        cap = 200
+        t0 = time.perf_counter()
+        hh = heavy_hitters(toks, "tok", threshold_frac=0.01, capacity=cap)
+        n_hitters = hh.count()
+        hh_wall = time.perf_counter() - t0
+        n_parts = toks.rdd.getNumPartitions()
+        rec = {
+            "mult": mult,
+            "n_docs": n_docs,
+            "strip_wall_s": round(sb_wall, 2),
+            "boiler_lines_removed": n_boiler,
+            "hh_wall_s": round(hh_wall, 2),
+            "n_heavy_hitters": n_hitters,
+            "candidate_bound": n_parts * cap,
+        }
+        rec.update(_shuffle_bytes())
+        return rec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -974,6 +1022,14 @@ if __name__ == "__main__":
     if what == "tail":
         for m in (1, 10, 100):
             results[f"tail_x{m}"] = measure_tail(m)
+    if what == "cleaning":
+        for m in (1, 10):
+            results[f"cleaning_x{m}"] = measure_cleaning(m)
+        w1, w10 = results["cleaning_x1"], results["cleaning_x10"]
+        for key in ("strip_wall_s", "hh_wall_s"):
+            r = w10[key] / max(w1[key], 1e-9)
+            assert r < 20.0, f"{key} scaled {r:.1f}x at 10x docs"
+            results[f"{key}_ratio_10x"] = round(r, 2)
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

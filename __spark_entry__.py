@@ -141,6 +141,7 @@ from tools.oracles.relational import (
 )
 from tools.oracles.streaming import (
     _DESPIKE_CLOSEOUT_SQL,
+    _streaming_clean_sql,
     _STATEFUL_DESPIKE_SQL,
     _STREAMING_BINDATA_SQL,
     _STREAMING_DEDUP_SQL,
@@ -259,6 +260,7 @@ from tools.registry.streaming import (
     _q_streaming_ann,
     _q_streaming_bindata,
     _q_streaming_dedup,
+    _q_streaming_clean,
     _q_streaming_enrich,
     _q_streaming_inc_dedup,
     _q_streaming_join,
@@ -2342,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "strip_boilerplate": _q_strip_boilerplate,
         "heavy_hitters": _q_heavy_hitters,
+        "streaming_clean": _q_streaming_clean,
         "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
@@ -2487,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_train": _bpe_train_sql(),
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
+        "streaming_clean": _streaming_clean_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "frequent_ngrams": _FREQUENT_NGRAMS_SQL,
         "q2_min_cost_supplier": _Q2_SQL,

@@ -792,3 +792,80 @@ def streaming_incremental_dedup(
         "matched_id",
         "best_jaccard",
     )
+
+
+def streaming_strip_boilerplate(
+    sdf: DataFrame,
+    boiler: DataFrame,
+    sep: str = "\n",
+    min_line_chars: int = 4,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time boilerplate stripping against a STORED template
+    index (the streaming twin of
+    :func:`..operators.text.strip_boilerplate`, same serving pattern as
+    :func:`streaming_incremental_dedup`): template lines are mined ONCE
+    from the existing corpus (``boiler`` = the stored ``(__key)`` table
+    of md5(trim(line)) keys over the doc-frequency threshold) and every
+    arriving document is cleaned against them before it lands.
+
+    Plan: posexplode the arriving document's lines (stateless,
+    per-row), stream-static LEFT join against the broadcast template
+    keys (the boilerplate set is small by nature — template chrome, not
+    content), then ONE watermarked windowed aggregate rebuilds the
+    cleaned text in line order — the only stateful step, keyed
+    (window, doc_id), state evicted at the watermark.  Emits
+    ``(window_start, doc_id, n_lines, n_boiler, text_clean)``; on a
+    closed drain the verdicts equal the batch operator exactly (twin
+    law, oracle-checked)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    lines = sdf.select(
+        "doc_id",
+        # parquet stages write TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        F.col("event_time").cast("timestamp").alias("event_time"),
+        F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn(
+        "__eligible", F.length(F.trim("__line")) >= min_line_chars
+    ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    joined = lines.join(
+        F.broadcast(boiler.select("__key", F.lit(True).alias("__boiler"))),
+        "__key",
+        "left",
+    ).withColumn(
+        "__drop", F.col("__eligible") & F.coalesce("__boiler", F.lit(False))
+    )
+    return (
+        joined.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("__drop").cast("bigint")).alias("n_boiler"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop"),
+                                F.struct("__pos", F.col("__line").alias("l")),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias("text_clean"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            "text_clean",
+        )
+    )

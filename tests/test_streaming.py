@@ -667,3 +667,81 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
         if r["doc_id"] != 10**9
     }
     assert got == expected
+
+
+def test_streaming_strip_boilerplate_equals_batch(spark, tmp_path):
+    """Ingest-time cleaning twin law (new r10): arriving documents
+    drained through streaming_strip_boilerplate (stream-static
+    broadcast of the stored template keys + one watermarked windowed
+    rebuild) carry exactly the batch strip_boilerplate verdicts —
+    text_clean, n_lines, n_boiler — under a multi-file replay,
+    including documents with nothing to strip."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.text import strip_boilerplate
+    from python_ctd_spark.streaming import (
+        run_to_memory, state_partitions, streaming_strip_boilerplate,
+    )
+
+    chrome = "accept all cookies to continue"
+    rows = [(i, f"{chrome} real content {i} more body {i * 3}")
+            for i in range(30)] + [(97, "nothing shared here at all")]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    expected = {
+        (r["doc_id"], r["n_lines"], r["n_boiler"], r["text_clean"])
+        for r in strip_boilerplate(corpus, min_docs=20, sep=" ").collect()
+    }
+    assert any(e[2] > 0 for e in expected) and any(e[2] == 0 for e in expected)
+
+    # the stored template index (mined from the same corpus)
+    lines = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("__line")
+    ).filter(F.length(F.trim("__line")) >= 4)
+    boiler = (
+        lines.select(F.md5(F.trim("__line")).alias("__key"), "doc_id")
+        .distinct().groupBy("__key").agg(F.count(F.lit(1)).alias("df"))
+        .filter("df >= 20").select("__key")
+    )
+
+    import os
+    import time
+
+    npdf = corpus.toPandas().sort_values("doc_id").reset_index(drop=True)
+    npdf["event_time"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        npdf["doc_id"] % 12, unit="h"
+    )
+    npdf = npdf.sort_values("event_time", kind="mergesort").reset_index(drop=True)
+    sentinel = pd.DataFrame({
+        "doc_id": [10**9], "text": ["sentinel"],
+        "event_time": [pd.Timestamp("2024-03-01")],
+    })
+    src = str(tmp_path / "clean_stream")
+    os.makedirs(src)
+    half = len(npdf) // 2
+    t0 = time.time() - 100
+    for i, part in enumerate((npdf.iloc[:half], npdf.iloc[half:], sentinel)):
+        p = f"{src}/part-{i}.parquet"
+        part.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (t0 + i, t0 + i))
+
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with state_partitions(spark, 4):
+        got_df = run_to_memory(
+            streaming_strip_boilerplate(
+                sdf, boiler, sep=" ", min_line_chars=4,
+                window="1 day", watermark="1 hour",
+            ),
+            "clean_stream_tbl",
+        )
+    got = {
+        (r["doc_id"], r["n_lines"], r["n_boiler"], r["text_clean"])
+        for r in got_df.collect() if r["doc_id"] != 10**9
+    }
+    assert got == expected

@@ -139,3 +139,36 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+
+def _streaming_clean_sql() -> str:
+    """Streaming ingest-time boilerplate strip: the batch
+    strip_boilerplate rule (template set mined from the FULL corpus at
+    the same threshold) applied to the arriving shard, plus the
+    constant day-window column the streaming aggregate adds."""
+    return rf"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, ' ')) AS line,
+         unnest(range(1, len(regexp_split_to_array(text, ' ')) + 1)) AS pos
+  FROM documents
+), e AS (
+  SELECT doc_id, pos, line, length(trim(line)) >= 4 AS elig FROM l
+), b AS (
+  SELECT trim(line) AS k FROM e WHERE elig
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 390
+), shard AS (
+  SELECT e.doc_id, e.pos, e.line,
+         (e.elig AND b.k IS NOT NULL) AS dropped
+  FROM e LEFT JOIN b ON trim(e.line) = b.k
+  WHERE e.doc_id % 5 = 0 AND e.doc_id < {_STREAM_SHARD_BOUND}
+)
+SELECT CAST({_STREAM_WINDOW_US} AS BIGINT) AS w_start_us,
+       doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END, ' ' ORDER BY pos), '')
+         AS text_clean
+FROM shard
+GROUP BY doc_id
+"""

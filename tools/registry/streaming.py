@@ -527,3 +527,88 @@ def _q_despike_closeout(spark, sf_dir):
         F.when(~F.isnan("despiked"), F.col("despiked")).alias("despiked"),
     )
 
+
+
+def _stored_boiler_index(spark, sf_dir):
+    """The stored template index for ingest-time cleaning: md5 keys of
+    every trimmed 'line' (word at sep=' ' — the corpus has no newlines)
+    whose doc frequency crosses the batch threshold.  Mined ONCE per
+    corpus version from the FULL documents table, saved as a warehouse
+    table — the write-once/probe-forever lifecycle the other streaming
+    serving rows use (it is the strip_boilerplate candidate table, so a
+    refresh costs one aggregate pass)."""
+    name = _table_name("t_boiler_", sf_dir)
+    key = ("boiler", sf_dir)
+    if key not in _STREAM_IX_BUILT:
+        _drop_stale_table(spark, name)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        exploded = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("__line")
+        ).filter(F.length(F.trim("__line")) >= 4)
+        (
+            exploded.select(F.md5(F.trim("__line")).alias("__key"), "doc_id")
+            .distinct()
+            .groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= 390)
+            .select("__key")
+            .write.mode("overwrite")
+            .saveAsTable(name)
+        )
+        _STREAM_IX_BUILT.add(key)
+    return spark.table(name)
+
+
+def _q_streaming_clean(spark, sf_dir):
+    """Ingest-time boilerplate strip in the driver contract (new r10):
+    the new-doc shard (doc_id % 5 == 0, bounded) arrives as a
+    time-ordered 2-part stream and is cleaned against the STORED
+    template index (streaming/pipeline.streaming_strip_boilerplate —
+    posexplode, stream-static broadcast template join, ONE watermarked
+    windowed aggregate rebuilding line order).  Every event lands in
+    the single 2024-01-01 day window, so the closed drain equals the
+    batch strip rule applied to the shard — the oracle."""
+    import pandas as pd
+
+    from python_ctd_spark.streaming import (
+        run_to_memory, state_partitions, streaming_strip_boilerplate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = _stored_boiler_index(spark, sf_dir)
+
+    def build_parts():
+        npdf = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < _STREAM_SHARD_BOUND)
+        ).toPandas()
+        npdf["event_time"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            npdf["doc_id"] % 24, unit="h"
+        )
+        npdf = npdf.sort_values(
+            ["event_time", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        half = max(1, len(npdf) // 2)
+        sentinel = pd.DataFrame(
+            {
+                "doc_id": [_STREAM_SENTINEL_ID],
+                "text": ["watermark advance sentinel"],
+                "event_time": [pd.Timestamp("2024-03-01")],
+            }
+        )
+        return [npdf.iloc[:half], npdf.iloc[half:], sentinel]
+
+    stage = _stage_pdf_parts("clean", sf_dir, build_parts)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(stage).schema
+    sdf = spark.readStream.schema(schema).parquet(stage)
+    res = streaming_strip_boilerplate(
+        sdf, boiler, sep=" ", min_line_chars=4,
+        window="1 day", watermark="1 hour",
+    )
+    _STREAM_RUN_COUNTER[0] += 1
+    with state_partitions(spark, 4):
+        tbl = run_to_memory(res, f"stream_clean_{_STREAM_RUN_COUNTER[0]}")
+    return tbl.filter(F.col("doc_id") != _STREAM_SENTINEL_ID).select(
+        F.unix_micros("window_start").alias("w_start_us"),
+        "doc_id", "n_lines", "n_boiler", "text_clean",
+    )

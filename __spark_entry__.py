@@ -171,6 +171,7 @@ from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
     _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
+    _HH_BY_SOURCE_SQL,
     _STRIP_BOILERPLATE_SQL,
     _DOMAIN_STATS_SQL,
     _FINGERPRINT_SQL,
@@ -872,6 +873,24 @@ def _q_frequent_ngrams(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return frequent_ngrams(docs, n=3, threshold_frac=0.0002)
+
+
+def _q_hh_by_source(spark, sf_dir):
+    """Per-DOMAIN exact heavy hitters (new r10;
+    operators/sketches.heavy_hitters_by_group): tokens at >= 3% of
+    their own source's token count — the decision input for per-domain
+    cleaning (a token that is chrome in one crawl is content in
+    another).  Candidate pass keeps one Misra-Gries summary per
+    (group, partition); exact pass counts only (group, value)
+    candidates against broadcast per-group totals."""
+    from python_ctd_spark.operators.sketches import heavy_hitters_by_group
+    from python_ctd_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters_by_group(
+        toks, "tok", "source", threshold_frac=0.03
+    )
 
 
 def _q_strip_boilerplate(spark, sf_dir):
@@ -2344,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "strip_boilerplate": _q_strip_boilerplate,
         "heavy_hitters": _q_heavy_hitters,
+        "hh_by_source": _q_hh_by_source,
         "streaming_clean": _q_streaming_clean,
         "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
@@ -2492,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "streaming_clean": _streaming_clean_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "hh_by_source": _HH_BY_SOURCE_SQL,
         "frequent_ngrams": _FREQUENT_NGRAMS_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,

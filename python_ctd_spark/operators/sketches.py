@@ -191,3 +191,83 @@ def heavy_hitters(
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.lit(total).cast("double"), 6).alias("frac"),
     )
+
+
+def heavy_hitters_by_group(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    threshold_frac: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact heavy hitters (``(group, value, n, frac)`` with
+    frac relative to the group's row count) — the per-domain form of
+    :func:`heavy_hitters`, the decision input for per-domain cleaning
+    (a token that is chrome in one crawl is content in another).
+
+    Same two-pass shape: the candidate pass keeps an independent
+    Misra-Gries summary PER GROUP per partition (state is
+    O(groups_in_partition x capacity) — domains are few by
+    construction), the exact pass counts only the (group, value)
+    candidates, and per-group totals (one tiny aggregate, |groups|
+    rows, broadcast) set the exact per-group floors.  Output exact and
+    partition-invariant; no full-vocabulary shuffle."""
+    import math  # noqa: F401
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if threshold_frac <= 0.0:
+        raise ValueError("threshold_frac must be > 0")
+    if capacity is None:
+        capacity = max(8, int(2.0 / threshold_frac))
+
+    def _mg(batches):
+        from collections import Counter
+
+        per_group: dict = {}
+        for pdf in batches:
+            counts = pdf.groupby("g", sort=False)["v"].value_counts()
+            for (g, v), c in counts.items():
+                agg = per_group.setdefault(g, Counter())
+                agg[v] += int(c)
+            for g, agg in per_group.items():
+                if len(agg) > capacity:
+                    m = sorted(agg.values(), reverse=True)[capacity]
+                    per_group[g] = Counter(
+                        {k: c - m for k, c in agg.items() if c - m > 0}
+                    )
+        yield pd.DataFrame(
+            [(g, v) for g, agg in per_group.items() for v in agg],
+            columns=["g", "v"],
+        )
+
+    staged = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(col).cast("string").alias("v"),
+    )
+    cands = staged.mapInPandas(
+        _mg,
+        T.StructType(
+            [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+        ),
+    ).distinct()
+    totals = staged.groupBy("g").agg(F.count(F.lit(1)).alias("__total"))
+    counted = (
+        staged.join(F.broadcast(cands), ["g", "v"], "left_semi")
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(totals), "g")
+        .filter(
+            F.col("n")
+            >= F.greatest(
+                F.ceil(F.lit(threshold_frac) * F.col("__total")), F.lit(1)
+            )
+        )
+    )
+    return counted.select(
+        F.col("g").alias(group_col),
+        F.col("v").alias("value"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("__total").cast("double"), 6).alias("frac"),
+    )

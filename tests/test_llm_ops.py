@@ -1871,3 +1871,47 @@ def test_strip_boilerplate_idempotent_and_corpus_mining(spark):
     assert ft["cookies"] == 6 and ft["all"] == 6
     fn = {r["value"]: r["n"] for r in c.frequent_ngrams(3, 0.08).collect()}
     assert fn["accept all cookies"] == 6
+
+
+def test_heavy_hitters_by_group_exact_per_domain(spark):
+    """Grouped heavy hitters: per-group exact sets and fractions (a
+    value hot in one group must not leak into another), partition
+    invariance, and parity with running the ungrouped operator per
+    group."""
+    from python_ctd_spark.operators.sketches import (
+        heavy_hitters, heavy_hitters_by_group,
+    )
+
+    rows = (
+        [("a", "hot_a")] * 300 + [("a", f"t{i}") for i in range(500)]
+        + [("b", "hot_b")] * 90 + [("b", "hot_a")] * 5
+        + [("b", f"u{i}") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    for parts in (2, 13):
+        got = {
+            (r["g"], r["value"]): (r["n"], r["frac"])
+            for r in heavy_hitters_by_group(
+                df.repartition(parts), "v", "g",
+                threshold_frac=0.1, capacity=16,
+            ).collect()
+        }
+        assert set(got) == {("a", "hot_a"), ("b", "hot_b")}, parts
+        assert got[("a", "hot_a")] == (300, round(300 / 800, 6))
+        assert got[("b", "hot_b")] == (90, round(90 / 295, 6))
+    # parity with the ungrouped operator run on each group slice
+    for g in ("a", "b"):
+        solo = {
+            r["value"]: r["n"]
+            for r in heavy_hitters(
+                df.filter(F.col("g") == g), "v", threshold_frac=0.1
+            ).collect()
+        }
+        grouped = {
+            r["value"]: r["n"]
+            for r in heavy_hitters_by_group(
+                df, "v", "g", threshold_frac=0.1
+            ).collect()
+            if r["g"] == g
+        }
+        assert solo == grouped, g

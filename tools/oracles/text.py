@@ -274,3 +274,20 @@ FROM g
 GROUP BY v
 HAVING COUNT(*) >= ceil(0.0002 * (SELECT n FROM tot))
 """
+
+
+_HH_BY_SOURCE_SQL = r"""
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS v
+  FROM documents
+), tot AS (
+  SELECT source, COUNT(*) AS n FROM t GROUP BY source
+)
+SELECT t.source,
+       t.v AS value,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / MIN(tot.n)::DOUBLE, 6) AS frac
+FROM t JOIN tot ON t.source = tot.source
+GROUP BY t.source, t.v
+HAVING COUNT(*) >= ceil(0.03 * MIN(tot.n))
+"""

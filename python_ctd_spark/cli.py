@@ -34,8 +34,6 @@ def bench_main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="ctd-spark-bench")
     ap.add_argument(
         "events",
-        nargs="?",
-        default="/root/testdata/sf0.01/events.parquet",
         help="events-shaped parquet path (event_id, user_id, ts, value)",
     )
     ap.add_argument("--master", default=None, help="Spark master override")

@@ -111,20 +111,26 @@ def write_training_shards(
     )
     spark = seqs.sparkSession
     back = spark.read.parquet(path)
-    # empty-array guard: sequence(1, 0) is [1, 0] in Spark, so the
-    # zip_with would yield [null, null] and the row checksum NULL —
-    # an all-empty shard would then sum to NULL and int() would crash;
-    # empty rows contribute an explicit 0 instead
+    # empty/NULL-array guard: sequence(1, 0) is [1, 0] in Spark, so the
+    # zip_with would yield [null, null] and the row checksum NULL — an
+    # all-empty shard would then sum to NULL and int() would crash; a
+    # NULL array has the same failure through the NULL-propagating
+    # aggregate.  Both contribute an explicit 0 instead.
     checksum = (
-        "CASE WHEN size(token_ids) = 0 THEN 0L ELSE "
+        "CASE WHEN token_ids IS NULL OR size(token_ids) = 0 THEN 0L ELSE "
         "aggregate(zip_with(token_ids, sequence(1, size(token_ids)), "
         "(t, i) -> CAST(t AS BIGINT) * i), 0L, (acc, x) -> acc + x) END"
     )
     has_tokens = "token_ids" in back.columns
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if has_tokens:
+        # NULL arrays count as 0 tokens (size(NULL) is NULL/-1 by conf;
+        # neither may reach the sum)
+        n_tok = F.when(
+            F.col("token_ids").isNull(), F.lit(0)
+        ).otherwise(F.size("token_ids"))
         aggs += [
-            F.sum(F.size("token_ids")).cast("bigint").alias("n_tokens"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
             F.sum(F.expr(checksum)).cast("bigint").alias("checksum"),
         ]
     per_shard = {

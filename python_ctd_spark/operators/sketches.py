@@ -139,7 +139,18 @@ def heavy_hitters(
     Deterministic for the ORACLE regardless of partitioning: step 1's
     candidate set varies with partition layout, but it is always a
     superset of the true answer and step 2 is exact, so the final rows
-    are partition-invariant (test-pinned)."""
+    are partition-invariant (test-pinned).
+
+    Two scans total: the candidate pass ALSO emits each partition's row
+    count (one sentinel row per partition), so the threshold total needs
+    no third ``count()`` job; candidates + counts are collected to the
+    driver — bounded state, <= partitions x (capacity + 1) rows.
+    A caller-supplied ``capacity`` below ``ceil(1/threshold_frac)`` is
+    CLAMPED up to it: below that the per-partition survival bar exceeds
+    the threshold and the superset guarantee — the whole exactness
+    claim — would silently break."""
+    import math
+
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -147,8 +158,10 @@ def heavy_hitters(
         raise ValueError("threshold_frac must be > 0 (a zero threshold "
                          "means 'every distinct value' — use a plain "
                          "groupBy, there is nothing to prune)")
+    guarantee_floor = int(math.ceil(1.0 / threshold_frac))
     if capacity is None:
         capacity = max(8, int(2.0 / threshold_frac))
+    capacity = max(capacity, guarantee_floor)
 
     def _mg(batches):
         # weighted Misra-Gries (the mergeable-summaries form): fold each
@@ -159,7 +172,9 @@ def heavy_hitters(
         from collections import Counter
 
         agg: Counter = Counter()
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)  # ALL rows, matching a SQL COUNT(*) total
             for v, c in pdf["v"].value_counts().items():
                 agg[v] += int(c)
             if len(agg) > capacity:
@@ -167,16 +182,30 @@ def heavy_hitters(
                 agg = Counter(
                     {k: c - m for k, c in agg.items() if c - m > 0}
                 )
-        yield pd.DataFrame({"v": list(agg.keys())})
+        # one sentinel row (v=NULL) carries the partition's row count so
+        # the caller never needs a separate count() scan
+        yield pd.DataFrame(
+            {"v": list(agg.keys()) + [None],
+             "pn": [0] * len(agg) + [n_rows]}
+        )
 
-    cands = (
+    rows = (
         df.select(F.col(col).cast("string").alias("v"))
-        .mapInPandas(_mg, T.StructType([T.StructField("v", T.StringType())]))
-        .distinct()
+        .mapInPandas(
+            _mg,
+            T.StructType(
+                [T.StructField("v", T.StringType()),
+                 T.StructField("pn", T.LongType())]
+            ),
+        )
+        .collect()
     )
-    import math
-
-    total = df.count()
+    total = sum(r["pn"] for r in rows if r["v"] is None)
+    cand_values = sorted({r["v"] for r in rows if r["v"] is not None})
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(v,) for v in cand_values], "v string"
+    )
     # same double product + ceil as a SQL `ceil(frac * n)` twin computes
     floor = math.ceil(threshold_frac * total) if total else 0
     counted = (
@@ -208,11 +237,14 @@ def heavy_hitters_by_group(
     Same two-pass shape: the candidate pass keeps an independent
     Misra-Gries summary PER GROUP per partition (state is
     O(groups_in_partition x capacity) — domains are few by
-    construction), the exact pass counts only the (group, value)
-    candidates, and per-group totals (one tiny aggregate, |groups|
-    rows, broadcast) set the exact per-group floors.  Output exact and
-    partition-invariant; no full-vocabulary shuffle."""
-    import math  # noqa: F401
+    construction) and emits each group's per-partition row count as a
+    sentinel row (v=NULL), so per-group totals cost no extra scan; the
+    exact pass counts only the (group, value) candidates against the
+    broadcast totals.  Output exact and partition-invariant; no
+    full-vocabulary shuffle.  ``capacity`` is clamped to
+    ``ceil(1/threshold_frac)`` — below that the superset guarantee (and
+    so the exactness claim) would silently break."""
+    import math
 
     import pandas as pd
     from pyspark.sql import types as T
@@ -221,12 +253,17 @@ def heavy_hitters_by_group(
         raise ValueError("threshold_frac must be > 0")
     if capacity is None:
         capacity = max(8, int(2.0 / threshold_frac))
+    capacity = max(capacity, int(math.ceil(1.0 / threshold_frac)))
 
     def _mg(batches):
         from collections import Counter
 
         per_group: dict = {}
+        group_rows: dict = {}
         for pdf in batches:
+            sizes = pdf.groupby("g", sort=False).size()
+            for g, c in sizes.items():
+                group_rows[g] = group_rows.get(g, 0) + int(c)
             counts = pdf.groupby("g", sort=False)["v"].value_counts()
             for (g, v), c in counts.items():
                 agg = per_group.setdefault(g, Counter())
@@ -237,22 +274,36 @@ def heavy_hitters_by_group(
                     per_group[g] = Counter(
                         {k: c - m for k, c in agg.items() if c - m > 0}
                     )
-        yield pd.DataFrame(
-            [(g, v) for g, agg in per_group.items() for v in agg],
-            columns=["g", "v"],
-        )
+        rows = [(g, v, 0) for g, agg in per_group.items() for v in agg]
+        rows += [(g, None, n) for g, n in group_rows.items()]
+        yield pd.DataFrame(rows, columns=["g", "v", "pn"])
 
     staged = df.select(
         F.col(group_col).cast("string").alias("g"),
         F.col(col).cast("string").alias("v"),
     )
-    cands = staged.mapInPandas(
+    rows = staged.mapInPandas(
         _mg,
         T.StructType(
-            [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+            [T.StructField("g", T.StringType()),
+             T.StructField("v", T.StringType()),
+             T.StructField("pn", T.LongType())]
         ),
-    ).distinct()
-    totals = staged.groupBy("g").agg(F.count(F.lit(1)).alias("__total"))
+    ).collect()
+    spark = df.sparkSession
+    totals_map: dict = {}
+    cand_pairs = set()
+    for r in rows:
+        if r["v"] is None:
+            totals_map[r["g"]] = totals_map.get(r["g"], 0) + r["pn"]
+        else:
+            cand_pairs.add((r["g"], r["v"]))
+    cands = spark.createDataFrame(
+        sorted(cand_pairs), "g string, v string"
+    )
+    totals = spark.createDataFrame(
+        sorted(totals_map.items()), "g string, __total long"
+    )
     counted = (
         staged.join(F.broadcast(cands), ["g", "v"], "left_semi")
         .groupBy("g", "v")

@@ -631,7 +631,10 @@ def strip_boilerplate(
     No reference counterpart (LLM-pipeline extension surface; the rule
     is Raffel et al. 2020 §2.2's "citation/boilerplate" filter family
     re-expressed relationally)."""
-    lines = F.split(F.col(text_col), re.escape(sep))
+    # NULL text coalesces to '' so the document still emits its single
+    # empty line and SURVIVES the rebuild join (a cleaning operator must
+    # never delete rows; same NULL policy as dedup_lines)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
     exploded = (
         df.select(F.col(id_col).alias("__doc"), F.posexplode(lines))
         .withColumnRenamed("pos", "__pos")
@@ -672,7 +675,11 @@ def strip_boilerplate(
             ),
         ).alias(out_col),
     )
-    return df.join(
+    # REPLACE any pre-existing audit/output columns instead of stacking
+    # a second copy (chaining after dedup_lines — which also emits
+    # n_lines — would otherwise make the name ambiguous)
+    base = df.drop(out_col, "n_lines", "n_boiler")
+    return base.join(
         rebuilt.select(
             F.col("__doc").alias(id_col), out_col, "n_lines", "n_boiler"
         ),

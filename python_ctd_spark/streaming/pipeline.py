@@ -827,9 +827,11 @@ def streaming_strip_boilerplate(
         "doc_id",
         # parquet stages write TIMESTAMP_NTZ; watermarks need TIMESTAMP
         F.col("event_time").cast("timestamp").alias("event_time"),
-        F.posexplode(F.split(F.col("text"), _re.escape(sep))).alias(
-            "__pos", "__line"
-        ),
+        # NULL text -> one empty line, so the arrival still lands in the
+        # sink (same row-preservation policy as the batch twin)
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), _re.escape(sep))
+        ).alias("__pos", "__line"),
     ).withColumn(
         "__eligible", F.length(F.trim("__line")) >= min_line_chars
     ).withColumn("__key", F.md5(F.trim(F.col("__line"))))

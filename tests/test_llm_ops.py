@@ -1915,3 +1915,49 @@ def test_heavy_hitters_by_group_exact_per_domain(spark):
             if r["g"] == g
         }
         assert solo == grouped, g
+
+
+def test_strip_boilerplate_null_text_and_rechaining(spark):
+    """Code-review r10 regressions: (a) NULL-text documents must SURVIVE
+    the rebuild join (a cleaning operator never deletes rows), and
+    (b) chaining after an operator that already emitted n_lines
+    (dedup_lines) must REPLACE the audit columns, not duplicate them."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    chrome = "accept all cookies please"
+    rows = [(i, f"{chrome}\nbody {i}") for i in range(6)] + [(9, None)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        )
+    )
+    out = strip_boilerplate(df, min_docs=5).toPandas().set_index("doc_id")
+    assert len(out) == 7 and 9 in out.index
+    assert out.loc[9, "text_clean"] == "" and out.loc[9, "n_boiler"] == 0
+    assert out.loc[0, "text_clean"] == "body 0"
+    # rechaining: dedup_lines emits n_lines too — no ambiguity, and a
+    # second strip is still a no-op on already-clean text
+    c = Corpus(df.fillna({"text": ""})).dedup_lines().strip_boilerplate(min_docs=5)
+    pdf = c.df.select("doc_id", "text", "n_lines", "n_boiler").toPandas()
+    assert len(pdf) == 7
+    again = c.strip_boilerplate(min_docs=5).df.toPandas()
+    assert (again["n_boiler"] == 0).all()
+
+
+def test_heavy_hitters_capacity_clamped_to_guarantee(spark):
+    """Code-review r10: a caller-supplied capacity below
+    ceil(1/threshold_frac) would let a true heavy hitter be evicted
+    from every partition summary and silently vanish; the clamp keeps
+    the output exact.  Fixture: one value at ~10.5% spread uniformly
+    across partitions under threshold 10% with capacity=2."""
+    from python_ctd_spark.operators.sketches import heavy_hitters
+
+    # 105 of 1000 rows = 10.5%, everything else a singleton tail
+    rows = [("hot",)] * 105 + [(f"t{i}",) for i in range(895)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(df, "v", threshold_frac=0.1, capacity=2).collect()
+    }
+    assert got == {"hot": 105}

@@ -18,9 +18,13 @@ import pathlib
 import subprocess
 import sys
 import tarfile
-import tomllib
 
 import pytest
+
+try:  # py3.11+ stdlib; fall back to tomli on 3.10 (requires-python floor)
+    import tomllib
+except ModuleNotFoundError:  # pragma: no cover - py3.10 path
+    tomllib = pytest.importorskip("tomli")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

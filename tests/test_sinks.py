@@ -487,3 +487,23 @@ def test_write_training_shards_all_empty_token_arrays(spark, tmp_path):
         assert s["checksum"] == 0
     on_disk = json.load(open(os.path.join(path, "_manifest.json")))
     assert on_disk == json.loads(json.dumps(manifest))
+
+
+def test_write_training_shards_null_token_arrays(spark, tmp_path):
+    """Code-review r10: the NULL twin of the empty-array case — a shard
+    whose rows carry token_ids = NULL must manifest as 0 tokens and
+    checksum 0, not crash on int(None)."""
+    import json
+    import os
+
+    seqs = spark.range(6).selectExpr(
+        "CAST(id AS STRING) AS seq_key",
+        "CAST(NULL AS ARRAY<INT>) AS token_ids",
+    )
+    path = str(tmp_path / "null_shards")
+    manifest = sinks.write_training_shards(seqs, path, 2, seed="n1")
+    assert manifest["total_rows"] == 6
+    for s in manifest["shards"].values():
+        assert s["n_tokens"] == 0 and s["checksum"] == 0
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == json.loads(json.dumps(manifest))

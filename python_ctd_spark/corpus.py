@@ -166,9 +166,26 @@ class Corpus:
             )
         )
 
-    def decontaminate(self, benchmark: DataFrame, n: int = 13) -> "Corpus":
+    def _bench_aligned(self, benchmark: DataFrame,
+                       bench_text_col: str | None) -> DataFrame:
+        """The dedup operators read ONE text_col name from both frames;
+        benchmarks usually arrive with their own schema ("text"), so
+        align the caller-named (or conventionally-named) column to this
+        corpus's text_col before probing."""
+        src = bench_text_col
+        if src is None:
+            src = self.text_col if self.text_col in benchmark.columns else "text"
+        if src == self.text_col:
+            return benchmark
+        return benchmark.withColumnRenamed(src, self.text_col)
+
+    def decontaminate(self, benchmark: DataFrame, n: int = 13,
+                      bench_text_col: str | None = None) -> "Corpus":
         return self._wrap(
-            dedup.decontaminate(self.df, benchmark, self.text_col, self.id_col, n)
+            dedup.decontaminate(
+                self.df, self._bench_aligned(benchmark, bench_text_col),
+                self.text_col, self.id_col, n,
+            )
         )
 
     def dedup_exact(self) -> "Corpus":
@@ -185,10 +202,17 @@ class Corpus:
     def dedup(self, threshold: float = 0.5) -> "Corpus":
         """Fuzzy dedup: MinHash-LSH pairs -> connected components -> keep
         one representative per cluster."""
+        from pyspark.sql import functions as F
+
+        # dedup_clusters normalizes its id column to the literal name
+        # "doc_id" (same contract as in split()); alias it back so any
+        # caller-chosen id_col works
         clusters = dedup.dedup_clusters(
             self.df, text_col=self.text_col, id_col=self.id_col, threshold=threshold
         )
-        keepers = clusters.filter("is_keeper").select(self.id_col)
+        keepers = clusters.filter("is_keeper").select(
+            F.col("doc_id").alias(self.id_col)
+        )
         return self._wrap(self.df.join(keepers, self.id_col, "semi"))
 
     def chunk(self, window: int = 512, stride: int | None = None) -> DataFrame:
@@ -235,12 +259,19 @@ class Corpus:
              **kw) -> "Corpus":
         """Context packing; ``strategy="greedy"`` + ``greedy_chunk=...``
         and ``num_buckets=...`` pass through to
-        :func:`..operators.assemble.pack_documents`."""
+        :func:`..operators.assemble.pack_documents`.
+
+        The operator returns a compact ASSIGNMENT table (id, n_tokens,
+        pack_id) so the prefix-sum shuffle never carries text; the
+        fluent form joins the assignment back onto the corpus (id-keyed
+        equi-join) so the chain keeps every column — a packed corpus you
+        cannot write shards from would dead-end the pipeline."""
+        asg = assemble.pack_documents(
+            self.df, max_tokens, self.text_col, self.id_col, self.domain_col,
+            strategy=strategy, **kw,
+        ).select(self.id_col, "n_tokens", "pack_id")
         return self._wrap(
-            assemble.pack_documents(
-                self.df, max_tokens, self.text_col, self.id_col, self.domain_col,
-                strategy=strategy, **kw,
-            )
+            self.df.drop("n_tokens", "pack_id").join(asg, self.id_col)
         )
 
     def train_tokenizer(
@@ -342,9 +373,11 @@ class Corpus:
             self.df, self.text_col, self.id_col, threshold=threshold
         )
 
-    def contamination_report(self, benchmark: DataFrame, n: int = 13) -> DataFrame:
+    def contamination_report(self, benchmark: DataFrame, n: int = 13,
+                             bench_text_col: str | None = None) -> DataFrame:
         return dedup.contamination_report(
-            self.df, benchmark, self.text_col, self.id_col, n
+            self.df, self._bench_aligned(benchmark, bench_text_col),
+            self.text_col, self.id_col, n,
         )
 
     def tfidf_top_terms(self, k: int = 3) -> DataFrame:

@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ._util import WS_RE
 
+# heavy_hitters candidate sets above this row count stop being hinted
+# broadcast (a 10k-partition corpus at capacity 10k is 100M candidate
+# strings — past any healthy broadcast) and flow through a shuffled
+# semi join instead; both paths keep the value space off the driver
+_BROADCAST_CAND_MAX = 2_000_000
+
 
 def approx_corpus_stats(
     df: DataFrame,
@@ -143,8 +149,22 @@ def heavy_hitters(
 
     Two scans total: the candidate pass ALSO emits each partition's row
     count (one sentinel row per partition), so the threshold total needs
-    no third ``count()`` job; candidates + counts are collected to the
-    driver — bounded state, <= partitions x (capacity + 1) rows.
+    no third ``count()`` job.  The summary is materialized ON THE
+    EXECUTORS (``localCheckpoint``, <= partitions x (capacity + 1)
+    rows); the driver fetches only the scalar total — never the
+    candidate strings (ADVICE r10: partitions x capacity long n-grams
+    in a Python list would OOM the driver at fleet scale).  The exact
+    pass broadcasts the candidate frame while it is broadcast-sized
+    (<= ``_BROADCAST_CAND_MAX`` rows, counted from the checkpointed
+    summary for free) and falls back to a shuffled semi join above
+    that — bounded either way.
+
+    NULL semantics: NULL values of ``col`` are excluded BEFORE
+    counting, so ``frac`` is relative to the non-NULL row count and
+    NULL is never a reportable value (a NULL can neither survive the
+    candidate pass nor match the semi join, so counting it in the
+    denominator would only deflate every frac — ADVICE r10).
+
     A caller-supplied ``capacity`` below ``ceil(1/threshold_frac)`` is
     CLAMPED up to it: below that the per-partition survival bar exceeds
     the threshold and the superset guarantee — the whole exactness
@@ -189,28 +209,30 @@ def heavy_hitters(
              "pn": [0] * len(agg) + [n_rows]}
         )
 
-    rows = (
-        df.select(F.col(col).cast("string").alias("v"))
-        .mapInPandas(
-            _mg,
-            T.StructType(
-                [T.StructField("v", T.StringType()),
-                 T.StructField("pn", T.LongType())]
-            ),
-        )
-        .collect()
+    staged = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
     )
-    total = sum(r["pn"] for r in rows if r["v"] is None)
-    cand_values = sorted({r["v"] for r in rows if r["v"] is not None})
-    spark = df.sparkSession
-    cands = spark.createDataFrame(
-        [(v,) for v in cand_values], "v string"
-    )
+    # summary materializes on the EXECUTORS; lineage is truncated so the
+    # corpus is scanned exactly once for candidates + totals
+    summary = staged.mapInPandas(
+        _mg,
+        T.StructType(
+            [T.StructField("v", T.StringType()),
+             T.StructField("pn", T.LongType())]
+        ),
+    ).localCheckpoint()
+    # only SCALARS reach the driver: the row total and the candidate count
+    total = summary.filter(F.col("v").isNull()).agg(
+        F.coalesce(F.sum("pn"), F.lit(0))
+    ).first()[0]
+    cands = summary.filter(F.col("v").isNotNull()).select("v").distinct()
+    n_cands = cands.count()
+    cand_side = F.broadcast(cands) if n_cands <= _BROADCAST_CAND_MAX else cands
     # same double product + ceil as a SQL `ceil(frac * n)` twin computes
     floor = math.ceil(threshold_frac * total) if total else 0
     counted = (
-        df.select(F.col(col).cast("string").alias("v"))
-        .join(F.broadcast(cands), "v", "left_semi")
+        staged
+        .join(cand_side, "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(max(floor, 1)))
@@ -241,9 +263,19 @@ def heavy_hitters_by_group(
     sentinel row (v=NULL), so per-group totals cost no extra scan; the
     exact pass counts only the (group, value) candidates against the
     broadcast totals.  Output exact and partition-invariant; no
-    full-vocabulary shuffle.  ``capacity`` is clamped to
-    ``ceil(1/threshold_frac)`` — below that the superset guarantee (and
-    so the exactness claim) would silently break."""
+    full-vocabulary shuffle.  As in :func:`heavy_hitters`, the summary
+    stays on the executors (``localCheckpoint``) — the driver never
+    sees the candidate strings — and the candidate join demotes from
+    broadcast to shuffled semi above ``_BROADCAST_CAND_MAX`` rows.
+
+    NULL semantics (ADVICE r10): rows with a NULL value OR a NULL group
+    key are excluded before counting — ``frac`` is relative to the
+    group's non-NULL row count, and neither a NULL value nor a NULL
+    group is ever reported.
+
+    ``capacity`` is clamped to ``ceil(1/threshold_frac)`` — below that
+    the superset guarantee (and so the exactness claim) would silently
+    break."""
     import math
 
     import pandas as pd
@@ -281,31 +313,25 @@ def heavy_hitters_by_group(
     staged = df.select(
         F.col(group_col).cast("string").alias("g"),
         F.col(col).cast("string").alias("v"),
-    )
-    rows = staged.mapInPandas(
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    summary = staged.mapInPandas(
         _mg,
         T.StructType(
             [T.StructField("g", T.StringType()),
              T.StructField("v", T.StringType()),
              T.StructField("pn", T.LongType())]
         ),
-    ).collect()
-    spark = df.sparkSession
-    totals_map: dict = {}
-    cand_pairs = set()
-    for r in rows:
-        if r["v"] is None:
-            totals_map[r["g"]] = totals_map.get(r["g"], 0) + r["pn"]
-        else:
-            cand_pairs.add((r["g"], r["v"]))
-    cands = spark.createDataFrame(
-        sorted(cand_pairs), "g string, v string"
+    ).localCheckpoint()
+    totals = (
+        summary.filter(F.col("v").isNull())
+        .groupBy("g")
+        .agg(F.sum("pn").alias("__total"))
     )
-    totals = spark.createDataFrame(
-        sorted(totals_map.items()), "g string, __total long"
-    )
+    cands = summary.filter(F.col("v").isNotNull()).select("g", "v").distinct()
+    n_cands = cands.count()
+    cand_side = F.broadcast(cands) if n_cands <= _BROADCAST_CAND_MAX else cands
     counted = (
-        staged.join(F.broadcast(cands), ["g", "v"], "left_semi")
+        staged.join(cand_side, ["g", "v"], "left_semi")
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(totals), "g")

@@ -679,11 +679,30 @@ def strip_boilerplate(
     # a second copy (chaining after dedup_lines — which also emits
     # n_lines — would otherwise make the name ambiguous)
     base = df.drop(out_col, "n_lines", "n_boiler")
-    return base.join(
+    # LEFT join back (ADVICE r10): a NULL doc id groups fine in the
+    # rebuild but can never equi-join, so the inner form silently
+    # deleted those rows — contradicting the never-delete policy above.
+    # Unmatched rows pass through uncleaned: out_col falls back to the
+    # original text (NULL text -> ''), audits to their trivial values.
+    # Precondition for exact audits: id_col should be UNIQUE — duplicate
+    # ids get one interleaved rebuild attached to every duplicate row
+    # (run dedup_exact first if ids can repeat).
+    joined = base.join(
         rebuilt.select(
             F.col("__doc").alias(id_col), out_col, "n_lines", "n_boiler"
         ),
         id_col,
+        "left",
+    )
+    fallback_lines = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+    return (
+        joined
+        .withColumn(out_col, F.coalesce(out_col, F.coalesce(text_col, F.lit(""))))
+        .withColumn(
+            "n_lines",
+            F.coalesce("n_lines", F.size(fallback_lines).cast("bigint")),
+        )
+        .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0).cast("bigint")))
     )
 
 

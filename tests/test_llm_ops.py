@@ -753,7 +753,8 @@ def test_corpus_end_to_end_pipeline(spark):
     )
     got = out.df.toPandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == [0, 3, 4, 7]
-    assert set(got.columns) == {"source", "doc_id", "n_tokens", "pack_id"}
+    # fluent pack keeps the corpus columns (assignment joined back)
+    assert set(got.columns) == {"source", "doc_id", "text", "n_tokens", "pack_id"}
     assert (got["pack_id"] == 0).all()  # everything fits one window per source
 
 
@@ -1945,6 +1946,34 @@ def test_strip_boilerplate_null_text_and_rechaining(spark):
     assert (again["n_boiler"] == 0).all()
 
 
+def test_strip_boilerplate_null_doc_id_survives(spark):
+    """ADVICE r10: a NULL doc id groups in the rebuild but can never
+    equi-join back — the old inner join silently deleted the row.  The
+    left form keeps it, passing the text through uncleaned with trivial
+    audits (its lines still count toward everyone's doc frequency)."""
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    chrome = "accept all cookies please"
+    rows = [(float(i), f"{chrome}\nbody {i}") for i in range(5)]
+    rows.append((None, f"{chrome}\nghost body"))
+    df = spark.createDataFrame(rows, "doc_id double, text string")
+    out = strip_boilerplate(df, min_docs=5).toPandas()
+    assert len(out) == 6, "NULL-id row must survive"
+    ghost = out[out["doc_id"].isna()].iloc[0]
+    # uncleaned pass-through with trivial audits
+    assert ghost["text_clean"] == f"{chrome}\nghost body"
+    assert ghost["n_lines"] == 2 and ghost["n_boiler"] == 0
+    # ...but its chrome line DID count toward the doc-frequency bar:
+    # only 5 non-null docs carry it, min_docs=5 is met only with the
+    # ghost's contribution (5 + 1 >= 5; without it still 5 — use a
+    # tighter pin: raise the bar to 6 so the ghost is decisive)
+    out6 = strip_boilerplate(df, min_docs=6).toPandas()
+    cleaned = out6[out6["doc_id"].notna()]
+    assert (cleaned["n_boiler"] == 1).all(), (
+        "the NULL-id doc's line must count toward doc frequency"
+    )
+
+
 def test_heavy_hitters_capacity_clamped_to_guarantee(spark):
     """Code-review r10: a caller-supplied capacity below
     ceil(1/threshold_frac) would let a true heavy hitter be evicted
@@ -1961,3 +1990,34 @@ def test_heavy_hitters_capacity_clamped_to_guarantee(spark):
         for r in heavy_hitters(df, "v", threshold_frac=0.1, capacity=2).collect()
     }
     assert got == {"hot": 105}
+
+
+def test_heavy_hitters_null_semantics(spark):
+    """ADVICE r10: NULLs are excluded BEFORE counting — frac is relative
+    to the non-NULL row count (a NULL can never be reported, so counting
+    it in the denominator only deflates every frac), and a NULL group
+    key contributes to no group."""
+    from python_ctd_spark.operators.sketches import (
+        heavy_hitters, heavy_hitters_by_group,
+    )
+
+    # 6 'a', 2 'b', 4 NULL: with NULLs excluded total=8 -> a=0.75, b=0.25
+    rows = [("a", "g1")] * 6 + [("b", "g1")] * 2 + [(None, "g1")] * 3 + [
+        ("a", None)
+    ]
+    df = spark.createDataFrame(rows, "v string, g string").repartition(4)
+    got = {
+        r["value"]: (r["n"], r["frac"])
+        for r in heavy_hitters(df, "v", threshold_frac=0.2).collect()
+    }
+    # the null-group 'a' row still counts for the UNGROUPED operator
+    assert got == {"a": (7, round(7 / 9, 6)), "b": (2, round(2 / 9, 6))}
+
+    by_g = {
+        (r["g"], r["value"]): (r["n"], r["frac"])
+        for r in heavy_hitters_by_group(
+            df, "v", "g", threshold_frac=0.2
+        ).collect()
+    }
+    # g1 non-null rows: 6 a + 2 b = 8; the NULL group key vanishes
+    assert by_g == {("g1", "a"): (6, 0.75), ("g1", "b"): (2, 0.25)}

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -156,31 +157,55 @@ def main() -> None:
     if only_marker is not None:
         full_record["only"] = only_marker
     full_line = json.dumps(full_record, separators=(",", ":"))
-    # The harness tail-captures ~2000 chars of stdout; the full 99-query
-    # map is ~2.3 KB and was clipped mid-JSON three rounds running
+    # The harness tail-captures ~2000 chars of stdout; the full 132-query
+    # map is ~3 KB and was clipped mid-JSON three rounds running
     # ("parsed": null in BENCH_r04-r06).  So: persist the FULL record to
-    # BENCH_out.json, and print ONE compact line (same schema, "queries"
-    # limited to the 10 slowest — well under 1 KB) as the only stdout
-    # output of this process.  Consumers that json-parse whole stdout
-    # and consumers that tail-capture both see exactly one valid line.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    compact_record = {
+    # BENCH_out.json (plus a per-round archive, below), and print ONE
+    # compact line whose "queries" map is packed slowest-first up to a
+    # ~1.6 KB budget — as much of the suite as the tail capture can
+    # carry without ever clipping mid-JSON.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    compact_base = {
         "metric": "query_suite_runtime",
         "value": total,
         "unit": "sec",
-        "queries": slowest,
+        "queries": {},
         "n_queries": len(timings),
         "passes": passes,
         "full": "BENCH_out.json",
         "sf": sf,
     }
     if only_marker is not None:
-        compact_record["only"] = only_marker
+        compact_base["only"] = only_marker
+    budget = 1600 - len(json.dumps(compact_base, separators=(",", ":")))
+    slowest: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: kv[1], reverse=True):
+        cost = len(json.dumps({k: v}, separators=(",", ":")))  # incl braces ~ comma slack
+        if budget - cost < 0:
+            break
+        budget -= cost
+        slowest[k] = v
+    compact_record = dict(compact_base, queries=slowest)
     compact_line = json.dumps(compact_record, separators=(",", ":"))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"), "w") as f:
+    with open(os.path.join(repo_dir, "BENCH_out.json"), "w") as f:
         f.write(full_line + "\n")
+    # Per-round FULL archive (VERDICT r10 item 3): the driver's
+    # BENCH_r{N}.json is built from the clipped tail, so cross-round
+    # bench_diff could only compare the slowest handful.  A full run
+    # also writes BENCH_full_r{N}.json (N inferred as 1 + the highest
+    # committed driver round) — bench_diff prefers it when pointed at
+    # the matching BENCH_r{N}.json, comparing whole suites.
+    if only_marker is None:
+        rounds = [
+            int(m.group(1))
+            for f_ in os.listdir(repo_dir)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f_))
+        ]
+        this_round = (max(rounds) + 1) if rounds else 1
+        with open(
+            os.path.join(repo_dir, f"BENCH_full_r{this_round:02d}.json"), "w"
+        ) as f:
+            f.write(full_line + "\n")
     try:
         spark.stop()
     except Exception:

@@ -31,6 +31,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_queries(path: str) -> dict[str, float]:
+    # a driver BENCH_rN.json carries only the tail-capture's clipped
+    # query map; when the same round's FULL archive (BENCH_full_rNN.json,
+    # written by bench.py since r11) exists next to it, compare against
+    # that instead so the diff covers the whole suite
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        full = os.path.join(
+            os.path.dirname(path) or REPO, f"BENCH_full_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(full):
+            print(f"using full archive {os.path.basename(full)} for "
+                  f"{os.path.basename(path)}")
+            path = full
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
     if d.get("only"):
@@ -82,9 +95,28 @@ def main() -> None:
     if not moved:
         print(f"no query moved beyond {args.min_ratio}x")
     if args.fail_above is not None:
+        # per-row variance floors (VERDICT r10 item 2): BENCH_VARIANCE.json
+        # records rows whose min-of-3 wall is MEASURED to spread more than
+        # the global threshold across runs/suite positions on identical
+        # code; the alarm threshold for those rows is raised to the
+        # measured spread so context jitter stops masquerading as
+        # regression.  Each entry carries the measurement in "note".
+        var_path = os.path.join(REPO, "BENCH_VARIANCE.json")
+        floors: dict[str, float] = {}
+        if os.path.exists(var_path):
+            with open(var_path, encoding="utf-8") as f:
+                floors = {
+                    k: float(v["fail_above"])
+                    for k, v in json.load(f).items()
+                    if isinstance(v, dict) and "fail_above" in v
+                }
+
+        def bar(n: str) -> float:
+            return max(args.fail_above, floors.get(n, 0.0))
+
         regressed = sorted(
             (n for n in common
-             if ratio[n] >= args.fail_above
+             if ratio[n] >= bar(n)
              and (new[n] - old[n]) >= args.min_abs),
             key=lambda n: -(new[n] - old[n]),
         )
@@ -96,8 +128,13 @@ def main() -> None:
             print(f"REGRESSION ALARM (>= {args.fail_above}x and >= "
                   f"{args.min_abs}s slower): {names}")
             raise SystemExit(2)
+        varied = [n for n in common if floors.get(n, 0.0) > args.fail_above
+                  and ratio[n] >= args.fail_above]
+        note = (f"; variance-floored rows passed: "
+                f"{', '.join(f'{n} ({ratio[n]:.2f}x < {floors[n]:.2f}x floor)' for n in varied)}"
+                if varied else "")
         print(f"regression alarm clean (threshold {args.fail_above}x, "
-              f"floor {args.min_abs}s)")
+              f"floor {args.min_abs}s{note})")
 
 
 if __name__ == "__main__":

@@ -112,6 +112,7 @@ from tools.oracles.dedup import (
     _DEDUP_LINES_SQL,
     _DUP_PASSAGES_SQL,
     _NGRAM_JACCARD_SQL,
+    _REMOVE_DUP_PASSAGES_SQL,
     _SHINGLE_SQL,
     _decontaminate_sql,
     _dedup_apply_sql,
@@ -1974,6 +1975,23 @@ def _q_dup_passages(spark, sf_dir):
     return cross_doc_ngram_stats(docs, n=5, min_docs=2)
 
 
+def _q_remove_dup_passages(spark, sf_dir):
+    """Duplicated-span REMOVAL (ExactSubstr-lite; Lee et al. 2022):
+    tokens covered by any positional 5-gram shared by >=2 documents are
+    excised from every document, order-preserving rebuild, rows never
+    deleted.  The removal step cross_doc_ngram_stats only detects; gram
+    identity is case-insensitive, rebuilt text keeps original casing.
+    Plan: 8-byte gram-hash shuffles, two-level distinct doc-frequency
+    agg, semi-join flagged starts exploded into covered positions,
+    (doc, pos)-keyed anti-flag join, one per-doc rebuild."""
+    from python_ctd_spark.operators.dedup import remove_dup_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_dup_passages(docs, n=5, min_docs=2).select(
+        "doc_id", "text_clean", "n_tokens", "n_dup_tokens"
+    )
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-domain corpus dashboard — the aggregate a curation pipeline
     reads before choosing mixture weights: doc/token/char totals, exact
@@ -2471,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "domain_mix": _q_domain_mix,
         "dup_passage_stats": _q_dup_passages,
+        "remove_dup_passages": _q_remove_dup_passages,
         "get_maxdepth": _q_maxdepth,
         "gopher_rules": _q_gopher_rules,
         "json_extract_stats": _q_json_extract,
@@ -2541,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
         "dup_passage_stats": _DUP_PASSAGES_SQL,
+        "remove_dup_passages": _REMOVE_DUP_PASSAGES_SQL,
         "gopher_rules": _GOPHER_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "q5_local_supplier": _Q5_SQL,

@@ -401,6 +401,18 @@ class Corpus:
         ).select(F.col("doc_id").alias(self.id_col))
         return self._wrap(self.df.join(flagged, self.id_col, "left_anti"))
 
+    def remove_dup_passages(self, n: int = 5, min_docs: int = 2) -> "Corpus":
+        """Strip duplicated SPANS (tokens covered by cross-document
+        n-grams, :func:`..operators.dedup.remove_dup_passages`) from
+        every document, REPLACING the text column; n_tokens/n_dup_tokens
+        audit columns ride along.  The removal complement of
+        :meth:`drop_duplicated_passages` (which drops whole documents)."""
+        out = dedup.remove_dup_passages(
+            self.df, self.text_col, id_col=self.id_col,
+            n=n, min_docs=min_docs, out_col="__rp",
+        ).drop(self.text_col).withColumnRenamed("__rp", self.text_col)
+        return self._wrap(out)
+
     def gopher_rules(self, min_words: int = 50, max_words: int = 100_000) -> DataFrame:
         """Gopher-style hard quality rules: named boolean verdicts per
         rule plus the conjunction (filter + audit in one pass)."""

@@ -1070,3 +1070,132 @@ def cross_doc_ngram_stats(
             F.max("n_docs").alias("max_ngram_df"),
         )
     )
+
+
+def remove_dup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Duplicated-span REMOVAL (ExactSubstr-lite, the removal step of
+    Lee et al. 2022 that :func:`cross_doc_ngram_stats` only detects):
+    every token covered by at least one positional ``n``-gram that
+    occurs in >= ``min_docs`` DISTINCT documents is dropped from every
+    document; the survivors are re-joined in order.  This removes the
+    shared passage itself — the complement of
+    :func:`~..text.strip_boilerplate`'s line rule for chrome that does
+    not respect line boundaries (inlined disclaimers, pasted paragraphs,
+    quoted templates).
+
+    Emits ``out_col`` (space-joined surviving tokens — token-level
+    removal necessarily normalizes whitespace) plus audit columns
+    ``n_tokens`` and ``n_dup_tokens`` (tokens removed).  Gram identity
+    is case-insensitive (same canonicalization as the detection pass);
+    the rebuilt text keeps original token casing.  Rows never disappear:
+    the rebuild joins back LEFT, and a NULL ``id_col`` row passes
+    through unprocessed (original text, trivial audits) — same policy as
+    ``strip_boilerplate``.  For exact audits ``id_col`` should be
+    unique.
+
+    Plan shape (the 100 TB shape; no driver state, no O(n^2) stage):
+    positional gram hashes (xxhash64, 8-byte shuffle keys) -> two-level
+    distinct doc-frequency aggregate -> semi join flags duplicated gram
+    STARTS -> explode each start into its ``n`` covered positions,
+    distinct -> (doc, pos) join onto the exploded tokens -> one
+    order-preserving per-doc rebuild (``array_sort(collect_list)``).
+    Every exchange is keyed on uniform hashes, (doc, pos) pairs, or the
+    doc id; partial aggregation runs before each wire."""
+    text_safe = F.coalesce(F.col(text_col), F.lit(""))
+    toks_raw = F.split(F.trim(text_safe), WS_RE)
+    toks_low = F.split(F.trim(F.lower(text_safe)), WS_RE)
+    staged = df.select(
+        F.col(id_col).alias("__doc"),
+        toks_raw.alias("__t"),
+        toks_low.alias("__tl"),
+    )
+    tl = F.col("__tl")
+    idx = F.when(
+        F.size(tl) >= n, F.sequence(F.lit(0), F.size(tl) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        F.col("__idx"),
+        lambda i: F.struct(
+            i.cast("int").alias("s"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[F.try_element_at(tl, (i + j + 1).cast("int"))
+                      for j in range(n)],
+                )
+            ).alias("h"),
+        ),
+    )
+    pos = (
+        staged.withColumn("__idx", idx)
+        .select("__doc", F.explode(grams).alias("g"))
+        .select("__doc", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        pos.select("h", "__doc")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        pos.join(dup, "h", "left_semi")
+        .select(
+            "__doc",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    tokpos = (
+        staged.select("__doc", F.posexplode("__t"))
+        .withColumnRenamed("pos", "p")
+        .withColumnRenamed("col", "__tok")
+    )
+    flagged = tokpos.join(
+        covered.withColumn("__cov", F.lit(True)), ["__doc", "p"], "left"
+    ).withColumn("__cov", F.coalesce("__cov", F.lit(False)))
+    rebuilt = flagged.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("__cov").cast("bigint")).alias("n_dup_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__cov"),
+                            F.struct("p", F.col("__tok").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias(out_col),
+    )
+    base = df.drop(out_col, "n_tokens", "n_dup_tokens")
+    joined = base.join(
+        rebuilt.select(
+            F.col("__doc").alias(id_col), out_col, "n_tokens", "n_dup_tokens"
+        ),
+        id_col,
+        "left",
+    )
+    return (
+        joined
+        .withColumn(out_col, F.coalesce(out_col, F.coalesce(text_col, F.lit(""))))
+        .withColumn(
+            "n_tokens",
+            F.coalesce("n_tokens", F.size(toks_raw).cast("bigint")),
+        )
+        .withColumn(
+            "n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0).cast("bigint"))
+        )
+    )

@@ -309,3 +309,38 @@ SELECT cluster_id AS doc_id, COUNT(*) - 1 AS n_dups_removed
 FROM clustered GROUP BY cluster_id
 """
 
+
+_REMOVE_DUP_PASSAGES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS tl
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, array_to_string(tl[i:i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tl) - 5 + 2)) AS i) ix
+),
+dup AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1)
+  WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT p.doc_id, p.i + jj.j AS cp
+  FROM pos p JOIN dup USING (g),
+       LATERAL (SELECT unnest(range(0, 5)) AS j) jj
+),
+tp AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ix
+)
+SELECT tp.doc_id,
+       COALESCE(
+         string_agg(CASE WHEN cov.cp IS NULL THEN tp.tok END, ' ' ORDER BY tp.i),
+         '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cov.cp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_tokens
+FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.cp
+GROUP BY 1
+"""

@@ -170,6 +170,8 @@ from tools.oracles.tail import (
 )
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
+    _PII_SYNTH_SPARK_EXPR,
+    _pii_redact_full_sql,
     _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
     _HH_BY_SOURCE_SQL,
@@ -2032,6 +2034,29 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
+def _q_pii_redact_full(spark, sf_dir):
+    """Breadth PII scrub (VERDICT r10 item 7): emails, UUIDs, IPv4,
+    phone-shaped groups, residual digit runs -> typed markers with
+    per-pattern audit counts, in a fixed chain order shared with the
+    DuckDB oracle (built from the same PII_PATTERNS table).  The
+    testdata has no natural PII, so the row synthesizes a deterministic
+    PII-bearing column from event fields inside the query — identical
+    construction in both engines — and redacts that.  Native regex
+    passes, map-side at any scale."""
+    from tools.oracles.text import _PII_SYNTH_SPARK_EXPR
+
+    from python_ctd_spark.operators.text import redact_pii
+
+    ev = _t(spark, sf_dir, "events")
+    out = redact_pii(
+        ev.withColumn("pii_text", F.expr(_PII_SYNTH_SPARK_EXPR)), "pii_text"
+    )
+    return out.select(
+        "event_id", "redacted",
+        "n_email", "n_uuid", "n_ipv4", "n_phone", "n_digit_runs",
+    )
+
+
 def _q_pii_redact(spark, sf_dir):
     """Digit-run redaction over the raw JSON props (the PII-scrub shape:
     one regexp_replace pass rewrites, one regexp_extract_all pass
@@ -2498,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique_rowtypes": _q_nunique,
         "pack_greedy": _q_pack_greedy,
         "pii_redact": _q_pii_redact,
+        "pii_redact_full": _q_pii_redact_full,
         "press_check": _q_press_check,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2659,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_redact": _PII_REDACT_SQL,
+        "pii_redact_full": _pii_redact_full_sql(),
         "dedup_apply": _dedup_apply_sql(),
         "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -141,6 +141,12 @@ class Corpus:
     def redact_numbers(self, out: str = "redacted", marker: str = "#") -> "Corpus":
         return self._wrap(text.redact_numbers(self.df, self.text_col, out, marker))
 
+    def redact_pii(self, out: str = "redacted") -> "Corpus":
+        """Breadth PII scrub (:func:`..operators.text.redact_pii`):
+        emails/UUIDs/IPv4/phones/digit runs to typed markers with
+        per-pattern audit counts."""
+        return self._wrap(text.redact_pii(self.df, self.text_col, out))
+
     def sample(self, rate: float) -> "Corpus":
         return self._wrap(sampling.bernoulli_sample(self.df, self.id_col, rate))
 

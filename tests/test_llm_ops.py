@@ -2082,3 +2082,36 @@ def test_remove_dup_passages_planted(spark):
     assert once.loc[0, "text"] == "alpha beta gamma delta"
     twice = c.remove_dup_passages(min_docs=2).df.toPandas()
     assert (twice["n_dup_tokens"] == 0).all()
+
+
+def test_redact_pii_chain_order_and_counts(spark):
+    """VERDICT r10 item 7: the PII chain replaces emails, UUIDs, IPv4,
+    phone shapes, then residual digit runs — in that order — with
+    per-pattern counts taken on the text as rewritten by the preceding
+    patterns (no span reported twice)."""
+    from python_ctd_spark.corpus import Corpus
+    from python_ctd_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.org and c3p0@d2.io now"),
+        (1, "id deadbeef-1234-abcd-0000-cafebabe0123 then 10.0.0.1"),
+        (2, "call +1 (555) 010-9999 or 555-123-4567 x89"),
+        (3, "no pii here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = redact_pii(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[0, "n_email"] == 2 and out.loc[0, "n_digit_runs"] == 0
+    assert out.loc[1, "redacted"] == "id <UUID> then <IP>"
+    assert out.loc[1, "n_uuid"] == 1 and out.loc[1, "n_ipv4"] == 1
+    # the dotted quad must NOT also be counted as a phone
+    assert out.loc[1, "n_phone"] == 0 and out.loc[1, "n_digit_runs"] == 0
+    assert out.loc[2, "redacted"] == "call <PHONE> or <PHONE> x#"
+    assert out.loc[2, "n_phone"] == 2 and out.loc[2, "n_digit_runs"] == 1
+    assert out.loc[3, "redacted"] == rows[3][1]
+    assert out.loc[4, ["n_email", "n_uuid", "n_ipv4", "n_phone"]].isna().all() \
+        or (out.loc[4, ["n_email", "n_uuid", "n_ipv4", "n_phone"]] == 0).all()
+    # fluent form
+    c = Corpus(df.fillna({"text": ""})).redact_pii()
+    assert "redacted" in c.df.columns and c.df.count() == 5

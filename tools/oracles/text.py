@@ -291,3 +291,53 @@ FROM t JOIN tot ON t.source = tot.source
 GROUP BY t.source, t.v
 HAVING COUNT(*) >= ceil(0.03 * MIN(tot.n))
 """
+
+
+# -- pii_redact_full ---------------------------------------------------
+# The testdata carries no natural emails/UUIDs/IPs, so the driver row
+# SYNTHESIZES a deterministic PII-bearing column from event fields
+# inside the query — same construction in both engines — then redacts
+# it.  The two expressions below must stay semantically identical; the
+# driver's value-hash compare enforces that every round.
+_PII_SYNTH_SPARK_EXPR = (
+    "concat('contact u', CAST(coalesce(user_id, 0) AS STRING),"
+    " '@example.com or id ',"
+    " substr(md5(CAST(coalesce(event_id, 0) AS STRING)), 1, 8), '-',"
+    " substr(md5(CAST(coalesce(event_id, 0) AS STRING)), 9, 4), '-',"
+    " substr(md5(CAST(coalesce(event_id, 0) AS STRING)), 13, 4), '-',"
+    " substr(md5(CAST(coalesce(event_id, 0) AS STRING)), 17, 4), '-',"
+    " substr(md5(CAST(coalesce(event_id, 0) AS STRING)), 21, 12),"
+    " ' at 10.', CAST(coalesce(user_id, 0) % 256 AS STRING),"
+    " '.0.', CAST(coalesce(event_id, 0) % 256 AS STRING),"
+    " ' call +1 (555) 010-',"
+    " lpad(CAST(coalesce(event_id, 0) % 10000 AS STRING), 4, '0'),"
+    " ' ref ', coalesce(props, ''))"
+)
+
+_PII_SYNTH_DUCKDB_EXPR = (
+    _PII_SYNTH_SPARK_EXPR.replace("AS STRING", "AS VARCHAR")
+)
+
+
+def _pii_redact_full_sql() -> str:
+    """DuckDB twin of operators.text.redact_pii over the synthesized
+    column: the SAME ordered pattern chain, imported from the package's
+    PII_PATTERNS table so the two can never drift — each count runs on
+    the text as rewritten by the preceding patterns, then the next
+    replacement applies."""
+    from python_ctd_spark.operators.text import PII_PATTERNS
+
+    cur = _PII_SYNTH_DUCKDB_EXPR
+    pieces = []
+    for name, pat, marker in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        pieces.append(
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', '{marker}', 'g')"
+    cols = ",\n       ".join(pieces)
+    return (
+        f"SELECT event_id,\n       {cols},\n       {cur} AS redacted\n"
+        "FROM events"
+    )

@@ -171,7 +171,9 @@ from tools.oracles.tail import (
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
     _PII_SYNTH_SPARK_EXPR,
+    _QC_GIBBERISH_EXPR,
     _pii_redact_full_sql,
+    _quality_classifier_sql,
     _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
     _HH_BY_SOURCE_SQL,
@@ -2034,6 +2036,34 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Learned quality classifier (VERDICT r10 item 5): logistic
+    regression over quantized text features, trained as fixed-iteration
+    full-batch DataFrame aggregates with exact BIGINT gradient sums and
+    a rational fast sigmoid — every arithmetic step engine-portable, so
+    the DuckDB oracle re-runs the identical unrolled loop on the same
+    fixture seeds (good = the corpus's English prose, bad = md5-hex
+    gibberish synthesized from every document) and reproduces the
+    weights bit-for-bit.  Per iteration: one scan + a 7-long aggregate;
+    weights are tiny driver state; scoring is map-side."""
+    import math
+
+    from tools.oracles.text import _QC_GIBBERISH_EXPR
+
+    from python_ctd_spark.operators.classify import (
+        FEATURES, train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    good = docs.filter("lang = 'en'").selectExpr("coalesce(text, '') AS text")
+    bad = docs.selectExpr(f"{_QC_GIBBERISH_EXPR} AS text")
+    w = train_quality_classifier(good, bad, iters=3, lr=5.0)
+    rows = [
+        (f, math.floor(x * 1e6 + 0.5) / 1e6) for f, x in zip(FEATURES, w)
+    ]
+    return spark.createDataFrame(rows, "feature string, weight double")
+
+
 def _q_pii_redact_full(spark, sf_dir):
     """Breadth PII scrub (VERDICT r10 item 7): emails, UUIDs, IPv4,
     phone-shaped groups, residual digit runs -> typed markers with
@@ -2524,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "pii_redact": _q_pii_redact,
         "pii_redact_full": _q_pii_redact_full,
+        "quality_classifier": _q_quality_classifier,
         "press_check": _q_press_check,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2686,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "pii_redact_full": _pii_redact_full_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "dedup_apply": _dedup_apply_sql(),
         "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -2115,3 +2115,92 @@ def test_redact_pii_chain_order_and_counts(spark):
     # fluent form
     c = Corpus(df.fillna({"text": ""})).redact_pii()
     assert "redacted" in c.df.columns and c.df.count() == 5
+
+
+def test_quality_classifier_beats_unigram_logprob(spark):
+    """VERDICT r10 item 5 acceptance: the trained classifier must
+    separate HELD-OUT planted gibberish from prose better than the
+    unigram_logprob proxy (pairwise ranking accuracy / AUC on the same
+    mixed set).  Train on one half of the corpus, evaluate on the
+    other; gibberish is md5-hex wordsalad synthesized per doc."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.classify import (
+        score_quality_classifier, train_quality_classifier,
+    )
+    from python_ctd_spark.operators.text import unigram_logprob
+    from tools.oracles.text import _QC_GIBBERISH_EXPR
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("lang = 'en'")
+        .selectExpr("doc_id", "coalesce(text, '') AS text")
+        .localCheckpoint()
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    held = docs.filter("doc_id % 2 = 1")
+    # two planted-gibberish modes: md5 wordsalad (rare tokens — easy for
+    # a unigram LM to flag) and repeated-common-token salad (tokens the
+    # unigram LM LIKES — logprob ranks it above real prose; only the
+    # structural features catch it)
+    salad = ("concat_ws(' ', array_repeat("
+             "element_at(split(trim(lower(text)), '\\\\s+'), 1), 40))")
+    gib_train = train.selectExpr(f"{_QC_GIBBERISH_EXPR} AS text").unionByName(
+        train.selectExpr(f"{salad} AS text")
+    )
+    gib_held = held.selectExpr(
+        "doc_id + 1000000 AS doc_id", f"{_QC_GIBBERISH_EXPR} AS text"
+    ).unionByName(
+        held.selectExpr("doc_id + 2000000 AS doc_id", f"{salad} AS text")
+    )
+
+    w = train_quality_classifier(train, gib_train, iters=50, lr=8.0)
+    mixed = held.withColumn("y", F.lit(1)).unionByName(
+        gib_held.withColumn("y", F.lit(0))
+    ).localCheckpoint()
+
+    clf = score_quality_classifier(mixed, w).select("y", "quality_prob").toPandas()
+    ulp = unigram_logprob(mixed, "text", "doc_id")
+    ulp = (
+        mixed.select("doc_id", "y")
+        .join(ulp, "doc_id")
+        .select("y", "avg_logprob")
+        .toPandas()
+    )
+
+    def auc(df, col):
+        pos = df[df["y"] == 1][col].to_numpy()
+        neg = df[df["y"] == 0][col].to_numpy()
+        import numpy as np
+
+        wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (
+            pos[:, None] == neg[None, :]
+        ).sum()
+        return wins / (len(pos) * len(neg))
+
+    auc_clf = auc(clf, "quality_prob")
+    auc_ulp = auc(ulp, "avg_logprob")
+    # the learned classifier must (a) separate almost perfectly and
+    # (b) beat the unigram proxy on the identical held-out mix
+    assert auc_clf > 0.97, (auc_clf, auc_ulp)
+    assert auc_clf > auc_ulp, (auc_clf, auc_ulp)
+
+
+def test_quality_classifier_partition_invariant(spark):
+    """The BIGINT-quantized gradient sums make training independent of
+    partition layout and row order — the property that lets the DuckDB
+    oracle reproduce the weights bit-for-bit."""
+    from python_ctd_spark.operators.classify import train_quality_classifier
+    from tools.oracles.text import _QC_GIBBERISH_EXPR
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("lang = 'en'")
+        .selectExpr("doc_id", "coalesce(text, '') AS text")
+    )
+    bad = docs.selectExpr(f"{_QC_GIBBERISH_EXPR} AS text")
+    w1 = train_quality_classifier(docs.repartition(1), bad.repartition(1))
+    w2 = train_quality_classifier(
+        docs.repartition(16, "doc_id"), bad.repartition(7)
+    )
+    assert w1 == w2, (w1, w2)

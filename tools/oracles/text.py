@@ -341,3 +341,100 @@ def _pii_redact_full_sql() -> str:
         f"SELECT event_id,\n       {cols},\n       {cur} AS redacted\n"
         "FROM events"
     )
+
+
+# -- quality_classifier ------------------------------------------------
+# Deterministic seed construction shared by the Spark row and the
+# oracle: good = the corpus's English prose, bad = md5-hex gibberish
+# synthesized from every document (no stopwords, hex-only alpha, no
+# punctuation — separable by construction).  The expression is valid,
+# with identical semantics, in BOTH Spark SQL and DuckDB.
+_QC_GIBBERISH_EXPR = (
+    "concat(substr(md5(coalesce(text, '')), 1, 7), ' ',"
+    " substr(md5(coalesce(text, '')), 8, 9), ' ',"
+    " substr(md5(concat(coalesce(text, ''), 'q')), 1, 11), ' ',"
+    " substr(md5(concat(coalesce(text, ''), 'r')), 3, 13))"
+)
+
+
+def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
+    """DuckDB twin of operators.classify.train_quality_classifier on
+    the fixture seeds: the SAME fixed-iteration full-batch loop,
+    UNROLLED — weights are 1-row CTEs, each gradient CTE aggregates the
+    quantized residual x quantized feature BIGINT products, and every
+    float step repeats the Spark side's exact IEEE op sequence (the
+    rational fast sigmoid keeps exp() out of the contract)."""
+    from python_ctd_spark.operators.classify import FEATURES, _SCALE
+    from python_ctd_spark.operators.text import STOPWORDS
+
+    nf = len(FEATURES)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = "regexp_split_to_array(trim(lower(t)), '\\s+')"
+    feats_inner = f"""
+  SELECT y,
+         CAST(len({toks}) AS DOUBLE) AS n_tok,
+         CAST(length(t) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(trim(t), '\\s+', '', 'g')) AS DOUBLE)
+           AS n_nonws,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS n_alpha,
+         CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           AS n_punct,
+         CAST(len(list_filter({toks}, w -> w IN ({stops}))) AS DOUBLE)
+           AS n_stop,
+         CAST(len(list_distinct({toks})) AS DOUBLE) AS n_dist
+  FROM seeds
+"""
+    fexprs = [
+        "1.0",
+        "least(n_tok, 1000.0) / 1000.0",
+        "least(n_nonws / n_tok, 10.0) / 10.0",
+        "n_stop / n_tok",
+        "n_alpha / greatest(n_chars, 1.0)",
+        "n_punct / greatest(n_chars, 1.0)",
+        "n_dist / n_tok",
+    ]
+    qf = ",\n         ".join(
+        f"CAST(floor(({e}) * {float(_SCALE)!r} + 0.5) AS BIGINT) AS qf{i}"
+        for i, e in enumerate(fexprs)
+    )
+    ctes = [
+        "seeds AS (\n"
+        "  SELECT 1 AS y, coalesce(text, '') AS t FROM documents"
+        " WHERE lang = 'en'\n"
+        "  UNION ALL\n"
+        f"  SELECT 0 AS y, {_QC_GIBBERISH_EXPR} AS t FROM documents\n)",
+        f"feats AS (\n  SELECT y,\n         {qf}\n  FROM ({feats_inner}) )",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{i}" for i in range(nf)) + ")",
+    ]
+    for it in range(1, iters + 1):
+        z = " + ".join(
+            f"(w{i} * CAST(qf{i} AS DOUBLE))" for i in range(nf)
+        )
+        gsums = ", ".join(
+            f"SUM(r * qf{i}) AS g{i}" for i in range(nf)
+        )
+        ctes.append(
+            f"g{it} AS (\n  SELECT {gsums} FROM (\n"
+            f"    SELECT CAST(floor((0.5 + 0.5 * __z / (1.0 + abs(__z))"
+            f" - CAST(y AS DOUBLE)) * {float(_SCALE)!r} + 0.5) AS BIGINT)"
+            f" AS r,\n           "
+            + ", ".join(f"qf{i}" for i in range(nf))
+            + f"\n    FROM (SELECT y, ({z}) / {float(_SCALE)!r} AS __z, "
+            + ", ".join(f"qf{i}" for i in range(nf))
+            + f" FROM feats, w{it - 1})\n  ) )"
+        )
+        s2 = float(_SCALE) * float(_SCALE)
+        wnew = ", ".join(
+            f"w{i} - (({lr!r} * (CAST(g{i} AS DOUBLE) / {s2!r})) / n) AS w{i}"
+            for i in range(nf)
+        )
+        ctes.append(f"w{it} AS (SELECT {wnew} FROM w{it - 1}, g{it}, nn)")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS feature,"
+        f" floor(w{i} * 1000000.0 + 0.5) / 1000000.0 AS weight FROM w{iters}"
+        for i, name in enumerate(FEATURES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows

@@ -309,6 +309,41 @@ class Corpus:
             )
         return merges
 
+    def train_quality_classifier(
+        self,
+        seed_good: DataFrame,
+        seed_bad: DataFrame,
+        iters: int = 3,
+        lr: float = 5.0,
+        seed_text_col: str | None = None,
+    ) -> list[float]:
+        """Train logistic-regression quality weights on labeled seed
+        frames (:func:`..operators.classify.train_quality_classifier`:
+        quantized features, exact BIGINT gradient sums, rational fast
+        sigmoid — engine-portable and partition-invariant).  Seeds may
+        carry their own text column name (``seed_text_col``, defaulting
+        to this corpus's) — the CCNet pattern is good = a reference
+        corpus, bad = a crawl sample.  Returns the weight vector (tiny
+        driver state); feed it to :meth:`score_quality`."""
+        from python_ctd_spark.operators.classify import train_quality_classifier
+
+        return train_quality_classifier(
+            self._bench_aligned(seed_good, seed_text_col),
+            self._bench_aligned(seed_bad, seed_text_col),
+            text_col=self.text_col, iters=iters, lr=lr,
+        )
+
+    def score_quality(self, weights: list[float],
+                      out_col: str = "quality_prob") -> "Corpus":
+        """Map-side scoring under trained classifier weights
+        (:func:`..operators.classify.score_quality_classifier`); filter
+        on ``out_col`` downstream."""
+        from python_ctd_spark.operators.classify import score_quality_classifier
+
+        return self._wrap(
+            score_quality_classifier(self.df, weights, self.text_col, out_col)
+        )
+
     def tokenize(self, merges_path: str | None = None,
                  out_col: str = "token_ids") -> "Corpus":
         """Real byte-level BPE token IDS

@@ -67,6 +67,9 @@ CASES = {
     "shard": lambda c, b: c.shard(4),
     "split": lambda c, b: c.split({"train": 0.8, "val": 0.1, "test": 0.1}),
     "gopher_filter": lambda c, b: c.gopher_filter(min_words=1),
+    "score_quality": lambda c, b: c.score_quality(
+        c.train_quality_classifier(b, b, iters=1)
+    ),
     "drop_duplicated_passages": lambda c, b: c.drop_duplicated_passages(0.5),
     "remove_dup_passages": lambda c, b: c.remove_dup_passages(min_docs=2),
     "transform": lambda c, b: c.transform(lambda df: df.limit(10)),
@@ -99,10 +102,12 @@ def test_sweep_covers_every_public_method():
         m for m in dir(Corpus)
         if not m.startswith("_") and callable(getattr(Corpus, m))
     }
-    # constructors and the trainer are exercised by dedicated tests
-    # (test_corpus_sources.py, test_bpe.py's lifecycle test runs
-    # train_tokenizer end-to-end on a renamed corpus below)
-    exempt = {"from_jsonl", "from_csv", "train_tokenizer"}
+    # constructors and the trainers are exercised by dedicated tests
+    # (test_corpus_sources.py; train_tokenizer runs on the renamed
+    # corpus below; train_quality_classifier feeds the score_quality
+    # sweep entry and has its own parity/invariance tests)
+    exempt = {"from_jsonl", "from_csv", "train_tokenizer",
+              "train_quality_classifier"}
     missing = public - set(CASES) - exempt
     assert not missing, f"Corpus methods without a sweep entry: {missing}"
 

@@ -432,3 +432,71 @@ def test_strip_boilerplate_plan_shapes(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_remove_dup_passages_plan_shape(spark):
+    """Duplicated-span removal (new r11): every join is hash-based (no
+    nested-loop / cartesian anywhere), the gram/doc-frequency passes
+    read ONLY (doc_id, text) from parquet, and every exchange is keyed
+    (gram hash, (doc, pos), or doc) — the shape that survives 100x."""
+    out = entrymod.queries()["remove_dup_passages"](spark, SF_DIR)
+    out.write.format("noop").mode("overwrite").save()
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning on the gram-side scans: at least one scan carries
+    # only the two referenced fields
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    # all exchanges are hash-keyed (plus broadcasts); never round-robin
+    # or single-partition funnels
+    assert _count(plan, r"Exchange rangepartitioning") == 0
+    assert _count(plan, r"Exchange SinglePartition") == 0
+
+
+def test_quality_classifier_training_and_scoring_plans(spark):
+    """The classifier's gradient step must be ONE partial->final
+    aggregate pair over the feature frame (map-side combine; the wire
+    carries 7 longs per partition) with zero joins; scoring must be
+    entirely map-side — no Exchange at all."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.classify import (
+        FEATURES, _p_sql, _z_sql, quality_features,
+        score_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = quality_features(docs, "text").select(
+        F.lit(1).cast("bigint").alias("y"),
+        *[f"qf{i}" for i in range(len(FEATURES))],
+    )
+    w = [0.1] * len(FEATURES)
+    staged = feats.selectExpr(
+        "y", f"{_z_sql(w)} AS __z", *[f"qf{i}" for i in range(len(FEATURES))]
+    ).selectExpr(
+        f"CAST(floor(({_p_sql()} - CAST(y AS DOUBLE)) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS __r",
+        *[f"qf{i}" for i in range(len(FEATURES))],
+    )
+    grad = staged.agg(
+        *[F.sum(F.col("__r") * F.col(f"qf{i}")).alias(f"g{i}")
+          for i in range(len(FEATURES))]
+    )
+    plan = _plan(grad)
+    assert _count(plan, r"HashAggregate") == 2, plan  # partial + final
+    assert "Join" not in plan
+    assert _count(plan, r"Exchange") == 1, plan       # the 7-long gather
+
+    scored = score_quality_classifier(docs, w)
+    splan = _plan(scored)
+    assert "Exchange" not in splan, "scoring must be map-side"
+    assert "Join" not in splan
+
+
+def test_redact_pii_plan_is_map_side(spark):
+    """The PII chain is native regex projections only — no Exchange, no
+    Python workers in the plan."""
+    out = entrymod.queries()["pii_redact_full"](spark, SF_DIR)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -28,7 +28,7 @@ Measurements (pick by arg):
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
         probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|
-        skew-join]  (default docs)
+        skew-join|spans]  (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -984,6 +984,66 @@ def measure_cleaning(mult: int) -> dict:
         spark.stop()
 
 
+def measure_spans(mult: int) -> dict:
+    """r11 scale evidence for the new family: remove_dup_passages (the
+    duplicated-span removal) and quality-classifier TRAINING over the
+    mult-x staged near-dup corpus.  Invariants asserted by the caller:
+    span-removal wall ~linear in docs with per-doc shuffle bounded by a
+    constant (the staged copies share nearly all their n-grams, so this
+    measures the dup-saturated worst case), and the classifier's
+    gradient shuffle ~CONSTANT in corpus size (7 BIGINTs per partition
+    per iteration — the whole point of the integer-sum design)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.classify import train_quality_classifier
+    from python_ctd_spark.operators.dedup import remove_dup_passages
+    from python_ctd_spark.session import get_spark
+    from tools.oracles.text import _QC_GIBBERISH_EXPR
+
+    spark = get_spark(
+        app_name=f"bench_spans_x{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_spans_")
+    try:
+        path = stage_docs(mult, tmp)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        base = _shuffle_bytes()
+        t0 = time.perf_counter()
+        rp = remove_dup_passages(docs, n=5, min_docs=2)
+        agg = rp.agg(
+            F.sum("n_dup_tokens").alias("rm"), F.sum("n_tokens").alias("nt")
+        ).first()
+        rp_wall = time.perf_counter() - t0
+        mid = _shuffle_bytes()
+
+        good = docs.selectExpr("coalesce(text, '') AS text")
+        bad = docs.selectExpr(f"{_QC_GIBBERISH_EXPR} AS text")
+        t0 = time.perf_counter()
+        w = train_quality_classifier(good, bad, iters=3, lr=5.0)
+        clf_wall = time.perf_counter() - t0
+        end = _shuffle_bytes()
+        return {
+            "mult": mult,
+            "n_docs": n_docs,
+            "span_wall_s": round(rp_wall, 2),
+            "dup_tokens_removed": int(agg["rm"]),
+            "total_tokens": int(agg["nt"]),
+            "span_shuffle_write_mb": round(
+                mid["shuffle_write_mb"] - base["shuffle_write_mb"], 2
+            ),
+            "clf_wall_s": round(clf_wall, 2),
+            "clf_shuffle_write_mb": round(
+                end["shuffle_write_mb"] - mid["shuffle_write_mb"], 3
+            ),
+            "clf_weights_nonzero": sum(1 for x in w if x != 0.0),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -1030,6 +1090,23 @@ if __name__ == "__main__":
             r = w10[key] / max(w1[key], 1e-9)
             assert r < 20.0, f"{key} scaled {r:.1f}x at 10x docs"
             results[f"{key}_ratio_10x"] = round(r, 2)
+    if what == "spans":
+        for m in (1, 10):
+            results[f"spans_x{m}"] = measure_spans(m)
+        w1, w10 = results["spans_x1"], results["spans_x10"]
+        r = w10["span_wall_s"] / max(w1["span_wall_s"], 1e-9)
+        assert r < 20.0, f"span wall scaled {r:.1f}x at 10x docs"
+        results["span_wall_ratio_10x"] = round(r, 2)
+        per_doc_kb = w10["span_shuffle_write_mb"] * 1e3 / max(w10["n_docs"], 1)
+        assert per_doc_kb < 32.0, f"span shuffle {per_doc_kb:.2f} KB/doc"
+        results["span_shuffle_kb_per_doc_10x"] = round(per_doc_kb, 3)
+        # classifier gradient shuffle must stay ~constant (not scale
+        # with docs): 3 iterations x 7 longs per partition
+        assert w10["clf_shuffle_write_mb"] < max(
+            4 * w1["clf_shuffle_write_mb"], 1.0
+        ), (w1, w10)
+        results["clf_shuffle_x1_mb"] = w1["clf_shuffle_write_mb"]
+        results["clf_shuffle_x10_mb"] = w10["clf_shuffle_write_mb"]
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

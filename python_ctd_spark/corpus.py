@@ -276,8 +276,10 @@ class Corpus:
             self.df, max_tokens, self.text_col, self.id_col, self.domain_col,
             strategy=strategy, **kw,
         ).select(self.id_col, "n_tokens", "pack_id")
+        # LEFT join: a NULL id can never equi-join, and the fluent chain
+        # must not delete rows (such a row keeps NULL assignment columns)
         return self._wrap(
-            self.df.drop("n_tokens", "pack_id").join(asg, self.id_col)
+            self.df.drop("n_tokens", "pack_id").join(asg, self.id_col, "left")
         )
 
     def train_tokenizer(

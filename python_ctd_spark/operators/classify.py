@@ -47,11 +47,11 @@ FEATURES: list[str] = [
 
 _SCALE = 1_000_000  # micro-unit feature quantization
 
-
-def _stopword_list_sql() -> str:
-    from .text import STOPWORDS
-
-    return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+# punctuation class spelled as EXPLICIT ASCII characters: Java's \s
+# includes \x0B (vertical tab) while RE2's does not, so a bare \s here
+# would silently break the bit-exact oracle contract on a \x0B byte —
+# same discipline as text.PII_PATTERNS ("ASCII classes only")
+_NON_PUNCT_CLASS = "[A-Za-z0-9 \\t\\n\\f\\r]"
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,7 +78,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.regexp_replace(t, "[^A-Za-z]", "")
             ).cast("double"),
             "__n_punct": F.length(
-                F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
+                F.regexp_replace(t, _NON_PUNCT_CLASS, "")
             ).cast("double"),
             "__n_stop": F.size(
                 F.filter(lt, lambda w: F.array_contains(en_stops, w))
@@ -171,9 +171,16 @@ def train_quality_classifier(
             " + 0.5) AS BIGINT) AS __r",
             *[f"qf{i}" for i in range(len(FEATURES))],
         )
+        # per-row |r * qf| <= 1e12, so a BIGINT sum overflows int64 near
+        # ~9e6 worst-case rows — nothing at fleet scale.  Sum in
+        # DECIMAL(38,0) instead: exact to ~1e38 (supports ~1e26 rows),
+        # and the DuckDB twin's SUM(BIGINT) promotes to HUGEINT, so the
+        # two engines stay exact at every size instead of diverging at
+        # the int64 boundary.
         g = staged.agg(
-            *[F.sum(F.col("__r") * F.col(f"qf{i}")).alias(f"g{i}")
-              for i in range(len(FEATURES))]
+            *[F.sum(
+                (F.col("__r") * F.col(f"qf{i}")).cast("decimal(38,0)")
+            ).alias(f"g{i}") for i in range(len(FEATURES))]
         ).first()
         w = [
             w[i] - lr * (float(g[f"g{i}"]) / float(_SCALE * _SCALE)) / n_rows

@@ -1108,6 +1108,14 @@ def remove_dup_passages(
     order-preserving per-doc rebuild (``array_sort(collect_list)``).
     Every exchange is keyed on uniform hashes, (doc, pos) pairs, or the
     doc id; partial aggregation runs before each wire."""
+    if out_col == text_col:
+        # the NULL-id fallback must read the original text AFTER base
+        # drops out_col — in-place replacement would reference a dropped
+        # column; chain Corpus.remove_dup_passages for in-place semantics
+        raise ValueError(
+            "out_col must differ from text_col (use "
+            "Corpus.remove_dup_passages for in-place replacement)"
+        )
     text_safe = F.coalesce(F.col(text_col), F.lit(""))
     toks_raw = F.split(F.trim(text_safe), WS_RE)
     toks_low = F.split(F.trim(F.lower(text_safe)), WS_RE)

@@ -675,6 +675,13 @@ def strip_boilerplate(
     No reference counterpart (LLM-pipeline extension surface; the rule
     is Raffel et al. 2020 §2.2's "citation/boilerplate" filter family
     re-expressed relationally)."""
+    if out_col == text_col:
+        # the NULL-id fallback reads the original text after base drops
+        # out_col; Corpus.strip_boilerplate provides in-place semantics
+        raise ValueError(
+            "out_col must differ from text_col (use "
+            "Corpus.strip_boilerplate for in-place replacement)"
+        )
     # NULL text coalesces to '' so the document still emits its single
     # empty line and SURVIVES the rebuild join (a cleaning operator must
     # never delete rows; same NULL policy as dedup_lines)

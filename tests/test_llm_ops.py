@@ -2204,3 +2204,20 @@ def test_quality_classifier_partition_invariant(spark):
         docs.repartition(16, "doc_id"), bad.repartition(7)
     )
     assert w1 == w2, (w1, w2)
+
+
+def test_rebuild_operators_reject_inplace_out_col(spark):
+    """Self-review r11: both rebuild operators' NULL-id fallback reads
+    the original text after base drops out_col, so in-place
+    out_col==text_col must be an explicit error (the Corpus methods
+    provide in-place semantics via a temp column)."""
+    import pytest as _pytest
+
+    from python_ctd_spark.operators.dedup import remove_dup_passages
+    from python_ctd_spark.operators.text import strip_boilerplate
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="out_col"):
+        remove_dup_passages(df, out_col="text")
+    with _pytest.raises(ValueError, match="out_col"):
+        strip_boilerplate(df, out_col="text")

@@ -41,9 +41,26 @@ def load_queries(path: str) -> dict[str, float]:
             os.path.dirname(path) or REPO, f"BENCH_full_r{int(m.group(1)):02d}.json"
         )
         if os.path.exists(full):
-            print(f"using full archive {os.path.basename(full)} for "
-                  f"{os.path.basename(path)}")
-            path = full
+            # guard against a mis-attributed archive (a post-commit
+            # re-run can write BENCH_full_r{N+1} from round-N code): the
+            # substitute must carry the SAME suite total as the driver
+            # artifact it stands in for, else fall back with a warning
+            with open(path, encoding="utf-8") as f:
+                drv = json.load(f)
+            with open(full, encoding="utf-8") as f:
+                fd = json.load(f)
+            drv_val = (drv.get("parsed") or {}).get("value")
+            if drv_val is None:
+                mt = re.search(r'"value":([0-9.]+)', drv.get("tail", ""))
+                drv_val = float(mt.group(1)) if mt else None
+            if drv_val is not None and abs(fd.get("value", -1) - drv_val) < 0.015:
+                print(f"using full archive {os.path.basename(full)} for "
+                      f"{os.path.basename(path)}")
+                path = full
+            else:
+                print(f"warning: {os.path.basename(full)} total "
+                      f"{fd.get('value')} != driver artifact total {drv_val}"
+                      f" — ignoring the archive (stale/mis-attributed run)")
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
     if d.get("only"):

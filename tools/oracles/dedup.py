@@ -322,7 +322,16 @@ pos AS (
   FROM toks, LATERAL (SELECT unnest(range(1, len(tl) - 5 + 2)) AS i) ix
 ),
 dup AS (
-  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY 1)
+  -- Spark's distinct+count(1) counts a NULL doc id as one document
+  -- toward the gram's doc frequency; COUNT(DISTINCT) would drop it.
+  -- (The rebuild half of the oracle still requires unique NON-NULL
+  -- ids — true of the documents table; Spark's NULL-id pass-through
+  -- is pinned by unit tests instead.)
+  SELECT g FROM (
+    SELECT g,
+           count(DISTINCT doc_id)
+             + max(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nd
+    FROM pos GROUP BY 1)
   WHERE nd >= 2
 ),
 cov AS (

@@ -378,7 +378,7 @@ def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
            AS n_nonws,
          CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            AS n_alpha,
-         CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         CAST(length(regexp_replace(t, '[A-Za-z0-9 \\t\\n\\f\\r]', '', 'g')) AS DOUBLE)
            AS n_punct,
          CAST(len(list_filter({toks}, w -> w IN ({stops}))) AS DOUBLE)
            AS n_stop,

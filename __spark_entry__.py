@@ -174,6 +174,7 @@ from tools.oracles.text import (
     _QC_GIBBERISH_EXPR,
     _pii_redact_full_sql,
     _quality_classifier_sql,
+    _streaming_quality_sql,
     _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
     _HH_BY_SOURCE_SQL,
@@ -270,6 +271,7 @@ from tools.registry.streaming import (
     _q_streaming_enrich,
     _q_streaming_inc_dedup,
     _q_streaming_join,
+    _q_streaming_quality,
     _q_streaming_sessions,
     _q_streaming_windowed,
     _stage_pdf_parts,
@@ -2438,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "hh_by_source": _q_hh_by_source,
         "streaming_clean": _q_streaming_clean,
+        "streaming_quality": _q_streaming_quality,
         "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
@@ -2587,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_sql(),
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "streaming_clean": _streaming_clean_sql(),
+        "streaming_quality": _streaming_quality_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "hh_by_source": _HH_BY_SOURCE_SQL,
         "frequent_ngrams": _FREQUENT_NGRAMS_SQL,

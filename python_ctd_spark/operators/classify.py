@@ -109,6 +109,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# A committed serving configuration (FEATURES order): the weights the
+# r11 fixture training produces on the sf0.01 seeds (good = the
+# corpus's English prose, bad = md5-hex gibberish; iters=3, lr=5.0,
+# floor-half-up rounded to 1e-6 — the exact vector the
+# `quality_classifier` driver row reproduces).  Use it the way
+# DEFAULT_MERGES serves BPE: a stored artifact for scoring paths that
+# must not retrain.
+DEMO_WEIGHTS: list[float] = [
+    0.302199,    # bias
+    0.14846,     # len_capped
+    -1.343613,   # mean_tok_len
+    0.189836,    # stop_ratio
+    1.519984,    # alpha_ratio
+    0.0,         # punct_ratio
+    -1.169006,   # distinct_ratio
+]
+
+
 def _z_sql(weights: list[float]) -> str:
     """The margin expression ``(w0*qf0 + ... + wN*qfN) / 1e6`` with a
     FIXED left-to-right addition order and repr'd double literals —

@@ -745,3 +745,36 @@ def test_streaming_strip_boilerplate_equals_batch(spark, tmp_path):
         for r in got_df.collect() if r["doc_id"] != 10**9
     }
     assert got == expected
+
+
+def test_streaming_quality_twin_and_stateless(spark):
+    """New r11 (11th streaming row): classifier scoring at ingest is
+    STATELESS — the drained stream equals batch scoring row-for-row,
+    and the streaming plan carries no state store (no watermark, no
+    aggregation: the sidecar shape that adds zero state at any rate)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from python_ctd_spark.operators.classify import (
+        DEMO_WEIGHTS, score_quality_classifier,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = (
+        entrymod.queries()["streaming_quality"](spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id % 5 = 0 AND doc_id < 2000")
+    want = (
+        score_quality_classifier(docs, DEMO_WEIGHTS)
+        .select("doc_id", "quality_prob")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0

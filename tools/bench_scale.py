@@ -1091,7 +1091,8 @@ if __name__ == "__main__":
             assert r < 20.0, f"{key} scaled {r:.1f}x at 10x docs"
             results[f"{key}_ratio_10x"] = round(r, 2)
     if what == "spans":
-        for m in (1, 10):
+        mults = (1, 10, 100) if os.environ.get("SPANS_DEEP") else (1, 10)
+        for m in mults:
             results[f"spans_x{m}"] = measure_spans(m)
         w1, w10 = results["spans_x1"], results["spans_x10"]
         r = w10["span_wall_s"] / max(w1["span_wall_s"], 1e-9)

@@ -357,21 +357,19 @@ _QC_GIBBERISH_EXPR = (
 )
 
 
-def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
-    """DuckDB twin of operators.classify.train_quality_classifier on
-    the fixture seeds: the SAME fixed-iteration full-batch loop,
-    UNROLLED — weights are 1-row CTEs, each gradient CTE aggregates the
-    quantized residual x quantized feature BIGINT products, and every
-    float step repeats the Spark side's exact IEEE op sequence (the
-    rational fast sigmoid keeps exp() out of the contract)."""
-    from python_ctd_spark.operators.classify import FEATURES, _SCALE
-    from python_ctd_spark.operators.text import STOPWORDS
-
-    nf = len(FEATURES)
-    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+def _qc_feats_inner_sql(src: str, cols: str = "y") -> str:
+    """The raw-feature projection shared by every classifier oracle:
+    identical primitives (trim/lower/regex/list ops) to
+    operators.classify.quality_features, FROM the given source
+    relation which must expose a text column ``t`` plus ``cols``."""
     toks = "regexp_split_to_array(trim(lower(t)), '\\s+')"
-    feats_inner = f"""
-  SELECT y,
+    stops_list = ", ".join(
+        f"'{w}'" for w in __import__(
+            "python_ctd_spark.operators.text", fromlist=["STOPWORDS"]
+        ).STOPWORDS["en"]
+    )
+    return f"""
+  SELECT {cols},
          CAST(len({toks}) AS DOUBLE) AS n_tok,
          CAST(length(t) AS DOUBLE) AS n_chars,
          CAST(length(regexp_replace(trim(t), '\\s+', '', 'g')) AS DOUBLE)
@@ -380,11 +378,18 @@ def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
            AS n_alpha,
          CAST(length(regexp_replace(t, '[A-Za-z0-9 \\t\\n\\f\\r]', '', 'g')) AS DOUBLE)
            AS n_punct,
-         CAST(len(list_filter({toks}, w -> w IN ({stops}))) AS DOUBLE)
+         CAST(len(list_filter({toks}, w -> w IN ({stops_list}))) AS DOUBLE)
            AS n_stop,
          CAST(len(list_distinct({toks})) AS DOUBLE) AS n_dist
-  FROM seeds
+  FROM {src}
 """
+
+
+def _qc_qf_sql() -> list[str]:
+    """Quantized-feature expressions over _qc_feats_inner_sql's columns,
+    index-aligned with classify.FEATURES."""
+    from python_ctd_spark.operators.classify import _SCALE
+
     fexprs = [
         "1.0",
         "least(n_tok, 1000.0) / 1000.0",
@@ -394,10 +399,24 @@ def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
         "n_punct / greatest(n_chars, 1.0)",
         "n_dist / n_tok",
     ]
-    qf = ",\n         ".join(
+    return [
         f"CAST(floor(({e}) * {float(_SCALE)!r} + 0.5) AS BIGINT) AS qf{i}"
         for i, e in enumerate(fexprs)
-    )
+    ]
+
+
+def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
+    """DuckDB twin of operators.classify.train_quality_classifier on
+    the fixture seeds: the SAME fixed-iteration full-batch loop,
+    UNROLLED — weights are 1-row CTEs, each gradient CTE aggregates the
+    quantized residual x quantized feature BIGINT products, and every
+    float step repeats the Spark side's exact IEEE op sequence (the
+    rational fast sigmoid keeps exp() out of the contract)."""
+    from python_ctd_spark.operators.classify import FEATURES, _SCALE
+
+    nf = len(FEATURES)
+    feats_inner = _qc_feats_inner_sql("seeds")
+    qf = ",\n         ".join(_qc_qf_sql())
     ctes = [
         "seeds AS (\n"
         "  SELECT 1 AS y, coalesce(text, '') AS t FROM documents"
@@ -438,3 +457,31 @@ def _quality_classifier_sql(iters: int = 3, lr: float = 5.0) -> str:
         for i, name in enumerate(FEATURES)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+def _streaming_quality_sql() -> str:
+    """Oracle for the streaming scoring row: the committed serving
+    weights (classify.DEMO_WEIGHTS) applied to the new-document shard —
+    scoring is stateless/deterministic, so the closed-drain streaming
+    result equals this batch formula exactly (twin law)."""
+    from python_ctd_spark.operators.classify import DEMO_WEIGHTS, _SCALE
+
+    qf = ",\n         ".join(_qc_qf_sql())
+    feats_inner = _qc_feats_inner_sql(
+        "(SELECT doc_id, coalesce(text, '') AS t FROM documents"
+        " WHERE doc_id % 5 = 0 AND doc_id < 2000)",
+        cols="doc_id",
+    )
+    z = " + ".join(
+        f"({w!r} * CAST(qf{i} AS DOUBLE))" for i, w in enumerate(DEMO_WEIGHTS)
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         {qf}
+  FROM ({feats_inner})
+)
+SELECT doc_id,
+       ROUND(0.5 + 0.5 * __z / (1.0 + abs(__z)), 6) AS quality_prob
+FROM (SELECT doc_id, ({z}) / {float(_SCALE)!r} AS __z FROM feats)
+"""

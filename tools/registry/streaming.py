@@ -612,3 +612,38 @@ def _q_streaming_clean(spark, sf_dir):
         F.unix_micros("window_start").alias("w_start_us"),
         "doc_id", "n_lines", "n_boiler", "text_clean",
     )
+
+def _q_streaming_quality(spark, sf_dir):
+    """Streaming classifier scoring (new r11, 11th streaming row): the
+    new-document shard (doc_id % 5 == 0, bounded) arrives as a 2-part
+    file stream and is scored map-side under the COMMITTED serving
+    weights (operators.classify.DEMO_WEIGHTS — the stored-artifact
+    pattern of DEFAULT_MERGES).  Scoring is stateless (no watermark, no
+    state store; one projection per arriving row — the plan a scoring
+    sidecar runs at ingest), so the closed drain equals the batch
+    formula exactly; the oracle replays it with the same literal
+    weights."""
+    from python_ctd_spark.operators.classify import (
+        DEMO_WEIGHTS, score_quality_classifier,
+    )
+    from python_ctd_spark.streaming import run_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_parts():
+        npdf = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < _STREAM_SHARD_BOUND)
+        ).toPandas()
+        npdf = npdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        half = max(1, len(npdf) // 2)
+        return [npdf.iloc[:half], npdf.iloc[half:]]
+
+    stage = _stage_pdf_parts("quality", sf_dir, build_parts)
+    schema = spark.read.parquet(stage).schema
+    sdf = spark.readStream.schema(schema).parquet(stage)
+    scored = score_quality_classifier(sdf, DEMO_WEIGHTS).select(
+        "doc_id", "quality_prob"
+    )
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(scored, f"stream_quality_{_STREAM_RUN_COUNTER[0]}")
+    return tbl

@@ -170,6 +170,7 @@ from tools.oracles.tail import (
 )
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
+    _BIGRAM_LOGPROB_SQL,
     _PII_SYNTH_SPARK_EXPR,
     _QC_GIBBERISH_EXPR,
     _pii_redact_full_sql,
@@ -2038,6 +2039,19 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Per-doc average bigram log-likelihood under the corpus's own
+    add-1-smoothed bigram LM (operators.text.bigram_logprob) — the LM
+    proxy that catches repeated-common-token salad a unigram model
+    scores ABOVE prose.  Bigram counts aggregate map-side and broadcast
+    back; the only full-stream shuffle is the per-doc aggregate;
+    per-term decimal casts keep the log sum partition-order-free."""
+    from python_ctd_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 def _q_quality_classifier(spark, sf_dir):
     """Learned quality classifier (VERDICT r10 item 5): logistic
     regression over quantized text features, trained as fixed-iteration
@@ -2558,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "pii_redact_full": _q_pii_redact_full,
         "quality_classifier": _q_quality_classifier,
+        "bigram_logprob": _q_bigram_logprob,
         "press_check": _q_press_check,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2722,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_SQL,
         "pii_redact_full": _pii_redact_full_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "dedup_apply": _dedup_apply_sql(),
         "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -165,6 +165,17 @@ class Corpus:
         distribution (cheap perplexity proxy; rank-filter on it)."""
         return text.unigram_logprob(self.df, self.text_col, self.id_col)
 
+    def bigram_logprob(self, ref: DataFrame | None = None,
+                       ref_text_col: str | None = None) -> DataFrame:
+        """Per-doc average bigram log-likelihood — under this corpus's
+        own LM, or a trusted REFERENCE corpus's (the CCNet usage; pass
+        ``ref``).  Catches repeated-token salad a unigram model ranks
+        above prose."""
+        aligned = None if ref is None else self._bench_aligned(ref, ref_text_col)
+        return text.bigram_logprob(
+            self.df, self.text_col, self.id_col, ref=aligned
+        )
+
     def stratified_sample(self, rates: dict, default_rate: float = 0.0) -> "Corpus":
         return self._wrap(
             sampling.stratified_sample(

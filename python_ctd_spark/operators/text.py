@@ -611,6 +611,105 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document average BIGRAM log-likelihood under the corpus's own
+    bigram distribution, add-1 smoothed over the corpus vocabulary —
+    the LM-proxy upgrade of :func:`unigram_logprob`: a unigram model
+    scores repeated-common-token salad ("the the the ...") ABOVE real
+    prose, while the bigram model sees the improbable transitions.
+
+    Returns ``(doc_id, n_bigrams, avg_logprob)`` with ``avg_logprob =
+    (1/m) * sum ln((C(prev,w) + 1) / (C(prev) + V))`` over the doc's m
+    positional bigrams (docs with fewer than 2 tokens have no bigrams
+    and no output row — same contract as the oracle).
+
+    Scale shape (mirrors unigram_logprob): bigrams build NATIVELY per
+    row and explode map-side; the bigram count table aggregates with
+    map-side combine, the prefix totals reduce from the already
+    aggregated counts (one row per distinct bigram, not per token), and
+    both — plus the 1-row vocabulary size — broadcast back onto the
+    stream, so the only full-stream shuffle is the final per-doc
+    aggregate.  Per-term decimal casts make the log sum independent of
+    partition order (oracle-stable, same discipline as
+    unigram_logprob).
+
+    ``ref`` scores ``df`` under a REFERENCE corpus's bigram LM instead
+    of its own (the CCNet usage: train on a trusted corpus, score the
+    crawl) — self-scoring cannot rank planted repetition below prose
+    because the plant is in its own training counts.  Bigrams unseen in
+    the reference take the smoothed zero count (LEFT joins)."""
+    lm = df if ref is None else ref
+    lt = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
+    pairs = F.when(
+        F.size("__lt") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__lt") - 1),
+            lambda i: F.struct(
+                F.try_element_at(F.col("__lt"), i.cast("int")).alias("p"),
+                F.concat_ws(
+                    " ",
+                    F.try_element_at(F.col("__lt"), i.cast("int")),
+                    F.try_element_at(F.col("__lt"), (i + 1).cast("int")),
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:string,g:string>>"))
+    def _bigrams(frame):
+        return (
+            frame.withColumn("__lt", lt)
+            .select(F.col(id_col), F.explode(pairs).alias("__b"))
+            .select(
+                id_col, F.col("__b.p").alias("__p"), F.col("__b.g").alias("__g")
+            )
+        )
+
+    big = _bigrams(df)
+    # the LM side needs no document ids (a reference frame may not even
+    # carry this corpus's id column) — counts are over pairs alone
+    if ref is None:
+        lm_big = big.select("__p", "__g")
+    else:
+        lm_big = (
+            lm.withColumn("__lt", lt)
+            .select(F.explode(pairs).alias("__b"))
+            .select(F.col("__b.p").alias("__p"), F.col("__b.g").alias("__g"))
+        )
+    counts = lm_big.groupBy("__g", "__p").agg(F.count(F.lit(1)).alias("__c"))
+    prev_tot = counts.groupBy("__p").agg(F.sum("__c").alias("__cp"))
+    vocab = (
+        lm.select(F.explode(lt).alias("__tok"))
+        .agg(F.countDistinct("__tok").cast("double").alias("__v"))
+    )
+    # LEFT joins: a bigram/prefix unseen in the reference LM takes the
+    # smoothed zero count instead of silently dropping from the average
+    term = (
+        F.log(F.coalesce(F.col("__c"), F.lit(0)).cast("double") + 1.0)
+        - F.log(
+            F.coalesce(F.col("__cp"), F.lit(0)).cast("double") + F.col("__v")
+        )
+    ).cast("decimal(25,12)")
+    scored = (
+        big.join(F.broadcast(counts.drop("__p")), "__g", "left")
+        .join(F.broadcast(prev_tot), "__p", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).cast("double").alias("__s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("__s") / F.col("n_bigrams").cast("double"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -75,6 +75,7 @@ CASES = {
     "transform": lambda c, b: c.transform(lambda df: df.limit(10)),
     # point analyses (plain DataFrames out)
     "unigram_logprob": lambda c, b: c.unigram_logprob(),
+    "bigram_logprob": lambda c, b: c.bigram_logprob(ref=b),
     "chunk": lambda c, b: c.chunk(window=64),
     "signatures": lambda c, b: c.signatures(),
     "duplicate_pairs": lambda c, b: c.duplicate_pairs(),

@@ -485,3 +485,34 @@ SELECT doc_id,
        ROUND(0.5 + 0.5 * __z / (1.0 + abs(__z)), 6) AS quality_prob
 FROM (SELECT doc_id, ({z}) / {float(_SCALE)!r} AS __z FROM feats)
 """
+
+
+_BIGRAM_LOGPROB_SQL = r"""
+WITH lt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS p, t[i] || ' ' || t[i + 1] AS g
+  FROM lt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+  WHERE len(t) >= 2
+), cnt AS (
+  SELECT g, COUNT(*) AS c FROM big GROUP BY g
+), ptot AS (
+  SELECT p, COUNT(*) AS cp FROM big GROUP BY p
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(t) AS tok FROM lt)
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(
+           ln((coalesce(c, 0) + 1)::DOUBLE)
+           - ln(coalesce(cp, 0)::DOUBLE + (SELECT v FROM v))
+         AS DECIMAL(25,12))) AS DOUBLE) AS s
+  FROM big LEFT JOIN cnt USING (g) LEFT JOIN ptot USING (p)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(s / n_bigrams, 4) AS avg_logprob
+FROM scored
+"""

@@ -171,6 +171,7 @@ from tools.oracles.tail import (
 from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
     _BIGRAM_LOGPROB_SQL,
+    _CMS_ACCURACY_SQL,
     _PII_SYNTH_SPARK_EXPR,
     _QC_GIBBERISH_EXPR,
     _pii_redact_full_sql,
@@ -2039,6 +2040,35 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
+def _q_cms_accuracy(spark, sf_dir):
+    """Count-Min sketch accuracy audit (new r11): build a 4x2048 CM
+    counter table over the token stream (depth x width bounded shuffle
+    keys — a LINEAR sketch, so one hash aggregate IS the merge), probe
+    it with the top-50 exact tokens, and emit exact vs estimate with
+    the deterministic never-undercount property.  The exact twin is the
+    audit's own baseline (run on samples at fleet scale); the oracle
+    recomputes the identical md5-derived cells."""
+    from python_ctd_spark.operators.sketches import (
+        count_min_estimate, count_min_table,
+    )
+    from python_ctd_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    cms = count_min_table(toks, "tok", 2048, 4)
+    exact = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "tok").limit(50)
+    )
+    est = count_min_estimate(cms, exact.select("tok"), "tok", 2048, 4)
+    return exact.join(est, exact["tok"] == est["value"]).select(
+        "value",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "est",
+        (F.col("est") - F.col("n_exact")).cast("bigint").alias("overcount"),
+    )
+
+
 def _q_bigram_logprob(spark, sf_dir):
     """Per-doc average bigram log-likelihood under the corpus's own
     add-1-smoothed bigram LM (operators.text.bigram_logprob) — the LM
@@ -2573,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_full": _q_pii_redact_full,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
+        "cms_accuracy": _q_cms_accuracy,
         "press_check": _q_press_check,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2738,6 +2769,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_full": _pii_redact_full_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "cms_accuracy": _CMS_ACCURACY_SQL,
         "dedup_apply": _dedup_apply_sql(),
         "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -348,3 +348,89 @@ def heavy_hitters_by_group(
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.col("__total").cast("double"), 6).alias("frac"),
     )
+
+
+def count_min_table(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch of ``col`` as a (j, b, c) counter table — the
+    mergeable point-frequency summary (Cormode & Muthukrishnan 2005)
+    that answers "how often does ANY value occur" in ``depth x width``
+    integers, where :func:`heavy_hitters` only reports values above a
+    threshold.  Estimates never undercount; overcount is bounded by
+    ~(e/width) * N per row with probability ~1 - exp(-depth).
+
+    Plan (the 100 TB shape): each row expands to its ``depth``
+    (row, bucket) pairs NATIVELY (md5-derived bucket per hash row — the
+    same engine-portable hash family as the MinHash oracle) and one
+    hash aggregate reduces them; the shuffle key space is bounded by
+    ``depth x width`` REGARDLESS of corpus size, so the wire carries at
+    most that many partial counts per partition — a CM sketch is a
+    linear sketch, and a groupBy over its cells IS the merge.  NULLs
+    are excluded (never representable in a point query), matching
+    :func:`heavy_hitters`."""
+    staged = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("v"))), 1, 15),
+                    16, 10,
+                ).cast("bigint") % width
+            ).alias("b"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        staged.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    col: str = "value",
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` against a stored
+    :func:`count_min_table`: per probe, the MIN over its ``depth``
+    counters (an absent cell reads 0 — LEFT join).  The sketch table is
+    <= depth x width rows, so it broadcasts; probing is a map-side
+    expansion + one per-value min aggregate.  Returns ``(value, est)``
+    with the CM guarantee ``est >= true count`` (deterministic, not
+    probabilistic — test-pinned)."""
+    staged = probes.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    ).distinct()
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), F.col("value"))), 1, 15
+                    ),
+                    16, 10,
+                ).cast("bigint") % width
+            ).alias("b"),
+        )
+        for j in range(depth)
+    ])
+    exploded = staged.select("value", F.explode(pairs).alias("p")).select(
+        "value", F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    )
+    return (
+        exploded.join(F.broadcast(cms), ["j", "b"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
+    )

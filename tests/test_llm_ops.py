@@ -2284,3 +2284,40 @@ def test_bigram_logprob_catches_repetition_salad(spark):
     assert abs(out.loc[0, "avg_logprob"] - round((2 * lp_ab + lp_ba) / 3, 4)) < 1e-9
     assert abs(out.loc[1, "avg_logprob"] - round(lp_ab, 4)) < 1e-9
     assert 2 not in out.index, "a 1-token doc has no bigrams and no row"
+
+
+def test_count_min_sketch_properties(spark):
+    """New r11: the CM estimate NEVER undercounts (deterministic, not
+    probabilistic), collisions only ADD (forced with width=4), a fatter
+    sketch is monotonically tighter, and unseen probes read the
+    collision floor (never negative)."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.sketches import (
+        count_min_estimate, count_min_table,
+    )
+
+    rows = [(f"t{i % 20}",) for i in range(400)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    probes = df.select("v").distinct().unionByName(
+        spark.createDataFrame([("never-seen",)], "v string")
+    )
+    for width in (4, 64, 4096):
+        cms = count_min_table(df, "v", width=width, depth=4)
+        est = {
+            r["value"]: r["est"]
+            for r in count_min_estimate(
+                cms, probes, "v", width=width, depth=4
+            ).collect()
+        }
+        for v, n in exact.items():
+            assert est[v] >= n, (width, v, est[v], n)
+        assert est["never-seen"] >= 0
+        if width == 4096:
+            # 21 values in 4096 buckets x 4 rows: no collisions expected
+            assert all(est[v] == n for v, n in exact.items())
+            assert est["never-seen"] == 0
+    # the sketch table never exceeds depth x width cells
+    assert count_min_table(df, "v", width=4, depth=4).count() <= 16

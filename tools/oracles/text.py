@@ -516,3 +516,37 @@ SELECT doc_id,
        ROUND(s / n_bigrams, 4) AS avg_logprob
 FROM scored
 """
+
+
+_CMS_ACCURACY_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS v FROM documents
+), jj AS (
+  SELECT unnest(range(0, 4)) AS j
+), cms AS (
+  SELECT j, b, COUNT(*) AS c FROM (
+    SELECT j,
+           ('0x' || substr(md5(concat(j::VARCHAR, '|', v)), 1, 15))::BIGINT
+             % 2048 AS b
+    FROM toks, jj
+  ) GROUP BY j, b
+), probes AS (
+  SELECT v, COUNT(*) AS n_exact FROM toks GROUP BY v
+  ORDER BY n_exact DESC, v LIMIT 50
+), est AS (
+  SELECT p.v, MIN(coalesce(c.c, 0)) AS est
+  FROM (
+    SELECT v, j,
+           ('0x' || substr(md5(concat(j::VARCHAR, '|', v)), 1, 15))::BIGINT
+             % 2048 AS b
+    FROM probes, jj
+  ) p
+  LEFT JOIN cms c ON p.j = c.j AND p.b = c.b
+  GROUP BY p.v
+)
+SELECT probes.v AS value,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(est AS BIGINT) AS est,
+       CAST(est - n_exact AS BIGINT) AS overcount
+FROM probes JOIN est ON probes.v = est.v
+"""

@@ -176,3 +176,44 @@ def test_order_tiers(sc, fps, monkeypatch, tmp_path):
     assert max(order.index(x) for x in (a, b, c, d, e)) < min(
         order.index(n) for n in names if n not in (a, b, c, d, e)
     )
+
+
+def test_plan_census_regression_rules():
+    """tools/plan_census.py (new r11): the shape-regression rules fire
+    on new cartesians/NLJs, exchange growth, and the lost-broadcast
+    pattern — and stay quiet on improvements and benign churn."""
+    import tools.plan_census as pc
+
+    base = {"exchange": 2, "bhj": 1, "smj": 0, "nlj": 1, "cartesian": 0,
+            "sort": 1, "window": 0, "shj": 0, "map_in_pandas": 0,
+            "py_eval": 0, "grouped_map": 0}
+    stored = {"q": dict(base)}
+    # improvement: fewer exchanges — changed, not regressed
+    regs, changed = pc.compare(stored, {"q": dict(base, exchange=1)})
+    assert not regs and len(changed) == 1
+    # regression: extra exchange
+    regs, _ = pc.compare(stored, {"q": dict(base, exchange=3)})
+    assert any("exchanges 2 -> 3" in r for r in regs)
+    # regression: lost broadcast (smj up AND bhj down)
+    regs, _ = pc.compare(stored, {"q": dict(base, smj=1, bhj=0)})
+    assert any("degraded" in r for r in regs)
+    # benign: smj up because a NEW join appeared with bhj intact
+    regs, _ = pc.compare(stored, {"q": dict(base, smj=1)})
+    assert not regs
+    # regression: new nested loop / cartesian
+    regs, _ = pc.compare(stored, {"q": dict(base, nlj=2)})
+    assert any("NestedLoop" in r for r in regs)
+    regs, _ = pc.compare(stored, {"q": dict(base, cartesian=1)})
+    assert any("Cartesian" in r for r in regs)
+    # new/removed queries are reported by main(), not compare(): absent
+    # names simply don't participate
+    regs, changed = pc.compare(stored, {"other": dict(base)})
+    assert not regs and not changed
+    # the committed census has no cartesians anywhere
+    import json
+    import os
+
+    with open(os.path.join(pc.REPO, "PLAN_CENSUS.json")) as f:
+        census = json.load(f)
+    assert len(census) >= 138
+    assert all(v["cartesian"] == 0 for v in census.values())

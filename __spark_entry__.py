@@ -174,6 +174,7 @@ from tools.oracles.text import (
     _CMS_ACCURACY_SQL,
     _PII_SYNTH_SPARK_EXPR,
     _QC_GIBBERISH_EXPR,
+    _classifier_eval_sql,
     _pii_redact_full_sql,
     _quality_classifier_sql,
     _streaming_quality_sql,
@@ -2040,6 +2041,61 @@ def _q_pack_greedy(spark, sf_dir):
     return pack_documents(docs, max_tokens=128, strategy="greedy", greedy_chunk=1 << 40)
 
 
+def _q_classifier_eval(spark, sf_dir):
+    """Classifier evaluation row (new r11): confusion counts +
+    precision/recall for the COMMITTED serving weights
+    (classify.DEMO_WEIGHTS) at thresholds 0.3/0.5/0.7 over the fixture
+    seeds — the threshold-selection table a pipeline reads before
+    wiring score_quality into a filter.  Map-side scoring, one
+    aggregate per threshold via a tiny cross join; deterministic, so
+    the oracle replays the identical formula."""
+    from tools.oracles.text import _QC_GIBBERISH_EXPR
+
+    from python_ctd_spark.operators.classify import (
+        DEMO_WEIGHTS, score_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = (
+        docs.filter("lang = 'en'")
+        .selectExpr("1 AS y", "coalesce(text, '') AS text")
+        .unionByName(
+            docs.selectExpr("0 AS y", f"{_QC_GIBBERISH_EXPR} AS text")
+        )
+    )
+    scored = score_quality_classifier(seeds, DEMO_WEIGHTS).select(
+        "y", F.col("quality_prob").alias("p")
+    )
+    th = F.explode(F.array(*[F.lit(t) for t in (0.3, 0.5, 0.7)])).alias(
+        "threshold"
+    )
+    pred_pos = F.col("p") > F.col("threshold")
+    y1 = F.col("y") == 1
+    tp = F.sum((pred_pos & y1).cast("bigint")).alias("tp")
+    return (
+        scored.select("y", "p", th)
+        .groupBy("threshold")
+        .agg(
+            tp,
+            F.sum((pred_pos & ~y1).cast("bigint")).alias("fp"),
+            F.sum((~pred_pos & y1).cast("bigint")).alias("fn"),
+            F.sum((~pred_pos & ~y1).cast("bigint")).alias("tn"),
+            F.round(
+                F.sum((pred_pos & y1).cast("bigint"))
+                / F.nullif(F.sum(pred_pos.cast("bigint")), F.lit(0)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("precision_"),
+            F.round(
+                F.sum((pred_pos & y1).cast("bigint"))
+                / F.nullif(F.sum(y1.cast("bigint")), F.lit(0)).cast("double"),
+                6,
+            ).alias("recall_"),
+        )
+    )
+
+
 def _q_cms_accuracy(spark, sf_dir):
     """Count-Min sketch accuracy audit (new r11): build a 4x2048 CM
     counter table over the token stream (depth x width bounded shuffle
@@ -2604,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
         "cms_accuracy": _q_cms_accuracy,
+        "classifier_eval": _q_classifier_eval,
         "press_check": _q_press_check,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2770,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "cms_accuracy": _CMS_ACCURACY_SQL,
+        "classifier_eval": _classifier_eval_sql(),
         "dedup_apply": _dedup_apply_sql(),
         "training_dataset": _training_dataset_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -550,3 +550,46 @@ SELECT probes.v AS value,
        CAST(est - n_exact AS BIGINT) AS overcount
 FROM probes JOIN est ON probes.v = est.v
 """
+
+
+def _classifier_eval_sql(thresholds: tuple = (0.3, 0.5, 0.7)) -> str:
+    """Oracle for the classifier evaluation row: confusion counts and
+    precision/recall for the committed serving weights at fixed
+    thresholds, over the same fixture seeds the trainer row uses — the
+    deterministic evaluation loop (scoring formula shared via
+    _qc_feats_inner_sql/_qc_qf_sql, weights literal)."""
+    from python_ctd_spark.operators.classify import DEMO_WEIGHTS, _SCALE
+
+    qf = ",\n         ".join(_qc_qf_sql())
+    feats_inner = _qc_feats_inner_sql("seeds")
+    z = " + ".join(
+        f"({w!r} * CAST(qf{i} AS DOUBLE))" for i, w in enumerate(DEMO_WEIGHTS)
+    )
+    th = ", ".join(repr(float(t)) for t in thresholds)
+    return f"""
+WITH seeds AS (
+  SELECT 1 AS y, coalesce(text, '') AS t FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 0 AS y, {_QC_GIBBERISH_EXPR} AS t FROM documents
+), feats AS (
+  SELECT y,
+         {qf}
+  FROM ({feats_inner})
+), scored AS (
+  SELECT y, ROUND(0.5 + 0.5 * __z / (1.0 + abs(__z)), 6) AS p
+  FROM (SELECT y, ({z}) / {float(_SCALE)!r} AS __z FROM feats)
+), th AS (SELECT unnest([{th}]) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN p > threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN p > threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN p <= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN p <= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       ROUND(SUM(CASE WHEN p > threshold AND y = 1 THEN 1 ELSE 0 END)
+             / nullif(SUM(CASE WHEN p > threshold THEN 1 ELSE 0 END), 0)::DOUBLE, 6)
+         AS precision_,
+       ROUND(SUM(CASE WHEN p > threshold AND y = 1 THEN 1 ELSE 0 END)
+             / nullif(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0)::DOUBLE, 6)
+         AS recall_
+FROM scored, th
+GROUP BY threshold
+"""

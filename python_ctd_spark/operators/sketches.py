@@ -350,6 +350,19 @@ def heavy_hitters_by_group(
     )
 
 
+def _cm_bucket(col: str, j: int, width: int):
+    """The CM cell for hash row ``j``: md5-derived (engine-portable,
+    same family as the MinHash oracle), salted with the row index.
+    SHARED by build and probe — the never-undercount guarantee holds
+    only while both compute identical buckets."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col(col))), 1, 15),
+            16, 10,
+        ).cast("bigint") % width
+    )
+
+
 def count_min_table(
     df: DataFrame,
     col: str,
@@ -376,15 +389,7 @@ def count_min_table(
         F.col("v").isNotNull()
     )
     pairs = F.array(*[
-        F.struct(
-            F.lit(j).alias("j"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("v"))), 1, 15),
-                    16, 10,
-                ).cast("bigint") % width
-            ).alias("b"),
-        )
+        F.struct(F.lit(j).alias("j"), _cm_bucket("v", j, width).alias("b"))
         for j in range(depth)
     ])
     return (
@@ -413,17 +418,7 @@ def count_min_estimate(
         F.col("value").isNotNull()
     ).distinct()
     pairs = F.array(*[
-        F.struct(
-            F.lit(j).alias("j"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}|"), F.col("value"))), 1, 15
-                    ),
-                    16, 10,
-                ).cast("bigint") % width
-            ).alias("b"),
-        )
+        F.struct(F.lit(j).alias("j"), _cm_bucket("value", j, width).alias("b"))
         for j in range(depth)
     ])
     exploded = staged.select("value", F.explode(pairs).alias("p")).select(

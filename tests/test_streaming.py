@@ -778,3 +778,19 @@ def test_streaming_quality_twin_and_stateless(spark):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+    # statelessness asserted on the PLAN, not inferred from the drain:
+    # rebuild the streaming frame the row builds and pin that its
+    # analyzed plan has no watermark / aggregate / dedup operator
+    import glob
+
+    stage_dirs = sorted(glob.glob("/tmp/quality_stream_*"))
+    assert stage_dirs, "the row's staged shard should exist"
+    schema = spark.read.parquet(stage_dirs[-1]).schema
+    sdf = spark.readStream.schema(schema).parquet(stage_dirs[-1])
+    scored = score_quality_classifier(sdf, DEMO_WEIGHTS).select(
+        "doc_id", "quality_prob"
+    )
+    assert scored.isStreaming
+    plan = scored._jdf.queryExecution().analyzed().toString()
+    for stateful in ("EventTimeWatermark", "Aggregate", "Deduplicate"):
+        assert stateful not in plan, f"stateless row grew a {stateful}"

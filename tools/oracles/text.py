@@ -362,12 +362,10 @@ def _qc_feats_inner_sql(src: str, cols: str = "y") -> str:
     identical primitives (trim/lower/regex/list ops) to
     operators.classify.quality_features, FROM the given source
     relation which must expose a text column ``t`` plus ``cols``."""
+    from python_ctd_spark.operators.text import STOPWORDS
+
     toks = "regexp_split_to_array(trim(lower(t)), '\\s+')"
-    stops_list = ", ".join(
-        f"'{w}'" for w in __import__(
-            "python_ctd_spark.operators.text", fromlist=["STOPWORDS"]
-        ).STOPWORDS["en"]
-    )
+    stops_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return f"""
   SELECT {cols},
          CAST(len({toks}) AS DOUBLE) AS n_tok,
@@ -467,9 +465,11 @@ def _streaming_quality_sql() -> str:
     from python_ctd_spark.operators.classify import DEMO_WEIGHTS, _SCALE
 
     qf = ",\n         ".join(_qc_qf_sql())
+    from tools.oracles.params import _STREAM_SHARD_BOUND
+
     feats_inner = _qc_feats_inner_sql(
         "(SELECT doc_id, coalesce(text, '') AS t FROM documents"
-        " WHERE doc_id % 5 = 0 AND doc_id < 2000)",
+        f" WHERE doc_id % 5 = 0 AND doc_id < {_STREAM_SHARD_BOUND})",
         cols="doc_id",
     )
     z = " + ".join(
@@ -565,7 +565,10 @@ def _classifier_eval_sql(thresholds: tuple = (0.3, 0.5, 0.7)) -> str:
     z = " + ".join(
         f"({w!r} * CAST(qf{i} AS DOUBLE))" for i, w in enumerate(DEMO_WEIGHTS)
     )
-    th = ", ".join(repr(float(t)) for t in thresholds)
+    # explicit DOUBLE: a bare 0.3 literal infers DECIMAL(2,1) in DuckDB
+    # while Spark emits DOUBLE — the raw-type divergence the type gate
+    # exists to catch (the HUGEINT-vs-BIGINT lesson of rounds 4-5)
+    th = ", ".join(f"CAST({float(t)!r} AS DOUBLE)" for t in thresholds)
     return f"""
 WITH seeds AS (
   SELECT 1 AS y, coalesce(text, '') AS t FROM documents WHERE lang = 'en'

@@ -54,7 +54,10 @@ PATTERNS = {
     "map_in_pandas": r"\bMapInPandas\b",
     "py_eval": r"\bBatchEvalPython\b|\bArrowEvalPython\b",
     "grouped_map": r"\bFlatMapGroupsInPandas\b",
-    "sort": r"\+- Sort \[",
+    # "Sort [" with word boundary: matches "+- Sort [", ":- Sort ["
+    # (the left child of binary nodes) and a root "Sort [", but not
+    # SortMergeJoin/SortAggregate
+    "sort": r"\bSort \[",
     "window": r"\bWindow\b|\bWindowGroupLimit\b",
 }
 

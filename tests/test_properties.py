@@ -330,3 +330,53 @@ def test_interval_join_equals_naive_for_any_bucket(spark, points, spans, bucket)
     naive = pts.merge(ivs, how="cross")
     naive = naive[(naive.t >= naive.lo) & (naive.t <= naive.hi)]
     assert sorted(zip(got.pid, got.iid)) == sorted(zip(naive.pid, naive.iid))
+
+
+# -- remove_dup_passages vs a pure-Python twin (r11) -------------------
+
+_rdp_word = st.sampled_from(["aa", "bb", "cc", "dd", "The", "ee"])
+_rdp_doc = st.lists(_rdp_word, min_size=0, max_size=12).map(" ".join)
+_rdp_corpus = st.lists(_rdp_doc, min_size=1, max_size=8)
+
+
+def _rdp_python(texts, n=3, min_docs=2):
+    """Pure-Python re-derivation of remove_dup_passages' contract."""
+    toks = [t.split() if t.strip() else [""] for t in
+            (" ".join(x.split()) for x in texts)]
+    low = [[w.lower() for w in ts] for ts in toks]
+    grams = {}
+    for d, ts in enumerate(low):
+        for i in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[i:i + n]), set()).add(d)
+    dup = {g for g, docs in grams.items() if len(docs) >= min_docs}
+    out = []
+    for d, ts in enumerate(toks):
+        covered = set()
+        for i in range(len(low[d]) - n + 1):
+            if " ".join(low[d][i:i + n]) in dup:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ts) if i not in covered]
+        out.append((" ".join(kept), len(ts), len(ts) - len(kept)))
+    return out
+
+
+@SET
+@given(texts=_rdp_corpus)
+def test_remove_dup_passages_matches_python_twin(spark, texts):
+    """Property: the distributed span removal equals a direct Python
+    re-derivation on arbitrary small corpora — order preservation,
+    boundary-gram coverage, case-insensitive matching with original
+    casing kept, short docs untouched.  (Spark splits on a whitespace
+    RUN, so inputs are pre-normalized the way tokens() sees them.)"""
+    from python_ctd_spark.operators.dedup import remove_dup_passages
+
+    norm = [" ".join(t.split()) for t in texts]
+    df = spark.createDataFrame(
+        list(enumerate(norm)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dup_tokens"])
+        for r in remove_dup_passages(df, n=3, min_docs=2).collect()
+    }
+    want = dict(enumerate(_rdp_python(norm, n=3, min_docs=2)))
+    assert got == want

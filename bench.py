@@ -34,6 +34,22 @@ import __spark_entry__ as entrymod  # noqa: E402
 from python_ctd_spark.session import get_spark  # noqa: E402
 
 
+def pack_compact_line(timings: dict[str, float], base: dict) -> str:
+    """The ONE stdout line: ``base`` with its "queries" map packed
+    slowest-first up to a ~1.6 KB budget — as much of the suite as the
+    harness's ~2000-char tail capture can carry without ever clipping
+    mid-JSON (clipped lines cost rounds 4-6 their BENCH artifacts)."""
+    budget = 1600 - len(json.dumps(dict(base, queries={}), separators=(",", ":")))
+    slowest: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: kv[1], reverse=True):
+        cost = len(json.dumps({k: v}, separators=(",", ":")))
+        if budget - cost < 0:
+            break
+        budget -= cost
+        slowest[k] = v
+    return json.dumps(dict(base, queries=slowest), separators=(",", ":"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -177,16 +193,7 @@ def main() -> None:
     }
     if only_marker is not None:
         compact_base["only"] = only_marker
-    budget = 1600 - len(json.dumps(compact_base, separators=(",", ":")))
-    slowest: dict[str, float] = {}
-    for k, v in sorted(timings.items(), key=lambda kv: kv[1], reverse=True):
-        cost = len(json.dumps({k: v}, separators=(",", ":")))  # incl braces ~ comma slack
-        if budget - cost < 0:
-            break
-        budget -= cost
-        slowest[k] = v
-    compact_record = dict(compact_base, queries=slowest)
-    compact_line = json.dumps(compact_record, separators=(",", ":"))
+    compact_line = pack_compact_line(timings, compact_base)
     with open(os.path.join(repo_dir, "BENCH_out.json"), "w") as f:
         f.write(full_line + "\n")
     # Per-round FULL archive (VERDICT r10 item 3): the driver's

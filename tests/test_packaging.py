@@ -116,3 +116,33 @@ def test_built_tree_imports_cleanly(sdist_tree):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "0.1.0"
+
+
+def test_bench_compact_line_respects_tail_capture():
+    """bench.pack_compact_line: the stdout line must stay under the
+    harness's ~2000-char tail capture for ANY suite size, parse as
+    JSON, and carry the slowest queries first (the ones worth seeing
+    when the full map does not fit)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import pack_compact_line
+
+    base = {"metric": "query_suite_runtime", "value": 999.99, "unit": "sec",
+            "queries": {}, "n_queries": 400, "passes": 3,
+            "full": "BENCH_out.json", "sf": 0.1}
+    timings = {f"very_long_query_name_{i:03d}": round(i * 0.37, 2)
+               for i in range(400)}
+    line = pack_compact_line(timings, base)
+    assert len(line) <= 1700
+    rec = json.loads(line)
+    assert rec["n_queries"] == 400
+    got = list(rec["queries"].values())
+    assert got == sorted(got, reverse=True), "slowest-first"
+    assert got[0] == max(timings.values())
+    # a small suite fits whole
+    small = {f"q{i}": float(i) for i in range(20)}
+    rec2 = json.loads(pack_compact_line(small, base))
+    assert len(rec2["queries"]) == 20

@@ -76,6 +76,7 @@ from tools.oracles.ann import (
     _plane_sig_expr,
     _pq_ann_sql,
     _pq_cb_sql,
+    _diversity_sample_sql,
     _semantic_cell_stats_sql,
     _semantic_dedup_sql,
     _sq8_ann_sql,
@@ -1223,6 +1224,29 @@ def _q_semantic_cell_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assignments, _cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
     return semantic_cell_stats(assignments)
+
+
+def _q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling
+    (sampling.cluster_balanced_sample): an equal deterministic-hash
+    budget (3 rows) from every cell of the stored IVF assignment table
+    — the COVERAGE complement of ``semantic_dedup``'s redundancy
+    removal (a subset that spans the embedding space instead of
+    mirroring corpus density; the cluster-based-pruning recipe for
+    eval carving / labeling budgets / density-debiased seeds).  Same
+    seed-centroid assignment artifact as the serving rows, so one
+    clustering pays for dedup, ANN serving, AND subset selection; the
+    sampler itself is one exchange on the cell key with a partial
+    WindowGroupLimit below it (<= per_cell rows per cell per input
+    partition cross the wire at any corpus size)."""
+    from python_ctd_spark.operators.curation import cluster_balanced_sample
+    from python_ctd_spark.operators.similarity import ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _cent = ivf_index(emb, n_centroids=_IVF_CENTROIDS)
+    return cluster_balanced_sample(assignments, per_cell=3).select(
+        F.col("id").alias("vec_id"), "cell", "rk"
+    )
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -2569,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq_probe": _q_ivf_sq_probe,
         "semantic_dedup": _q_semantic_dedup,
         "semantic_cell_stats": _q_semantic_cell_stats,
+        "diversity_sample": _q_diversity_sample,
         # -- r7 window: behavior changed in r7 (serving probe width) ---
         "ann_index_probe": _q_ann_index_probe,
         # -- r7 window: implementing files refactored in r6 ------------
@@ -2718,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_sq_probe": _ivf_sq_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "semantic_cell_stats": _semantic_cell_stats_sql(),
+        "diversity_sample": _diversity_sample_sql(),
         "repetition_stats": _REPETITION_SQL,
         "pack_greedy": _PACK_GREEDY_SQL,
         "containment_dedup": _CONTAINMENT_SQL,

@@ -1134,6 +1134,29 @@ def test_exact_sample_budget_and_determinism(spark):
     assert len(exact_sample(df, 5, "doc_id").toPandas()) == 5
 
 
+def test_cluster_balanced_sample(spark):
+    """Equal per-cell budget (min(per_cell, cell size)), rank contiguity
+    so a smaller budget is a pure rk filter, determinism under
+    repartitioning, and the per_cell>=1 guard."""
+    from python_ctd_spark.operators.curation import cluster_balanced_sample
+
+    rows = [(i, i % 4) for i in range(80)] + [(900, 9), (901, 9)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "cell"]))
+    out = cluster_balanced_sample(df, 5).toPandas()
+    by = out.groupby("cell").size()
+    assert (by.loc[[0, 1, 2, 3]] == 5).all()
+    assert by.loc[9] == 2  # min(per_cell, cell size)
+    # ranks are 1..n contiguous per cell -> rk <= b carves a sub-budget
+    for _, g in out.groupby("cell"):
+        assert sorted(g.rk) == list(range(1, len(g) + 1))
+    # deterministic under repartitioning, and rk<=2 is a prefix of rk<=5
+    out2 = cluster_balanced_sample(df.repartition(13), 2).toPandas()
+    sub = out[out.rk <= 2]
+    assert set(zip(out2.id, out2.rk)) == set(zip(sub.id, sub.rk))
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, 0)
+
+
 def test_chunk_documents_overlap_and_reconstruction(spark):
     """Disjoint chunks reconstruct the document exactly; overlapping
     chunks repeat the overlap region; short docs yield one chunk."""

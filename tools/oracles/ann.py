@@ -722,6 +722,42 @@ SELECT cell, n_rows,
 FROM occ
 """
 
+def _diversity_sample_sql(per_cell: int = 3) -> str:
+    """Oracle for cluster_balanced_sample: the seed-centroid argmax
+    assignment CTEs (same as _semantic_cell_stats_sql) feed a
+    per-cell row_number over deterministic md5-hash order — the exact
+    hash-uniform the Spark sampler computes (operators/sampling.py:
+    hash_uniform's integer numerator)."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+), cp AS (
+  SELECT e.vec_id AS id, c.cid,
+         unnest(e.embedding)::DOUBLE AS av, unnest(c.ce)::DOUBLE AS bv
+  FROM embeddings e CROSS JOIN cent c
+), cd AS (
+  SELECT id, cid,
+         CAST(SUM(CAST(av * bv AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(av * av AS DECIMAL(30,15))) AS DOUBLE) AS aa,
+         CAST(SUM(CAST(bv * bv AS DECIMAL(30,15))) AS DOUBLE) AS bb
+  FROM cp GROUP BY id, cid
+), ranked AS (
+  SELECT id, cid, row_number() OVER (
+    PARTITION BY id ORDER BY dot / (sqrt(aa) * sqrt(bb)) DESC, cid) AS rk
+  FROM cd
+), assigned AS (
+  SELECT id, cid AS cell FROM ranked WHERE rk = 1
+), hashed AS (
+  SELECT id, cell,
+         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM assigned
+)
+SELECT id AS vec_id, cell, CAST(rk AS INT) AS rk FROM (
+  SELECT id, cell, row_number() OVER (PARTITION BY cell ORDER BY h, id) AS rk
+  FROM hashed
+) WHERE rk <= {per_cell}
+"""
+
 def _semantic_dedup_sql(threshold: float = 0.45) -> str:
     """Oracle for semantic_dedup: the _ivf_ann_sql assignment CTEs
     (seed centroids -> per-vector argmax cell) feed a within-cell

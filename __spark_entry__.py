@@ -139,6 +139,7 @@ from tools.oracles.relational import (
     _TOPK_SQL,
     _UNPIVOT_SQL,
     _WINDOW_RANKS_SQL,
+    _image_dedup_sql,
     _multimodal_real_sql,
 )
 from tools.oracles.streaming import (
@@ -1650,6 +1651,39 @@ def _q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def _q_image_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup detection (media_dedup.image_ahash
+    + ahash_pairs) — the multimodal twin of simhash_dedup, run through
+    the REAL stdlib PNG codec: every doc_id maps to a deterministic
+    16x16 grayscale PNG (functions/image_hash.py fixture; ids share a
+    base pattern in groups of 16, variants flip up to 3 pooled cells),
+    the blobs round-trip through decode_png into 64-bit average-hashes
+    (map-side mapInPandas — pixels never shuffle, only the 16-byte
+    fingerprints enter the join), and near-dup pairs come from the
+    banded 16-bit-block equi-join with exact bit_count verification.
+    The oracle is an exhaustive all-pairs scan over kernel-golden
+    hashes computed from the PRE-ENCODE pixels, so it checks the codec
+    round trip AND the banding's pigeonhole losslessness at once."""
+    from python_ctd_spark.operators.media_dedup import ahash_pairs, image_ahash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.image_hash import make_image_blob
+
+        for pdf in batches:
+            blobs = [make_image_blob(int(i))[0] for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = docs.mapInPandas(gen, "doc_id long, blob binary")
+    hashed = image_ahash(blobs)
+    return ahash_pairs(hashed, max_hamming=3).select("id_a", "id_b", "hamming")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Fuzzy duplicate clusters: MinHash-LSH pairs -> connected
     components (iterative min-label propagation) -> per-doc cluster id +
@@ -2655,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stamped green in r6 on this tree (sacrificial) ------------
         "q12_ship_delay": _q12_ship_delay,
         "multimodal_real_decode": _q_multimodal_real_decode,
+        "image_dedup": _q_image_dedup,
         "asof_join": _q_asof_join,
         "barrier_layer_thickness": _q_barrier_layer,
         "bottle_mean": _q_bottle_mean,
@@ -2818,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         # PRE-encode source arrays (tools/make_golden.py), so this row
         # hash-checks the real PNG/GIF/WAV decoders end-to-end
         "multimodal_real_decode": _multimodal_real_sql(),
+        "image_dedup": _image_dedup_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "ivf_index_probe": _ivf_ann_sql(5, n_probe=2),
         "streaming_incremental_dedup": _streaming_inc_dedup_sql(),

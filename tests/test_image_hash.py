@@ -1,0 +1,117 @@
+"""Perceptual image hashing + banded Hamming join (media dedup family).
+
+The fixture/kernel contract: flipping pooled cell ``c`` of a
+full-contrast fixture image flips exactly bit ``c`` of the hash; the
+banded join is LOSSLESS for Hamming <= bands-1 (checked against a
+brute-force all-pairs scan); and the Spark path must reproduce the
+source-pixel hashes through the real PNG decoder.
+"""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from python_ctd_spark.functions.image_hash import (
+    GROUP_SIZE,
+    _flip_cells,
+    ahash64,
+    make_image_blob,
+)
+from python_ctd_spark.functions.png_numpy import decode_png
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_ahash_bit_semantics():
+    """Cell i of the full-contrast raster maps to exactly bit i."""
+    base = make_image_blob(0)[1]
+    h0 = ahash64(base)
+    for c in [0, 7, 13, 63]:
+        px = base.copy().reshape(8, 2, 8, 2)
+        px[c // 8, :, c % 8, :] = 255 - px[c // 8, 0, c % 8, 0]  # flip one cell
+        hc = ahash64(px.reshape(16, 16))
+        assert _ham(h0, hc) == 1
+        assert (h0 ^ hc) & ((1 << 64) - 1) == 1 << c
+
+
+def test_ahash_input_validation():
+    with pytest.raises(ValueError, match="multiples"):
+        ahash64(np.zeros((15, 16)))
+    with pytest.raises(ValueError, match="channels"):
+        ahash64(np.zeros((16, 16, 3)))
+    with pytest.raises(ValueError, match="64-bit"):
+        ahash64(np.zeros((16, 16)), hash_size=4)
+    # (H, W, 1) grayscale accepted — the decode_png output shape
+    assert ahash64(make_image_blob(3)[1][:, :, None]) == ahash64(
+        make_image_blob(3)[1]
+    )
+
+
+def test_fixture_round_trip_and_group_structure():
+    """decode(encode(px)) hashes to the source hash; within-group
+    Hamming equals the flip-set symmetric difference; cross-group
+    hashes stay far outside the near-dup band."""
+    hashes = {}
+    for d in range(2 * GROUP_SIZE):
+        blob, px = make_image_blob(d)
+        dec = decode_png(blob)
+        assert np.array_equal(dec[:, :, 0], px)
+        hashes[d] = ahash64(dec)
+        assert hashes[d] == ahash64(px)
+    for v in range(GROUP_SIZE):
+        expect = len(
+            set(_flip_cells(0)) ^ set(_flip_cells(v))
+        )  # flip set symmetric difference
+        assert _ham(hashes[0], hashes[v]) == expect
+    # group bases are md5-independent
+    assert _ham(hashes[0], hashes[GROUP_SIZE]) > 10
+
+
+def test_ahash_pairs_lossless_vs_brute_force(spark):
+    """The banded equi-join finds EXACTLY the pairs an all-pairs scan
+    finds at Hamming <= 3 (pigeonhole), on a corpus with planted
+    near-dups, exact dups, and md5-random distractors."""
+    from python_ctd_spark.operators.media_dedup import ahash_pairs
+
+    hs = {d: ahash64(make_image_blob(d)[1]) for d in range(5 * GROUP_SIZE)}
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(hs), "ahash": pd.Series(list(hs.values()), dtype="int64")})
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_pairs(df, max_hamming=3).collect()
+    }
+    want = {
+        (a, b, _ham(hs[a], hs[b]))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if _ham(hs[a], hs[b]) <= 3
+    }
+    assert got == want
+    assert len(want) > 50  # the fixture actually plants a dense band
+
+
+def test_ahash_pairs_validation(spark):
+    from python_ctd_spark.operators.media_dedup import ahash_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "ahash": [0]}))
+    with pytest.raises(ValueError, match="divide"):
+        ahash_pairs(df, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        ahash_pairs(df, max_hamming=4, bands=4)
+
+
+def test_image_ahash_spark_matches_kernel(spark):
+    """The mapInPandas decode+hash pass reproduces the kernel hashes and
+    reports decoded geometry."""
+    from python_ctd_spark.operators.media_dedup import image_ahash
+
+    rows = [(d, make_image_blob(d)[0]) for d in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = image_ahash(df).toPandas().set_index("id")
+    for d in range(8):
+        assert out.loc[d, "ahash"] == ahash64(make_image_blob(d)[1])
+        assert out.loc[d, "height"] == 16 and out.loc[d, "width"] == 16

@@ -187,6 +187,27 @@ def make_bpe_train(sf_dir: str, tag: str) -> None:
     print(f"wrote {path} ({len(out)} rows)")
 
 
+def make_image_ahash(sf_dir: str, tag: str) -> None:
+    """Golden for ``image_dedup``: perceptual hashes computed from the
+    PRE-ENCODE pixel rasters (functions/image_hash.py fixture), so the
+    driver row is a real PNG encode->decode->ahash round trip — the
+    oracle then finds near-dup pairs with a plain all-pairs
+    bit_count(xor) scan, proving the banded Hamming join misses
+    nothing."""
+    from python_ctd_spark.functions.image_hash import ahash64, make_image_blob
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in tbl["doc_id"].to_pylist():
+        _blob, px = make_image_blob(int(d))
+        rows.append((int(d), ahash64(px)))
+    out = pd.DataFrame(rows, columns=["doc_id", "ahash"])
+    out["ahash"] = out["ahash"].astype("int64")
+    path = GOLDEN_DIR / f"image_ahash_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -200,6 +221,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     make_bpe(sf_dir, tag)
     make_bpe_ids(sf_dir, tag)
     make_bpe_train(sf_dir, tag)
+    make_image_ahash(sf_dir, tag)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,25 @@ def _multimodal_real_sql() -> str:
         f"f0, f1, f2, f3 FROM read_parquet('{p}/multimodal_real_sf0.01.parquet')"
     )
 
+def _image_dedup_sql() -> str:
+    """Oracle for image_dedup: an ALL-PAIRS bit_count(xor) scan over the
+    kernel-golden perceptual hashes (computed from pre-encode pixels by
+    tools/make_golden.py) — equality proves both the PNG decode round
+    trip AND that the banded Hamming join misses no pair inside the
+    threshold (the pigeonhole losslessness claim, checked exhaustively)."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "golden"
+    return f"""
+WITH g AS (
+  SELECT doc_id, ahash FROM read_parquet('{p}/image_ahash_sf0.01.parquet')
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
 _SALTED_ROLLUP_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,

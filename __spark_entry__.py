@@ -174,6 +174,8 @@ from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
     _BIGRAM_LOGPROB_SQL,
     _CMS_ACCURACY_SQL,
+    _MARKUP_SYNTH_SPARK_EXPR,
+    _strip_markup_sql,
     _PII_SYNTH_SPARK_EXPR,
     _QC_GIBBERISH_EXPR,
     _classifier_eval_sql,
@@ -2247,6 +2249,31 @@ def _q_pii_redact_full(spark, sf_dir):
     )
 
 
+def _q_strip_markup(spark, sf_dir):
+    """HTML -> plain text extraction (markup.strip_markup): the stage in
+    front of every web-crawl pipeline — script/style CONTENT removed,
+    comments and tags stripped, entities decoded, whitespace collapsed,
+    with per-step audit counts.  The testdata text is plain prose, so
+    the row synthesizes a deterministic HTML wrapper (doctype, style +
+    script blocks, attributes, comment, all six entities) around each
+    document inside the query — identical construction in both engines
+    — and strips that.  Native regex chain, map-side at any scale; the
+    oracle is generated FROM the package's MARKUP_PATTERNS /
+    HTML_ENTITIES tables so the chains can never drift."""
+    from tools.oracles.text import _MARKUP_SYNTH_SPARK_EXPR
+
+    from python_ctd_spark.operators.markup import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = strip_markup(
+        docs.withColumn("html", F.expr(_MARKUP_SYNTH_SPARK_EXPR)), "html"
+    )
+    return out.select(
+        "doc_id", "n_script", "n_style", "n_comment", "n_tag",
+        "n_entities", "text_plain",
+    )
+
+
 def _q_pii_redact(spark, sf_dir):
     """Digit-run redaction over the raw JSON props (the PII-scrub shape:
     one regexp_replace pass rewrites, one regexp_extract_all pass
@@ -2717,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "pii_redact": _q_pii_redact,
         "pii_redact_full": _q_pii_redact_full,
+        "strip_markup": _q_strip_markup,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
         "cms_accuracy": _q_cms_accuracy,
@@ -2886,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "pii_redact_full": _pii_redact_full_sql(),
+        "strip_markup": _strip_markup_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "cms_accuracy": _CMS_ACCURACY_SQL,

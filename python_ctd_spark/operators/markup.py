@@ -1,0 +1,73 @@
+"""Markup stripping: HTML/XML -> plain text, the extraction stage that
+sits in front of every web-crawl training pipeline (the C4/CCNet step
+before any quality or dedup operator sees the text).
+
+One fixed, ordered regex chain — block elements whose CONTENT must go
+(script/style), comments, then every remaining tag, then a literal
+entity-decode pass, then whitespace collapse.  All patterns are written
+in the common subset of Java regex (Spark) and RE2 (the DuckDB oracle):
+inline ``(?is)`` flags and lazy ``.*?`` only — no backreferences, no
+lookaround — so the oracle can run the IDENTICAL chain and the two can
+never drift (it imports these tables).
+
+Everything is native ``regexp_count``/``regexp_replace`` column
+expressions: map-side at any corpus size, no Python workers, no
+shuffle; the chain rides whole-stage codegen like the PII scrub
+(:func:`.text.redact_pii`), whose chain-order counting discipline this
+module copies — each count is taken on the text as rewritten by the
+preceding steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: (name, pattern) — ordered; content-bearing blocks first so their
+#: inner text never leaks into the tag-stripped output.  ``<[!/]?...``
+#: catches open/close tags plus <!DOCTYPE ...>.
+MARKUP_PATTERNS: list[tuple[str, str]] = [
+    ("script", r"(?is)<script[^>]*>.*?</script\s*>"),
+    ("style", r"(?is)<style[^>]*>.*?</style\s*>"),
+    ("comment", r"(?s)<!--.*?-->"),
+    ("tag", r"<[!/]?[A-Za-z][^>]*>"),
+]
+
+#: literal entity -> replacement, ``&amp;`` LAST (standard unescape
+#: order: double-escaped entities like ``&amp;lt;`` decode one level to
+#: the literal text ``&lt;``, never two).
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(
+    df: DataFrame, text_col: str, out_col: str = "text_plain"
+) -> DataFrame:
+    """Strip HTML markup from ``text_col`` into ``out_col`` with
+    per-step audit counts (``n_script``, ``n_style``, ``n_comment``,
+    ``n_tag``, ``n_entities``).
+
+    A cleaning operator must never delete rows: NULL text yields NULL
+    output and NULL counts (the regex expressions propagate NULL), and
+    every input row survives — filter on the audit columns explicitly
+    if pathological docs should go.
+    """
+    cur: Column = F.col(text_col)
+    out = []
+    for name, pat in MARKUP_PATTERNS:
+        out.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, " ")
+    ent: Column | None = None
+    for lit, _rep in HTML_ENTITIES:
+        c = F.regexp_count(cur, F.lit(lit))
+        ent = c if ent is None else ent + c
+    out.append(ent.cast("bigint").alias("n_entities"))
+    for lit, rep in HTML_ENTITIES:
+        cur = F.regexp_replace(cur, lit, rep)
+    cur = F.trim(F.regexp_replace(cur, r"\s+", " "))
+    return df.select("*", *out, cur.alias(out_col))

@@ -1,0 +1,58 @@
+"""strip_markup: HTML -> plain text chain semantics on planted cases."""
+
+import pandas as pd
+
+from python_ctd_spark.operators.markup import strip_markup
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(len(texts)), "html": texts})
+    )
+    out = strip_markup(df, "html").toPandas().set_index("id")
+    return out
+
+
+def test_strip_markup_planted_document(spark):
+    html = (
+        '<!DOCTYPE html><html><head><style>p { color: red }</style>'
+        '<script type="text/javascript">\nvar hidden = "<b>not text</b>";\n'
+        "</script></head><body><h1>Title</h1>\n"
+        '<p class="x">Hello   world</p><br/><!-- note -->'
+        "&amp; &lt;tag&gt; &nbsp;&quot;q&#39;</body></html>"
+    )
+    out = _run(spark, [html]).loc[0]
+    # script/style CONTENT gone (including the tag-looking string inside
+    # the script — removed as a block, not tag-by-tag)
+    assert "hidden" not in out.text_plain and "not text" not in out.text_plain
+    assert "color" not in out.text_plain
+    assert "note" not in out.text_plain
+    assert out.text_plain == 'Title Hello world & <tag> "q\''
+    assert out.n_script == 1 and out.n_style == 1 and out.n_comment == 1
+    assert out.n_entities == 6  # amp, lt, gt, nbsp, quot, #39
+    # remaining tags: doctype, html, head x0 (head open counted), body...
+    assert out.n_tag > 5
+
+
+def test_strip_markup_plain_text_noop(spark):
+    out = _run(spark, ["just  plain\ttext, no markup"]).loc[0]
+    assert out.text_plain == "just plain text, no markup"
+    assert (
+        out.n_script == out.n_style == out.n_comment == out.n_tag
+        == out.n_entities == 0
+    )
+
+
+def test_strip_markup_null_and_case(spark):
+    out = _run(spark, [None, "<SCRIPT>x</SCRIPT><B>Bold</B>"])
+    assert pd.isna(out.loc[0, "text_plain"]) and pd.isna(out.loc[0, "n_tag"])
+    assert len(out) == 2  # NULL rows survive
+    assert out.loc[1, "text_plain"] == "Bold"
+    assert out.loc[1, "n_script"] == 1  # case-insensitive block match
+
+
+def test_strip_markup_double_escaped_entity(spark):
+    """&amp;lt; decodes ONE level to the literal '&lt;' (amp last)."""
+    out = _run(spark, ["a &amp;lt; b"]).loc[0]
+    assert out.text_plain == "a &lt; b"
+    assert out.n_entities == 1

@@ -343,6 +343,65 @@ def _pii_redact_full_sql() -> str:
     )
 
 
+# -- strip_markup ------------------------------------------------------
+# The testdata text is plain prose, so the driver row synthesizes a
+# deterministic HTML wrapper around it inside the query — identical
+# construction in both engines — and strips that.  The wrapper plants
+# every pattern class the chain handles: doctype, head with style and
+# script blocks (whose CONTENT must vanish), attributes, self-closing
+# and close tags, a comment, and all six entities.
+_MARKUP_SYNTH_SPARK_EXPR = (
+    "concat('<!DOCTYPE html><html><head>',"
+    " '<style>p { color: red }</style>',"
+    " '<script type=\"text/javascript\">var x = ',"
+    " CAST(coalesce(doc_id, 0) % 100 AS STRING), ';</script></head>',"
+    " '<body><h1 id=\"t\">Doc ', CAST(coalesce(doc_id, 0) AS STRING),"
+    " '</h1><p class=\"main\">', coalesce(text, ''),"
+    " '</p><br/><div>&amp; &lt;tag&gt; &nbsp;&quot;q&#39;</div>',"
+    " '<!-- c', CAST(coalesce(doc_id, 0) % 7 AS STRING), ' -->',"
+    " '</body></html>')"
+)
+
+_MARKUP_SYNTH_DUCKDB_EXPR = (
+    _MARKUP_SYNTH_SPARK_EXPR.replace("AS STRING", "AS VARCHAR")
+)
+
+
+def _strip_markup_sql() -> str:
+    """DuckDB twin of operators.markup.strip_markup over the synthesized
+    column: the SAME ordered chain, imported from the package's
+    MARKUP_PATTERNS/HTML_ENTITIES tables so the two can never drift —
+    per-step counts run on the text as rewritten by preceding steps;
+    all six entity counts are taken on the tag-stripped text before
+    any entity replacement (the operator's documented semantics)."""
+    from python_ctd_spark.operators.markup import HTML_ENTITIES, MARKUP_PATTERNS
+
+    cur = _MARKUP_SYNTH_DUCKDB_EXPR
+    pieces = []
+    for name, pat in MARKUP_PATTERNS:
+        esc = pat.replace("'", "''")
+        pieces.append(
+            f"CAST(len(regexp_extract_all({cur}, '{esc}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{esc}', ' ', 'g')"
+    ents = " + ".join(
+        f"len(regexp_extract_all({cur}, '{lit.replace(chr(39), chr(39)*2)}'))"
+        for lit, _rep in HTML_ENTITIES
+    )
+    pieces.append(f"CAST({ents} AS BIGINT) AS n_entities")
+    for lit, rep in HTML_ENTITIES:
+        lit_sql = lit.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        cur = f"replace({cur}, '{lit_sql}', '{rep_sql}')"
+    cur = f"trim(regexp_replace({cur}, '\\s+', ' ', 'g'))"
+    cols = ",\n       ".join(pieces)
+    return (
+        f"SELECT doc_id,\n       {cols},\n       {cur} AS text_plain\n"
+        "FROM documents"
+    )
+
+
 # -- quality_classifier ------------------------------------------------
 # Deterministic seed construction shared by the Spark row and the
 # oracle: good = the corpus's English prose, bad = md5-hex gibberish

@@ -181,6 +181,7 @@ from tools.oracles.text import (
     _classifier_eval_sql,
     _pii_redact_full_sql,
     _quality_classifier_sql,
+    _streaming_markup_sql,
     _streaming_quality_sql,
     _FREQUENT_NGRAMS_SQL,
     _HEAVY_HITTERS_SQL,
@@ -278,6 +279,7 @@ from tools.registry.streaming import (
     _q_streaming_enrich,
     _q_streaming_inc_dedup,
     _q_streaming_join,
+    _q_streaming_markup,
     _q_streaming_quality,
     _q_streaming_sessions,
     _q_streaming_windowed,
@@ -2626,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_by_source": _q_hh_by_source,
         "streaming_clean": _q_streaming_clean,
         "streaming_quality": _q_streaming_quality,
+        "streaming_markup": _q_streaming_markup,
         "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
@@ -2782,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "streaming_clean": _streaming_clean_sql(),
         "streaming_quality": _streaming_quality_sql(),
+        "streaming_markup": _streaming_markup_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "hh_by_source": _HH_BY_SOURCE_SQL,
         "frequent_ngrams": _FREQUENT_NGRAMS_SQL,

@@ -367,7 +367,7 @@ _MARKUP_SYNTH_DUCKDB_EXPR = (
 )
 
 
-def _strip_markup_sql() -> str:
+def _strip_markup_sql(src: str = "documents") -> str:
     """DuckDB twin of operators.markup.strip_markup over the synthesized
     column: the SAME ordered chain, imported from the package's
     MARKUP_PATTERNS/HTML_ENTITIES tables so the two can never drift —
@@ -398,7 +398,24 @@ def _strip_markup_sql() -> str:
     cols = ",\n       ".join(pieces)
     return (
         f"SELECT doc_id,\n       {cols},\n       {cur} AS text_plain\n"
-        "FROM documents"
+        f"FROM {src}"
+    )
+
+
+def _streaming_markup_sql() -> str:
+    """Oracle for the streaming extraction row: the identical generated
+    markup chain over the new-document shard — extraction is stateless,
+    so the closed drain equals this batch chain exactly (twin law)."""
+    from tools.oracles.params import _STREAM_SHARD_BOUND
+
+    inner = _strip_markup_sql(
+        "(SELECT doc_id, text FROM documents"
+        f" WHERE doc_id % 5 = 0 AND doc_id < {_STREAM_SHARD_BOUND})"
+    )
+    return (
+        "SELECT doc_id, n_tag, n_entities, text_plain FROM ("
+        + inner
+        + ")"
     )
 
 

@@ -613,6 +613,43 @@ def _q_streaming_clean(spark, sf_dir):
         "doc_id", "n_lines", "n_boiler", "text_clean",
     )
 
+def _q_streaming_markup(spark, sf_dir):
+    """Streaming HTML extraction (new, 12th streaming row): the
+    new-document shard (doc_id % 5 == 0, bounded) arrives as a 2-part
+    file stream wrapped in the deterministic HTML fixture (same
+    synthesized construction as the batch ``strip_markup`` row) and is
+    stripped map-side by the SAME native regex chain
+    (operators.markup.strip_markup).  Extraction is stateless (no
+    watermark, no state store — the shape of a text-extraction sidecar
+    at crawl ingest), so the closed drain equals the batch chain
+    row-for-row; the oracle replays the identical generated chain over
+    the shard."""
+    from tools.oracles.text import _MARKUP_SYNTH_SPARK_EXPR
+
+    from python_ctd_spark.operators.markup import strip_markup
+    from python_ctd_spark.streaming import run_to_memory
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_parts():
+        npdf = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < _STREAM_SHARD_BOUND)
+        ).toPandas()
+        npdf = npdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        half = max(1, len(npdf) // 2)
+        return [npdf.iloc[:half], npdf.iloc[half:]]
+
+    stage = _stage_pdf_parts("markup", sf_dir, build_parts)
+    schema = spark.read.parquet(stage).schema
+    sdf = spark.readStream.schema(schema).parquet(stage)
+    stripped = strip_markup(
+        sdf.withColumn("html", F.expr(_MARKUP_SYNTH_SPARK_EXPR)), "html"
+    ).select("doc_id", "n_tag", "n_entities", "text_plain")
+    _STREAM_RUN_COUNTER[0] += 1
+    tbl = run_to_memory(stripped, f"stream_markup_{_STREAM_RUN_COUNTER[0]}")
+    return tbl
+
+
 def _q_streaming_quality(spark, sf_dir):
     """Streaming classifier scoring (new r11, 11th streaming row): the
     new-document shard (doc_id % 5 == 0, bounded) arrives as a 2-part

@@ -1044,6 +1044,76 @@ def measure_spans(mult: int) -> dict:
         spark.stop()
 
 
+def measure_media(mult: int) -> dict:
+    """Scale evidence for the media/curation family (image_dedup +
+    diversity_sample): the image pipeline's decode+hash pass is
+    map-side (blobs never shuffle — only (id, hash) fingerprints enter
+    the banded join), so wall should grow ~linearly in ids and pair
+    count exactly linearly in fixture groups; the diversity sample's
+    OUTPUT is invariant in corpus size (cells x per_cell rows), the
+    whole point of a budgeted curation operator."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.curation import cluster_balanced_sample
+    from python_ctd_spark.operators.media_dedup import ahash_pairs, image_ahash
+    from python_ctd_spark.operators.similarity import ivf_index
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_media_x{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_media_")
+    try:
+        n_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        ids = spark.range(n_base * mult).withColumnRenamed("id", "doc_id")
+
+        def gen(batches):
+            import pandas as pd
+
+            from python_ctd_spark.functions.image_hash import make_image_blob
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "blob": [
+                            make_image_blob(int(i))[0] for i in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        blobs = ids.mapInPandas(gen, "doc_id long, blob binary")
+        base = _shuffle_bytes()
+        t0 = time.perf_counter()
+        pairs = ahash_pairs(image_ahash(blobs), max_hamming=3)
+        n_pairs = pairs.count()
+        img_wall = time.perf_counter() - t0
+        mid = _shuffle_bytes()
+
+        emb_path = stage_embeddings(mult, tmp)
+        emb = spark.read.parquet(emb_path)
+        t0 = time.perf_counter()
+        assignments, _cent = ivf_index(emb, n_centroids=16)
+        sample = cluster_balanced_sample(assignments, per_cell=3)
+        n_sample = sample.count()
+        div_wall = time.perf_counter() - t0
+        return {
+            "mult": mult,
+            "n_images": n_base * mult,
+            "img_wall_s": round(img_wall, 2),
+            "n_pairs": int(n_pairs),
+            "img_shuffle_write_mb": round(
+                mid["shuffle_write_mb"] - base["shuffle_write_mb"], 2
+            ),
+            "div_wall_s": round(div_wall, 2),
+            "n_sample_rows": int(n_sample),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -1108,6 +1178,21 @@ if __name__ == "__main__":
         ), (w1, w10)
         results["clf_shuffle_x1_mb"] = w1["clf_shuffle_write_mb"]
         results["clf_shuffle_x10_mb"] = w10["clf_shuffle_write_mb"]
+    if what == "media":
+        for m in (1, 10):
+            results[f"media_x{m}"] = measure_media(m)
+        w1, w10 = results["media_x1"], results["media_x10"]
+        r = w10["img_wall_s"] / max(w1["img_wall_s"], 1e-9)
+        assert r < 20.0, f"image pipeline wall scaled {r:.1f}x at 10x"
+        results["img_wall_ratio_10x"] = round(r, 2)
+        # fixture groups are disjoint 16-id blocks, so true pairs scale
+        # EXACTLY linearly with ids — the banded join must find them all
+        pr = w10["n_pairs"] / max(w1["n_pairs"], 1)
+        assert 9.5 <= pr <= 10.5, f"pair count scaled {pr:.2f}x at 10x ids"
+        results["pair_ratio_10x"] = round(pr, 2)
+        # the diversity sample's size is a function of the BUDGET
+        # (cells x per_cell), never of corpus size
+        assert w1["n_sample_rows"] == w10["n_sample_rows"] == 48, (w1, w10)
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

@@ -174,7 +174,9 @@ from tools.oracles.text import (
     _CHUNK_DOCUMENTS_SQL,
     _BIGRAM_LOGPROB_SQL,
     _CMS_ACCURACY_SQL,
+    _LINKS_SYNTH_SPARK_EXPR,
     _MARKUP_SYNTH_SPARK_EXPR,
+    _extract_links_sql,
     _strip_markup_sql,
     _PII_SYNTH_SPARK_EXPR,
     _QC_GIBBERISH_EXPR,
@@ -2276,6 +2278,26 @@ def _q_strip_markup(spark, sf_dir):
     )
 
 
+def _q_extract_links(spark, sf_dir):
+    """Link/URL extraction (markup.extract_links): one row per
+    ``<a href>`` — (doc_id, link_pos, url, domain, anchor, is_blocked)
+    — the crawl-graph stage in front of URL/domain filtering and
+    outlink quality signals.  Deterministic link-bearing HTML is
+    synthesized inside the query in both engines (per-doc ref link, a
+    blocklisted tracker, an extra docs link on every third doc for
+    variable outlink counts); extraction is two regexp_extract_all
+    passes zipped and exploded — map-side, no shuffle; the blocklist is
+    a literal IN-list shared with the oracle via BLOCKED_DOMAINS."""
+    from tools.oracles.text import _LINKS_SYNTH_SPARK_EXPR
+
+    from python_ctd_spark.operators.markup import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_links(
+        docs.withColumn("html", F.expr(_LINKS_SYNTH_SPARK_EXPR)), "html"
+    )
+
+
 def _q_pii_redact(spark, sf_dir):
     """Digit-run redaction over the raw JSON props (the PII-scrub shape:
     one regexp_replace pass rewrites, one regexp_extract_all pass
@@ -2748,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "pii_redact_full": _q_pii_redact_full,
         "strip_markup": _q_strip_markup,
+        "extract_links": _q_extract_links,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
         "cms_accuracy": _q_cms_accuracy,
@@ -2919,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_SQL,
         "pii_redact_full": _pii_redact_full_sql(),
         "strip_markup": _strip_markup_sql(),
+        "extract_links": _extract_links_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "cms_accuracy": _CMS_ACCURACY_SQL,

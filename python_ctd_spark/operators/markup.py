@@ -45,6 +45,60 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+#: anchor pattern in the Java-regex/RE2 common subset: group 1 = the
+#: href URL, group 2 = the anchor text (lazy, single-level — nested
+#: anchors are invalid HTML and out of scope).
+ANCHOR_PATTERN = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>'
+
+#: scheme://host extraction from a URL (group 1 = the registrable host)
+DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+#: demo blocklist — swap for the real denylist table at deploy time;
+#: kept tiny and literal so map-side IN-list evaluation (and the oracle)
+#: needs no join.
+BLOCKED_DOMAINS: tuple[str, ...] = ("spam.example.net",)
+
+
+def extract_links(
+    df: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Extract every ``<a href>`` link from ``text_col``: one output row
+    per link — ``(id_col, link_pos, url, domain, anchor, is_blocked)``
+    — the crawl-graph stage in front of URL/domain filtering and
+    outlink-based quality signals.
+
+    ``link_pos`` is the link's 1-based position within its document
+    (document order, deterministic).  ``domain`` is the
+    ``scheme://host`` host; ``is_blocked`` marks hosts in
+    :data:`BLOCKED_DOMAINS` (a literal IN-list — no join).  Documents
+    with no links emit no rows (explode semantics; LEFT-join back to
+    the corpus for a per-doc outlink count including zeros).
+
+    All native: two ``regexp_extract_all`` passes (URL group, anchor
+    group) zipped and exploded — map-side, no shuffle, whole-stage
+    codegen.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 1)
+    anchors = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 2)
+    ex = df.select(
+        id_col, F.posexplode(F.arrays_zip(urls.alias("u"), anchors.alias("a")))
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("int").alias("link_pos"),
+        F.col("col.u").alias("url"),
+        F.trim(F.regexp_replace(F.col("col.a"), r"\s+", " ")).alias("anchor"),
+    )
+    domain = F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)
+    return ex.select(
+        id_col,
+        "link_pos",
+        "url",
+        domain.alias("domain"),
+        "anchor",
+        domain.isin(*BLOCKED_DOMAINS).alias("is_blocked"),
+    )
+
+
 def strip_markup(
     df: DataFrame, text_col: str, out_col: str = "text_plain"
 ) -> DataFrame:

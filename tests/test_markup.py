@@ -56,3 +56,26 @@ def test_strip_markup_double_escaped_entity(spark):
     out = _run(spark, ["a &amp;lt; b"]).loc[0]
     assert out.text_plain == "a &lt; b"
     assert out.n_entities == 1
+
+
+def test_extract_links(spark):
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<p><a href="https://a.example.org/x">first\n  link</a> text '
+        '<A HREF="https://spam.example.net/t?u=1" rel="nofollow">Offer</A>'
+        "<a name='no-href'>not a link</a></p>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "html": [html, "no links at all"]})
+    )
+    out = extract_links(df, "html").toPandas()
+    assert list(out.doc_id) == [0, 0]  # linkless docs emit nothing
+    assert list(out.link_pos) == [1, 2]  # document order
+    assert out.loc[0, "url"] == "https://a.example.org/x"
+    assert out.loc[0, "anchor"] == "first link"  # whitespace normalized
+    assert out.loc[0, "domain"] == "a.example.org"
+    assert not out.loc[0, "is_blocked"]
+    # case-insensitive tag match + blocklist hit
+    assert out.loc[1, "domain"] == "spam.example.net"
+    assert bool(out.loc[1, "is_blocked"])

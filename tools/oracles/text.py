@@ -419,6 +419,65 @@ def _streaming_markup_sql() -> str:
     )
 
 
+# -- extract_links -----------------------------------------------------
+# Deterministic link-bearing HTML synthesized inside the query in both
+# engines: every doc gets a per-doc ref link and a blocklisted tracker
+# link; every third doc gets an extra docs link (variable outlink
+# counts exercise the explode).
+_LINKS_SYNTH_SPARK_EXPR = (
+    "concat('<p>See <a href=\"https://site',"
+    " CAST(coalesce(doc_id, 0) % 7 AS STRING),"
+    " '.example.org/p/', CAST(coalesce(doc_id, 0) AS STRING),"
+    " '\">ref  ', CAST(coalesce(doc_id, 0) AS STRING), '</a>',"
+    " ' and <a class=\"x\" href=\"https://spam.example.net/track?u=',"
+    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '\">offer</a>',"
+    " CASE WHEN coalesce(doc_id, 0) % 3 = 0 THEN"
+    " concat(' plus <a href=\"http://docs.example.com/',"
+    " CAST(coalesce(doc_id, 0) % 11 AS STRING), '\">docs\n',"
+    " CAST(coalesce(doc_id, 0) % 11 AS STRING), '</a>') ELSE '' END,"
+    " '</p><p>No links here: ', coalesce(text, ''), '</p>')"
+)
+
+_LINKS_SYNTH_DUCKDB_EXPR = (
+    _LINKS_SYNTH_SPARK_EXPR.replace("AS STRING", "AS VARCHAR")
+)
+
+
+def _extract_links_sql() -> str:
+    """DuckDB twin of operators.markup.extract_links over the
+    synthesized column — same ANCHOR_PATTERN/DOMAIN_PATTERN/
+    BLOCKED_DOMAINS imported from the package so the two can never
+    drift; unnest-with-range replays posexplode's document order."""
+    from python_ctd_spark.operators.markup import (
+        ANCHOR_PATTERN,
+        BLOCKED_DOMAINS,
+        DOMAIN_PATTERN,
+    )
+
+    anchor = ANCHOR_PATTERN.replace("'", "''")
+    dom = DOMAIN_PATTERN.replace("'", "''")
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_LINKS_SYNTH_DUCKDB_EXPR} AS html FROM documents
+), arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '{anchor}', 1) AS u,
+         regexp_extract_all(html, '{anchor}', 2) AS a
+  FROM h
+), ex AS (
+  SELECT doc_id, CAST(i AS INT) AS link_pos, u[i] AS url,
+         trim(regexp_replace(a[i], '\\s+', ' ', 'g')) AS anchor
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix
+)
+SELECT doc_id, link_pos, url,
+       regexp_extract(url, '{dom}', 1) AS domain,
+       anchor,
+       regexp_extract(url, '{dom}', 1) IN ({blocked}) AS is_blocked
+FROM ex
+"""
+
+
 # -- quality_classifier ------------------------------------------------
 # Deterministic seed construction shared by the Spark row and the
 # oracle: good = the corpus's English prose, bad = md5-hex gibberish

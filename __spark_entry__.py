@@ -1670,23 +1670,12 @@ def _q_image_dedup(spark, sf_dir):
     The oracle is an exhaustive all-pairs scan over kernel-golden
     hashes computed from the PRE-ENCODE pixels, so it checks the codec
     round trip AND the banding's pigeonhole losslessness at once."""
-    from python_ctd_spark.operators.media_dedup import ahash_pairs, image_ahash
+    from python_ctd_spark.operators.media_dedup import (
+        ahash_pairs, image_ahash, synthesize_image_blobs,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches):
-        import pandas as pd
-
-        from python_ctd_spark.functions.image_hash import make_image_blob
-
-        for pdf in batches:
-            blobs = [make_image_blob(int(i))[0] for i in pdf["doc_id"]]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
-            )
-
-    blobs = docs.mapInPandas(gen, "doc_id long, blob binary")
-    hashed = image_ahash(blobs)
+    hashed = image_ahash(synthesize_image_blobs(docs))
     return ahash_pairs(hashed, max_hamming=3).select("id_a", "id_b", "hamming")
 
 

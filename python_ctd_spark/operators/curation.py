@@ -54,10 +54,16 @@ def cluster_balanced_sample(
         raise ValueError(f"per_cell must be >= 1, got {per_cell}")
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    w = Window.partitionBy(cell_col).orderBy(h, F.col(id_col))
+    from .sampling import hash_uniform
+
+    # hash_uniform is the repo's ONE deterministic-hash contract (the
+    # DuckDB oracles compute the same integer numerator); ordering by
+    # the uniform is identical to ordering by the numerator — the
+    # division by 2^32 is exact in float64 (32-bit numerator, 53-bit
+    # mantissa), a monotone bijection
+    w = Window.partitionBy(cell_col).orderBy(
+        hash_uniform(F.col(id_col)), F.col(id_col)
+    )
     return (
         assignments.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= per_cell)

@@ -687,25 +687,34 @@ def with_simhash(df: DataFrame, text_col: str = "text", out: str = "sh") -> Data
     )
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def banded_hamming_pairs(
+    base: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
     materialize: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit fingerprint
-    into ``bands`` 16-bit blocks; two docs within ``max_hamming`` bits
-    must agree on at least one block (pigeonhole) -> block equi-join,
-    verify true Hamming distance with bit_count."""
+    """Near-dup pairs ``(id_a, id_b, hamming)`` from a 64-bit
+    fingerprint table ``base`` with columns ``(id, sh)`` — the shared
+    banding core behind :func:`simhash_pairs` (text) and
+    ``media_dedup.ahash_pairs`` (images).
+
+    Split the fingerprint into ``bands`` equal blocks; candidates must
+    agree on at least one block, and true Hamming distance is verified
+    with ``bit_count``.  For ``max_hamming < bands`` the pigeonhole
+    principle makes the equi-join LOSSLESS for the threshold; above
+    that (e.g. the registered ``simhash_dedup`` row's 6-bit band at 4
+    blocks) it is deliberately best-effort recall — callers that need
+    the losslessness contract enforce ``max_hamming < bands``
+    themselves (``media_dedup.ahash_pairs`` does, and its all-pairs
+    oracle proves it).  The join key space is (block index, block
+    value): candidate volume scales with hash collisions, never
+    corpus^2."""
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
-    base = with_simhash(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, out="sh"
-    ).select("id", "sh")
     if materialize:
-        # two self-join branches consume the fingerprint table; persist so
-        # the 64-bit majority votes compute once per doc
+        # two self-join branches consume the fingerprint table; persist
+        # so the fingerprint computes once per row
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -748,6 +757,23 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: the text fingerprint
+    (:func:`with_simhash`) fed through the shared
+    :func:`banded_hamming_pairs` core."""
+    base = with_simhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, out="sh"
+    ).select("id", "sh")
+    return banded_hamming_pairs(base, max_hamming, bands, materialize)
 
 
 def _alternating_star(

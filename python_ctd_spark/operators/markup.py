@@ -50,8 +50,11 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 #: anchors are invalid HTML and out of scope).
 ANCHOR_PATTERN = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>'
 
-#: scheme://host extraction from a URL (group 1 = the registrable host)
-DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+#: scheme://host extraction from a URL: group 1 = the registrable host
+#: with userinfo (``user@``) and port (``:443``) stripped; combined
+#: with lowercasing at the use site so trivially-varied URLs
+#: (HTTPS://SPAM..., spam...:443, u@spam...) cannot dodge a blocklist.
+DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 
 #: demo blocklist — swap for the real denylist table at deploy time;
 #: kept tiny and literal so map-side IN-list evaluation (and the oracle)
@@ -68,8 +71,11 @@ def extract_links(
     outlink-based quality signals.
 
     ``link_pos`` is the link's 1-based position within its document
-    (document order, deterministic).  ``domain`` is the
-    ``scheme://host`` host; ``is_blocked`` marks hosts in
+    (document order, deterministic).  ``domain`` is the NORMALIZED
+    host: lowercased, userinfo and port stripped (so HTTPS://HOST,
+    host:443, and user@host all resolve to one key — a blocklist match
+    must not be dodgeable by trivial URL variation); ``is_blocked``
+    marks hosts in
     :data:`BLOCKED_DOMAINS` (a literal IN-list — no join).  Documents
     with no links emit no rows (explode semantics; LEFT-join back to
     the corpus for a per-doc outlink count including zeros).
@@ -88,7 +94,7 @@ def extract_links(
         F.col("col.u").alias("url"),
         F.trim(F.regexp_replace(F.col("col.a"), r"\s+", " ")).alias("anchor"),
     )
-    domain = F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)
+    domain = F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1))
     return ex.select(
         id_col,
         "link_pos",

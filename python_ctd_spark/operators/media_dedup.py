@@ -6,13 +6,12 @@ Pipeline shape (the one that survives 100 TB of images):
 1. :func:`image_ahash` — decode + hash is a pure map-side pass
    (``mapInPandas`` over Arrow batches, real PNG decode via the repo's
    stdlib codec); the corpus of blobs is read once and never shuffled.
-2. :func:`ahash_pairs` — near-dup candidates come from a banded
-   equi-join on 16-bit blocks of the 64-bit hash (pigeonhole: two
-   hashes within ``max_hamming <= 3`` bits MUST agree on one of 4
-   blocks), verified with an exact ``bit_count(xor)``.  Identical
-   banding guarantee and plan shape as text SimHash
-   (:func:`.dedup.simhash_pairs`) — only the tiny ``(id, hash)``
-   fingerprint table enters the join, never pixels.
+2. :func:`ahash_pairs` — near-dup candidates come from the SAME banded
+   Hamming equi-join as text SimHash
+   (:func:`.dedup.banded_hamming_pairs` — one implementation, two
+   modalities): lossless by pigeonhole for ``max_hamming < bands``,
+   and only the tiny ``(id, hash)`` fingerprint table enters the join,
+   never pixels.
 
 Exact-duplicate grouping is the degenerate case: ``groupBy("ahash")``
 on the fingerprint table (or feed ``hamming = 0`` pairs to
@@ -22,6 +21,26 @@ on the fingerprint table (or feed ``hamming = 0`` pairs to
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .dedup import banded_hamming_pairs
+
+
+def _to_gray(px):
+    """Flatten a decoded raster to 2-D grayscale: color channels are
+    averaged (luma), the ALPHA channel is dropped — transparency is not
+    brightness, and two visually identical images that differ only in
+    alpha must hash identically (decode_png color layouts: (H,W,1)
+    gray, (H,W,2) gray+alpha, (H,W,3) RGB, (H,W,4) RGBA)."""
+    import numpy as np
+
+    if px.ndim == 2:
+        return px
+    c = px.shape[2]
+    if c == 1:
+        return px[:, :, 0]
+    if c == 2:  # gray + alpha
+        return px[:, :, 0]
+    return px[:, :, :3].astype(np.float64).mean(axis=2)  # RGB / RGBA
 
 
 def image_ahash(
@@ -36,14 +55,13 @@ def image_ahash(
 
     Arrow-batched ``mapInPandas``; no shuffle — the blob column never
     leaves the scan stage's partitions, and downstream joins see only
-    the ~16-byte fingerprint rows.  RGB inputs are luma-averaged before
-    pooling; a malformed blob raises (dedup must not silently skip
-    corpus rows — filter decodable rows explicitly upstream if the
-    archive is dirty).
+    the ~16-byte fingerprint rows.  Color inputs are luma-averaged and
+    the alpha channel is DROPPED before pooling (:func:`_to_gray`); a
+    malformed blob raises (dedup must not silently skip corpus rows —
+    filter decodable rows explicitly upstream if the archive is dirty).
     """
 
     def fn(batches):
-        import numpy as np
         import pandas as pd
 
         from python_ctd_spark.functions.image_hash import ahash64
@@ -53,9 +71,7 @@ def image_ahash(
             ids, hashes, hs, ws = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 px = decode_png(bytes(blob))
-                if px.ndim == 3 and px.shape[2] > 1:
-                    px = px.astype(np.float64).mean(axis=2)
-                hashes.append(ahash64(px, hash_size))
+                hashes.append(ahash64(_to_gray(px), hash_size))
                 ids.append(i)
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
@@ -73,6 +89,29 @@ def image_ahash(
     )
 
 
+def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic fixture PNG for every id
+    (:func:`..functions.image_hash.make_image_blob`) — the single
+    blob-synthesis pass shared by the registered ``image_dedup`` query
+    and the scale harness (tools/bench_scale.py), so both always
+    measure the identical pipeline.  Map-side ``mapInPandas``."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.image_hash import make_image_blob
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "blob": [make_image_blob(int(i))[0] for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+
+
 def ahash_pairs(
     hashed: DataFrame,
     max_hamming: int = 3,
@@ -82,15 +121,13 @@ def ahash_pairs(
     materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` by banded
-    Hamming join on the 64-bit perceptual hash.
+    Hamming join on the 64-bit perceptual hash — a thin adapter over
+    the shared :func:`..dedup.banded_hamming_pairs` core (identical
+    plan shape as text SimHash).
 
-    Split the hash into ``bands`` equal blocks; two hashes within
-    ``max_hamming < bands`` bits must agree on at least one block
-    (pigeonhole), so the band equi-join is LOSSLESS for the threshold —
-    the all-pairs scan an oracle runs finds exactly the same pairs.
-    The join key space is (block index, 16-bit value): candidate
-    volume scales with hash collisions, never corpus^2.
-    """
+    Unlike the text row's best-effort 6-bit band, image near-dup here
+    CONTRACTS losslessness (the oracle proves it with an exhaustive
+    all-pairs scan), so ``max_hamming < bands`` is enforced."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_hamming >= bands:
@@ -98,48 +135,5 @@ def ahash_pairs(
             f"pigeonhole guarantee needs max_hamming < bands "
             f"({max_hamming} >= {bands})"
         )
-    width = 64 // bands
     base = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
-    if materialize:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    blocks = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftrightunsigned(F.col("sh"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval"))
-    l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return banded_hamming_pairs(base, max_hamming, bands, materialize)

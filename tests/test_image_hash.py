@@ -115,3 +115,20 @@ def test_image_ahash_spark_matches_kernel(spark):
     for d in range(8):
         assert out.loc[d, "ahash"] == ahash64(make_image_blob(d)[1])
         assert out.loc[d, "height"] == 16 and out.loc[d, "width"] == 16
+
+
+def test_to_gray_drops_alpha():
+    """Two visually identical images that differ only in alpha must
+    hash identically (transparency is not brightness); RGB averages
+    the color channels only."""
+    from python_ctd_spark.operators.media_dedup import _to_gray
+
+    gray = make_image_blob(0)[1].astype(np.float64)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    rgba_opaque = np.concatenate([rgb, np.full((16, 16, 1), 255.0)], axis=2)
+    rgba_border = rgba_opaque.copy()
+    rgba_border[0, :, 3] = 0.0  # transparent top row
+    la = np.stack([gray, np.zeros_like(gray)], axis=2)
+    h_ref = ahash64(gray)
+    for px in (rgb, rgba_opaque, rgba_border, la, gray[:, :, None]):
+        assert ahash64(_to_gray(px)) == h_ref

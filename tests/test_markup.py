@@ -79,3 +79,21 @@ def test_extract_links(spark):
     # case-insensitive tag match + blocklist hit
     assert out.loc[1, "domain"] == "spam.example.net"
     assert bool(out.loc[1, "is_blocked"])
+
+
+def test_extract_links_domain_normalization(spark):
+    """Blocklist matches cannot be dodged by case, port, or userinfo
+    variation: the domain key is lowercased with userinfo/port
+    stripped."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<a href="HTTPS://SPAM.EXAMPLE.NET/x">a</a>'
+        '<a href="https://spam.example.net:443/x">b</a>'
+        '<a href="https://u:pw@spam.example.net/x">c</a>'
+        '<a href="https://ok.example.org:8080/x">d</a>'
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
+    out = extract_links(df, "html").toPandas()
+    assert list(out.domain) == ["spam.example.net"] * 3 + ["ok.example.org"]
+    assert list(out.is_blocked) == [True, True, True, False]

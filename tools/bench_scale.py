@@ -28,7 +28,7 @@ Measurements (pick by arg):
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
         probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|
-        skew-join|spans]  (default docs)
+        skew-join|spans|media|training-dataset]  (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -1055,7 +1055,9 @@ def measure_media(mult: int) -> dict:
     from pyspark.sql import functions as F
 
     from python_ctd_spark.operators.curation import cluster_balanced_sample
-    from python_ctd_spark.operators.media_dedup import ahash_pairs, image_ahash
+    from python_ctd_spark.operators.media_dedup import (
+        ahash_pairs, image_ahash, synthesize_image_blobs,
+    )
     from python_ctd_spark.operators.similarity import ivf_index
     from python_ctd_spark.session import get_spark
 
@@ -1067,23 +1069,7 @@ def measure_media(mult: int) -> dict:
     try:
         n_base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
         ids = spark.range(n_base * mult).withColumnRenamed("id", "doc_id")
-
-        def gen(batches):
-            import pandas as pd
-
-            from python_ctd_spark.functions.image_hash import make_image_blob
-
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"].astype("int64"),
-                        "blob": [
-                            make_image_blob(int(i))[0] for i in pdf["doc_id"]
-                        ],
-                    }
-                )
-
-        blobs = ids.mapInPandas(gen, "doc_id long, blob binary")
+        blobs = synthesize_image_blobs(ids)
         base = _shuffle_bytes()
         t0 = time.perf_counter()
         pairs = ahash_pairs(image_ahash(blobs), max_hamming=3)

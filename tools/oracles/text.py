@@ -471,9 +471,9 @@ WITH h AS (
   FROM arrs, LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix
 )
 SELECT doc_id, link_pos, url,
-       regexp_extract(url, '{dom}', 1) AS domain,
+       lower(regexp_extract(url, '{dom}', 1)) AS domain,
        anchor,
-       regexp_extract(url, '{dom}', 1) IN ({blocked}) AS is_blocked
+       lower(regexp_extract(url, '{dom}', 1)) IN ({blocked}) AS is_blocked
 FROM ex
 """
 

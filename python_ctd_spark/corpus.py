@@ -90,6 +90,48 @@ class Corpus:
         ).drop(self.text_col).withColumnRenamed("__clean", self.text_col)
         return self._wrap(out)
 
+    def strip_markup(self) -> "Corpus":
+        """HTML -> plain text (:func:`..operators.markup.strip_markup`):
+        script/style content, comments, tags, entities, whitespace —
+        the extraction stage that belongs BEFORE :meth:`normalize` on a
+        web-crawl corpus, REPLACING the text column; the per-step audit
+        counts (n_script/n_style/n_comment/n_tag/n_entities) ride
+        along."""
+        from python_ctd_spark.operators import markup
+
+        out = (
+            markup.strip_markup(self.df, self.text_col, out_col="__plain")
+            .drop(self.text_col)
+            .withColumnRenamed("__plain", self.text_col)
+        )
+        return self._wrap(out)
+
+    def extract_links(self) -> DataFrame:
+        """Per-link URL table (:func:`..operators.markup.extract_links`):
+        one row per ``<a href>`` with the normalized domain and
+        blocklist flag — a point analysis (different row shape), so a
+        plain DataFrame, run BEFORE :meth:`strip_markup` removes the
+        tags."""
+        from python_ctd_spark.operators import markup
+
+        return markup.extract_links(self.df, self.text_col, id_col=self.id_col)
+
+    def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":
+        """Cluster-balanced subset
+        (:func:`..operators.curation.cluster_balanced_sample`): an equal
+        deterministic-hash budget from every cell of a stored embedding
+        assignment table (``(id, cell)`` keyed by this corpus's doc
+        ids), left-semi-joined back so every corpus column survives —
+        the coverage complement of embedding-level dedup."""
+        from pyspark.sql import functions as F
+
+        from python_ctd_spark.operators.curation import cluster_balanced_sample
+
+        kept = cluster_balanced_sample(
+            assignments, per_cell, id_col="id"
+        ).select(F.col("id").alias(self.id_col))
+        return self._wrap(self.df.join(kept, self.id_col, "left_semi"))
+
     def dedup_lines(self) -> "Corpus":
         """Collapse repeated lines inside each document (first occurrence
         kept, order preserved), REPLACING the text column; the

@@ -73,6 +73,13 @@ CASES = {
     "drop_duplicated_passages": lambda c, b: c.drop_duplicated_passages(0.5),
     "remove_dup_passages": lambda c, b: c.remove_dup_passages(min_docs=2),
     "transform": lambda c, b: c.transform(lambda df: df.limit(10)),
+    "strip_markup": lambda c, b: c.strip_markup(),
+    "diversity_sample": lambda c, b: c.diversity_sample(
+        c.df.select(
+            F.col("item_id").alias("id"), (F.col("item_id") % 4).alias("cell")
+        ),
+        per_cell=2,
+    ),
     # point analyses (plain DataFrames out)
     "unigram_logprob": lambda c, b: c.unigram_logprob(),
     "bigram_logprob": lambda c, b: c.bigram_logprob(ref=b),
@@ -91,6 +98,7 @@ CASES = {
     "frequent_ngrams": lambda c, b: c.frequent_ngrams(2, 0.001),
     "domain_stats": lambda c, b: c.domain_stats(),
     "pack_sequences": lambda c, b: c.tokenize().pack_sequences(seq_len=128),
+    "extract_links": lambda c, b: c.extract_links(),
 }
 
 

@@ -10,6 +10,7 @@ source-pixel hashes through the real PNG decoder.
 import itertools
 
 import numpy as np
+from pyspark.sql import functions as F
 import pandas as pd
 import pytest
 
@@ -132,3 +133,60 @@ def test_to_gray_drops_alpha():
     h_ref = ahash64(gray)
     for px in (rgb, rgba_opaque, rgba_border, la, gray[:, :, None]):
         assert ahash64(_to_gray(px)) == h_ref
+
+
+def test_image_pairs_to_clusters_composition(spark):
+    """ahash pairs feed dedup.connected_components unchanged — image
+    near-dup CLUSTERS compose from the same machinery as text clusters.
+    Exact-dup variants of one group (variants 0/4/8/12 share an empty
+    flip set) plus their 1-3-bit neighbors all land in one component
+    per fixture group."""
+    from python_ctd_spark.operators.dedup import connected_components
+    from python_ctd_spark.operators.media_dedup import ahash_pairs
+
+    hs = {d: ahash64(make_image_blob(d)[1]) for d in range(3 * GROUP_SIZE)}
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": list(hs), "ahash": pd.Series(list(hs.values()), dtype="int64")}
+        )
+    )
+    pairs = ahash_pairs(df, max_hamming=3)
+    comp = connected_components(pairs).toPandas()
+    lab = dict(zip(comp.node, comp.label))
+    # every fixture group is one component whose canonical label is the
+    # group's lowest participating id (groups never bridge: cross-group
+    # Hamming is ~32)
+    for node, label in lab.items():
+        assert node // GROUP_SIZE == label // GROUP_SIZE
+    # the hamming<=3 graph within a group is connected through the base
+    # variants, so all participating ids of a group share one label
+    import collections
+
+    by_group = collections.defaultdict(set)
+    for node, label in lab.items():
+        by_group[node // GROUP_SIZE].add(label)
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+
+
+def test_resize_then_ahash_arbitrary_size(spark):
+    """Arbitrary-size images hash after the REAL thumbnail pass:
+    resize_image(fake=False) box-means any raster to 16x16, whose blob
+    then flows through image_ahash — the documented path for inputs
+    whose sides aren't multiples of hash_size."""
+    from python_ctd_spark.functions.png_numpy import encode_png_gray
+    from python_ctd_spark.operators.media_dedup import image_ahash
+    from python_ctd_spark.operators.multimodal import resize_image
+
+    # a 17x23 gradient — indivisible by 8, so direct hashing raises
+    px = ((np.add.outer(np.arange(17) * 11, np.arange(23) * 7)) % 256).astype(
+        np.uint8
+    )
+    with pytest.raises(ValueError, match="multiples"):
+        ahash64(px.astype(np.float64))
+    df = spark.createDataFrame([(0, encode_png_gray(px))], "id long, blob binary")
+    small = resize_image(df, target_w=16, target_h=16, fake=False).select(
+        "id", F.col("resized").alias("blob")
+    )
+    out = image_ahash(small, id_col="id").toPandas()
+    assert out.loc[0, "height"] == 16 and out.loc[0, "width"] == 16
+    assert out.loc[0, "ahash"] != 0  # a real, nontrivial fingerprint

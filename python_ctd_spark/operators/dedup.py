@@ -712,6 +712,9 @@ def banded_hamming_pairs(
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
+    # width == 64 (bands=1, the exact-dup config): (1<<64)-1 overflows a
+    # LongType literal; -1 is the same all-ones mask in two's complement
+    mask = -1 if width == 64 else (1 << width) - 1
     if materialize:
         # two self-join branches consume the fingerprint table; persist
         # so the fingerprint computes once per row
@@ -727,7 +730,7 @@ def banded_hamming_pairs(
                     F.struct(
                         F.lit(b).alias("blk"),
                         F.shiftrightunsigned(F.col("sh"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
                     for b in range(bands)

@@ -94,7 +94,13 @@ def extract_links(
         F.col("col.u").alias("url"),
         F.trim(F.regexp_replace(F.col("col.a"), r"\s+", " ")).alias("anchor"),
     )
-    domain = F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1))
+    # lowercase + strip the absolute-FQDN trailing dot: HTTPS://HOST,
+    # host:443, user@host, and host. all resolve to one blocklist key
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)),
+        r"\.$",
+        "",
+    )
     return ex.select(
         id_col,
         "link_pos",

@@ -190,3 +190,17 @@ def test_resize_then_ahash_arbitrary_size(spark):
     out = image_ahash(small, id_col="id").toPandas()
     assert out.loc[0, "height"] == 16 and out.loc[0, "width"] == 16
     assert out.loc[0, "ahash"] != 0  # a real, nontrivial fingerprint
+
+
+def test_banded_pairs_bands1_exact_dup_config(spark):
+    """bands=1 / max_hamming=0 is the legitimate exact-dup config: the
+    single 64-bit block must not overflow the long literal, and the
+    join finds exactly the equal-hash pairs (including a hash with the
+    sign bit set)."""
+    from python_ctd_spark.operators.media_dedup import ahash_pairs
+
+    neg = -(1 << 63) + 5  # sign bit exercised
+    rows = pd.DataFrame({"id": [1, 2, 3, 4], "ahash": [neg, neg, 7, 8]})
+    df = spark.createDataFrame(rows)
+    got = ahash_pairs(df, max_hamming=0, bands=1).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]

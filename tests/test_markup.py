@@ -91,9 +91,10 @@ def test_extract_links_domain_normalization(spark):
         '<a href="HTTPS://SPAM.EXAMPLE.NET/x">a</a>'
         '<a href="https://spam.example.net:443/x">b</a>'
         '<a href="https://u:pw@spam.example.net/x">c</a>'
-        '<a href="https://ok.example.org:8080/x">d</a>'
+        '<a href="https://spam.example.net./x">d</a>'
+        '<a href="https://ok.example.org:8080/x">e</a>'
     )
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
     out = extract_links(df, "html").toPandas()
-    assert list(out.domain) == ["spam.example.net"] * 3 + ["ok.example.org"]
-    assert list(out.is_blocked) == [True, True, True, False]
+    assert list(out.domain) == ["spam.example.net"] * 4 + ["ok.example.org"]
+    assert list(out.is_blocked) == [True, True, True, True, False]

@@ -470,11 +470,14 @@ WITH h AS (
          trim(regexp_replace(a[i], '\\s+', ' ', 'g')) AS anchor
   FROM arrs, LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix
 )
-SELECT doc_id, link_pos, url,
-       lower(regexp_extract(url, '{dom}', 1)) AS domain,
-       anchor,
-       lower(regexp_extract(url, '{dom}', 1)) IN ({blocked}) AS is_blocked
-FROM ex
+SELECT doc_id, link_pos, url, domain, anchor,
+       domain IN ({blocked}) AS is_blocked
+FROM (
+  SELECT doc_id, link_pos, url, anchor,
+         regexp_replace(lower(regexp_extract(url, '{dom}', 1)), '\\.$', '')
+           AS domain
+  FROM ex
+)
 """
 
 

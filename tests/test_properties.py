@@ -380,3 +380,57 @@ def test_remove_dup_passages_matches_python_twin(spark, texts):
     }
     want = dict(enumerate(_rdp_python(norm, n=3, min_docs=2)))
     assert got == want
+
+
+# -- banded Hamming join (shared core of simhash_dedup + image_dedup) --
+
+hash_corpus = st.lists(
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(
+    hashes=hash_corpus,
+    bands=st.sampled_from([1, 2, 4, 8]),
+    data=st.data(),
+)
+@SET
+def test_banded_hamming_pairs_lossless_property(spark, hashes, bands, data):
+    """For ANY 64-bit fingerprint corpus and max_hamming < bands, the
+    banded equi-join returns EXACTLY the all-pairs Hamming<=t set — the
+    pigeonhole losslessness contract both simhash (lossless configs)
+    and image ahash rely on.  Hypothesis drives random corpora
+    including sign-bit values, duplicates, and near-misses."""
+    import itertools
+
+    import pandas as pd
+
+    from python_ctd_spark.operators.dedup import banded_hamming_pairs
+
+    max_hamming = data.draw(st.integers(min_value=0, max_value=bands - 1))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": range(len(hashes)),
+                "sh": pd.Series(hashes, dtype="int64"),
+            }
+        )
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in banded_hamming_pairs(
+            df, max_hamming=max_hamming, bands=bands, materialize=False
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in itertools.combinations(range(len(hashes)), 2)
+        if ham(hashes[a], hashes[b]) <= max_hamming
+    }
+    assert got == want

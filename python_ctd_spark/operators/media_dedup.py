@@ -137,3 +137,97 @@ def ahash_pairs(
         )
     base = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     return banded_hamming_pairs(base, max_hamming, bands, materialize)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Decode each PCM WAV blob (real stdlib decoder —
+    :mod:`..functions.wav_numpy`, multi-channel averaged to mono) and
+    emit its 64-bit frame-energy fingerprint
+    (:func:`..functions.audio_hash.energy_hash64`):
+    ``(id, afp, n_samples, rate)``.
+
+    Same shape discipline as :func:`image_ahash` — map-side
+    ``mapInPandas``, samples never shuffle, and the fingerprint feeds
+    the SAME :func:`..dedup.banded_hamming_pairs` join (pass
+    ``hash_col="afp"`` to :func:`ahash_pairs`), so audio near-dup costs
+    one more adapter, not a third engine.  Gain-changed copies collide
+    exactly (the hash is amplitude-scale-invariant)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.audio_hash import energy_hash64
+        from python_ctd_spark.functions.wav_numpy import decode_wav
+
+        for pdf in batches:
+            ids, fps, ns, rates = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, rate = decode_wav(bytes(blob))
+                fps.append(energy_hash64(samples))
+                ids.append(i)
+                ns.append(samples.shape[0])
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rate": pd.Series(rates, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        fn, "id long, afp long, n_samples long, rate int"
+    )
+
+
+def gif_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Decode each GIF blob (real stdlib decoder, disposal-composited
+    full-canvas frames — :mod:`..functions.gif_numpy`) and emit one
+    perceptual hash PER FRAME: ``(id, frame_idx, ahash, height,
+    width)`` — the video-style near-dup primitive (two animations are
+    near-dups when most frame hashes pair within a small Hamming
+    distance; join this table through
+    :func:`..dedup.banded_hamming_pairs` and aggregate matches per id
+    pair).  Frames are luma-averaged; canvas sides must be multiples of
+    ``hash_size`` (resize first otherwise — same contract as
+    :func:`image_ahash`)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.gif_numpy import decode_gif
+        from python_ctd_spark.functions.image_hash import ahash64
+
+        for pdf in batches:
+            ids, idxs, hashes, hs, ws = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames, _delays = decode_gif(bytes(blob))
+                for j, fr in enumerate(frames):
+                    ids.append(i)
+                    idxs.append(j)
+                    hashes.append(ahash64(_to_gray(fr), hash_size))
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        fn, "id long, frame_idx int, ahash long, height int, width int"
+    )

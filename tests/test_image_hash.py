@@ -204,3 +204,73 @@ def test_banded_pairs_bands1_exact_dup_config(spark):
     df = spark.createDataFrame(rows)
     got = ahash_pairs(df, max_hamming=0, bands=1).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+# -- audio fingerprint (frame-energy hash) -----------------------------
+
+
+def test_energy_hash_scale_invariance_and_guard():
+    from python_ctd_spark.functions.audio_hash import energy_hash64
+
+    rng = np.arange(1280)
+    a = (((rng * 37 + 11) % 4001) - 2000).astype(np.float64)
+    assert energy_hash64(a) == energy_hash64(a * 2.0) == energy_hash64(a * 0.25)
+    b = (((rng * rng * 13 + 7) % 4001) - 2000).astype(np.float64)
+    ham = bin((energy_hash64(a) ^ energy_hash64(b)) & ((1 << 64) - 1)).count("1")
+    assert ham > 10  # different material lands far apart
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 64"):
+        energy_hash64(np.zeros(63))
+
+
+def test_audio_fingerprint_pipeline(spark):
+    """WAV blobs round-trip through the real codec into fingerprints; a
+    gain-doubled copy collides exactly, and the SAME banded join that
+    serves text/images finds the duplicate pair (hash_col='afp')."""
+    from python_ctd_spark.functions.audio_hash import energy_hash64
+    from python_ctd_spark.functions.wav_numpy import encode_wav
+    from python_ctd_spark.operators.media_dedup import (
+        ahash_pairs,
+        audio_fingerprint,
+    )
+
+    t = np.arange(960)
+    base = (((t * 131 + t * t * 7) % 8001) - 4000).astype(np.int16)
+    other = (((t * 17 + 3) % 8001) - 4000).astype(np.int16)
+    rows = [
+        (0, encode_wav(base, rate=8000)),
+        (1, encode_wav((base * 2).astype(np.int16), rate=8000)),  # gain x2
+        (2, encode_wav(other, rate=8000)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    fp = audio_fingerprint(df)
+    out = fp.toPandas().set_index("id")
+    assert out.loc[0, "afp"] == energy_hash64(base.astype(np.float64))
+    assert out.loc[0, "afp"] == out.loc[1, "afp"]  # scale-invariant
+    assert out.loc[0, "n_samples"] == 960 and out.loc[0, "rate"] == 8000
+    pairs = ahash_pairs(fp, max_hamming=0, bands=1, hash_col="afp").collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_gif_frame_hashes(spark):
+    """GIF frames hash individually through the real decoder; an exact
+    re-encode shares every frame hash, and the hashes equal ahash64 of
+    the composited source frames."""
+    from python_ctd_spark.functions.gif_numpy import decode_gif
+    from python_ctd_spark.functions.media_fixtures import make_media_blob
+    from python_ctd_spark.operators.media_dedup import _to_gray, gif_frame_hashes
+
+    gid = 1  # make_media_blob: doc_id % 3 == 1 -> GIF
+    fmt, blob, _src = make_media_blob(gid)
+    assert fmt == "gif"
+    df = spark.createDataFrame([(0, blob), (1, blob)], "doc_id long, blob binary")
+    out = gif_frame_hashes(df).toPandas()
+    assert sorted(out.frame_idx[out.id == 0]) == [0, 1]
+    a = out[out.id == 0].sort_values("frame_idx").ahash.tolist()
+    b = out[out.id == 1].sort_values("frame_idx").ahash.tolist()
+    assert a == b  # same blob -> same per-frame hashes
+    frames, _ = decode_gif(blob)
+    want = [ahash64(_to_gray(fr)) for fr in frames]
+    assert a == want
+    assert set(out.height) == {8} and set(out.width) == {8}

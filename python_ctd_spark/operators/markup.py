@@ -122,6 +122,13 @@ def strip_markup(
     output and NULL counts (the regex expressions propagate NULL), and
     every input row survives — filter on the audit columns explicitly
     if pathological docs should go.
+
+    Apply ONCE per document: like every HTML unescape, the chain is
+    deliberately not idempotent — a first pass decodes ``&lt;b&gt;`` to
+    the literal text ``<b>``, which a second pass would then strip as a
+    tag (and ``&amp;lt;`` would double-decode).  Run it at extraction
+    time, before :func:`..text.normalize_text`, and never re-run it on
+    its own output.
     """
     cur: Column = F.col(text_col)
     out = []

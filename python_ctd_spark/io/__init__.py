@@ -7,7 +7,10 @@ cast tables + a ``cast_meta`` table; ``cnv_datasource`` additionally
 exposes CNV as a native ``spark.read.format("cnv")`` source.
 
 Corpus ingestion: ``corpus_sources`` reads JSONL/CSV document shards
-with explicit schemas and a corrupt-record quarantine.
+with explicit schemas and a corrupt-record quarantine; ``warc`` reads
+`.warc`/`.warc.gz` crawl shards (one row per record, HTTP split off,
+record-granular quarantine) and projects responses onto the canonical
+documents shape.
 
 ``sinks``: partition-pruned parquet layouts and bucketed tables.
 """
@@ -19,6 +22,10 @@ from python_ctd_spark.io.corpus_sources import (
     read_documents_csv,
     read_documents_jsonl,
     valid_records,
+)
+from python_ctd_spark.io.warc import (
+    read_warc,
+    warc_responses_to_documents,
 )
 from python_ctd_spark.io.readers import (
     from_bl,
@@ -38,6 +45,8 @@ __all__ = [
     "read_documents_csv",
     "corrupt_records",
     "valid_records",
+    "read_warc",
+    "warc_responses_to_documents",
     "write_casts",
     "write_bucketed",
     "read_table",

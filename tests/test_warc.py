@@ -1,0 +1,113 @@
+"""WARC source: framing round-trip, HTTP split, quarantine rows, gzip
+members, and the crawl-ingestion composition into Corpus.strip_markup."""
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from python_ctd_spark.io.warc import (
+    build_warc,
+    make_record,
+    make_response_record,
+    read_warc,
+    warc_responses_to_documents,
+)
+
+HTML = (
+    b"<!DOCTYPE html><html><head><title>T</title>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Hello</h1><p>crawl &amp; extract</p></body></html>"
+)
+
+
+def _archive() -> list[bytes]:
+    return [
+        make_record("warcinfo", b"software: test\r\n", "info-1"),
+        make_record(
+            "request",
+            b"GET / HTTP/1.1\r\nHost: a.example.org\r\n\r\n",
+            "req-1",
+            content_type="application/http; msgtype=request",
+            WARC_Target_URI="https://a.example.org/",
+        ),
+        make_response_record("https://A.EXAMPLE.ORG./page", HTML, "resp-1"),
+        make_response_record(
+            "https://b.example.org/txt",
+            b"plain body",
+            "resp-2",
+            http_content_type="text/plain",
+        ),
+        make_response_record(
+            "https://c.example.org/img",
+            b"\x89PNG fakebytes",
+            "resp-3",
+            http_content_type="image/png",
+        ),
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_read_warc_round_trip(spark, tmp_path, gz):
+    p = tmp_path / ("a.warc.gz" if gz else "a.warc")
+    p.write_bytes(build_warc(_archive(), gz=gz))
+    out = (
+        read_warc(spark, str(p)).toPandas().sort_values("record_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out.warc_type) == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    assert out.error.isna().all()
+    resp = out[out.warc_type == "response"].reset_index(drop=True)
+    assert list(resp.http_status) == [200, 200, 200]
+    assert resp.loc[0, "content_type"].startswith("text/html")
+    assert bytes(resp.loc[0, "payload"]) == HTML  # HTTP headers split off
+    assert resp.loc[0, "n_bytes"] == len(HTML)
+    assert resp.loc[0, "record_id"] == "urn:uuid:resp-1"
+    assert bytes(resp.loc[2, "payload"]) == b"\x89PNG fakebytes"
+
+
+def test_read_warc_quarantines_truncated_record(spark, tmp_path):
+    """A record whose block is cut short becomes an 'invalid' ROW, and
+    the records before it still parse — corrupt records are data."""
+    good = make_response_record("https://a.example.org/", b"ok", "r1")
+    bad = make_response_record("https://a.example.org/2", b"full body", "r2")[:-15]
+    p = tmp_path / "t.warc"
+    p.write_bytes(good + bad)
+    out = read_warc(spark, str(p)).toPandas().sort_values("record_idx", na_position="last")
+    assert list(out.warc_type) == ["response", "invalid"]
+    assert "truncated" in out.iloc[1].error
+
+
+def test_warc_responses_to_documents_and_strip_markup(spark, tmp_path):
+    """The full crawl ingestion head: WARC -> text/* responses ->
+    canonical documents (normalized source domain, deterministic
+    doc_id) -> Corpus.strip_markup extracts the page text."""
+    from python_ctd_spark.corpus import Corpus
+
+    p = tmp_path / "a.warc"
+    p.write_bytes(build_warc(_archive()))
+    docs = warc_responses_to_documents(read_warc(spark, str(p)))
+    pdf = docs.toPandas().sort_values("source").reset_index(drop=True)
+    # the PNG response is excluded; URI host is lowercased + undotted
+    assert list(pdf.source) == ["a.example.org", "b.example.org"]
+    assert (pdf.n_chars > 0).all()
+    # doc_id is a pure function of the record id — re-reading the
+    # archive yields the identical ids
+    again = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
+    assert set(again.doc_id) == set(pdf.doc_id)
+    clean = Corpus(docs).strip_markup().df.toPandas().set_index("source")
+    assert clean.loc["a.example.org", "text"] == "T Hello crawl & extract"
+    assert clean.loc["a.example.org", "n_script"] == 1
+    assert clean.loc["b.example.org", "text"] == "plain body"
+
+
+def test_read_warc_resync_loss_is_loud(spark, tmp_path):
+    """Garbage where a version line should be yields one invalid row
+    (framing lost -> no silent resync past unknown bytes)."""
+    p = tmp_path / "g.warc"
+    p.write_bytes(b"not a warc at all")
+    out = read_warc(spark, str(p)).toPandas()
+    assert list(out.warc_type) == ["invalid"]
+    assert "version line" in out.iloc[0].error

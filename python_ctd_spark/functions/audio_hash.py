@@ -4,17 +4,24 @@ The audio analog of :func:`.image_hash.ahash64`: split the mono sample
 stream into 64 equal-length frames, take each frame's mean power, and
 set bit ``i`` when frame ``i``'s power exceeds the mean power across
 frames.  The comparison is against the clip's own mean, so the hash is
-EXACTLY invariant under amplitude scaling (gain changes multiply every
-power by the same constant) — re-encoded or volume-normalized copies of
-a clip collide, while different material lands ~32 bits apart.  Packed
-into the same signed int64 shape as the image/text hashes so the shared
-banded Hamming join (:func:`..operators.dedup.banded_hamming_pairs`)
-serves all three modalities.
+invariant under amplitude scaling — EXACTLY for power-of-two gains
+(scaling is then lossless in float64), and up to float rounding ties
+otherwise (a frame whose power sits within ~1 ulp of the cross-frame
+mean can flip under e.g. a 1.1x gain; near-ties are where any
+threshold hash is fragile, and the Hamming band absorbs them).
+Re-encoded or volume-normalized copies of a clip collide or land a
+bit or two apart, while different material lands ~32 bits apart.
+Packed by :func:`.image_hash.pack_bits64` into the same signed int64
+shape as the image/text hashes so the shared banded Hamming join
+(:func:`..operators.dedup.banded_hamming_pairs`) serves all three
+modalities.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from .image_hash import pack_bits64
 
 N_FRAMES = 64
 
@@ -35,11 +42,4 @@ def energy_hash64(samples: np.ndarray) -> int:
     flen = n // N_FRAMES
     frames = x[: N_FRAMES * flen].reshape(N_FRAMES, flen)
     power = (frames * frames).mean(axis=1)
-    bits = power > power.mean()
-    val = 0
-    for i in range(N_FRAMES):
-        if bits[i]:
-            val |= 1 << i
-    if val >= 1 << 63:
-        val -= 1 << 64
-    return val
+    return pack_bits64(power > power.mean())

@@ -39,6 +39,22 @@ _SIDE = 16
 _LO, _HI = 40, 200
 
 
+def pack_bits64(bits) -> int:
+    """Pack 64 booleans (bit ``i`` -> position ``i``) into a SIGNED
+    int64 — bit 63 wraps to the sign bit so the value round-trips
+    through an int64 column exactly.  The load-bearing packing shared
+    by every modality's fingerprint (image aHash here, the audio
+    frame-energy hash in :mod:`.audio_hash`) so all of them feed the
+    one banded Hamming join."""
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
 def ahash64(gray: np.ndarray, hash_size: int = 8) -> int:
     """Average-hash of a 2-D grayscale array as a SIGNED 64-bit int.
 
@@ -63,14 +79,7 @@ def ahash64(gray: np.ndarray, hash_size: int = 8) -> int:
         )
     bh, bw = h // hash_size, w // hash_size
     pooled = g.reshape(hash_size, bh, hash_size, bw).mean(axis=(1, 3))
-    bits = (pooled > pooled.mean()).ravel()
-    val = 0
-    for i in range(64):
-        if bits[i]:
-            val |= 1 << i
-    if val >= 1 << 63:
-        val -= 1 << 64
-    return val
+    return pack_bits64((pooled > pooled.mean()).ravel())
 
 
 def _base_bits(group: int) -> np.ndarray:

@@ -64,8 +64,12 @@ def make_response_record(
     status: int = 200,
 ) -> bytes:
     """One WARC ``response`` record wrapping an HTTP/1.1 response."""
+    phrase = {
+        200: "OK", 301: "Moved Permanently", 404: "Not Found",
+        403: "Forbidden", 500: "Internal Server Error",
+    }.get(status, "Status")
     http = (
-        f"HTTP/1.1 {status} OK\r\n"
+        f"HTTP/1.1 {status} {phrase}\r\n"
         f"Content-Type: {http_content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode("ascii") + body
@@ -96,13 +100,21 @@ def _parse_warc_bytes(data: bytes, path: str) -> list[tuple]:
     tuples matching :data:`WARC_FIELDS`."""
     import gzip
 
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # loops over concatenated members
     rows: list[tuple] = []
-    pos, idx, n = 0, 0, len(data)
+    idx = 0
 
     def bad(msg: str, at: int) -> tuple:
         return (path, idx, "invalid", None, None, None, None, None, None, None, f"{msg} at byte {at}")
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)  # loops over concatenated members
+        except (EOFError, OSError) as exc:
+            # a shard cut mid-member must be a quarantine ROW, same as
+            # an uncompressed truncation — never a task-killing raise
+            rows.append(bad(f"gzip: {exc}", 0))
+            return rows
+    pos, n = 0, len(data)
 
     while pos < n:
         # skip inter-record padding
@@ -199,32 +211,35 @@ def read_warc(spark: SparkSession, paths) -> DataFrame:
 
 def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     """Project successful text/html responses onto the canonical
-    ``documents`` shape: ``doc_id`` is the md5-derived 63-bit int of the
-    record id (deterministic across runs and engines), ``text`` the
-    body decoded as UTF-8 (lossy — crawl charsets are dirty), ``source``
-    the normalized registrable host of the target URI (same
-    DOMAIN_PATTERN + lowercase + trailing-dot rule as
-    :func:`..operators.markup.extract_links`, so domain filters and
-    link analytics share one key space).  Feed the result to
-    ``Corpus(...).strip_markup()`` — the ingestion head of the crawl
-    pipeline.  All map-side column expressions; no shuffle."""
-    from python_ctd_spark.operators.markup import DOMAIN_PATTERN
+    ``documents`` shape: ``doc_id`` is the md5-derived 60-bit int
+    (``operators.dedup._md5_long`` — THE engine-portable hash key) of
+    the record id, falling back to target URI + date, then to
+    path + record index, so the id is deterministic and never NULL even
+    on header-poor records; ``text`` the body as UTF-8 with invalid
+    byte sequences REPLACED (crawl charsets are dirty — ``F.decode``
+    would kill the job on the first latin-1 page, the exact failure the
+    module contract forbids); ``source`` the normalized registrable
+    host of the target URI (:func:`..operators.markup.normalized_domain`
+    — the one key space domain filters and link analytics share).  Feed
+    the result to ``Corpus(...).strip_markup()`` — the ingestion head of
+    the crawl pipeline.  All map-side column expressions; no shuffle."""
+    from python_ctd_spark.operators.dedup import _md5_long
+    from python_ctd_spark.operators.markup import normalized_domain
 
     ok = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/")
     )
-    doc_id = (
-        F.conv(F.substring(F.md5(F.col("record_id")), 1, 15), 16, 10)
-        .cast("bigint")
+    doc_id = _md5_long(
+        F.coalesce(
+            F.col("record_id"),
+            F.concat_ws("|", "target_uri", "warc_date"),
+            F.concat_ws("|", "path", "record_idx"),
+        )
     )
-    domain = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col("target_uri"), DOMAIN_PATTERN, 1)),
-        r"\.$",
-        "",
-    )
-    text = F.decode(F.col("payload"), "UTF-8")
+    domain = normalized_domain(F.col("target_uri"))
+    text = F.make_valid_utf8(F.col("payload").cast("string"))
     return ok.select(
         doc_id.alias("doc_id"),
         text.alias("text"),

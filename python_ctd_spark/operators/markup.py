@@ -62,6 +62,18 @@ DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 BLOCKED_DOMAINS: tuple[str, ...] = ("spam.example.net",)
 
 
+def normalized_domain(url: Column) -> Column:
+    """THE domain key: the URL's registrable host lowercased, with
+    userinfo/port and the absolute-FQDN trailing dot stripped —
+    HTTPS://HOST, host:443, user@host, and host. all resolve to one
+    value.  Shared by :func:`extract_links`, blocklist filters, and the
+    WARC documents projection (``io.warc.warc_responses_to_documents``)
+    so link analytics and corpus sources live in one key space."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, DOMAIN_PATTERN, 1)), r"\.$", ""
+    )
+
+
 def extract_links(
     df: DataFrame, text_col: str, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -94,13 +106,7 @@ def extract_links(
         F.col("col.u").alias("url"),
         F.trim(F.regexp_replace(F.col("col.a"), r"\s+", " ")).alias("anchor"),
     )
-    # lowercase + strip the absolute-FQDN trailing dot: HTTPS://HOST,
-    # host:443, user@host, and host. all resolve to one blocklist key
-    domain = F.regexp_replace(
-        F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)),
-        r"\.$",
-        "",
-    )
+    domain = normalized_domain(F.col("url"))
     return ex.select(
         id_col,
         "link_pos",

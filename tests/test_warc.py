@@ -111,3 +111,49 @@ def test_read_warc_resync_loss_is_loud(spark, tmp_path):
     out = read_warc(spark, str(p)).toPandas()
     assert list(out.warc_type) == ["invalid"]
     assert "version line" in out.iloc[0].error
+
+
+def test_read_warc_corrupt_gzip_is_a_quarantine_row(spark, tmp_path):
+    """A shard cut mid-gzip-member yields one 'invalid' row, never a
+    task-killing raise — the record-granular quarantine contract holds
+    for the compressed (production) layout too."""
+    blob = build_warc(_archive(), gz=True)
+    p = tmp_path / "cut.warc.gz"
+    p.write_bytes(blob[: len(blob) // 2])
+    out = read_warc(spark, str(p)).toPandas()
+    assert list(out.warc_type) == ["invalid"]
+    assert "gzip" in out.iloc[0].error
+
+
+def test_warc_documents_survive_dirty_charsets_and_missing_ids(spark, tmp_path):
+    """Latin-1 bytes in a text/html body must not kill the job (invalid
+    sequences replaced), and a record with no WARC-Record-ID still gets
+    a deterministic non-NULL doc_id (URI+date fallback)."""
+    latin = make_response_record(
+        "https://l.example.org/", b"caf\xe9 body", "latin-1"
+    )
+    # strip the record-id header entirely
+    noid = make_record(
+        "response",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nanon body",
+        "drop-me",
+        content_type="application/http; msgtype=response",
+        WARC_Date="2024-01-01T00:00:00Z",
+        WARC_Target_URI="https://n.example.org/",
+    ).replace(b"WARC-Record-ID: <urn:uuid:drop-me>\r\n", b"")
+    p = tmp_path / "dirty.warc"
+    p.write_bytes(latin + noid)
+    docs = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
+    assert len(docs) == 2
+    assert docs.doc_id.notna().all()
+    row = docs.set_index("source")
+    assert "caf" in row.loc["l.example.org", "text"]  # job survived
+    assert row.loc["n.example.org", "text"] == "anon body"
+    # fallback id is a pure function of URI+date: stable across reads
+    again = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
+    assert set(again.doc_id) == set(docs.doc_id)
+
+
+def test_make_response_record_reason_phrases():
+    rec = make_response_record("https://x.example.org/", b"", "r", status=404)
+    assert b"HTTP/1.1 404 Not Found\r\n" in rec

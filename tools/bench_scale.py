@@ -28,7 +28,7 @@ Measurements (pick by arg):
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
         probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|
-        skew-join|spans|media|training-dataset]  (default docs)
+        skew-join|spans|media|warc|training-dataset]  (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -1100,6 +1100,64 @@ def measure_media(mult: int) -> dict:
         spark.stop()
 
 
+def measure_warc(n_shards: int, per_shard: int = 500) -> dict:
+    """Scale evidence for the WARC ingestion head: n_shards gz archives
+    (each ``per_shard`` HTML responses built from sf0.1 document text)
+    through read_warc -> warc_responses_to_documents.  The plan is
+    Scan binaryFile -> MapInPandas -> map-side projection: wall should
+    track total records ~linearly with shard-level parallelism and the
+    stage should produce (approximately) ZERO shuffle bytes."""
+    import pyarrow.parquet as pq_
+
+    from python_ctd_spark.io.warc import (
+        build_warc, make_response_record, read_warc,
+        warc_responses_to_documents,
+    )
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_warc_{n_shards}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_warc_")
+    try:
+        texts = (
+            pq_.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+            ["text"].to_pylist()
+        )
+        for s in range(n_shards):
+            recs = [
+                make_response_record(
+                    f"https://site{i % 97}.example.org/{s}/{i}",
+                    f"<html><body><p>{texts[(s * per_shard + i) % len(texts)] or ''}"
+                    f"</p></body></html>".encode(),
+                    f"r-{s}-{i}",
+                )
+                for i in range(per_shard)
+            ]
+            with open(os.path.join(tmp, f"s{s}.warc.gz"), "wb") as f:
+                f.write(build_warc(recs, gz=True))
+        base = _shuffle_bytes()
+        t0 = time.perf_counter()
+        docs = warc_responses_to_documents(read_warc(spark, tmp))
+        n_docs = docs.count()
+        n_chars = docs.agg({"n_chars": "sum"}).first()[0]
+        wall = time.perf_counter() - t0
+        end = _shuffle_bytes()
+        return {
+            "n_shards": n_shards,
+            "n_docs": int(n_docs),
+            "total_chars": int(n_chars),
+            "wall_s": round(wall, 2),
+            "shuffle_write_mb": round(
+                end["shuffle_write_mb"] - base["shuffle_write_mb"], 3
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -1179,6 +1237,16 @@ if __name__ == "__main__":
         # the diversity sample's size is a function of the BUDGET
         # (cells x per_cell), never of corpus size
         assert w1["n_sample_rows"] == w10["n_sample_rows"] == 48, (w1, w10)
+    if what == "warc":
+        for m in (4, 40):
+            results[f"warc_{m}_shards"] = measure_warc(m)
+        w1, w10 = results["warc_4_shards"], results["warc_40_shards"]
+        assert w1["n_docs"] == 2000 and w10["n_docs"] == 20000
+        r = w10["wall_s"] / max(w1["wall_s"], 1e-9)
+        assert r < 20.0, f"warc ingest wall scaled {r:.1f}x at 10x shards"
+        results["warc_wall_ratio_10x"] = round(r, 2)
+        # the ingest head is map-side end-to-end: no shuffle at any scale
+        assert w10["shuffle_write_mb"] < 1.0, w10
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

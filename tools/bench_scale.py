@@ -25,6 +25,13 @@ Measurements (pick by arg):
 - **tail**: tokenize -> pack_sequences -> shard_documents at
   1x/10x/100x documents — parts/doc bound, shard balance within the
   4-sigma binomial bound (ASSERTED), wall ~linear.
+- **media**: image decode+hash+banded pairs and the cluster-balanced
+  diversity sample at 1x/10x ids — pair count EXACTLY linear in
+  fixture groups, sample size invariant (budget-sized), shuffle =
+  fingerprints only (ASSERTED).
+- **warc**: the crawl ingestion head at 4 vs 40 gzip shards — exact
+  doc counts, ZERO shuffle bytes end-to-end (ASSERTED), wall tracks
+  records/core with shard-level parallelism.
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
         probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|

@@ -25,6 +25,7 @@ from python_ctd_spark.io.corpus_sources import (
 )
 from python_ctd_spark.io.warc import (
     read_warc,
+    read_warc_stream,
     warc_responses_to_documents,
 )
 from python_ctd_spark.io.readers import (
@@ -46,6 +47,7 @@ __all__ = [
     "corrupt_records",
     "valid_records",
     "read_warc",
+    "read_warc_stream",
     "warc_responses_to_documents",
     "write_casts",
     "write_bucketed",

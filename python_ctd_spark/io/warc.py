@@ -183,6 +183,19 @@ def _parse_warc_bytes(data: bytes, path: str) -> list[tuple]:
     return rows
 
 
+def _map_warc_batches(batches):
+    """Arrow batch mapper shared by the batch and streaming readers —
+    one parse implementation, two trigger modes."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in WARC_FIELDS.split(",")]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            rows.extend(_parse_warc_bytes(bytes(content), p))
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark: SparkSession, paths) -> DataFrame:
     """Read `.warc` / `.warc.gz` shards: one row per record.
 
@@ -195,18 +208,33 @@ def read_warc(spark: SparkSession, paths) -> DataFrame:
     from .readers import _scan_files
 
     files = _scan_files(spark, paths).select("path", "content")
+    return files.mapInPandas(_map_warc_batches, WARC_FIELDS)
 
-    def fn(batches):
-        import pandas as pd
 
-        cols = [f.split()[0] for f in WARC_FIELDS.split(",")]
-        for pdf in batches:
-            rows: list[tuple] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(_parse_warc_bytes(bytes(content), path))
-            yield pd.DataFrame(rows, columns=cols)
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING twin of :func:`read_warc`: a ``binaryFile`` file
+    stream over a growing shard directory — each arriving `.warc` /
+    `.warc.gz` shard becomes one micro-batch unit, parsed by the SAME
+    Arrow pass as the batch reader (record rows, HTTP split, quarantine
+    rows), so a drained stream equals the batch read row-for-row.
 
-    return files.mapInPandas(fn, WARC_FIELDS)
+    This is the live-crawl ingestion shape: stateless (no watermark, no
+    state store — parsing is per-shard), so it composes with the other
+    stateless ingest stages (``streaming_markup``'s extraction,
+    classifier scoring) at any arrival rate.  Downstream,
+    :func:`warc_responses_to_documents` applies unchanged — it is pure
+    column expressions."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+
+    return files.mapInPandas(_map_warc_batches, WARC_FIELDS)
 
 
 def warc_responses_to_documents(records: DataFrame) -> DataFrame:

@@ -157,3 +157,42 @@ def test_warc_documents_survive_dirty_charsets_and_missing_ids(spark, tmp_path):
 def test_make_response_record_reason_phrases():
     rec = make_response_record("https://x.example.org/", b"", "r", status=404)
     assert b"HTTP/1.1 404 Not Found\r\n" in rec
+
+
+def test_read_warc_stream_equals_batch(spark, tmp_path):
+    """Streaming twin law: an availableNow drain over arriving shards
+    equals the batch read row-for-row, and the streaming plan is
+    stateless (no watermark/aggregate — parsing is per-shard)."""
+    from python_ctd_spark.io.warc import read_warc_stream
+
+    stage = tmp_path / "crawl"
+    stage.mkdir()
+    (stage / "s0.warc").write_bytes(build_warc(_archive()))
+    (stage / "s1.warc.gz").write_bytes(build_warc(_archive(), gz=True))
+
+    sdf = read_warc_stream(spark, str(stage))
+    assert sdf.isStreaming
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    for stateful in ("EventTimeWatermark", "Aggregate", "Deduplicate"):
+        assert stateful not in plan
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("warc_stream_tbl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("warc_stream_tbl")
+        .toPandas()
+        .sort_values(["path", "record_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        read_warc(spark, str(stage))
+        .toPandas()
+        .sort_values(["path", "record_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 10  # 5 records x 2 shards

@@ -170,20 +170,15 @@ def test_read_warc_stream_equals_batch(spark, tmp_path):
     (stage / "s0.warc").write_bytes(build_warc(_archive()))
     (stage / "s1.warc.gz").write_bytes(build_warc(_archive(), gz=True))
 
+    from python_ctd_spark.streaming import run_to_memory
+
     sdf = read_warc_stream(spark, str(stage))
     assert sdf.isStreaming
     plan = sdf._jdf.queryExecution().analyzed().toString()
     for stateful in ("EventTimeWatermark", "Aggregate", "Deduplicate"):
         assert stateful not in plan
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName("warc_stream_tbl")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
     got = (
-        spark.table("warc_stream_tbl")
+        run_to_memory(sdf, "warc_stream_tbl")
         .toPandas()
         .sort_values(["path", "record_idx"])
         .reset_index(drop=True)

@@ -1144,11 +1144,17 @@ def measure_warc(n_shards: int, per_shard: int = 500) -> dict:
             ]
             with open(os.path.join(tmp, f"s{s}.warc.gz"), "wb") as f:
                 f.write(build_warc(recs, gz=True))
+        from pyspark.sql import functions as F
+
         base = _shuffle_bytes()
         t0 = time.perf_counter()
         docs = warc_responses_to_documents(read_warc(spark, tmp))
-        n_docs = docs.count()
-        n_chars = docs.agg({"n_chars": "sum"}).first()[0]
+        # ONE action: a second pass would re-run the whole parse and
+        # double the quoted wall
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+        ).first()
+        n_docs, n_chars = agg["n"], agg["c"]
         wall = time.perf_counter() - t0
         end = _shuffle_bytes()
         return {
@@ -1252,7 +1258,8 @@ if __name__ == "__main__":
         r = w10["wall_s"] / max(w1["wall_s"], 1e-9)
         assert r < 20.0, f"warc ingest wall scaled {r:.1f}x at 10x shards"
         results["warc_wall_ratio_10x"] = round(r, 2)
-        # the ingest head is map-side end-to-end: no shuffle at any scale
+        # the ingest head is map-side end-to-end: no shuffle at EITHER scale
+        assert w1["shuffle_write_mb"] < 1.0, w1
         assert w10["shuffle_write_mb"] < 1.0, w10
     if what == "training-dataset":
         for m in (1, 10):

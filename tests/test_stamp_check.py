@@ -178,6 +178,54 @@ def test_order_tiers(sc, fps, monkeypatch, tmp_path):
     )
 
 
+def test_max_stamp_age_gate(sc, fps, monkeypatch, tmp_path, capsys):
+    """VERDICT r11 item 1: a row whose driver stamp is older than
+    current_round - 3 must sit in the window (so the coming run
+    refreshes it) — outside the window it FAILS the check, and a
+    waiver does not excuse age (waivers attest code drift, not
+    evidence freshness).  The `order` tiering puts aged rows FIRST,
+    ahead of never-stamped registrations, so late-round additions can
+    never evict them."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    tail_q = names[-1]  # outside the 50-row window
+    head_q = names[0]
+    stamps = {n: {"round": 11, "fingerprint": fps[n]} for n in names}
+    stamps[tail_q] = {"round": 8, "fingerprint": fps[tail_q]}  # aged, clean
+    p = tmp_path / "STAMPS.json"
+    p.write_text(json.dumps(stamps))
+    monkeypatch.setattr(sc, "STAMPS_PATH", str(p))
+    # current round inferred as max(11)+1 = 12 -> floor r9 -> r8 fails
+    assert sc.cmd_check() == 1
+    out = capsys.readouterr().out
+    assert f"AGED    {tail_q} (stamp r8 < r9) — NOT in window" in out
+
+    # a waiver pinned to the current tree does NOT excuse age
+    stamps[tail_q]["waived"] = "behavior-preserving"
+    stamps[tail_q]["waived_fingerprint"] = fps[tail_q]
+    p.write_text(json.dumps(stamps))
+    assert sc.cmd_check() == 1
+    assert "AGED" in capsys.readouterr().out
+
+    # pinning the round relaxes/tightens the floor explicitly
+    assert sc.cmd_check(round_no=11) == 0   # floor r8: r8 is fresh enough
+    capsys.readouterr()
+
+    # an aged row IN the window passes (the driver will refresh it)
+    stamps[head_q] = {"round": 8, "fingerprint": fps[head_q]}
+    stamps[tail_q] = {"round": 11, "fingerprint": fps[tail_q]}
+    p.write_text(json.dumps(stamps))
+    assert sc.cmd_check() == 0
+    assert f"AGED    {head_q} (stamp r8 < r9) — IN window" in capsys.readouterr().out
+
+    # ordering: aged rows lead, BEFORE never-stamped registrations
+    del stamps[tail_q]  # tier: no stamp
+    p.write_text(json.dumps(stamps))
+    order = sc.compute_order()
+    assert order[0] == head_q and order[1] == tail_q
+
+
 def test_plan_census_regression_rules():
     """tools/plan_census.py (new r11): the shape-regression rules fire
     on new cartesians/NLJs, exchange growth, and the lost-broadcast

@@ -14,14 +14,29 @@ holds a stale green.  This tool makes that class of drift mechanical:
   every stale/new query must sit in the first 50 entries (or carry an
   explicit ``waived`` note for behavior-preserving refactors verified
   by the full local parity suite, tests/test_oracle_parity.py);
+- ``check`` ALSO enforces a maximum audit age (VERDICT r11 item 1 —
+  the claim "no stamp older than rN" must be a checked gate, not
+  prose): any query whose latest driver stamp is older than
+  ``current_round - 3`` must sit inside the window so the coming
+  driver run refreshes it; an aged row OUTSIDE the window fails the
+  check.  ``current_round`` defaults to ``max(stamp rounds) + 1``
+  (the round whose driver run the window feeds) and can be pinned
+  with ``check --round N``.  A waiver does NOT excuse age — waivers
+  attest behavior-preserving code drift against the local parity
+  suite; age is about the freshness of the DRIVER's independent
+  evidence, which only a re-audit restores;
 - ``stamp --round N name...`` records current fingerprints after a
   round's driver run (``--window`` stamps the current first 50).
 
 - ``order`` emits the registry window ordering MECHANICALLY (VERDICT r7
-  item 2) — no hand-maintained ordering comment: queries needing fresh
-  driver evidence first (no stamp, then stale-fingerprint by stamp
-  round), then everything else stalest-stamp-first (waived drifts ahead
-  of clean rows of the same round, alphabetical within a tier).
+  item 2) — no hand-maintained ordering comment: AGED queries first
+  (stamp older than ``current_round - 3`` — they must be re-audited
+  this round and must never be evicted by late-round registrations,
+  the exact r11 failure mode where 9 unplanned new rows pushed the r6
+  debt out of the window), then queries needing fresh driver evidence
+  (no stamp, then stale-fingerprint by stamp round), then everything
+  else stalest-stamp-first (waived drifts ahead of clean rows of the
+  same round, alphabetical within a tier).
   ``order --write`` persists the list to ``WINDOW_ORDER.json``, which
   ``__spark_entry__.queries()`` consumes as its registry order; the
   round-trip (generated order == live registry order) is test-pinned in
@@ -235,19 +250,34 @@ def _save(stamps: dict) -> None:
         f.write("\n")
 
 
-def cmd_check() -> int:
+#: maximum rounds a driver stamp may age before the row MUST re-enter
+#: the audit window (stamp < current_round - MAX_STAMP_AGE fails the
+#: check unless the row is in-window for the coming run)
+MAX_STAMP_AGE = 3
+
+
+def _current_round(stamps: dict) -> int:
+    """The round whose driver run the current window feeds: one past
+    the newest stamp on record (``check --round`` overrides)."""
+    return max((rec["round"] for rec in stamps.values()), default=0) + 1
+
+
+def cmd_check(round_no: int | None = None) -> int:
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     window = set(names[:WINDOW])
     stamps = _load()
     cur = fingerprints()
-    stale, fresh_missing = [], []
+    current = round_no if round_no is not None else _current_round(stamps)
+    age_floor = current - MAX_STAMP_AGE
+    stale, fresh_missing, aged = [], [], []
     for n in names:
         rec = stamps.get(n)
         if rec is None:
             fresh_missing.append(n)
-        elif rec.get("fingerprint") != cur[n]:
+            continue
+        if rec.get("fingerprint") != cur[n]:
             # a waiver excuses exactly ONE tree: the fingerprint it was
             # granted for.  Any further drift re-flags the query, so a
             # behavior-preserving waiver can never mask a later real
@@ -256,6 +286,10 @@ def cmd_check() -> int:
                 print(f"WAIVED  {n} (stamp r{rec['round']}): {rec['waived']}")
             else:
                 stale.append(n)
+        # age is orthogonal to drift: a byte-identical (or waived) row
+        # whose driver evidence is too old still needs a re-audit
+        if rec["round"] < age_floor:
+            aged.append(n)
     ok = True
     for n in stale:
         where = "IN window" if n in window else "NOT in window"
@@ -267,10 +301,19 @@ def cmd_check() -> int:
         print(f"NOSTAMP {n} — {where}")
         if n not in window:
             ok = False
-    if not stale and not fresh_missing:
+    for n in aged:
+        where = "IN window" if n in window else "NOT in window"
+        print(f"AGED    {n} (stamp r{stamps[n]['round']} <"
+              f" r{age_floor}) — {where}")
+        if n not in window:
+            ok = False
+    if not stale and not fresh_missing and not aged:
         print("all stamps current")
-    print(("window OK" if ok else "window VIOLATION: stale/new queries "
-           "outside the first %d entries" % WINDOW))
+    print((f"window OK (current round r{current}, age floor r{age_floor})"
+           if ok else
+           "window VIOLATION: stale/new/aged queries outside the first "
+           "%d entries (current round r%d, age floor r%d)"
+           % (WINDOW, current, age_floor)))
     return 0 if ok else 1
 
 
@@ -279,12 +322,16 @@ ORDER_PATH = os.path.join(REPO, "WINDOW_ORDER.json")
 
 def compute_order() -> list[str]:
     """The mechanical registry ordering (stalest-stamp-first,
-    changed-files-first).  Three tiers:
+    changed-files-first).  Four tiers:
 
-    0. no stamp at all (new queries — the driver has never seen them);
-    1. stale fingerprint, not validly waived (code changed since the
+    0. AGED: stamp older than ``current_round - MAX_STAMP_AGE`` — these
+       MUST be re-audited this round (cmd_check fails otherwise), so
+       they lead the window where late-round registrations can never
+       evict them (the r11 failure mode), stalest stamp first;
+    1. no stamp at all (new queries — the driver has never seen them);
+    2. stale fingerprint, not validly waived (code changed since the
        stamp — the green is no longer evidence), stalest stamp first;
-    2. everything else, stalest stamp first; within a round, waived
+    3. everything else, stalest stamp first; within a round, waived
        drifts (behavior-preserving refactors excused against the full
        local parity suite) ahead of byte-identical rows, because their
        driver evidence describes an older tree.
@@ -297,16 +344,19 @@ def compute_order() -> list[str]:
     names = list(entry.queries())
     stamps = _load()
     cur = fingerprints()
+    age_floor = _current_round(stamps) - MAX_STAMP_AGE
 
     def key(n: str):
         rec = stamps.get(n)
         if rec is None:
-            return (0, -1, 0, n)
+            return (1, -1, 0, n)
+        if rec["round"] < age_floor:
+            return (0, rec["round"], 0, n)
         drifted = rec.get("fingerprint") != cur[n]
         waived_ok = bool(rec.get("waived")) and rec.get("waived_fingerprint") == cur[n]
         if drifted and not waived_ok:
-            return (1, rec["round"], 0, n)
-        return (2, rec["round"], 0 if (drifted and waived_ok) else 1, n)
+            return (2, rec["round"], 0, n)
+        return (3, rec["round"], 0 if (drifted and waived_ok) else 1, n)
 
     return sorted(names, key=key)
 
@@ -359,7 +409,9 @@ def cmd_waive(name: str, reason: str) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("check")
+    cp = sub.add_parser("check")
+    cp.add_argument("--round", type=int, default=None,
+                    help="pin the current round (default: newest stamp + 1)")
     op = sub.add_parser("order")
     op.add_argument("--write", action="store_true")
     sp = sub.add_parser("stamp")
@@ -371,7 +423,7 @@ def main() -> int:
     wp.add_argument("reason")
     args = ap.parse_args()
     if args.cmd == "check":
-        return cmd_check()
+        return cmd_check(args.round)
     if args.cmd == "order":
         return cmd_order(args.write)
     if args.cmd == "stamp":
@@ -380,4 +432,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

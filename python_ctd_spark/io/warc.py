@@ -10,10 +10,20 @@ block), mirroring the repo's no-extra-deps codec policy (png/gif/wav).
 
 The corrupt-records discipline of :mod:`.corpus_sources` applies at
 record granularity: a malformed record (bad framing, missing
-Content-Length, truncated block) becomes a quarantine ROW
-(``warc_type='invalid'``, ``error`` set) rather than an exception —
-failing a 10^11-record crawl on one mangled record is not an option,
-and silently dropping is worse.
+Content-Length, truncated block, a shard cut mid-gzip-member) becomes
+a quarantine ROW (``warc_type='invalid'``, ``error`` set) rather than
+an exception — failing a 10^11-record crawl on one mangled record is
+not an option, and silently dropping is worse.  Records BEFORE the
+corruption point still parse: a half-uploaded shard salvages its good
+prefix plus one quarantine row for the tail.
+
+Memory contract: ``binaryFile`` ships each shard as ONE row, so a
+shard must fit Spark's 2 GB per-value ceiling COMPRESSED (Common
+Crawl's ~1 GB gz shards do).  Decompression is STREAMED — gzip
+members are parsed record-by-record through :class:`gzip.GzipFile`,
+never materialized whole, so per-task peak memory is the compressed
+bytes + one record + one output Arrow batch (``_BATCH_ROWS`` rows),
+NOT the multi-GB decompressed shard.
 
 ``build_warc`` / ``make_response_record`` write the same framing
 (round-trip-tested), so fixtures and any archival sink share one
@@ -24,14 +34,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-#: output schema of :func:`read_warc` — one row per WARC record
+#: output schema of :func:`read_warc` — one row per WARC record.
+#: ``payload`` is the raw body bytes; ``payload_text`` is the body
+#: DECODED BY ITS DECLARED CHARSET (the ``charset=`` parameter of the
+#: HTTP Content-Type, utf-8-with-replacement fallback) for ``text/*``
+#: responses, NULL otherwise — crawl charsets are a data property, not
+#: a reader option, so the decode happens executor-side at parse time
+#: (same discipline as the instrument readers' cp1252 sniff,
+#: parsers.py).
 WARC_FIELDS = (
     "path string, record_idx int, warc_type string, record_id string,"
     " target_uri string, warc_date string, http_status int,"
-    " content_type string, payload binary, n_bytes long, error string"
+    " content_type string, payload binary, payload_text string,"
+    " n_bytes long, error string"
 )
 
 _CRLF = b"\r\n"
+
+#: output Arrow batch bounds from the parser — whichever trips first.
+#: Rows alone is not enough: 4096 rows of 64 KB payloads is a 256 MB
+#: batch, so payload BYTES cap the flush for fat records
+_BATCH_ROWS = 4096
+_BATCH_BYTES = 32 << 20
+
+_CHARSET_RE = None  # compiled lazily executor-side
+
+
+def _decode_declared(block: bytes, content_type: str | None) -> str | None:
+    """Decode a ``text/*`` payload by its declared ``charset=``
+    parameter (utf-8 fallback), always with replacement — a crawl page
+    lying about its encoding yields mojibake characters, never a dead
+    task.  Non-text payloads return None (images stay bytes)."""
+    global _CHARSET_RE
+    if not content_type or not content_type.lower().startswith("text/"):
+        return None
+    if _CHARSET_RE is None:
+        import re
+
+        _CHARSET_RE = re.compile(r"charset=[\"']?([\w.:-]+)", re.I)
+    m = _CHARSET_RE.search(content_type)
+    if m:
+        import codecs
+
+        try:
+            codec = codecs.lookup(m.group(1)).name
+        except LookupError:
+            codec = "utf-8"  # unknown declared charset: best effort
+    else:
+        codec = "utf-8"
+    return block.decode(codec, errors="replace")
 
 
 def make_record(
@@ -95,57 +146,88 @@ def build_warc(records: list[bytes], gz: bool = False) -> bytes:
     return b"".join(gzip.compress(r) for r in records)
 
 
-def _parse_warc_bytes(data: bytes, path: str) -> list[tuple]:
-    """Parse one (possibly multi-member-gzip) archive into record
-    tuples matching :data:`WARC_FIELDS`."""
-    import gzip
+#: readline bound — a "header line" longer than this is lost framing,
+#: not a header (keeps a malformed binary blob from buffering whole)
+_MAX_LINE = 65536
 
-    rows: list[tuple] = []
+
+def _iter_warc_records(data: bytes, path: str):
+    """Yield record tuples matching :data:`WARC_FIELDS` from one
+    (possibly multi-member-gzip) archive, STREAMING: gzip members are
+    inflated through :class:`gzip.GzipFile` as the parser consumes
+    them, so only the current record's bytes are ever materialized —
+    a several-GB decompressed shard never exists in memory.
+
+    Corruption anywhere (bad framing, short block, a shard cut
+    mid-gzip-member) ends the iteration with ONE quarantine row; every
+    record parsed before that point has already been yielded (salvage
+    the good prefix — losing a whole shard to its last byte is the
+    all-or-nothing failure this reader exists to avoid)."""
+    import gzip
+    import io
+
+    raw = io.BytesIO(data)
+    fobj = gzip.GzipFile(fileobj=raw) if data[:2] == b"\x1f\x8b" else raw
     idx = 0
+    pos = 0  # decompressed-stream offset, for quarantine messages
 
     def bad(msg: str, at: int) -> tuple:
-        return (path, idx, "invalid", None, None, None, None, None, None, None, f"{msg} at byte {at}")
+        return (path, idx, "invalid", None, None, None, None, None,
+                None, None, None, f"{msg} at byte {at}")
 
-    if data[:2] == b"\x1f\x8b":
+    while True:
+        # skip inter-record CRLF padding
         try:
-            data = gzip.decompress(data)  # loops over concatenated members
+            line = fobj.readline(_MAX_LINE)
+            while line == _CRLF:
+                pos += 2
+                line = fobj.readline(_MAX_LINE)
         except (EOFError, OSError) as exc:
-            # a shard cut mid-member must be a quarantine ROW, same as
-            # an uncompressed truncation — never a task-killing raise
-            rows.append(bad(f"gzip: {exc}", 0))
-            return rows
-    pos, n = 0, len(data)
-
-    while pos < n:
-        # skip inter-record padding
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        if not data[pos : pos + 5] == b"WARC/":
-            rows.append(bad("expected WARC/ version line", pos))
-            break  # framing lost — no way to resynchronize safely
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end < 0:
-            rows.append(bad("unterminated record headers", pos))
-            break
+            # cut mid-gzip-member: quarantine the tail, keep the prefix
+            yield bad(f"gzip: {exc}", pos)
+            return
+        if not line:
+            return  # clean end of archive
+        rec_start = pos
+        if not line.startswith(b"WARC/"):
+            yield bad("expected WARC/ version line", rec_start)
+            return  # framing lost — no way to resynchronize safely
+        pos += len(line)
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.partition(b":")
-            if _:
+        while True:
+            try:
+                hline = fobj.readline(_MAX_LINE)
+            except (EOFError, OSError) as exc:
+                yield bad(f"gzip: {exc}", rec_start)
+                return
+            if hline == _CRLF:
+                pos += 2
+                break  # end of headers
+            if not hline or not hline.endswith(b"\n"):
+                # EOF (or an unbounded line) inside the header region
+                yield bad("unterminated record headers", rec_start)
+                return
+            pos += len(hline)
+            k, sep, v = hline.partition(b":")
+            if sep:
                 headers[k.strip().decode("latin-1").lower()] = (
                     v.strip().decode("latin-1")
                 )
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
-            rows.append(bad("missing/invalid Content-Length", pos))
-            break
-        block_start = hdr_end + 4
-        block = data[block_start : block_start + length]
+            yield bad("missing/invalid Content-Length", rec_start)
+            return
+        block_start = pos
+        try:
+            block = fobj.read(length)
+        except (EOFError, OSError) as exc:
+            yield bad(f"gzip: {exc}", block_start)
+            return
         if len(block) < length:
-            rows.append(bad("truncated block", block_start))
-            break
+            yield bad("truncated block", block_start)
+            return
+        pos += length
         wtype = headers.get("warc-type", "unknown")
         status = None
         ctype = headers.get("content-type")
@@ -158,41 +240,48 @@ def _parse_warc_bytes(data: bytes, path: str) -> list[tuple]:
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
                 for line in head_lines[1:]:
-                    k, _, v = line.partition(b":")
-                    if _ and k.strip().lower() == b"content-type":
+                    k, sep, v = line.partition(b":")
+                    if sep and k.strip().lower() == b"content-type":
                         ctype = v.strip().decode("latin-1")
                 payload = block[http_end + 4 :]
         rid = headers.get("warc-record-id")
-        rows.append(
-            (
-                path,
-                idx,
-                wtype,
-                rid.strip("<>") if rid else None,
-                headers.get("warc-target-uri"),
-                headers.get("warc-date"),
-                status,
-                ctype,
-                payload,
-                len(payload),
-                None,
-            )
+        yield (
+            path,
+            idx,
+            wtype,
+            rid.strip("<>") if rid else None,
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            status,
+            ctype,
+            payload,
+            _decode_declared(payload, ctype) if wtype == "response" else None,
+            len(payload),
+            None,
         )
         idx += 1
-        pos = block_start + length
-    return rows
 
 
 def _map_warc_batches(batches):
     """Arrow batch mapper shared by the batch and streaming readers —
-    one parse implementation, two trigger modes."""
+    one parse implementation, two trigger modes.  Emits bounded
+    chunks (:data:`_BATCH_ROWS` rows / :data:`_BATCH_BYTES` payload
+    bytes, whichever first) so neither a record-dense nor a
+    fat-record shard ever builds one giant output batch."""
     import pandas as pd
 
     cols = [f.split()[0] for f in WARC_FIELDS.split(",")]
+    rows: list[tuple] = []
+    nbytes = 0
     for pdf in batches:
-        rows: list[tuple] = []
         for p, content in zip(pdf["path"], pdf["content"]):
-            rows.extend(_parse_warc_bytes(bytes(content), p))
+            for row in _iter_warc_records(bytes(content), p):
+                rows.append(row)
+                nbytes += (row[10] or 0) * 2  # payload + decoded text
+                if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows, nbytes = [], 0
+    if rows:
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -243,10 +332,17 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     (``operators.dedup._md5_long`` — THE engine-portable hash key) of
     the record id, falling back to target URI + date, then to
     path + record index, so the id is deterministic and never NULL even
-    on header-poor records; ``text`` the body as UTF-8 with invalid
-    byte sequences REPLACED (crawl charsets are dirty — ``F.decode``
-    would kill the job on the first latin-1 page, the exact failure the
-    module contract forbids); ``source`` the normalized registrable
+    on header-poor records (each fallback uses ``F.concat``, NULL
+    unless EVERY component is present — ``concat_ws`` skips NULLs and
+    returns ``''``, which both made the last fallback unreachable and
+    collided a missing-date record's key with the bare URI);
+    ``text`` the body decoded by its DECLARED ``charset=``
+    (``payload_text``, computed at parse time — a latin-1 or GBK page
+    arrives with its non-ASCII text intact), falling back to UTF-8
+    with invalid sequences REPLACED (crawl charsets are dirty —
+    ``F.decode`` would kill the job on the first mis-declared page,
+    the exact failure the module contract forbids); ``source`` the
+    normalized registrable
     host of the target URI (:func:`..operators.markup.normalized_domain`
     — the one key space domain filters and link analytics share).  Feed
     the result to ``Corpus(...).strip_markup()`` — the ingestion head of
@@ -261,13 +357,17 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     )
     doc_id = _md5_long(
         F.coalesce(
-            F.col("record_id"),
-            F.concat_ws("|", "target_uri", "warc_date"),
-            F.concat_ws("|", "path", "record_idx"),
+            F.nullif(F.col("record_id"), F.lit("")),
+            F.concat(F.col("target_uri"), F.lit("|"), F.col("warc_date")),
+            F.concat(F.col("path"), F.lit("|"),
+                     F.col("record_idx").cast("string")),
         )
     )
     domain = normalized_domain(F.col("target_uri"))
-    text = F.make_valid_utf8(F.col("payload").cast("string"))
+    text = F.coalesce(
+        F.col("payload_text"),
+        F.make_valid_utf8(F.col("payload").cast("string")),
+    )
     return ok.select(
         doc_id.alias("doc_id"),
         text.alias("text"),

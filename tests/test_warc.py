@@ -114,15 +114,108 @@ def test_read_warc_resync_loss_is_loud(spark, tmp_path):
 
 
 def test_read_warc_corrupt_gzip_is_a_quarantine_row(spark, tmp_path):
-    """A shard cut mid-gzip-member yields one 'invalid' row, never a
-    task-killing raise — the record-granular quarantine contract holds
-    for the compressed (production) layout too."""
+    """A shard cut mid-gzip-member yields one 'invalid' TAIL row, never
+    a task-killing raise — and every record BEFORE the cut still
+    parses (the streamed member-by-member inflate salvages the good
+    prefix; the old whole-shard gzip.decompress lost all of it)."""
     blob = build_warc(_archive(), gz=True)
     p = tmp_path / "cut.warc.gz"
     p.write_bytes(blob[: len(blob) // 2])
-    out = read_warc(spark, str(p)).toPandas()
-    assert list(out.warc_type) == ["invalid"]
-    assert "gzip" in out.iloc[0].error
+    out = (
+        read_warc(spark, str(p)).toPandas()
+        .sort_values("record_idx").reset_index(drop=True)
+    )
+    # good prefix salvaged, quarantine row is last
+    assert out.iloc[-1].warc_type == "invalid"
+    assert "gzip" in out.iloc[-1].error
+    good = out[out.warc_type != "invalid"]
+    assert len(good) >= 1
+    full_types = ["warcinfo", "request", "response", "response", "response"]
+    assert list(good.warc_type) == full_types[: len(good)]
+    assert good.error.isna().all()
+
+
+def test_read_warc_streams_members_without_full_inflate(spark, tmp_path):
+    """Memory contract: parsing goes through gzip.GzipFile (member
+    streaming), never gzip.decompress of the whole shard — pinned by
+    making whole-shard decompress loud."""
+    import python_ctd_spark.io.warc as w
+
+    blob = build_warc(_archive(), gz=True)
+    rows = list(w._iter_warc_records(blob, "p"))
+    assert len(rows) == 5
+    import gzip as _gzip
+    import unittest.mock as mock
+
+    with mock.patch.object(_gzip, "decompress",
+                           side_effect=AssertionError("full inflate")):
+        rows2 = list(w._iter_warc_records(blob, "p"))
+    assert rows2 == rows
+
+
+def test_warc_charset_aware_decode(spark, tmp_path):
+    """A latin-1 and a GBK page round-trip their non-ASCII text through
+    warc_responses_to_documents intact (VERDICT r11 item 2): the
+    declared charset= parameter drives the decode; a LYING charset
+    still yields replacement chars, never a dead task."""
+    latin = make_response_record(
+        "https://l.example.org/", "café crème".encode("latin-1"), "r-l",
+        http_content_type="text/html; charset=ISO-8859-1",
+    )
+    gbk = make_response_record(
+        "https://g.example.org/", "你好，世界".encode("gbk"), "r-g",
+        http_content_type='text/html; charset="GBK"',
+    )
+    lying = make_response_record(
+        "https://bad.example.org/", b"caf\xe9", "r-b",
+        http_content_type="text/plain; charset=utf-8",  # actually latin-1
+    )
+    unknown = make_response_record(
+        "https://u.example.org/", b"plain ascii", "r-u",
+        http_content_type="text/plain; charset=x-no-such-charset",
+    )
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(build_warc([latin, gbk, lying, unknown], gz=True))
+    docs = (
+        warc_responses_to_documents(read_warc(spark, str(p)))
+        .toPandas().set_index("source")
+    )
+    assert docs.loc["l.example.org", "text"] == "café crème"
+    assert docs.loc["g.example.org", "text"] == "你好，世界"
+    assert docs.loc["bad.example.org", "text"] == "caf�"  # replaced
+    assert docs.loc["u.example.org", "text"] == "plain ascii"
+
+
+def test_warc_doc_id_fallback_chain_never_collides(spark, tmp_path):
+    """ADVICE r11: two records missing record-id, URI AND date must get
+    DISTINCT doc_ids (path|record_idx fallback — previously concat_ws
+    folded every header-poor record onto md5('')), and a missing date
+    must not collide uri='a|b' with (uri='a', date='b')."""
+    def bare(body: bytes, rid: str, **hdrs) -> bytes:
+        rec = make_record(
+            "response",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body,
+            rid,
+            content_type="application/http; msgtype=response",
+            **hdrs,
+        )
+        return rec.replace(f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode(), b"")
+
+    recs = [
+        bare(b"anon one", "x1"),                      # no id/uri/date
+        bare(b"anon two", "x2"),                      # no id/uri/date
+        bare(b"pipe uri", "x3",                       # uri contains '|',
+             WARC_Target_URI="https://p.example.org/a|b"),  # no date
+        bare(b"split uri", "x4",                      # uri + date that
+             WARC_Target_URI="https://p.example.org/a",     # concat_ws
+             WARC_Date="b"),                          # used to collide
+    ]
+    p = tmp_path / "poor.warc"
+    p.write_bytes(build_warc(recs))
+    docs = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
+    assert len(docs) == 4
+    assert docs.doc_id.notna().all()
+    assert docs.doc_id.nunique() == 4
 
 
 def test_warc_documents_survive_dirty_charsets_and_missing_ids(spark, tmp_path):

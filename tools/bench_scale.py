@@ -32,10 +32,15 @@ Measurements (pick by arg):
 - **warc**: the crawl ingestion head at 4 vs 40 gzip shards — exact
   doc counts, ZERO shuffle bytes end-to-end (ASSERTED), wall tracks
   records/core with shard-level parallelism.
+- **warc-big**: the memory contract for ONE >=100 MB compressed shard
+  that inflates ~15x — pyspark-worker peak RSS delta must stay under
+  HALF the decompressed size (ASSERTED), proving the gzip members are
+  streamed record-by-record, never inflated whole in the worker.
 
 Usage:  python tools/bench_scale.py [docs|fleet|both|probe|probe-ivf|
         probe-sq8|probe-pq|pack|cc-chain|semantic|partition-prune|
-        skew-join|spans|media|warc|training-dataset]  (default docs)
+        skew-join|spans|media|warc|warc-big|training-dataset]
+        (default docs)
 
 Run each measurement in its own process — the fleet run builds ~650 MB
 of staged casts and its own session.
@@ -1107,6 +1112,152 @@ def measure_media(mult: int) -> dict:
         spark.stop()
 
 
+def _rss_map() -> dict[int, tuple[int, int]]:
+    """pid -> (ppid, rss_pages) for every live process."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                st = f.read()
+            # pid (comm) state ppid ... rss is field 24 (1-based);
+            # comm may contain spaces — split after the last ')'
+            rest = st[st.rindex(")") + 2 :].split()
+            procs[int(d)] = (int(rest[1]), int(rest[21]))
+        except (OSError, ValueError, IndexError):
+            continue
+    return procs
+
+
+def _pyworker_rss_mb() -> float:
+    """Total resident MB of the pyspark DAEMON/WORKER descendants of
+    this process — the processes the WARC parse (and the old
+    whole-shard gzip.decompress) actually runs in.  The JVM is
+    deliberately excluded: its RSS never shrinks after transient
+    pipeline allocations, so a whole-tree peak measures GC slack, not
+    the parser's footprint."""
+    me = os.getpid()
+    procs = _rss_map()
+    total_pages = 0
+    for pid, (_ppid, rss) in procs.items():
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+            continue
+        p = pid
+        while p > 1:
+            if p == me:
+                total_pages += rss
+                break
+            p = procs.get(p, (0, 0))[0]
+    return total_pages * os.sysconf("SC_PAGESIZE") / 1048576.0
+
+
+def measure_warc_big_shard(target_mb: int = 100) -> dict:
+    """Memory evidence for the streamed WARC parse (VERDICT r11 item
+    6): ONE gzip shard of >= target_mb COMPRESSED bytes whose records
+    inflate ~15x, read through the full head, with peak RSS of the
+    pyspark WORKER processes (where the parse runs — and where the old
+    whole-shard gzip.decompress lived) sampled by a daemon thread.
+    The parser inflates gzip members record-by-record (gzip.GzipFile),
+    so the worker peak delta must track the compressed shard (one
+    Arrow-delivered copy) plus one record + one bounded output batch —
+    NOT the ~15x-larger decompressed archive.  The JVM is excluded
+    from the sample on purpose: its RSS keeps transient pipeline
+    allocations until GC and never shrinks, so a whole-tree peak
+    measures GC slack, not parser footprint.  A small warm-up parse
+    runs first so worker processes and JIT'd scan code are in the
+    baseline."""
+    import hashlib
+    import threading
+
+    from python_ctd_spark.io.warc import (
+        build_warc, make_response_record, read_warc,
+        warc_responses_to_documents,
+    )
+    from python_ctd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_warc_big", extra_conf={"spark.ui.enabled": "true"}
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_warc_big_")
+    try:
+        # per-record body: 4 KiB unique hex (counter-seeded hashes, so
+        # the shard can't be trivially tiny) + 28 KiB repeated filler
+        # -> ~15x decompressed:compressed, the shape that separates a
+        # streamed parse from a whole-shard inflate in the RSS trace
+        filler = b"the quick brown crawl fox " * 1130  # ~28 KiB
+        per_batch = 1024
+        written = 0
+        ridx = 0
+        shard_path = os.path.join(tmp, "big.warc.gz")
+        with open(shard_path, "wb") as f:
+            while written < target_mb * 1024 * 1024:
+                recs = []
+                for i in range(per_batch):
+                    uniq = b"".join(
+                        hashlib.sha256(f"{ridx + i}-{j}".encode())
+                        .hexdigest().encode()
+                        for j in range(64)
+                    )  # 4 KiB
+                    recs.append(make_response_record(
+                        f"https://big.example.org/{ridx + i}",
+                        b"<html><body><p>" + uniq + filler + b"</p></body></html>",
+                        f"big-{ridx + i}",
+                    ))
+                chunk = build_warc(recs, gz=True)
+                f.write(chunk)
+                written += len(chunk)
+                ridx += per_batch
+        from pyspark.sql import functions as F
+
+        # warm-up: spawn workers / JIT the scan so the baseline holds them
+        warm = os.path.join(tmp, "warm")
+        os.makedirs(warm)
+        with open(os.path.join(warm, "w.warc.gz"), "wb") as f:
+            f.write(build_warc(
+                [make_response_record("https://w.example.org/", b"warm", "w0")],
+                gz=True,
+            ))
+        warc_responses_to_documents(read_warc(spark, warm)).count()
+
+        rss0 = _pyworker_rss_mb()
+        peak = [rss0]
+        stop = threading.Event()
+
+        def _sample():
+            while not stop.is_set():
+                peak[0] = max(peak[0], _pyworker_rss_mb())
+                stop.wait(0.1)
+
+        t = threading.Thread(target=_sample, daemon=True)
+        t.start()
+        t0 = time.perf_counter()
+        docs = warc_responses_to_documents(read_warc(spark, shard_path))
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+        ).first()
+        wall = time.perf_counter() - t0
+        stop.set()
+        t.join()
+        return {
+            "shard_mb_compressed": round(written / 1048576.0, 1),
+            "n_records": int(ridx),
+            "n_docs": int(agg["n"]),
+            "decompressed_mb": round(int(agg["c"]) / 1048576.0, 1),
+            "wall_s": round(wall, 2),
+            "worker_rss_before_mb": round(rss0, 1),
+            "worker_rss_peak_delta_mb": round(peak[0] - rss0, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
 def measure_warc(n_shards: int, per_shard: int = 500) -> dict:
     """Scale evidence for the WARC ingestion head: n_shards gz archives
     (each ``per_shard`` HTML responses built from sf0.1 document text)
@@ -1261,6 +1412,18 @@ if __name__ == "__main__":
         # the ingest head is map-side end-to-end: no shuffle at EITHER scale
         assert w1["shuffle_write_mb"] < 1.0, w1
         assert w10["shuffle_write_mb"] < 1.0, w10
+    if what == "warc-big":
+        big = measure_warc_big_shard(100)
+        results["warc_big_shard"] = big
+        # the memory contract: the streamed parse must NOT materialize
+        # the decompressed archive — the whole-tree peak RSS delta
+        # stays under HALF the decompressed size (the old whole-shard
+        # gzip.decompress held all of it at once, so it could not pass
+        # this), while the shard really is >=100 MB compressed and
+        # inflates substantially
+        assert big["shard_mb_compressed"] >= 100, big
+        assert big["decompressed_mb"] > 8 * big["shard_mb_compressed"], big
+        assert big["worker_rss_peak_delta_mb"] < big["decompressed_mb"] / 2, big
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

@@ -45,10 +45,34 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+#: whitespace, spelled out ONCE, engine-independently (ADVICE r11):
+#: Java's ``\s`` includes vertical tab ``\x0B`` while RE2's does not,
+#: so a bare ``\s`` in a pattern shared with the DuckDB oracle would
+#: let ``\x0B`` text drift between the two chains.  The explicit class
+#: (Java's set) is identical in both engines.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_PATTERN = f"[{WS_CHARS}]+"
+
+#: href normalizers applied BEFORE anchor extraction, in order:
+#: single-quoted and unquoted href values are rewritten to the
+#: double-quoted form (ADVICE r11 — ``href='...'`` / ``href=url``
+#: must not dodge the blocklist).  Replacement template is
+#: ``$1"$2"`` in Spark, ``\1"\2"`` in the DuckDB oracle (engine
+#: replacement syntax differs; the PATTERNS are shared).  The
+#: unquoted rule runs second and requires a non-quote first char, so
+#: it can never re-wrap an already-quoted (or just-rewritten) value.
+HREF_NORMALIZE_PATTERNS: list[str] = [
+    rf"(?is)(<a[{WS_CHARS}][^>]*href=)'([^']*)'",
+    rf"(?is)(<a[{WS_CHARS}][^>]*href=)([^\"'{WS_CHARS}>]+)",
+]
+
 #: anchor pattern in the Java-regex/RE2 common subset: group 1 = the
 #: href URL, group 2 = the anchor text (lazy, single-level — nested
-#: anchors are invalid HTML and out of scope).
-ANCHOR_PATTERN = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>'
+#: anchors are invalid HTML and out of scope).  Double-quote-only by
+#: construction: extraction always runs on href-normalized text.
+ANCHOR_PATTERN = (
+    rf'(?is)<a[{WS_CHARS}][^>]*href="([^"]*)"[^>]*>(.*?)</a[{WS_CHARS}]*>'
+)
 
 #: scheme://host extraction from a URL: group 1 = the registrable host
 #: with userinfo (``user@``) and port (``:443``) stripped; combined
@@ -75,39 +99,53 @@ def normalized_domain(url: Column) -> Column:
 
 
 def extract_links(
-    df: DataFrame, text_col: str, id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """Extract every ``<a href>`` link from ``text_col``: one output row
     per link — ``(id_col, link_pos, url, domain, anchor, is_blocked)``
     — the crawl-graph stage in front of URL/domain filtering and
     outlink-based quality signals.
 
-    ``link_pos`` is the link's 1-based position within its document
-    (document order, deterministic).  ``domain`` is the NORMALIZED
-    host: lowercased, userinfo and port stripped (so HTTPS://HOST,
-    host:443, and user@host all resolve to one key — a blocklist match
-    must not be dodgeable by trivial URL variation); ``is_blocked``
-    marks hosts in
-    :data:`BLOCKED_DOMAINS` (a literal IN-list — no join).  Documents
-    with no links emit no rows (explode semantics; LEFT-join back to
-    the corpus for a per-doc outlink count including zeros).
+    href quoting is NORMALIZED before extraction
+    (:data:`HREF_NORMALIZE_PATTERNS`): single-quoted and unquoted
+    hrefs rewrite to the double-quoted form, so a trivial quoting
+    variation cannot dodge the blocklist.  ``link_pos`` is the link's
+    1-based position within its document (document order,
+    deterministic).  ``domain`` is the NORMALIZED host: lowercased,
+    userinfo and port stripped (so HTTPS://HOST, host:443, and
+    user@host all resolve to one key — a blocklist match must not be
+    dodgeable by trivial URL variation); ``is_blocked`` marks hosts in
+    :data:`BLOCKED_DOMAINS` (a literal IN-list — no join) OR, when
+    ``blocklist`` is given, in that one-column (``domain``) DataFrame
+    — the production shape, where the denylist is a TABLE: a
+    broadcast LEFT join on the normalized domain (millions of links x
+    thousands of blocked hosts never shuffles the links side).
+    Documents with no links emit no rows (explode semantics;
+    LEFT-join back to the corpus for a per-doc outlink count
+    including zeros).
 
     All native: two ``regexp_extract_all`` passes (URL group, anchor
     group) zipped and exploded — map-side, no shuffle, whole-stage
-    codegen.
+    codegen (plus the broadcast join when a blocklist table is given).
     """
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 1)
-    anchors = F.regexp_extract_all(F.col(text_col), F.lit(ANCHOR_PATTERN), 2)
+    html = F.col(text_col)
+    for pat in HREF_NORMALIZE_PATTERNS:
+        html = F.regexp_replace(html, pat, '$1"$2"')
+    urls = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 1)
+    anchors = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 2)
     ex = df.select(
         id_col, F.posexplode(F.arrays_zip(urls.alias("u"), anchors.alias("a")))
     ).select(
         id_col,
         (F.col("pos") + 1).cast("int").alias("link_pos"),
         F.col("col.u").alias("url"),
-        F.trim(F.regexp_replace(F.col("col.a"), r"\s+", " ")).alias("anchor"),
+        F.trim(F.regexp_replace(F.col("col.a"), WS_PATTERN, " ")).alias("anchor"),
     )
     domain = normalized_domain(F.col("url"))
-    return ex.select(
+    out = ex.select(
         id_col,
         "link_pos",
         "url",
@@ -115,6 +153,20 @@ def extract_links(
         "anchor",
         domain.isin(*BLOCKED_DOMAINS).alias("is_blocked"),
     )
+    if blocklist is not None:
+        hit = F.broadcast(
+            blocklist.select(F.col("domain").alias("__blocked_domain"))
+            .distinct()
+        )
+        out = (
+            out.join(hit, out["domain"] == hit["__blocked_domain"], "left")
+            .withColumn(
+                "is_blocked",
+                F.col("is_blocked") | F.col("__blocked_domain").isNotNull(),
+            )
+            .drop("__blocked_domain")
+        )
+    return out
 
 
 def strip_markup(
@@ -148,5 +200,5 @@ def strip_markup(
     out.append(ent.cast("bigint").alias("n_entities"))
     for lit, rep in HTML_ENTITIES:
         cur = F.regexp_replace(cur, lit, rep)
-    cur = F.trim(F.regexp_replace(cur, r"\s+", " "))
+    cur = F.trim(F.regexp_replace(cur, WS_PATTERN, " "))
     return df.select("*", *out, cur.alias(out_col))

@@ -98,3 +98,74 @@ def test_extract_links_domain_normalization(spark):
     out = extract_links(df, "html").toPandas()
     assert list(out.domain) == ["spam.example.net"] * 4 + ["ok.example.org"]
     assert list(out.is_blocked) == [True, True, True, True, False]
+
+
+def test_extract_links_quote_variants(spark):
+    """ADVICE r11: single-quoted and unquoted hrefs are normalized to
+    the double-quoted form before extraction — a quoting variation
+    must not dodge the blocklist."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        "<a href='https://spam.example.net/x'>sq</a> "
+        "<a href=https://spam.example.net/y>bare</a> "
+        '<a class="z" href=\'https://a.example.org/p\'>sq2</a> '
+        "<a href=http://b.example.org/q>bare2</a>"
+    )
+    df = pd.DataFrame({"doc_id": [0], "html": [html]})
+    out = extract_links(spark.createDataFrame(df), "html").toPandas()
+    assert list(out.url) == [
+        "https://spam.example.net/x",
+        "https://spam.example.net/y",
+        "https://a.example.org/p",
+        "http://b.example.org/q",
+    ]
+    assert list(out.anchor) == ["sq", "bare", "sq2", "bare2"]
+    assert list(out.is_blocked) == [True, True, False, False]
+
+
+def test_extract_links_blocklist_table(spark):
+    """VERDICT r11 item 7: a blocklist TABLE (the production denylist
+    shape) marks domains via a broadcast LEFT join on the normalized
+    domain — the executed plan must broadcast the blocklist side, and
+    the literal IN-list still applies alongside."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<a href="https://bad1.example.com/x">a</a>'
+        '<a href="https://BAD2.example.com:443/x">b</a>'
+        '<a href="https://ok.example.org/x">c</a>'
+        '<a href="https://spam.example.net/x">d</a>'
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
+    bl = spark.createDataFrame(
+        pd.DataFrame({"domain": [
+            "bad1.example.com", "bad2.example.com", "unused.example.net",
+        ]})
+    )
+    out_df = extract_links(df, "html", blocklist=bl)
+    out = out_df.toPandas()
+    # table hits (incl. normalized-case), literal IN-list hit, clean row
+    assert list(out.is_blocked) == [True, True, False, True]
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_markup_whitespace_class_matches_oracle(spark):
+    """ADVICE r11: the whitespace collapse uses the explicit
+    engine-independent class (WS_PATTERN), so \\x0B collapses to a
+    space IDENTICALLY in Spark and the DuckDB oracle — a bare \\s
+    would include \\x0B in Java but not in RE2."""
+    import duckdb
+
+    from python_ctd_spark.operators.markup import WS_PATTERN, strip_markup
+
+    text = "a\x0bb <b>c\td</b>"
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    got = strip_markup(df, "text").toPandas().loc[0, "text_plain"]
+    want = duckdb.sql(
+        "SELECT trim(regexp_replace(regexp_replace($$" + text + "$$,"
+        " '<[!/]?[A-Za-z][^>]*>', ' ', 'g'), '" + WS_PATTERN + "', ' ', 'g'))"
+    ).fetchone()[0]
+    assert got == want == "a b c d"

@@ -373,8 +373,15 @@ def _strip_markup_sql(src: str = "documents") -> str:
     MARKUP_PATTERNS/HTML_ENTITIES tables so the two can never drift —
     per-step counts run on the text as rewritten by preceding steps;
     all six entity counts are taken on the tag-stripped text before
-    any entity replacement (the operator's documented semantics)."""
-    from python_ctd_spark.operators.markup import HTML_ENTITIES, MARKUP_PATTERNS
+    any entity replacement (the operator's documented semantics).
+    The final whitespace collapse imports WS_PATTERN — the explicit
+    engine-independent class (ADVICE r11: Java's \\s includes \\x0B,
+    RE2's does not)."""
+    from python_ctd_spark.operators.markup import (
+        HTML_ENTITIES,
+        MARKUP_PATTERNS,
+        WS_PATTERN,
+    )
 
     cur = _MARKUP_SYNTH_DUCKDB_EXPR
     pieces = []
@@ -394,7 +401,7 @@ def _strip_markup_sql(src: str = "documents") -> str:
         lit_sql = lit.replace("'", "''")
         rep_sql = rep.replace("'", "''")
         cur = f"replace({cur}, '{lit_sql}', '{rep_sql}')"
-    cur = f"trim(regexp_replace({cur}, '\\s+', ' ', 'g'))"
+    cur = f"trim(regexp_replace({cur}, '{WS_PATTERN}', ' ', 'g'))"
     cols = ",\n       ".join(pieces)
     return (
         f"SELECT doc_id,\n       {cols},\n       {cur} AS text_plain\n"
@@ -421,20 +428,26 @@ def _streaming_markup_sql() -> str:
 
 # -- extract_links -----------------------------------------------------
 # Deterministic link-bearing HTML synthesized inside the query in both
-# engines: every doc gets a per-doc ref link and a blocklisted tracker
-# link; every third doc gets an extra docs link (variable outlink
-# counts exercise the explode).
+# engines: every doc gets a per-doc ref link (double-quoted) and a
+# blocklisted tracker link (SINGLE-quoted — the quoting variant that
+# must not dodge the blocklist, ADVICE r11); every third doc gets an
+# extra docs link (variable outlink counts exercise the explode) and
+# every fourth an UNQUOTED href (the other normalizer rule).
 _LINKS_SYNTH_SPARK_EXPR = (
     "concat('<p>See <a href=\"https://site',"
     " CAST(coalesce(doc_id, 0) % 7 AS STRING),"
     " '.example.org/p/', CAST(coalesce(doc_id, 0) AS STRING),"
     " '\">ref  ', CAST(coalesce(doc_id, 0) AS STRING), '</a>',"
-    " ' and <a class=\"x\" href=\"https://spam.example.net/track?u=',"
-    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '\">offer</a>',"
+    " ' and <a class=\"x\" href=''https://spam.example.net/track?u=',"
+    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '''>offer</a>',"
     " CASE WHEN coalesce(doc_id, 0) % 3 = 0 THEN"
     " concat(' plus <a href=\"http://docs.example.com/',"
     " CAST(coalesce(doc_id, 0) % 11 AS STRING), '\">docs\n',"
     " CAST(coalesce(doc_id, 0) % 11 AS STRING), '</a>') ELSE '' END,"
+    " CASE WHEN coalesce(doc_id, 0) % 4 = 0 THEN"
+    " concat(' see <a href=http://u.example.net/',"
+    " CAST(coalesce(doc_id, 0) % 13 AS STRING), '>bare</a>')"
+    " ELSE '' END,"
     " '</p><p>No links here: ', coalesce(text, ''), '</p>')"
 )
 
@@ -445,21 +458,31 @@ _LINKS_SYNTH_DUCKDB_EXPR = (
 
 def _extract_links_sql() -> str:
     """DuckDB twin of operators.markup.extract_links over the
-    synthesized column — same ANCHOR_PATTERN/DOMAIN_PATTERN/
-    BLOCKED_DOMAINS imported from the package so the two can never
-    drift; unnest-with-range replays posexplode's document order."""
+    synthesized column — same HREF_NORMALIZE_PATTERNS/ANCHOR_PATTERN/
+    DOMAIN_PATTERN/BLOCKED_DOMAINS/WS_PATTERN imported from the
+    package so the two can never drift (only the backreference
+    SYNTAX differs: Spark's ``$1`` is RE2's ``\\1``);
+    unnest-with-range replays posexplode's document order."""
     from python_ctd_spark.operators.markup import (
         ANCHOR_PATTERN,
         BLOCKED_DOMAINS,
         DOMAIN_PATTERN,
+        HREF_NORMALIZE_PATTERNS,
+        WS_PATTERN,
     )
 
+    html = _LINKS_SYNTH_DUCKDB_EXPR
+    for pat in HREF_NORMALIZE_PATTERNS:
+        esc = pat.replace("'", "''")
+        html = (
+            f"regexp_replace({html}, '{esc}', '\\1\"\\2\"', 'g')"
+        )
     anchor = ANCHOR_PATTERN.replace("'", "''")
     dom = DOMAIN_PATTERN.replace("'", "''")
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
     return f"""
 WITH h AS (
-  SELECT doc_id, {_LINKS_SYNTH_DUCKDB_EXPR} AS html FROM documents
+  SELECT doc_id, {html} AS html FROM documents
 ), arrs AS (
   SELECT doc_id,
          regexp_extract_all(html, '{anchor}', 1) AS u,
@@ -467,7 +490,7 @@ WITH h AS (
   FROM h
 ), ex AS (
   SELECT doc_id, CAST(i AS INT) AS link_pos, u[i] AS url,
-         trim(regexp_replace(a[i], '\\s+', ' ', 'g')) AS anchor
+         trim(regexp_replace(a[i], '{WS_PATTERN}', ' ', 'g')) AS anchor
   FROM arrs, LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix
 )
 SELECT doc_id, link_pos, url, domain, anchor,

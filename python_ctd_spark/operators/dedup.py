@@ -1136,7 +1136,19 @@ def remove_dup_passages(
     distinct -> (doc, pos) join onto the exploded tokens -> one
     order-preserving per-doc rebuild (``array_sort(collect_list)``).
     Every exchange is keyed on uniform hashes, (doc, pos) pairs, or the
-    doc id; partial aggregation runs before each wire."""
+    doc id; partial aggregation runs before each wire.
+
+    CLEAN-DOC FAST PATH (VERDICT r11 item 4): only documents owning at
+    least one duplicated-gram start enter the token-level explode +
+    rebuild — everything else flows through the LEFT-join fallback
+    with the identical output (``concat_ws`` over its own tokens, the
+    whitespace normalization the rebuild applies anyway).  In a real
+    post-dedup corpus most docs are clean, so the two token-granular
+    shuffles shrink proportionally to the dup fraction instead of
+    running corpus-wide.  The gram side is unchanged and the dirty-doc
+    set reuses its exchanges (AQE ReusedExchange).  With duplicate
+    ``id_col`` values a clean row no longer merges into its dirty
+    twin's rebuild — exact audits need unique ids (documented above)."""
     if out_col == text_col:
         # the NULL-id fallback must read the original text AFTER base
         # drops out_col — in-place replacement would reference a dropped
@@ -1183,16 +1195,20 @@ def remove_dup_passages(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
+    starts = pos.join(dup, "h", "left_semi")
     covered = (
-        pos.join(dup, "h", "left_semi")
-        .select(
+        starts.select(
             "__doc",
             F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
         )
         .distinct()
     )
+    # docs owning >= 1 duplicated-gram start: only these pay the
+    # token-level explode + rebuild; clean docs take the fallback
+    dirty = starts.select("__doc").distinct()
     tokpos = (
-        staged.select("__doc", F.posexplode("__t"))
+        staged.join(dirty, "__doc", "left_semi")
+        .select("__doc", F.posexplode("__t"))
         .withColumnRenamed("pos", "p")
         .withColumnRenamed("col", "__tok")
     )
@@ -1225,9 +1241,16 @@ def remove_dup_passages(
         id_col,
         "left",
     )
+    # fallback output: CLEAN docs (excluded from the rebuild by the
+    # fast path) get the same whitespace normalization the rebuild
+    # would have produced — concat_ws over their own tokens; NULL-id
+    # rows keep the documented pass-through (original text)
+    clean_text = F.when(
+        F.col(id_col).isNotNull(), F.concat_ws(" ", toks_raw)
+    ).otherwise(F.coalesce(F.col(text_col), F.lit("")))
     return (
         joined
-        .withColumn(out_col, F.coalesce(out_col, F.coalesce(text_col, F.lit(""))))
+        .withColumn(out_col, F.coalesce(out_col, clean_text))
         .withColumn(
             "n_tokens",
             F.coalesce("n_tokens", F.size(toks_raw).cast("bigint")),

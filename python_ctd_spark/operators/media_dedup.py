@@ -4,8 +4,9 @@ blobs — the multimodal twin of the text dedup family.
 Pipeline shape (the one that survives 100 TB of images):
 
 1. :func:`image_ahash` — decode + hash is a pure map-side pass
-   (``mapInPandas`` over Arrow batches, real PNG decode via the repo's
-   stdlib codec); the corpus of blobs is read once and never shuffled.
+   (``mapInPandas`` over Arrow batches, real PNG and baseline-JPEG
+   decode via the repo's stdlib codecs, dispatched on magic bytes);
+   the corpus of blobs is read once and never shuffled.
 2. :func:`ahash_pairs` — near-dup candidates come from the SAME banded
    Hamming equi-join as text SimHash
    (:func:`.dedup.banded_hamming_pairs` — one implementation, two
@@ -49,9 +50,10 @@ def image_ahash(
     blob_col: str = "blob",
     hash_size: int = 8,
 ) -> DataFrame:
-    """Decode each PNG blob (real stdlib decoder —
-    :mod:`..functions.png_numpy`) and emit its 64-bit average-hash:
-    ``(id, ahash, height, width)``.
+    """Decode each image blob (real stdlib decoders — PNG via
+    :mod:`..functions.png_numpy`, baseline JPEG via
+    :mod:`..functions.jpeg_numpy`, dispatched on magic bytes) and emit
+    its 64-bit average-hash: ``(id, ahash, height, width)``.
 
     Arrow-batched ``mapInPandas``; no shuffle — the blob column never
     leaves the scan stage's partitions, and downstream joins see only
@@ -59,18 +61,23 @@ def image_ahash(
     the alpha channel is DROPPED before pooling (:func:`_to_gray`); a
     malformed blob raises (dedup must not silently skip corpus rows —
     filter decodable rows explicitly upstream if the archive is dirty).
+    The hash input is the decoded raster, so near-dup detection works
+    ACROSS formats: a PNG and its JPEG re-encode land in the same
+    bucket (JPEG error is bounded far below the pooled-cell margin).
     """
 
     def fn(batches):
         import pandas as pd
 
         from python_ctd_spark.functions.image_hash import ahash64
+        from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.png_numpy import decode_png
 
         for pdf in batches:
             ids, hashes, hs, ws = [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                px = decode_png(bytes(blob))
+                b = bytes(blob)
+                px = decode_jpeg(b) if b[:2] == b"\xff\xd8" else decode_png(b)
                 hashes.append(ahash64(_to_gray(px), hash_size))
                 ids.append(i)
                 hs.append(px.shape[0])
@@ -90,23 +97,35 @@ def image_ahash(
 
 
 def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach the deterministic fixture PNG for every id
-    (:func:`..functions.image_hash.make_image_blob`) — the single
+    """Attach the deterministic fixture image for every id — the single
     blob-synthesis pass shared by the registered ``image_dedup`` query
     and the scale harness (tools/bench_scale.py), so both always
-    measure the identical pipeline.  Map-side ``mapInPandas``."""
+    measure the identical pipeline.  Map-side ``mapInPandas``.
+
+    FORMAT-MIXED on purpose (even ids PNG, odd ids baseline JPEG at
+    quality 100): the oracle's golden hashes are computed from the
+    PRE-encode pixels, so the driver row's green proves BOTH codec
+    round trips AND that near-dup detection works across formats —
+    the crawl reality, where the same raster arrives in whatever
+    format the site served (JPEG q=100 error <= 2 gray levels vs the
+    fixture's 80-level cell margin, so the hashes are exactly the
+    pre-encode ones)."""
 
     def gen(batches):
         import pandas as pd
 
         from python_ctd_spark.functions.image_hash import make_image_blob
+        from python_ctd_spark.functions.jpeg_numpy import encode_jpeg
 
         for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                blob, px = make_image_blob(int(i))
+                if int(i) % 2:
+                    blob = encode_jpeg(px, quality=100)
+                blobs.append(blob)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "blob": [make_image_blob(int(i))[0] for i in pdf[id_col]],
-                }
+                {id_col: pdf[id_col].astype("int64"), "blob": blobs}
             )
 
     return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")

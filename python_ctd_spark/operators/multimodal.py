@@ -78,12 +78,14 @@ def decode_and_featurize(
     deterministic pseudo-decode the driver oracle checks.  ``fake=False``
     REALLY decodes PNG blobs (pure stdlib+NumPy,
     :func:`python_ctd_spark.functions.png_numpy.decode_png`; features
-    from pixel values) and PCM WAV blobs
-    (:func:`python_ctd_spark.functions.wav_numpy.decode_wav`; features
-    from mono samples) and animated GIF blobs
+    from pixel values), baseline JPEG blobs
+    (:func:`python_ctd_spark.functions.jpeg_numpy.decode_jpeg` —
+    clean-room T.81 decoder, the dominant crawl format) and PCM WAV
+    blobs (:func:`python_ctd_spark.functions.wav_numpy.decode_wav`;
+    features from mono samples) and animated GIF blobs
     (:func:`python_ctd_spark.functions.gif_numpy.decode_gif`; features
     from all frames' pixels); other formats raise
-    ``NotImplementedError`` inside the worker — JPEG/compressed-audio/
+    ``NotImplementedError`` inside the worker — compressed-audio/
     container-video codecs genuinely aren't in this environment, and
     only that boundary stays stubbed.
     """
@@ -93,6 +95,7 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.gif_numpy import decode_gif
+        from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.media_features import feature_fold
         from python_ctd_spark.functions.png_numpy import decode_png
         from python_ctd_spark.functions.wav_numpy import decode_wav_any
@@ -102,16 +105,19 @@ def decode_and_featurize(
             for blob in pdf[blob_col]:
                 b = bytes(blob)
                 is_png = b[:4] == b"\x89PNG"
+                is_jpg = b[:2] == b"\xff\xd8"
                 is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
                 is_gif = b[:4] == b"GIF8"
                 fmts.append(
-                    "png" if is_png else "wav" if is_wav
-                    else "gif" if is_gif else "raw"
+                    "png" if is_png else "jpeg" if is_jpg
+                    else "wav" if is_wav else "gif" if is_gif else "raw"
                 )
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                 elif is_png:
                     arr = decode_png(b).astype(np.float64).ravel()
+                elif is_jpg:
+                    arr = decode_jpeg(b).astype(np.float64).ravel()
                 elif is_wav:
                     # PCM via stdlib wave; G.711 mu-law/A-law via audioop
                     arr, _rate = decode_wav_any(b)
@@ -122,9 +128,10 @@ def decode_and_featurize(
                     )
                 else:
                     raise NotImplementedError(
-                        "real decode supports PNG, PCM WAV, and GIF only "
-                        "(no PIL/librosa/ffmpeg in this environment); pass "
-                        "fake=True for the byte-statistics pseudo-decode"
+                        "real decode supports PNG, baseline JPEG, PCM WAV, "
+                        "and GIF only (no librosa/ffmpeg in this "
+                        "environment); pass fake=True for the "
+                        "byte-statistics pseudo-decode"
                     )
                 # one shared fold definition with the kernel-golden
                 # oracle (functions/media_features.feature_fold):
@@ -207,19 +214,20 @@ def resize_image(
     """Image-resize: blob in -> (smaller) PNG blob + new dims out, one
     row per input, via mapInPandas.
 
-    ``fake=False`` REALLY resizes PNG blobs: stdlib decode
-    (:func:`..functions.png_numpy.decode_png`), exact box-mean area
+    ``fake=False`` REALLY resizes PNG and baseline-JPEG blobs: stdlib
+    decode (:func:`..functions.png_numpy.decode_png` /
+    :func:`..functions.jpeg_numpy.decode_jpeg`), exact box-mean area
     average (:func:`..functions.png_numpy.resize_area` — integral
-    image, nearest-neighbor on upscale), stdlib re-encode — a true
-    thumbnail pipeline with no PIL.  Non-PNG blobs raise
-    ``NotImplementedError`` (JPEG decode genuinely needs PIL).  The
-    deterministic ``fake=True`` byte-stride form stays for the
-    oracle-checkable contract."""
+    image, nearest-neighbor on upscale), stdlib PNG re-encode — a true
+    thumbnail pipeline with no PIL.  Other blobs raise
+    ``NotImplementedError``.  The deterministic ``fake=True``
+    byte-stride form stays for the oracle-checkable contract."""
     schema = "id bigint, width int, height int, resized binary"
 
     def fn(batches):
         import pandas as pd
 
+        from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.png_numpy import (
             decode_png, encode_png_gray, resize_area,
         )
@@ -235,8 +243,10 @@ def resize_image(
                     else:
                         step = max(1, len(b) // n)
                         sampled = b[::step][:n]
-                elif b[:4] == b"\x89PNG":
-                    img = decode_png(b)
+                elif b[:4] == b"\x89PNG" or b[:2] == b"\xff\xd8":
+                    img = (
+                        decode_png(b) if b[:4] == b"\x89PNG" else decode_jpeg(b)
+                    )
                     small = resize_area(img, target_h, target_w)
                     if small.ndim == 3 and small.shape[2] == 2:
                         # gray+alpha (PNG color type 4): the encoder
@@ -246,9 +256,9 @@ def resize_image(
                     sampled = encode_png_gray(small)
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG only (no PIL in this "
-                        "environment); pass fake=True for the "
-                        "byte-stride fake"
+                        "real resize supports PNG and baseline JPEG only "
+                        "(no PIL in this environment); pass fake=True "
+                        "for the byte-stride fake"
                     )
                 ids.append(int(i))
                 ws.append(target_w)

@@ -1,0 +1,135 @@
+"""Baseline JPEG codec (functions/jpeg_numpy — clean-room ITU-T T.81,
+VERDICT r11 item 3) and its wiring through the media family: encode ->
+decode round trips at every supported layout, honest capability
+guards, and hash equality across formats (the property image_dedup's
+mixed-format fixtures lean on)."""
+
+import numpy as np
+import pytest
+
+from python_ctd_spark.functions.jpeg_numpy import decode_jpeg, encode_jpeg
+
+
+def _gradient(h=24, w=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_round_trip_q100_is_idct_rounding_only():
+    """quality=100 keeps every quantizer at 1, so encode->decode error
+    is IDCT rounding only — a couple of counts per sample even on
+    random noise (the worst case for DCT energy spread)."""
+    rng = np.random.default_rng(7)
+    img = _gradient()
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+    noise = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 3
+
+
+def test_round_trip_grayscale_odd_dims():
+    """1-component JPEG; H/W not multiples of 8 (edge-replicated pad
+    must crop back exactly)."""
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=100))
+    assert out.shape == (13, 21, 1)
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("dri", [0, 3])
+def test_round_trip_sampling_and_restart_layouts(subsampling, dri):
+    """The decoder's general sampling-factor path (4:2:0 MCUs = 2x2 Y
+    blocks + chroma) and the DRI/RSTn restart machinery, exercised at
+    lossy quality: bounded mean error, exact shape."""
+    img = _gradient(30, 45)
+    blob = encode_jpeg(
+        img, quality=90, subsampling=subsampling, restart_interval=dri
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 4.0
+    # restart markers really are in the stream when requested
+    assert (b"\xff\xd0" in blob or b"\xff\xd1" in blob) == bool(dri)
+
+
+def test_guards_are_loud():
+    """Honest capability edges: progressive (SOF2) and non-JPEG bytes
+    raise ValueError, never return garbage."""
+    img = _gradient(8, 8)
+    blob = bytearray(encode_jpeg(img, quality=90))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:40])  # truncated headers
+
+
+def test_ahash_identical_across_formats():
+    """The cross-format near-dup property the mixed image_dedup
+    fixtures rely on: the fixture raster hashes IDENTICALLY from its
+    pre-encode pixels, its PNG blob, and its q=100 JPEG blob."""
+    from python_ctd_spark.functions.image_hash import ahash64, make_image_blob
+    from python_ctd_spark.functions.png_numpy import decode_png
+
+    for doc_id in (0, 7, 123):
+        png_blob, px = make_image_blob(doc_id)
+        jpg_blob = encode_jpeg(px, quality=100)
+        want = ahash64(px)
+        assert ahash64(decode_png(png_blob)[:, :, 0]) == want
+        assert ahash64(decode_jpeg(jpg_blob)[:, :, 0]) == want
+
+
+def test_image_ahash_operator_mixed_formats(spark):
+    """image_ahash dispatches PNG/JPEG per blob inside one Arrow pass
+    and both formats of the same raster collide to one hash."""
+    import pandas as pd
+
+    from python_ctd_spark.functions.image_hash import make_image_blob
+    from python_ctd_spark.operators.media_dedup import image_ahash
+
+    rows = []
+    for i in range(6):
+        blob, px = make_image_blob(i)
+        rows.append((i * 2, bytearray(blob)))
+        rows.append((i * 2 + 1, bytearray(encode_jpeg(px, quality=100))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "blob"])
+    )
+    out = image_ahash(df).toPandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == 12
+    for i in range(6):
+        assert out.loc[2 * i, "ahash"] == out.loc[2 * i + 1, "ahash"]
+
+
+def test_resize_and_featurize_jpeg(spark):
+    """The multimodal plumbing accepts JPEG blobs end-to-end: real
+    resize emits a PNG thumbnail, decode_and_featurize tags the format
+    and folds decoded pixels (not bytes)."""
+    import pandas as pd
+
+    from python_ctd_spark.functions.media_features import feature_fold
+    from python_ctd_spark.operators.multimodal import (
+        decode_and_featurize, resize_image,
+    )
+
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, quality=100)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "blob": [bytearray(blob)]})
+    )
+    rz = resize_image(df, target_w=4, target_h=4).toPandas()
+    assert bytes(rz.loc[0, "resized"])[:4] == b"\x89PNG"
+    ft = decode_and_featurize(df, n_features=4).toPandas()
+    assert ft.loc[0, "format"] == "jpeg"
+    want = feature_fold(
+        decode_jpeg(blob).astype(np.float64).ravel(), 4
+    )
+    assert np.allclose(np.array(ft.loc[0, "feat"]), want)

@@ -139,6 +139,8 @@ from tools.oracles.relational import (
     _TOPK_SQL,
     _UNPIVOT_SQL,
     _WINDOW_RANKS_SQL,
+    _audio_dedup_sql,
+    _gif_dedup_sql,
     _image_dedup_sql,
     _multimodal_real_sql,
 )
@@ -1657,6 +1659,52 @@ def _q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def _q_audio_dedup(spark, sf_dir):
+    """Frame-energy audio near-dup detection (media_dedup.
+    audio_fingerprint + ahash_pairs over hash_col='afp') — the audio
+    twin of image_dedup, run through the REAL stdlib WAV codec: every
+    doc_id maps to a deterministic 1024-sample square-wave stream
+    (functions/media_dedup_fixtures.py; ids share a 64-frame energy
+    pattern in groups of 16, variants flip up to 3 frames), blobs
+    round-trip through encode_wav/decode_wav into 64-bit frame-energy
+    hashes (map-side mapInPandas — samples never shuffle), and
+    near-dup pairs come from the SAME banded Hamming equi-join as
+    text/image (one core, three modalities).  The oracle is an
+    exhaustive all-pairs scan over kernel-golden fingerprints computed
+    from the PRE-ENCODE samples, so it checks the codec round trip
+    AND the banding's pigeonhole losslessness at once."""
+    from python_ctd_spark.operators.media_dedup import (
+        ahash_pairs, audio_fingerprint, synthesize_audio_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    fp = audio_fingerprint(synthesize_audio_blobs(docs))
+    return ahash_pairs(fp, max_hamming=3, hash_col="afp").select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _q_gif_dedup(spark, sf_dir):
+    """Animation near-dup detection (media_dedup.gif_frame_hashes +
+    gif_near_dup_pairs): every doc_id maps to a deterministic 2-frame
+    animated GIF (functions/media_dedup_fixtures.py; per-frame base
+    patterns per group, one variant flip set applied to every frame),
+    frames round-trip through the stdlib GIF codec into per-frame
+    64-bit hashes, frame identities pack into one 64-bit key so the
+    SAME banded Hamming join yields candidate frame pairs, and the
+    per-id-pair aggregate keeps pairs where >= half the frames match
+    at the same index within 3 bits.  The oracle rebuilds the whole
+    aggregate exhaustively from kernel-golden PRE-ENCODE frame
+    hashes."""
+    from python_ctd_spark.operators.media_dedup import (
+        gif_frame_hashes, gif_near_dup_pairs, synthesize_gif_blobs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = gif_frame_hashes(synthesize_gif_blobs(docs))
+    return gif_near_dup_pairs(frames, max_hamming=3, min_match_frac=0.5)
+
+
 def _q_image_dedup(spark, sf_dir):
     """Perceptual-hash image near-dup detection (media_dedup.image_ahash
     + ahash_pairs) — the multimodal twin of simhash_dedup, run through
@@ -2730,6 +2778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- stamped green in r6 on this tree (sacrificial) ------------
         "q12_ship_delay": _q12_ship_delay,
         "multimodal_real_decode": _q_multimodal_real_decode,
+        "audio_dedup": _q_audio_dedup,
+        "gif_dedup": _q_gif_dedup,
         "image_dedup": _q_image_dedup,
         "asof_join": _q_asof_join,
         "barrier_layer_thickness": _q_barrier_layer,
@@ -2897,6 +2947,8 @@ def oracle_sql() -> dict[str, str]:
         # PRE-encode source arrays (tools/make_golden.py), so this row
         # hash-checks the real PNG/GIF/WAV decoders end-to-end
         "multimodal_real_decode": _multimodal_real_sql(),
+        "audio_dedup": _audio_dedup_sql(),
+        "gif_dedup": _gif_dedup_sql(),
         "image_dedup": _image_dedup_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "ivf_index_probe": _ivf_ann_sql(5, n_probe=2),

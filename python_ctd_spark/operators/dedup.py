@@ -1204,8 +1204,12 @@ def remove_dup_passages(
         .distinct()
     )
     # docs owning >= 1 duplicated-gram start: only these pay the
-    # token-level explode + rebuild; clean docs take the fallback
-    dirty = starts.select("__doc").distinct()
+    # token-level explode + rebuild; clean docs take the fallback.
+    # Derived FROM covered (not from starts) so the expensive gram
+    # lineage appears twice BYTE-IDENTICALLY and Spark's ReuseExchange
+    # computes it once — a separate starts.select(__doc) projection
+    # would re-aggregate the whole gram stream a second time.
+    dirty = covered.select("__doc").distinct()
     tokpos = (
         staged.join(dirty, "__doc", "left_semi")
         .select("__doc", F.posexplode("__t"))

@@ -158,6 +158,55 @@ def ahash_pairs(
     return banded_hamming_pairs(base, max_hamming, bands, materialize)
 
 
+def synthesize_audio_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic fixture WAV for every id
+    (:func:`..functions.media_dedup_fixtures.make_audio_blob`) — the
+    blob-synthesis pass shared by the registered ``audio_dedup`` query
+    and any scale harness, mirroring :func:`synthesize_image_blobs`.
+    Map-side ``mapInPandas``."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.media_dedup_fixtures import (
+            make_audio_blob,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "blob": [make_audio_blob(int(i))[0] for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+
+
+def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic fixture animated GIF for every id
+    (:func:`..functions.media_dedup_fixtures.make_gif_blob`) — the
+    blob-synthesis pass shared by the registered ``gif_dedup`` query.
+    Map-side ``mapInPandas``."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.media_dedup_fixtures import (
+            make_gif_blob,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "blob": [make_gif_blob(int(i))[0] for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+
+
 def audio_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -250,3 +299,85 @@ def gif_frame_hashes(
     return df.select(id_col, blob_col).mapInPandas(
         fn, "id long, frame_idx int, ahash long, height int, width int"
     )
+
+
+#: frame_idx capacity when packing (id, frame_idx) into one join key —
+#: an animation with more frames than this would alias; raise instead
+_MAX_FRAMES = 1 << 20
+
+
+def gif_near_dup_pairs(
+    frames: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    min_match_frac: float = 0.5,
+    id_col: str = "id",
+) -> DataFrame:
+    """Animation-level near-dup pairs from a per-frame hash table
+    (:func:`gif_frame_hashes` output): two animations are near-dups
+    when at least ``min_match_frac`` of their frames match at the SAME
+    frame index within ``max_hamming`` bits — the per-id-pair
+    frame-match aggregate the per-frame primitive exists for.
+
+    Returns ``(id_a, id_b, n_matched, match_frac)`` with
+    ``match_frac = n_matched / max(n_frames_a, n_frames_b)`` (the
+    conservative denominator: a 2-frame clip fully contained in a
+    100-frame one is NOT a near-dup of it).
+
+    Plan shape: frame identities pack into one 64-bit key
+    (``id * 2^20 + frame_idx``) so the SAME lossless banded Hamming
+    join as every other modality produces candidate frame pairs; a
+    same-frame-index filter, one per-pair count, and a broadcast join
+    of the tiny per-id frame counts finish it.  Frame hashes are the
+    only thing shuffled — 16 bytes per frame, never pixels."""
+    if not 0.0 < min_match_frac <= 1.0:
+        raise ValueError(f"min_match_frac in (0, 1], got {min_match_frac}")
+    base = frames.select(
+        # frame_idx >= _MAX_FRAMES would alias onto the next id: make
+        # the pathological input loud instead of producing wrong pairs
+        F.when(
+            F.col("frame_idx") < _MAX_FRAMES,
+            F.col(id_col) * _MAX_FRAMES + F.col("frame_idx"),
+        ).otherwise(
+            F.raise_error(F.lit(f"frame_idx >= {_MAX_FRAMES}"))
+        ).alias("id"),
+        F.col("ahash").alias("sh"),
+    )
+    pairs = banded_hamming_pairs(base, max_hamming, bands, materialize=True)
+    same_frame = pairs.filter(
+        F.col("id_a") % _MAX_FRAMES == F.col("id_b") % _MAX_FRAMES
+    ).select(
+        # integer div, not float division: packed keys reach id * 2^20
+        # and doubles lose exactness past 2^53
+        F.expr(f"id_a div {_MAX_FRAMES}").alias("id_a"),
+        F.expr(f"id_b div {_MAX_FRAMES}").alias("id_b"),
+    )
+    counts = frames.groupBy(F.col(id_col).alias("__id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nf")
+    )
+    matched = same_frame.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched")
+    )
+    out = (
+        matched.join(
+            F.broadcast(counts.withColumnRenamed("__id", "id_a")
+                        .withColumnRenamed("__nf", "__nf_a")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(counts.withColumnRenamed("__id", "id_b")
+                        .withColumnRenamed("__nf", "__nf_b")),
+            "id_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.greatest("__nf_a", "__nf_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "n_matched", "match_frac")
+    )
+    return out

@@ -208,6 +208,52 @@ def make_image_ahash(sf_dir: str, tag: str) -> None:
     print(f"wrote {path} ({len(out)} rows)")
 
 
+def make_audio_afp(sf_dir: str, tag: str) -> None:
+    """Golden for ``audio_dedup``: frame-energy fingerprints computed
+    from the PRE-ENCODE int16 sample streams
+    (functions/media_dedup_fixtures.py), so the driver row is a real
+    WAV encode->decode->energy_hash64 round trip; the oracle's
+    all-pairs bit_count(xor) scan then proves the banded Hamming join
+    misses nothing."""
+    from python_ctd_spark.functions.audio_hash import energy_hash64
+    from python_ctd_spark.functions.media_dedup_fixtures import make_audio_blob
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in tbl["doc_id"].to_pylist():
+        _blob, samples = make_audio_blob(int(d))
+        rows.append((int(d), energy_hash64(samples.astype("float64"))))
+    out = pd.DataFrame(rows, columns=["doc_id", "afp"])
+    out["afp"] = out["afp"].astype("int64")
+    path = GOLDEN_DIR / f"audio_afp_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
+def make_gif_frame_ahash(sf_dir: str, tag: str) -> None:
+    """Golden for ``gif_dedup``: per-frame perceptual hashes computed
+    from the PRE-ENCODE frame rasters
+    (functions/media_dedup_fixtures.py), so the driver row is a real
+    GIF encode->decode->per-frame-ahash round trip; the oracle then
+    rebuilds the per-id-pair frame-match aggregate exhaustively."""
+    from python_ctd_spark.functions.image_hash import ahash64
+    from python_ctd_spark.functions.media_dedup_fixtures import (
+        gif_fixture_frames,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = []
+    for d in tbl["doc_id"].to_pylist():
+        for j, fr in enumerate(gif_fixture_frames(int(d))):
+            rows.append((int(d), j, ahash64(fr.astype("float64").mean(axis=2))))
+    out = pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ahash"])
+    out["frame_idx"] = out["frame_idx"].astype("int32")
+    out["ahash"] = out["ahash"].astype("int64")
+    path = GOLDEN_DIR / f"gif_frame_ahash_{tag}.parquet"
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), path)
+    print(f"wrote {path} ({len(out)} rows)")
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ev = load_events(sf_dir)
@@ -222,6 +268,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     make_bpe_ids(sf_dir, tag)
     make_bpe_train(sf_dir, tag)
     make_image_ahash(sf_dir, tag)
+    make_audio_afp(sf_dir, tag)
+    make_gif_frame_ahash(sf_dir, tag)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,59 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
+def _audio_dedup_sql() -> str:
+    """Oracle for audio_dedup: an ALL-PAIRS bit_count(xor) scan over
+    the kernel-golden frame-energy fingerprints (computed from
+    pre-encode int16 samples by tools/make_golden.py) — equality
+    proves the WAV codec round trip AND the banded join's pigeonhole
+    losslessness, same contract as _image_dedup_sql."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "golden"
+    return f"""
+WITH g AS (
+  SELECT doc_id, afp FROM read_parquet('{p}/audio_afp_sf0.01.parquet')
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
+def _gif_dedup_sql() -> str:
+    """Oracle for gif_dedup: rebuild the per-id-pair frame-match
+    aggregate exhaustively from the kernel-golden PER-FRAME hashes —
+    same-frame-index all-pairs bit_count scan, per-pair match count,
+    fraction over the larger animation's frame count, >= 0.5 filter.
+    Proves the GIF codec round trip and the packed-key banded join at
+    once."""
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "golden"
+    return f"""
+WITH g AS (
+  SELECT doc_id, frame_idx, ahash
+  FROM read_parquet('{p}/gif_frame_ahash_sf0.01.parquet')
+), nf AS (
+  SELECT doc_id, COUNT(*) AS n_frames FROM g GROUP BY doc_id
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matched
+  FROM g a JOIN g b
+    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_matched,
+       ROUND(CAST(n_matched AS DOUBLE)
+             / greatest(na.n_frames, nb.n_frames), 6) AS match_frac
+FROM m
+JOIN nf na ON na.doc_id = id_a
+JOIN nf nb ON nb.doc_id = id_b
+WHERE CAST(n_matched AS DOUBLE) / greatest(na.n_frames, nb.n_frames) >= 0.5
+"""
+
+
 _SALTED_ROLLUP_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,

@@ -139,6 +139,7 @@ from tools.oracles.relational import (
     _TOPK_SQL,
     _UNPIVOT_SQL,
     _WINDOW_RANKS_SQL,
+    _WARC_DOCUMENTS_SQL,
     _audio_dedup_sql,
     _gif_dedup_sql,
     _image_dedup_sql,
@@ -1659,6 +1660,82 @@ def _q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def _warc_fixture_dir(sf_dir):
+    """Build (once per corpus, cached in /tmp by content key) the
+    deterministic WARC shards behind the ``warc_documents`` row: four
+    per-record-gzip archives holding one HTTP response per document —
+    utf-8-declared plain text, except every ``doc_id % 3 == 1`` doc,
+    which carries a latin-1 body with non-ASCII accents and a declared
+    ISO-8859-1 charset (the decode-by-declared-charset path), and
+    every ``doc_id % 11 == 7`` doc, served as a 404 (the status
+    filter).  Construction is pyarrow-side (fixture building, not
+    dataflow); the engine under test starts at read_warc's binaryFile
+    scan."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from python_ctd_spark.io.warc import build_warc, make_response_record
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    key = hashlib.md5(
+        repr([(d, len(t or "")) for d, t in rows]).encode()
+    ).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"warc_fixture_{key}")
+    if os.path.isdir(dest):
+        return dest
+    shards: list[list[bytes]] = [[] for _ in range(4)]
+    for i, (d, t) in enumerate(rows):
+        body = t or ""
+        if d % 3 == 1:
+            body += " café crème"
+            enc, ct = "latin-1", "text/plain; charset=ISO-8859-1"
+        else:
+            enc, ct = "utf-8", "text/plain; charset=utf-8"
+        shards[i % 4].append(
+            make_response_record(
+                f"https://site{d % 7}.example.org/w/{d}",
+                body.encode(enc),
+                f"w-{d}",
+                http_content_type=ct,
+                status=404 if d % 11 == 7 else 200,
+            )
+        )
+    tmp = tempfile.mkdtemp()
+    for s, recs in enumerate(shards):
+        with open(os.path.join(tmp, f"s{s}.warc.gz"), "wb") as f:
+            f.write(build_warc(recs, gz=True))
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    return dest
+
+
+def _q_warc_documents(spark, sf_dir):
+    """The crawl ingestion head as a value-audited row (io/warc.py):
+    binaryFile scan over four per-record-gzip WARC shards ->
+    streaming-capable Arrow parse (record framing, HTTP split,
+    charset-declared decode) -> canonical documents projection
+    (engine-portable md5 doc_id, normalized source domain).  The
+    fixture plants latin-1 bodies with declared ISO-8859-1 (their
+    accents must survive — the r11 charset fix) and 404 responses
+    (must be filtered); the DuckDB oracle rebuilds every projected
+    value, including the md5-derived ids, from the documents table
+    directly — no stored golden.  Zero shuffle end-to-end."""
+    from python_ctd_spark.io.warc import read_warc, warc_responses_to_documents
+
+    return warc_responses_to_documents(
+        read_warc(spark, _warc_fixture_dir(sf_dir))
+    )
+
+
 def _q_audio_dedup(spark, sf_dir):
     """Frame-energy audio near-dup detection (media_dedup.
     audio_fingerprint + ahash_pairs over hash_col='afp') — the audio
@@ -2779,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_ship_delay": _q12_ship_delay,
         "multimodal_real_decode": _q_multimodal_real_decode,
         "audio_dedup": _q_audio_dedup,
+        "warc_documents": _q_warc_documents,
         "gif_dedup": _q_gif_dedup,
         "image_dedup": _q_image_dedup,
         "asof_join": _q_asof_join,
@@ -2948,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-checks the real PNG/GIF/WAV decoders end-to-end
         "multimodal_real_decode": _multimodal_real_sql(),
         "audio_dedup": _audio_dedup_sql(),
+        "warc_documents": _WARC_DOCUMENTS_SQL,
         "gif_dedup": _gif_dedup_sql(),
         "image_dedup": _image_dedup_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),

@@ -109,6 +109,28 @@ WHERE CAST(n_matched AS DOUBLE) / greatest(na.n_frames, nb.n_frames) >= 0.5
 """
 
 
+#: oracle for warc_documents: rebuild every projected value from the
+#: documents table directly — the md5-derived 60-bit doc_id is the
+#: engine-portable _md5_long (same construction as the dedup oracles),
+#: the latin-1 suffix/charset and the 404 filter mirror the fixture
+#: builder (__spark_entry__._warc_fixture_dir) line for line.
+_WARC_DOCUMENTS_SQL = """
+SELECT ('0x' || substr(md5('urn:uuid:w-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         AS doc_id,
+       body AS text,
+       CAST(NULL AS VARCHAR) AS lang,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS source,
+       CAST(length(body) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN coalesce(text, '') || ' café crème'
+              ELSE coalesce(text, '') END AS body
+  FROM documents
+  WHERE doc_id % 11 != 7
+)
+"""
+
+
 _SALTED_ROLLUP_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,

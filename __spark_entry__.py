@@ -237,7 +237,9 @@ from tools.oracles.tpch import (
 # Phase 2 of the r9 split: the TPC-H and streaming query callables
 # (and shared table plumbing) live in tools/registry/* — source text
 # verbatim, so getsource fingerprints survive.
-from tools.registry.base import TABLES, _EV_KW, _ev, _t, _with_gap, davg, dsum
+from tools.registry.base import (  # noqa: F401
+    TABLES, _EV_KW, _ev, _t, _warc_fixture_dir, _with_gap, davg, dsum,
+)
 from tools.registry.tpch import (
     _q10_returned_items,
     _q11_important_parts,
@@ -285,6 +287,7 @@ from tools.registry.streaming import (
     _q_streaming_inc_dedup,
     _q_streaming_join,
     _q_streaming_markup,
+    _q_streaming_warc,
     _q_streaming_quality,
     _q_streaming_sessions,
     _q_streaming_windowed,
@@ -1660,64 +1663,6 @@ def _q_multimodal_real_decode(spark, sf_dir):
     )
 
 
-def _warc_fixture_dir(sf_dir):
-    """Build (once per corpus, cached in /tmp by content key) the
-    deterministic WARC shards behind the ``warc_documents`` row: four
-    per-record-gzip archives holding one HTTP response per document —
-    utf-8-declared plain text, except every ``doc_id % 3 == 1`` doc,
-    which carries a latin-1 body with non-ASCII accents and a declared
-    ISO-8859-1 charset (the decode-by-declared-charset path), and
-    every ``doc_id % 11 == 7`` doc, served as a 404 (the status
-    filter).  Construction is pyarrow-side (fixture building, not
-    dataflow); the engine under test starts at read_warc's binaryFile
-    scan."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    import pyarrow.parquet as pq_
-
-    from python_ctd_spark.io.warc import build_warc, make_response_record
-
-    tbl = pq_.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    key = hashlib.md5(
-        repr([(d, len(t or "")) for d, t in rows]).encode()
-    ).hexdigest()[:12]
-    dest = os.path.join(tempfile.gettempdir(), f"warc_fixture_{key}")
-    if os.path.isdir(dest):
-        return dest
-    shards: list[list[bytes]] = [[] for _ in range(4)]
-    for i, (d, t) in enumerate(rows):
-        body = t or ""
-        if d % 3 == 1:
-            body += " café crème"
-            enc, ct = "latin-1", "text/plain; charset=ISO-8859-1"
-        else:
-            enc, ct = "utf-8", "text/plain; charset=utf-8"
-        shards[i % 4].append(
-            make_response_record(
-                f"https://site{d % 7}.example.org/w/{d}",
-                body.encode(enc),
-                f"w-{d}",
-                http_content_type=ct,
-                status=404 if d % 11 == 7 else 200,
-            )
-        )
-    tmp = tempfile.mkdtemp()
-    for s, recs in enumerate(shards):
-        with open(os.path.join(tmp, f"s{s}.warc.gz"), "wb") as f:
-            f.write(build_warc(recs, gz=True))
-    try:
-        os.rename(tmp, dest)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
-    return dest
-
-
 def _q_warc_documents(spark, sf_dir):
     """The crawl ingestion head as a value-audited row (io/warc.py):
     binaryFile scan over four per-record-gzip WARC shards ->
@@ -2765,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_clean": _q_streaming_clean,
         "streaming_quality": _q_streaming_quality,
         "streaming_markup": _q_streaming_markup,
+        "streaming_warc": _q_streaming_warc,
         "frequent_ngrams": _q_frequent_ngrams,
         # -- r9 window: new in r9 --------------------------------------
         "training_dataset": _q_training_dataset,
@@ -3027,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": _multimodal_real_sql(),
         "audio_dedup": _audio_dedup_sql(),
         "warc_documents": _WARC_DOCUMENTS_SQL,
+        "streaming_warc": _WARC_DOCUMENTS_SQL,
         "gif_dedup": _gif_dedup_sql(),
         "image_dedup": _image_dedup_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),

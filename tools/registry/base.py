@@ -55,3 +55,60 @@ def _with_gap(ev):
         ),
     )
 
+
+def _warc_fixture_dir(sf_dir):
+    """Build (once per corpus, cached in /tmp by content key) the
+    deterministic WARC shards behind the ``warc_documents`` row: four
+    per-record-gzip archives holding one HTTP response per document —
+    utf-8-declared plain text, except every ``doc_id % 3 == 1`` doc,
+    which carries a latin-1 body with non-ASCII accents and a declared
+    ISO-8859-1 charset (the decode-by-declared-charset path), and
+    every ``doc_id % 11 == 7`` doc, served as a 404 (the status
+    filter).  Construction is pyarrow-side (fixture building, not
+    dataflow); the engine under test starts at read_warc's binaryFile
+    scan."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from python_ctd_spark.io.warc import build_warc, make_response_record
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    key = hashlib.md5(
+        repr([(d, len(t or "")) for d, t in rows]).encode()
+    ).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"warc_fixture_{key}")
+    if os.path.isdir(dest):
+        return dest
+    shards: list[list[bytes]] = [[] for _ in range(4)]
+    for i, (d, t) in enumerate(rows):
+        body = t or ""
+        if d % 3 == 1:
+            body += " café crème"
+            enc, ct = "latin-1", "text/plain; charset=ISO-8859-1"
+        else:
+            enc, ct = "utf-8", "text/plain; charset=utf-8"
+        shards[i % 4].append(
+            make_response_record(
+                f"https://site{d % 7}.example.org/w/{d}",
+                body.encode(enc),
+                f"w-{d}",
+                http_content_type=ct,
+                status=404 if d % 11 == 7 else 200,
+            )
+        )
+    tmp = tempfile.mkdtemp()
+    for s, recs in enumerate(shards):
+        with open(os.path.join(tmp, f"s{s}.warc.gz"), "wb") as f:
+            f.write(build_warc(recs, gz=True))
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    return dest

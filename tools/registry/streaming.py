@@ -684,3 +684,27 @@ def _q_streaming_quality(spark, sf_dir):
     _STREAM_RUN_COUNTER[0] += 1
     tbl = run_to_memory(scored, f"stream_quality_{_STREAM_RUN_COUNTER[0]}")
     return tbl
+
+
+def _q_streaming_warc(spark, sf_dir):
+    """Streaming crawl ingestion (13th streaming row): the SAME four
+    per-record-gzip WARC shards as the batch ``warc_documents`` row
+    arrive as a ``binaryFile`` file stream (io.warc.read_warc_stream —
+    each shard is one micro-batch unit, parsed by the same Arrow pass)
+    and project through ``warc_responses_to_documents`` unchanged.
+    The head is stateless end-to-end (no watermark, no state store —
+    parse + projection are per-record), so the closed drain equals the
+    batch read row-for-row and the row shares the batch row's full
+    value oracle (_WARC_DOCUMENTS_SQL), latin-1 charset decode and
+    404 filtering included."""
+    from python_ctd_spark.io.warc import (
+        read_warc_stream, warc_responses_to_documents,
+    )
+    from python_ctd_spark.streaming import run_to_memory
+
+    from .base import _warc_fixture_dir
+
+    sdf = read_warc_stream(spark, _warc_fixture_dir(sf_dir))
+    docs = warc_responses_to_documents(sdf)
+    _STREAM_RUN_COUNTER[0] += 1
+    return run_to_memory(docs, f"stream_warc_{_STREAM_RUN_COUNTER[0]}")

@@ -152,82 +152,115 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol (inverse of the canonical assignment)."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
+def _decode_table(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[list, dict]:
+    """Two-level decode structure, cached per canonical table (tables
+    repeat across blobs — every JFIF writer ships Annex K): a 256-slot
+    primary LUT resolves codes of <= 8 bits (the overwhelming
+    majority) in ONE peek+lookup; longer codes fall back to a
+    (length, code) dict walk.  This is what makes entropy decode
+    ~symbol-cost instead of ~bit-cost in Python."""
+    primary: list = [None] * 256
+    overflow: dict[tuple[int, int], int] = {}
+    for sym, (code, length) in _canonical_codes(list(bits), list(vals)).items():
+        if length <= 8:
+            base = code << (8 - length)
+            for k in range(1 << (8 - length)):
+                primary[base + k] = (sym, length)
+        else:
+            overflow[(length, code)] = sym
+    return primary, overflow
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded JPEG data: unstuffs
-    0xFF00, stops at (and exposes) markers."""
+_DECODE_TABLE_CACHE: dict[tuple, tuple[list, dict]] = {}
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+def _decode_table_cached(bits: list[int], vals: list[int]) -> tuple[list, dict]:
+    key = (tuple(bits), tuple(vals))
+    t = _DECODE_TABLE_CACHE.get(key)
+    if t is None:
+        t = _DECODE_TABLE_CACHE[key] = _decode_table(key[0], key[1])
+    return t
+
+
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded stream starting at ``pos`` into
+    UNSTUFFED byte segments separated by RSTn markers (restart points
+    are byte-aligned, so each interval decodes independently).  Doing
+    the 0xFF00 unstuffing once up front lets the bit reader run
+    branch-free."""
+    segs: list[bytes] = []
+    start = i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(data[start:n])
+            break
+        m = data[j + 1]
+        if m == 0x00:
+            i = j + 2  # stuffed data byte
+            continue
+        segs.append(data[start:j])
+        if 0xD0 <= m <= 0xD7:  # restart marker: next segment
+            start = i = j + 2
+            continue
+        break  # a real marker (EOI / next header) ends the scan
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+class _FastBits:
+    """MSB-first bit reader over one unstuffed entropy segment.
+    peek/skip pairs cost O(1); reads past the end pad with 1-bits (the
+    spec's fill), which can never resolve to a valid code at a correct
+    boundary, so truncation surfaces as the invalid-code ValueError."""
+
+    __slots__ = ("d", "pos", "acc", "nbits")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
-        self.marker: int | None = None
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            # past a marker: the spec pads with 1-bits (never selects a
-            # valid code at a correct boundary)
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-            return
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed
-            else:
-                self.marker = nxt
-                self.pos += 1
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+    def _need(self, k: int) -> None:
+        d, pos, acc, nb = self.d, self.pos, self.acc, self.nbits
+        nd = len(d)
+        while nb < k:
+            acc = (acc << 8) | (d[pos] if pos < nd else 0xFF)
+            pos += 1
+            nb += 8
+        self.pos, self.acc, self.nbits = pos, acc, nb
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek(self, k: int) -> int:
+        if self.nbits < k:
+            self._need(k)
+        return (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def take(self, k: int) -> int:
+        if self.nbits < k:
+            self._need(k)
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def align_and_take_marker(self) -> int | None:
-        """Byte-align and consume a pending restart marker (for DRI)."""
-        self.acc = 0
-        self.nbits = 0
-        if self.marker is None:
-            # marker not yet reached: it must be next in the stream
-            if (
-                self.pos + 1 < len(self.data)
-                and self.data[self.pos] == 0xFF
-                and self.data[self.pos + 1] != 0x00
-            ):
-                self.marker = self.data[self.pos + 1]
-                self.pos += 2
-        m, self.marker = self.marker, None
-        return m
+    def skip(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
+def _huff_decode(r: _FastBits, table: tuple[list, dict]) -> int:
+    primary, overflow = table
+    e = primary[r.peek(8)]
+    if e is not None:
+        r.skip(e[1])
+        return e[0]
+    for length in range(9, 17):
+        sym = overflow.get((length, r.peek(length)))
         if sym is not None:
+            r.skip(length)
             return sym
     raise ValueError("invalid Huffman code in entropy stream")
 
@@ -281,7 +314,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
-                (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = _decode_table_cached(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -335,14 +368,17 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
         np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
         for (_, ch, cv, _) in comps
     ]
-    r = _BitReader(data, pos)
+    segs = _entropy_segments(data, pos)
+    seg_idx = 0
+    r = _FastBits(segs[0])
     pred = [0] * len(comps)
     n_mcu = mcux * mcuy
     for m in range(n_mcu):
         if dri and m and m % dri == 0:
-            mk = r.align_and_take_marker()
-            if mk is None or not (0xD0 <= mk <= 0xD7):
+            seg_idx += 1
+            if seg_idx >= len(segs):
                 raise ValueError("missing restart marker")
+            r = _FastBits(segs[seg_idx])
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for cs, tdc, tac in scan_sel:
@@ -353,7 +389,7 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                     blk = coef[c][my * cv + by, mx * ch + bx]
                     # DC
                     s = _huff_decode(r, huff_dc[tdc])
-                    diff = _extend(r.read_bits(s), s) if s else 0
+                    diff = _extend(r.take(s), s) if s else 0
                     pred[c] += diff
                     blk[0] = pred[c]
                     # AC
@@ -371,7 +407,7 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                         k += run
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        blk[k] = _extend(r.read_bits(size), size)
+                        blk[k] = _extend(r.take(size), size)
                         k += 1
     # dequantize + un-zigzag + IDCT, batched per component
     planes = []

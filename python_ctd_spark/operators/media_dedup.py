@@ -128,7 +128,20 @@ def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col].astype("int64"), "blob": blobs}
             )
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+    # the id table typically arrives as ONE parquet split; without a
+    # spread, a single Python worker would synthesize+decode every blob
+    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
+    # full-cluster decode parallelism — blobs themselves still never
+    # shuffle (they are BORN in the scan stage's successor partitions).
+    # explicit partition count: a column-only repartition is an AQE
+    # coalesce target, and the id shuffle is tiny, so AQE folds it back
+    # to ONE partition and the decode runs serially again
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(gen, f"{id_col} long, blob binary")
+    )
 
 
 def ahash_pairs(
@@ -180,7 +193,20 @@ def synthesize_audio_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+    # the id table typically arrives as ONE parquet split; without a
+    # spread, a single Python worker would synthesize+decode every blob
+    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
+    # full-cluster decode parallelism — blobs themselves still never
+    # shuffle (they are BORN in the scan stage's successor partitions).
+    # explicit partition count: a column-only repartition is an AQE
+    # coalesce target, and the id shuffle is tiny, so AQE folds it back
+    # to ONE partition and the decode runs serially again
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(gen, f"{id_col} long, blob binary")
+    )
 
 
 def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -204,7 +230,20 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} long, blob binary")
+    # the id table typically arrives as ONE parquet split; without a
+    # spread, a single Python worker would synthesize+decode every blob
+    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
+    # full-cluster decode parallelism — blobs themselves still never
+    # shuffle (they are BORN in the scan stage's successor partitions).
+    # explicit partition count: a column-only repartition is an AQE
+    # coalesce target, and the id shuffle is tiny, so AQE folds it back
+    # to ONE partition and the decode runs serially again
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(gen, f"{id_col} long, blob binary")
+    )
 
 
 def audio_fingerprint(

@@ -73,6 +73,28 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # HOST-SPEED CANARY (r12): a fixed single-thread hash loop and a
+    # fixed BLAS matmul, timed before any Spark work.  Cross-round
+    # bench comparisons on this box have repeatedly tripped over
+    # uniform 1.3-2x host-state swings (identical code + clean plan
+    # census, every row moved together — VM/CPU weather, not plans);
+    # stamping every artifact with the same two scalars makes that
+    # adjudication mechanical: if the canary moved with the suite, it
+    # was the host.
+    import hashlib as _hl
+
+    import numpy as _np
+
+    _t0 = time.perf_counter()
+    for _i in range(1_000_000):
+        _hl.sha256(str(_i).encode()).digest()
+    _sha_s = time.perf_counter() - _t0
+    _a = _np.random.default_rng(0).random((2000, 2000))
+    _t0 = time.perf_counter()
+    _a @ _a
+    _mm_s = time.perf_counter() - _t0
+    canary = {"sha1m_s": round(_sha_s, 3), "matmul2k_s": round(_mm_s, 3)}
+
     spark = get_spark(app_name="python_ctd_spark_bench")
 
     # warm the JVM + parquet footer caches once so per-query numbers measure
@@ -168,6 +190,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "passes": passes,
+        "canary": canary,
         "sf": sf,
     }
     if only_marker is not None:
@@ -188,6 +211,7 @@ def main() -> None:
         "queries": {},
         "n_queries": len(timings),
         "passes": passes,
+        "canary": canary,
         "full": "BENCH_out.json",
         "sf": sf,
     }

@@ -174,12 +174,19 @@ def _decode_table(
 
 
 _DECODE_TABLE_CACHE: dict[tuple, tuple[list, dict]] = {}
+#: cap-and-clear bound: non-optimizing encoders all ship Annex K (a
+#: handful of entries), but libjpeg -optimize emits PER-IMAGE tables —
+#: an unbounded cache on a long-lived worker decoding millions of
+#: distinct crawl JPEGs would grow without limit
+_DECODE_TABLE_CACHE_MAX = 1024
 
 
 def _decode_table_cached(bits: list[int], vals: list[int]) -> tuple[list, dict]:
     key = (tuple(bits), tuple(vals))
     t = _DECODE_TABLE_CACHE.get(key)
     if t is None:
+        if len(_DECODE_TABLE_CACHE) >= _DECODE_TABLE_CACHE_MAX:
+            _DECODE_TABLE_CACHE.clear()
         t = _DECODE_TABLE_CACHE[key] = _decode_table(key[0], key[1])
     return t
 
@@ -276,8 +283,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Raises ``ValueError`` on malformed input or unsupported shapes
     (progressive SOF2, arithmetic coding, 12-bit precision, >3
-    components).
+    components) — ValueError is the WHOLE error contract: truncated
+    segments and dangling table references (IndexError/KeyError/
+    struct.error internally) are converted, so upstream "filter
+    decodable rows" patterns catching ValueError never leak a
+    task-killing exception class.
     """
+    try:
+        return _decode_jpeg_impl(data)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2

@@ -82,7 +82,14 @@ def _decode_declared(block: bytes, content_type: str | None) -> str | None:
             codec = "utf-8"  # unknown declared charset: best effort
     else:
         codec = "utf-8"
-    return block.decode(codec, errors="replace")
+    try:
+        return block.decode(codec, errors="replace")
+    except (LookupError, UnicodeError, TypeError):
+        # a page can DECLARE a registered NON-TEXT codec (charset=base64
+        # / hex / zlib / rot13 ...) — codecs.lookup accepts it but
+        # bytes.decode then raises.  Adversarial/garbage declarations
+        # must yield mojibake, never a dead task.
+        return block.decode("utf-8", errors="replace")
 
 
 def make_record(

@@ -154,9 +154,16 @@ def extract_links(
         domain.isin(*BLOCKED_DOMAINS).alias("is_blocked"),
     )
     if blocklist is not None:
+        # normalize the TABLE side with the same key function as the
+        # link side — an entry like 'Tracker.Example.com' or
+        # 'spam.example.net.' must still match, or blocked links flow
+        # through silently
         hit = F.broadcast(
-            blocklist.select(F.col("domain").alias("__blocked_domain"))
-            .distinct()
+            blocklist.select(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("domain"))), r"\.$", ""
+                ).alias("__blocked_domain")
+            ).distinct()
         )
         out = (
             out.join(hit, out["domain"] == hit["__blocked_domain"], "left")

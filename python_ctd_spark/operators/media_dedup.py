@@ -96,11 +96,45 @@ def image_ahash(
     )
 
 
+def _synthesize_blobs(df: DataFrame, id_col: str, load_maker) -> DataFrame:
+    """Shared scaffold for the fixture blob synthesizers:
+    ``load_maker`` is a zero-arg callable, invoked EXECUTOR-side, that
+    returns ``id -> blob bytes``.
+
+    The id table typically arrives as ONE parquet split; without a
+    spread, a single Python worker would synthesize+decode every blob
+    serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
+    full-cluster decode parallelism — blobs themselves still never
+    shuffle (they are BORN in the scan stage's successor partitions).
+    The partition count is explicit: a column-only repartition is an
+    AQE coalesce target, and the id shuffle is tiny, so AQE would fold
+    it back to ONE partition and the decode would run serially again."""
+
+    def gen(batches):
+        import pandas as pd
+
+        make = load_maker()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "blob": [make(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(gen, f"{id_col} long, blob binary")
+    )
+
+
 def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the deterministic fixture image for every id — the single
     blob-synthesis pass shared by the registered ``image_dedup`` query
     and the scale harness (tools/bench_scale.py), so both always
-    measure the identical pipeline.  Map-side ``mapInPandas``.
+    measure the identical pipeline.
 
     FORMAT-MIXED on purpose (even ids PNG, odd ids baseline JPEG at
     quality 100): the oracle's golden hashes are computed from the
@@ -111,37 +145,17 @@ def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fixture's 80-level cell margin, so the hashes are exactly the
     pre-encode ones)."""
 
-    def gen(batches):
-        import pandas as pd
-
+    def load_maker():
         from python_ctd_spark.functions.image_hash import make_image_blob
         from python_ctd_spark.functions.jpeg_numpy import encode_jpeg
 
-        for pdf in batches:
-            blobs = []
-            for i in pdf[id_col]:
-                blob, px = make_image_blob(int(i))
-                if int(i) % 2:
-                    blob = encode_jpeg(px, quality=100)
-                blobs.append(blob)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].astype("int64"), "blob": blobs}
-            )
+        def make(i: int) -> bytes:
+            blob, px = make_image_blob(i)
+            return encode_jpeg(px, quality=100) if i % 2 else blob
 
-    # the id table typically arrives as ONE parquet split; without a
-    # spread, a single Python worker would synthesize+decode every blob
-    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
-    # full-cluster decode parallelism — blobs themselves still never
-    # shuffle (they are BORN in the scan stage's successor partitions).
-    # explicit partition count: a column-only repartition is an AQE
-    # coalesce target, and the id shuffle is tiny, so AQE folds it back
-    # to ONE partition and the decode runs serially again
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(id_col)
-        .repartition(n_parts, F.col(id_col))
-        .mapInPandas(gen, f"{id_col} long, blob binary")
-    )
+        return make
+
+    return _synthesize_blobs(df, id_col, load_maker)
 
 
 def ahash_pairs(
@@ -174,76 +188,31 @@ def ahash_pairs(
 def synthesize_audio_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the deterministic fixture WAV for every id
     (:func:`..functions.media_dedup_fixtures.make_audio_blob`) — the
-    blob-synthesis pass shared by the registered ``audio_dedup`` query
-    and any scale harness, mirroring :func:`synthesize_image_blobs`.
-    Map-side ``mapInPandas``."""
+    blob-synthesis pass behind the registered ``audio_dedup`` query."""
 
-    def gen(batches):
-        import pandas as pd
-
+    def load_maker():
         from python_ctd_spark.functions.media_dedup_fixtures import (
             make_audio_blob,
         )
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "blob": [make_audio_blob(int(i))[0] for i in pdf[id_col]],
-                }
-            )
+        return lambda i: make_audio_blob(i)[0]
 
-    # the id table typically arrives as ONE parquet split; without a
-    # spread, a single Python worker would synthesize+decode every blob
-    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
-    # full-cluster decode parallelism — blobs themselves still never
-    # shuffle (they are BORN in the scan stage's successor partitions).
-    # explicit partition count: a column-only repartition is an AQE
-    # coalesce target, and the id shuffle is tiny, so AQE folds it back
-    # to ONE partition and the decode runs serially again
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(id_col)
-        .repartition(n_parts, F.col(id_col))
-        .mapInPandas(gen, f"{id_col} long, blob binary")
-    )
+    return _synthesize_blobs(df, id_col, load_maker)
 
 
 def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the deterministic fixture animated GIF for every id
     (:func:`..functions.media_dedup_fixtures.make_gif_blob`) — the
-    blob-synthesis pass shared by the registered ``gif_dedup`` query.
-    Map-side ``mapInPandas``."""
+    blob-synthesis pass behind the registered ``gif_dedup`` query."""
 
-    def gen(batches):
-        import pandas as pd
-
+    def load_maker():
         from python_ctd_spark.functions.media_dedup_fixtures import (
             make_gif_blob,
         )
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "blob": [make_gif_blob(int(i))[0] for i in pdf[id_col]],
-                }
-            )
+        return lambda i: make_gif_blob(i)[0]
 
-    # the id table typically arrives as ONE parquet split; without a
-    # spread, a single Python worker would synthesize+decode every blob
-    # serially.  Repartitioning 8-byte ids is a ~KB shuffle that buys
-    # full-cluster decode parallelism — blobs themselves still never
-    # shuffle (they are BORN in the scan stage's successor partitions).
-    # explicit partition count: a column-only repartition is an AQE
-    # coalesce target, and the id shuffle is tiny, so AQE folds it back
-    # to ONE partition and the decode runs serially again
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(id_col)
-        .repartition(n_parts, F.col(id_col))
-        .mapInPandas(gen, f"{id_col} long, blob binary")
-    )
+    return _synthesize_blobs(df, id_col, load_maker)
 
 
 def audio_fingerprint(
@@ -371,14 +340,26 @@ def gif_near_dup_pairs(
     only thing shuffled — 16 bytes per frame, never pixels."""
     if not 0.0 < min_match_frac <= 1.0:
         raise ValueError(f"min_match_frac in (0, 1], got {min_match_frac}")
+    # packed key = id * 2^20 + frame_idx must fit a signed 64-bit long:
+    # ids are capped at 2^43 (enough for sequence ids; the repo's
+    # 60-bit md5 doc_ids need a remap first — e.g. dense_rank — and
+    # must fail LOUDLY here, not overflow into wrong pairs or an ANSI
+    # ArithmeticException mid-join)
+    _max_id = 1 << 43
     base = frames.select(
-        # frame_idx >= _MAX_FRAMES would alias onto the next id: make
-        # the pathological input loud instead of producing wrong pairs
         F.when(
-            F.col("frame_idx") < _MAX_FRAMES,
+            (F.col("frame_idx") >= 0)
+            & (F.col("frame_idx") < _MAX_FRAMES)
+            & (F.col(id_col) >= 0)
+            & (F.col(id_col) < _max_id),
             F.col(id_col) * _MAX_FRAMES + F.col("frame_idx"),
         ).otherwise(
-            F.raise_error(F.lit(f"frame_idx >= {_MAX_FRAMES}"))
+            F.raise_error(F.concat(
+                F.lit(f"gif_near_dup_pairs: need 0 <= {id_col} < 2^43 and "
+                      f"0 <= frame_idx < {_MAX_FRAMES}, got ("),
+                F.col(id_col).cast("string"), F.lit(", "),
+                F.col("frame_idx").cast("string"), F.lit(")"),
+            ))
         ).alias("id"),
         F.col("ahash").alias("sh"),
     )

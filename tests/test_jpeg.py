@@ -133,3 +133,30 @@ def test_resize_and_featurize_jpeg(spark):
         decode_jpeg(blob).astype(np.float64).ravel(), 4
     )
     assert np.allclose(np.array(ft.loc[0, "feat"]), want)
+
+
+def test_malformed_table_refs_raise_valueerror_not_keyerror():
+    """The documented error contract is ValueError for ALL malformed
+    input: a scan naming an undefined Huffman table (internally a
+    KeyError) and a truncated DQT (internally IndexError/struct.error)
+    must both convert."""
+    img = _gradient(8, 8)
+    blob = bytearray(encode_jpeg(img, quality=90))
+    sos = blob.find(b"\xff\xda")
+    blob[sos + 6] = 0x33  # scan selects DC table 3 / AC table 3 (undefined)
+    with pytest.raises(ValueError, match="malformed JPEG|Huffman"):
+        decode_jpeg(bytes(blob))
+    dqt = bytes(encode_jpeg(img))[:25]  # cut inside the DQT segment
+    with pytest.raises(ValueError):
+        decode_jpeg(dqt)
+
+
+def test_decode_table_cache_is_bounded():
+    from python_ctd_spark.functions import jpeg_numpy as j
+
+    j._DECODE_TABLE_CACHE.clear()
+    for i in range(j._DECODE_TABLE_CACHE_MAX + 10):
+        bits = [0] * 16
+        bits[7] = 1
+        j._decode_table_cached(bits, [i % 256])
+    assert len(j._DECODE_TABLE_CACHE) <= j._DECODE_TABLE_CACHE_MAX

@@ -169,3 +169,18 @@ def test_markup_whitespace_class_matches_oracle(spark):
         " '<[!/]?[A-Za-z][^>]*>', ' ', 'g'), '" + WS_PATTERN + "', ' ', 'g'))"
     ).fetchone()[0]
     assert got == want == "a b c d"
+
+
+def test_blocklist_table_entries_are_normalized(spark):
+    """A blocklist TABLE entry with case or a trailing dot still
+    matches — the table side shares the link side's domain key
+    normalization."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = '<a href="https://tracker.example.com/x">t</a>'
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "html": [html]}))
+    bl = spark.createDataFrame(
+        pd.DataFrame({"domain": [" Tracker.Example.Com. "]})
+    )
+    out = extract_links(df, "html", blocklist=bl).toPandas()
+    assert list(out.is_blocked) == [True]

@@ -135,3 +135,19 @@ def test_gif_near_dup_pairs_matches_exhaustive_on_fixtures(spark):
                 want[(a, b)] = (m, round(m / GIF_FRAMES, 6))
     assert got == want
     assert len(want) > 10  # groups of 16 with <=3-bit variants pair up
+
+
+def test_gif_near_dup_pairs_rejects_oversized_ids(spark):
+    """Packed-key bounds are LOUD: an md5-scale doc_id (>= 2^43) or a
+    negative id must raise, not overflow into wrong pairs."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from python_ctd_spark.operators.media_dedup import gif_near_dup_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1 << 60, 3], "frame_idx": [0, 0],
+                      "ahash": [1, 2]})
+    )
+    with pytest.raises(SparkRuntimeException, match="2\\^43"):
+        gif_near_dup_pairs(df).collect()

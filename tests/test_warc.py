@@ -284,3 +284,21 @@ def test_read_warc_stream_equals_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 10  # 5 records x 2 shards
+
+
+def test_warc_nontext_codec_charset_never_kills_task(spark, tmp_path):
+    """A page declaring a registered NON-TEXT codec as its charset
+    (base64/hex/rot13 — codecs.lookup accepts them, bytes.decode then
+    raises) must yield replacement-char text, never a dead task."""
+    recs = [
+        make_response_record(
+            f"https://evil{i}.example.org/", b"caf\xe9 body", f"e{i}",
+            http_content_type=f"text/html; charset={cs}",
+        )
+        for i, cs in enumerate(["base64", "hex", "rot13", "zlib", "idna"])
+    ]
+    p = tmp_path / "evil.warc"
+    p.write_bytes(build_warc(recs))
+    docs = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
+    assert len(docs) == 5
+    assert all("caf" in t for t in docs.text)  # utf-8-replace fallback

@@ -80,8 +80,14 @@ def _warc_fixture_dir(sf_dir):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    # content-keyed, not length-keyed: a regenerated corpus with
+    # same-length different text must MISS this cache (a stale hit
+    # would drift the fixture shards away from the oracle's documents
+    # table)
     key = hashlib.md5(
-        repr([(d, len(t or "")) for d, t in rows]).encode()
+        repr([
+            (d, hashlib.md5((t or "").encode()).hexdigest()) for d, t in rows
+        ]).encode()
     ).hexdigest()[:12]
     dest = os.path.join(tempfile.gettempdir(), f"warc_fixture_{key}")
     if os.path.isdir(dest):

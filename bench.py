@@ -132,6 +132,20 @@ def main() -> None:
         # hits).  Collect between queries, outside the timed window.
         spark._jvm.System.gc()
 
+    # C2 warm-up (r12): JVM-core compilation keeps landing inside timed
+    # rows for the first ~minute of ANY workload — whichever queries run
+    # first read 2-5x their steady state, and rows under the rerun
+    # threshold never recover (measured: alphabetical order inflated
+    # asof_join/bindata_* 3.5-4.9x; registry order inflated whatever
+    # the window rotation put first).  Run the two heaviest registered
+    # plans untimed so Spark core is hot before the first timed row.
+    qs_all = entrymod.queries()
+    for warm_name in ("ann_recall", "training_dataset"):
+        if warm_name in qs_all and args.only is None:
+            qs_all[warm_name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
     drain_gc()
 
     def run_once(q) -> float:
@@ -155,7 +169,14 @@ def main() -> None:
     rerun_threshold = 0.75
     only = set(args.only.split(",")) if args.only else None
     timings: dict[str, float] = {}
-    for name, q in entrymod.queries().items():
+    # FIXED alphabetical execution order (r12): the registry order is
+    # the driver's AUDIT-WINDOW rotation and reshuffles every round;
+    # per-row walls are position-sensitive (JIT warm-up early,
+    # giant-expression deopt contagion after the LSH family), so a
+    # bench that follows registry order makes cross-round per-row
+    # diffs measure the rotation, not the code.  Alphabetical is
+    # stable across rounds and neutral w.r.t. query families.
+    for name, q in sorted(entrymod.queries().items()):
         if only is not None and name not in only:
             continue
         # min-of-N by construction: every query gets at least `passes`

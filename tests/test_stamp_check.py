@@ -226,6 +226,55 @@ def test_max_stamp_age_gate(sc, fps, monkeypatch, tmp_path, capsys):
     assert order[0] == head_q and order[1] == tail_q
 
 
+def test_projection_gate(sc, fps, monkeypatch, tmp_path, capsys):
+    """VERDICT r12 item 2: the check must FAIL any tree whose
+    registration count (or stamp distribution) makes the max-age floor
+    unsatisfiable, instead of discovering it one round too late."""
+    names = [f"q{i:03d}" for i in range(10)]
+    window, age = sc.WINDOW, sc.MAX_STAMP_AGE
+    monkeypatch.setattr(sc, "WINDOW", 3)
+    monkeypatch.setattr(sc, "MAX_STAMP_AGE", 2)
+    try:
+        # 10 rows > 3*2 ceiling: unsatisfiable regardless of stamps
+        msgs = sc.projection_violations(
+            names, {n: {"round": 5} for n in names}, 6)
+        assert any("ceiling 6" in m for m in msgs)
+
+        # under the ceiling but infeasible: 5 rows all due THIS round
+        # (never stamped) with a 3-slot window
+        msgs = sc.projection_violations(names[:5], {}, 6)
+        assert any("infeasible" in m and "by r6" in m for m in msgs)
+
+        # feasible: 6 rows, deadlines staggered 3-per-round
+        stamps = {n: {"round": 4 + i // 3} for i, n in enumerate(names[:6])}
+        assert sc.projection_violations(names[:6], stamps, 6) == []
+
+        # a past-due stamp clamps to the CURRENT round, not the past
+        msgs = sc.projection_violations(
+            names[:4], {n: {"round": 0} for n in names[:4]}, 6)
+        assert any("by r6" in m for m in msgs)
+    finally:
+        monkeypatch.setattr(sc, "WINDOW", window)
+        monkeypatch.setattr(sc, "MAX_STAMP_AGE", age)
+
+    # the REAL repo must pass the projection gate today
+    real = sc.projection_violations(
+        list(fps), sc._load(), sc._current_round(sc._load()))
+    assert real == [], real
+
+    # and cmd_check wires it in: an over-ceiling registry fails even
+    # with fresh stamps everywhere
+    import __spark_entry__ as entry
+    all_names = list(entry.queries())
+    p = tmp_path / "STAMPS.json"
+    p.write_text(json.dumps(
+        {n: {"round": 12, "fingerprint": fps[n]} for n in all_names}))
+    monkeypatch.setattr(sc, "STAMPS_PATH", str(p))
+    monkeypatch.setattr(sc, "MAX_STAMP_AGE", 0)  # ceiling 0 — must trip
+    assert sc.cmd_check(round_no=12) == 1
+    assert "PROJECTION" in capsys.readouterr().out
+
+
 def test_plan_census_regression_rules():
     """tools/plan_census.py (new r11): the shape-regression rules fire
     on new cartesians/NLJs, exchange growth, and the lost-broadcast

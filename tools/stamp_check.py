@@ -25,6 +25,11 @@ holds a stale green.  This tool makes that class of drift mechanical:
   attest behavior-preserving code drift against the local parity
   suite; age is about the freshness of the DRIVER's independent
   evidence, which only a re-audit restores;
+- ``check`` ALSO fails when the registration count makes the age floor
+  unsatisfiable (VERDICT r12 item 2): the registry is capped at
+  ``WINDOW * MAX_STAMP_AGE`` rows, and an earliest-deadline-first
+  projection over the current stamps proves the coming rounds can (or
+  cannot) re-audit every row before its floor expires;
 - ``stamp --round N name...`` records current fingerprints after a
   round's driver run (``--window`` stamps the current first 50).
 
@@ -262,6 +267,49 @@ def _current_round(stamps: dict) -> int:
     return max((rec["round"] for rec in stamps.values()), default=0) + 1
 
 
+def projection_violations(names: list[str], stamps: dict,
+                          current: int) -> list[str]:
+    """Audit-bandwidth forward projection (VERDICT r12 item 2).
+
+    The driver audits at most WINDOW rows per round and the age gate
+    demands a stamp no older than ``current - MAX_STAMP_AGE``, so the
+    registry has a hard capacity ceiling of ``WINDOW * MAX_STAMP_AGE``
+    rows — beyond it, SOME row's floor is unsatisfiable no matter how
+    the windows are packed.  Below the ceiling, the current stamp
+    distribution can still be infeasible (too many rows sharing one
+    deadline), so we also run an earliest-deadline-first schedule
+    check: a row stamped at round r drops below the floor at round
+    ``r + MAX_STAMP_AGE + 1`` — legal only if it sits in THAT round's
+    window, where the driver refreshes it, so that round is its audit
+    deadline; never-stamped rows are due THIS round.  EDF is optimal for
+    unit jobs with deadlines, so "cumulative rows due by round d
+    exceeds the window slots available in rounds current..d" is a
+    proof of infeasibility, not a heuristic warning."""
+    msgs: list[str] = []
+    ceiling = WINDOW * MAX_STAMP_AGE
+    if len(names) > ceiling:
+        msgs.append(
+            f"registry has {len(names)} rows > audit-bandwidth ceiling "
+            f"{ceiling} (= {WINDOW}-slot window x {MAX_STAMP_AGE}-round "
+            f"max age): the age floor is unsatisfiable for at least "
+            f"{len(names) - ceiling} row(s) — extend existing rows "
+            f"instead of registering new ones")
+    deadlines = sorted(
+        current if (rec := stamps.get(n)) is None
+        else max(current, rec["round"] + MAX_STAMP_AGE + 1)
+        for n in names
+    )
+    for i, d in enumerate(deadlines):
+        capacity = (d - current + 1) * WINDOW
+        if i + 1 > capacity:
+            msgs.append(
+                f"audit schedule infeasible: {i + 1} rows due for "
+                f"re-audit by r{d} but only {capacity} window slots "
+                f"exist in r{current}..r{d}")
+            break
+    return msgs
+
+
 def cmd_check(round_no: int | None = None) -> int:
     import __spark_entry__ as entry
 
@@ -307,6 +355,9 @@ def cmd_check(round_no: int | None = None) -> int:
               f" r{age_floor}) — {where}")
         if n not in window:
             ok = False
+    for msg in projection_violations(names, stamps, current):
+        print(f"PROJECTION {msg}")
+        ok = False
     if not stale and not fresh_missing and not aged:
         print("all stamps current")
     print((f"window OK (current round r{current}, age floor r{age_floor})"

@@ -37,8 +37,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: output schema of :func:`read_warc` — one row per WARC record.
 #: ``payload`` is the raw body bytes; ``payload_text`` is the body
 #: DECODED BY ITS DECLARED CHARSET (the ``charset=`` parameter of the
-#: HTTP Content-Type, utf-8-with-replacement fallback) for ``text/*``
-#: responses, NULL otherwise — crawl charsets are a data property, not
+#: HTTP Content-Type; <meta charset> prescan when the header has none;
+#: utf-8-with-replacement fallback) for textual responses (``text/*``
+#: + the XML family), NULL otherwise — crawl charsets are a data
+#: property, not
 #: a reader option, so the decode happens executor-side at parse time
 #: (same discipline as the instrument readers' cp1252 sniff,
 #: parsers.py).
@@ -58,21 +60,79 @@ _BATCH_ROWS = 4096
 _BATCH_BYTES = 32 << 20
 
 _CHARSET_RE = None  # compiled lazily executor-side
+_META_CHARSET_RE = None  # compiled lazily executor-side
+
+#: non-``text/*`` media types that still carry page text — the crawl
+#: head must accept them or every XHTML-served page (a large, standards
+#: -compliant slice of the web) silently vanishes from the corpus.
+#: Matching is on the BASE type (parameters stripped): the named types
+#: plus any ``*+xml`` structured-syntax suffix (RFC 7303 §4.2 /
+#: RFC 6839 — ``application/xhtml+xml``, ``image/svg+xml``, ...).
+TEXTUAL_NON_TEXT_TYPES = ("application/xhtml+xml", "application/xml",
+                          "application/json")
+
+#: how far into the payload the <meta charset> sniff looks when the
+#: HTTP header declares no charset — the HTML5 prescan bound (the
+#: spec's own algorithm stops at 1024 bytes), and ASCII-safe to scan
+#: raw because every charset the sniff can name is ASCII-compatible
+#: in the region where the <meta> tag itself is legal (inside <head>)
+_META_SNIFF_BYTES = 1024
+
+
+def _base_type(content_type: str | None) -> str | None:
+    """``text/html; charset=utf-8`` -> ``text/html`` (lowered)."""
+    if not content_type:
+        return None
+    return content_type.split(";", 1)[0].strip().lower()
+
+
+def _is_textual_type(content_type: str | None) -> bool:
+    """True when the payload is page text: ``text/*`` plus the XML
+    family (:data:`TEXTUAL_NON_TEXT_TYPES` and any ``+xml`` suffix)."""
+    base = _base_type(content_type)
+    if not base:
+        return False
+    return (base.startswith("text/") or base in TEXTUAL_NON_TEXT_TYPES
+            or base.endswith("+xml"))
 
 
 def _decode_declared(block: bytes, content_type: str | None) -> str | None:
-    """Decode a ``text/*`` payload by its declared ``charset=``
-    parameter (utf-8 fallback), always with replacement — a crawl page
-    lying about its encoding yields mojibake characters, never a dead
-    task.  Non-text payloads return None (images stay bytes)."""
-    global _CHARSET_RE
-    if not content_type or not content_type.lower().startswith("text/"):
+    """Decode a textual payload (``text/*`` or the XML family) by its
+    declared ``charset=`` parameter, always with replacement — a crawl
+    page lying about its encoding yields mojibake characters, never a
+    dead task.  Non-text payloads return None (images stay bytes).
+
+    When the HTTP header declares NO charset, the HTML5 prescan
+    applies: the first :data:`_META_SNIFF_BYTES` bytes are scanned for
+    ``<meta charset=...>`` / ``<meta http-equiv="Content-Type"
+    content="...; charset=...">`` — real crawls are full of servers
+    that send a bare ``text/html`` while the page itself declares GBK
+    or ISO-8859-1; header-only decode turns those pages into mojibake
+    (same executor-side sniff discipline as the instrument readers'
+    cp1252 fallback, parsers.py)."""
+    global _CHARSET_RE, _META_CHARSET_RE
+    if not _is_textual_type(content_type):
         return None
     if _CHARSET_RE is None:
         import re
 
         _CHARSET_RE = re.compile(r"charset=[\"']?([\w.:-]+)", re.I)
+        # the byte-level prescan form: attribute charset= inside a
+        # <meta ...> tag, which covers BOTH <meta charset="..."> and
+        # the http-equiv pragma (its content="text/html; charset=..."
+        # value contains the same charset= token)
+        _META_CHARSET_RE = re.compile(
+            rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([\w.:-]+)", re.I
+        )
     m = _CHARSET_RE.search(content_type)
+    if not m:
+        bm = _META_CHARSET_RE.search(block[:_META_SNIFF_BYTES])
+        if bm:
+            try:
+                m_name = bm.group(1).decode("ascii")
+            except UnicodeDecodeError:
+                m_name = None
+            m = m_name and _CHARSET_RE.search(f"charset={m_name}")
     if m:
         import codecs
 
@@ -334,7 +394,10 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def warc_responses_to_documents(records: DataFrame) -> DataFrame:
-    """Project successful text/html responses onto the canonical
+    """Project successful TEXTUAL responses — ``text/*`` plus the XML
+    family (``application/xhtml+xml`` and friends, any ``+xml``
+    suffix: the same acceptance set as the parse-time decode,
+    :func:`_is_textual_type`) — onto the canonical
     ``documents`` shape: ``doc_id`` is the md5-derived 60-bit int
     (``operators.dedup._md5_long`` — THE engine-portable hash key) of
     the record id, falling back to target URI + date, then to
@@ -357,10 +420,17 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     from python_ctd_spark.operators.dedup import _md5_long
     from python_ctd_spark.operators.markup import normalized_domain
 
+    base_type = F.lower(F.trim(F.split_part(
+        F.col("content_type"), F.lit(";"), F.lit(1))))
+    texty = (
+        base_type.startswith("text/")
+        | base_type.isin(*TEXTUAL_NON_TEXT_TYPES)
+        | base_type.endswith("+xml")
+    )
     ok = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/")
+        & texty
     )
     doc_id = _md5_long(
         F.coalesce(

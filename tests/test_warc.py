@@ -186,6 +186,67 @@ def test_warc_charset_aware_decode(spark, tmp_path):
     assert docs.loc["u.example.org", "text"] == "plain ascii"
 
 
+def test_warc_meta_charset_sniff_and_xml_acceptance(spark, tmp_path):
+    """Crawl-head realism (VERDICT r12 item 1): (a) an XHTML page
+    served as application/xhtml+xml — and any +xml suffix type — must
+    reach the documents projection (before r13 the text/*-only filter
+    dropped it); (b) when the HTTP header names no charset, the HTML5
+    prescan finds <meta charset=...> / the http-equiv pragma within
+    the first 1024 bytes; (c) a meta tag BEYOND the prescan bound is
+    ignored (utf-8 fallback, replacement chars, never a dead task);
+    (d) non-textual types still yield NULL payload_text."""
+    xhtml = make_response_record(
+        "https://x.example.org/",
+        "<html><body>résumé</body></html>".encode("utf-8"),
+        "r-x", http_content_type="application/xhtml+xml; charset=utf-8",
+    )
+    svg = make_response_record(
+        "https://s.example.org/",
+        '<svg xmlns="http://www.w3.org/2000/svg">état</svg>'.encode(),
+        "r-s", http_content_type="image/svg+xml",
+    )
+    meta_gbk = make_response_record(
+        "https://mg.example.org/",
+        '<meta charset="gbk"/><p>你好世界</p>'.encode("gbk"),
+        "r-mg", http_content_type="text/html",
+    )
+    equiv = make_response_record(
+        "https://me.example.org/",
+        ('<meta http-equiv="Content-Type" content="text/html;'
+         " charset=ISO-8859-1\"/>voilà").encode("latin-1"),
+        "r-me", http_content_type="text/html",
+    )
+    late_meta = make_response_record(
+        "https://lm.example.org/",
+        b"x" * 1200 + '<meta charset="gbk"/>'.encode()
+        + "汉".encode("gbk"),
+        "r-lm", http_content_type="text/html",
+    )
+    png = make_response_record(
+        "https://img.example.org/", b"\x89PNG\r\n\x1a\nnotapage", "r-png",
+        http_content_type="image/png",
+    )
+    p = tmp_path / "m.warc.gz"
+    p.write_bytes(build_warc(
+        [xhtml, svg, meta_gbk, equiv, late_meta, png], gz=True))
+    recs = read_warc(spark, str(p)).toPandas().set_index("record_id")
+    assert recs.loc["urn:uuid:r-png", "payload_text"] is None
+    docs = (
+        warc_responses_to_documents(read_warc(spark, str(p)))
+        .toPandas().set_index("source")
+    )
+    assert docs.loc["x.example.org", "text"] == (
+        "<html><body>résumé</body></html>")
+    assert docs.loc["s.example.org", "text"].endswith("état</svg>")
+    assert docs.loc["mg.example.org", "text"] == (
+        '<meta charset="gbk"/><p>你好世界</p>')
+    assert docs.loc["me.example.org", "text"].endswith("voilà")
+    # past the 1024-byte prescan bound: header-less decode falls back
+    # to utf-8 and the GBK ideograph becomes replacement chars
+    assert "�" in docs.loc["lm.example.org", "text"]
+    assert "img.example.org" not in docs.index
+
+
 def test_warc_doc_id_fallback_chain_never_collides(spark, tmp_path):
     """ADVICE r11: two records missing record-id, URI AND date must get
     DISTINCT doc_ids (path|record_idx fallback — previously concat_ws

@@ -111,10 +111,18 @@ WHERE CAST(n_matched AS DOUBLE) / greatest(na.n_frames, nb.n_frames) >= 0.5
 
 #: oracle for warc_documents: rebuild every projected value from the
 #: documents table directly — the md5-derived 60-bit doc_id is the
-#: engine-portable _md5_long (same construction as the dedup oracles),
-#: the latin-1 suffix/charset and the 404 filter mirror the fixture
-#: builder (__spark_entry__._warc_fixture_dir) line for line.
-_WARC_DOCUMENTS_SQL = """
+#: engine-portable _md5_long (same construction as the dedup oracles);
+#: the CASE chain mirrors the fixture builder's branch chain
+#: (tools/registry/base._warc_fixture_dir) line for line, INCLUDING
+#: its encodability guards (latin-1-encodable == no code point above
+#: U+00FF, ASCII == none above U+007F — ADVICE r12) and its r13
+#: crawl-head branches: the XHTML wrap (application/xhtml+xml
+#: acceptance), the GBK <meta charset> page and the ISO-8859-1
+#: http-equiv page (header-less charset sniff), and the 404 filter.
+#: Round-tripping the meta pages' markup VERBATIM is the point: if the
+#: engine's sniff picked the wrong codec, the non-ASCII suffixes would
+#: come back as mojibake and the value hash would diverge.
+_WARC_DOCUMENTS_SQL = r"""
 SELECT ('0x' || substr(md5('urn:uuid:w-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          AS doc_id,
        body AS text,
@@ -123,9 +131,20 @@ SELECT ('0x' || substr(md5('urn:uuid:w-' || CAST(doc_id AS VARCHAR)), 1, 15))::B
        CAST(length(body) AS BIGINT) AS n_chars
 FROM (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 1 THEN coalesce(text, '') || ' café crème'
-              ELSE coalesce(text, '') END AS body
-  FROM documents
+         CASE
+           WHEN doc_id % 3 = 1 AND NOT regexp_matches(t, '[^\x00-\xff]')
+             THEN t || ' café crème'
+           WHEN doc_id % 7 = 3
+             THEN '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+                  || t || '</body></html>'
+           WHEN doc_id % 5 = 2 AND NOT regexp_matches(t, '[^\x00-\x7f]')
+             THEN '<meta charset="gbk"/><p>' || t || ' 你好世界</p>'
+           WHEN doc_id % 5 = 4 AND NOT regexp_matches(t, '[^\x00-\xff]')
+             THEN '<meta http-equiv="Content-Type" content="text/html;'
+                  || ' charset=ISO-8859-1"/>' || t || ' voilà'
+           ELSE t
+         END AS body
+  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
   WHERE doc_id % 11 != 7
 )
 """

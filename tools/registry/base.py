@@ -59,14 +59,29 @@ def _with_gap(ev):
 def _warc_fixture_dir(sf_dir):
     """Build (once per corpus, cached in /tmp by content key) the
     deterministic WARC shards behind the ``warc_documents`` row: four
-    per-record-gzip archives holding one HTTP response per document —
-    utf-8-declared plain text, except every ``doc_id % 3 == 1`` doc,
-    which carries a latin-1 body with non-ASCII accents and a declared
-    ISO-8859-1 charset (the decode-by-declared-charset path), and
-    every ``doc_id % 11 == 7`` doc, served as a 404 (the status
-    filter).  Construction is pyarrow-side (fixture building, not
-    dataflow); the engine under test starts at read_warc's binaryFile
-    scan."""
+    per-record-gzip archives holding one HTTP response per document.
+    The per-doc branch chain (FIRST match wins — the oracle's SQL CASE
+    mirrors it in the same order, _WARC_DOCUMENTS_SQL):
+
+    - ``doc_id % 3 == 1`` (latin-1-encodable text only — ADVICE r12: a
+      regenerated corpus with CJK/emoji text must fall through, not
+      crash the encode): latin-1 body with accents, DECLARED
+      ISO-8859-1 in the HTTP header (header-charset decode path);
+    - ``doc_id % 7 == 3``: XHTML page served as
+      ``application/xhtml+xml`` (the non-``text/*`` acceptance path —
+      before r13 these pages silently vanished);
+    - ``doc_id % 5 == 2`` (ASCII text only): GBK body whose HTTP header
+      says bare ``text/html`` — only ``<meta charset="gbk"/>`` inside
+      the page names the encoding (the HTML5-prescan sniff path);
+    - ``doc_id % 5 == 4`` (latin-1-encodable text only): ISO-8859-1
+      body, bare ``text/html`` header, charset named by the
+      ``http-equiv`` pragma form of the meta tag;
+    - otherwise utf-8 declared in the header.
+
+    Every ``doc_id % 11 == 7`` doc is served as a 404 (the status
+    filter) regardless of branch.  Construction is pyarrow-side
+    (fixture building, not dataflow); the engine under test starts at
+    read_warc's binaryFile scan."""
     import hashlib
     import os
     import shutil
@@ -83,21 +98,37 @@ def _warc_fixture_dir(sf_dir):
     # content-keyed, not length-keyed: a regenerated corpus with
     # same-length different text must MISS this cache (a stale hit
     # would drift the fixture shards away from the oracle's documents
-    # table)
+    # table); the layout-version token ("v2": r13 crawl-head branches)
+    # busts the cache when the BUILDER changes against the same corpus
     key = hashlib.md5(
-        repr([
+        ("v2" + repr([
             (d, hashlib.md5((t or "").encode()).hexdigest()) for d, t in rows
-        ]).encode()
+        ])).encode()
     ).hexdigest()[:12]
     dest = os.path.join(tempfile.gettempdir(), f"warc_fixture_{key}")
     if os.path.isdir(dest):
         return dest
+
+    def latin1_ok(s: str) -> bool:
+        return all(ord(c) <= 0xFF for c in s)
+
     shards: list[list[bytes]] = [[] for _ in range(4)]
     for i, (d, t) in enumerate(rows):
         body = t or ""
-        if d % 3 == 1:
+        if d % 3 == 1 and latin1_ok(body):
             body += " café crème"
             enc, ct = "latin-1", "text/plain; charset=ISO-8859-1"
+        elif d % 7 == 3:
+            body = ('<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+                    + body + "</body></html>")
+            enc, ct = "utf-8", "application/xhtml+xml; charset=utf-8"
+        elif d % 5 == 2 and body.isascii():
+            body = '<meta charset="gbk"/><p>' + body + " 你好世界</p>"
+            enc, ct = "gbk", "text/html"
+        elif d % 5 == 4 and latin1_ok(body):
+            body = ('<meta http-equiv="Content-Type" content="text/html;'
+                    ' charset=ISO-8859-1"/>' + body + " voilà")
+            enc, ct = "latin-1", "text/html"
         else:
             enc, ct = "utf-8", "text/plain; charset=utf-8"
         shards[i % 4].append(

@@ -2339,21 +2339,32 @@ def _q_strip_markup(spark, sf_dir):
 
 def _q_extract_links(spark, sf_dir):
     """Link/URL extraction (markup.extract_links): one row per
-    ``<a href>`` — (doc_id, link_pos, url, domain, anchor, is_blocked)
-    — the crawl-graph stage in front of URL/domain filtering and
-    outlink quality signals.  Deterministic link-bearing HTML is
-    synthesized inside the query in both engines (per-doc ref link, a
-    blocklisted tracker, an extra docs link on every third doc for
-    variable outlink counts); extraction is two regexp_extract_all
-    passes zipped and exploded — map-side, no shuffle; the blocklist is
-    a literal IN-list shared with the oracle via BLOCKED_DOMAINS."""
-    from tools.oracles.text import _LINKS_SYNTH_SPARK_EXPR
+    URL-bearing tag — (doc_id, tag, link_pos, url, abs_url, domain,
+    anchor, is_blocked) — the crawl-graph stage in front of URL/domain
+    filtering and outlink quality signals.  Deterministic link-bearing
+    HTML is synthesized inside the query in both engines: per-doc
+    absolute ref + RELATIVE anchor, a blocklisted tracker (single-
+    quoted), a protocol-relative tracker PIXEL (img — blocked only if
+    asset-tag extraction AND base-URI resolution both work, VERDICT
+    r12 items 1c+8), a root-relative stylesheet link, an unquoted
+    dot-dot script src on every second doc, fragment-only anchors on
+    every sixth.  References resolve against the per-doc page URI
+    (resolve_url — native RFC-3986-lite CASE chain); extraction is
+    one indexed-transform pass per tag concatenated into a single
+    explode — map-side, no shuffle; the blocklist is a literal
+    IN-list shared with the oracle via BLOCKED_DOMAINS."""
+    from tools.oracles.text import (
+        _LINKS_BASE_SPARK_EXPR, _LINKS_SYNTH_SPARK_EXPR,
+    )
 
     from python_ctd_spark.operators.markup import extract_links
 
     docs = _t(spark, sf_dir, "documents")
     return extract_links(
-        docs.withColumn("html", F.expr(_LINKS_SYNTH_SPARK_EXPR)), "html"
+        docs.withColumn("html", F.expr(_LINKS_SYNTH_SPARK_EXPR))
+            .withColumn("base_uri", F.expr(_LINKS_BASE_SPARK_EXPR)),
+        "html",
+        base_col="base_uri",
     )
 
 

@@ -106,15 +106,19 @@ class Corpus:
         )
         return self._wrap(out)
 
-    def extract_links(self) -> DataFrame:
+    def extract_links(self, base_col: str | None = None) -> DataFrame:
         """Per-link URL table (:func:`..operators.markup.extract_links`):
-        one row per ``<a href>`` with the normalized domain and
-        blocklist flag — a point analysis (different row shape), so a
-        plain DataFrame, run BEFORE :meth:`strip_markup` removes the
-        tags."""
+        one row per URL-bearing tag (``a``/``img``/``link``/``script``)
+        with the normalized domain and blocklist flag; pass ``base_col``
+        (the page-URI column, e.g. the WARC target URI) to resolve
+        relative references before domain analysis.  A point analysis
+        (different row shape), so a plain DataFrame, run BEFORE
+        :meth:`strip_markup` removes the tags."""
         from python_ctd_spark.operators import markup
 
-        return markup.extract_links(self.df, self.text_col, id_col=self.id_col)
+        return markup.extract_links(
+            self.df, self.text_col, id_col=self.id_col, base_col=base_col
+        )
 
     def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":
         """Cluster-balanced subset

@@ -53,17 +53,29 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_PATTERN = f"[{WS_CHARS}]+"
 
-#: href normalizers applied BEFORE anchor extraction, in order:
-#: single-quoted and unquoted href values are rewritten to the
-#: double-quoted form (ADVICE r11 — ``href='...'`` / ``href=url``
-#: must not dodge the blocklist).  Replacement template is
-#: ``$1"$2"`` in Spark, ``\1"\2"`` in the DuckDB oracle (engine
-#: replacement syntax differs; the PATTERNS are shared).  The
-#: unquoted rule runs second and requires a non-quote first char, so
-#: it can never re-wrap an already-quoted (or just-rewritten) value.
+#: the URL-bearing (tag, attribute) pairs :func:`extract_links`
+#: extracts — anchors plus the ASSET tags a crawl pipeline filters on
+#: (tracker pixels live in ``img``, not anchors; stylesheet/script
+#: hosts are the third-party-dependency graph).
+LINK_TAG_ATTRS: tuple[tuple[str, str], ...] = (
+    ("a", "href"), ("img", "src"), ("link", "href"), ("script", "src"),
+)
+
+_LINK_TAG_ALT = "|".join(t for t, _ in LINK_TAG_ATTRS)
+
+#: URL-attribute normalizers applied BEFORE extraction, in order:
+#: single-quoted and unquoted ``href``/``src`` values on any link tag
+#: are rewritten to the double-quoted form (ADVICE r11 —
+#: ``href='...'`` / ``src=url`` must not dodge the blocklist).
+#: Replacement template is ``$1"$2"`` in Spark, ``\1"\2"`` in the
+#: DuckDB oracle (engine replacement syntax differs; the PATTERNS are
+#: shared).  The unquoted rule runs second and requires a non-quote
+#: first char, so it can never re-wrap an already-quoted (or
+#: just-rewritten) value.
 HREF_NORMALIZE_PATTERNS: list[str] = [
-    rf"(?is)(<a[{WS_CHARS}][^>]*href=)'([^']*)'",
-    rf"(?is)(<a[{WS_CHARS}][^>]*href=)([^\"'{WS_CHARS}>]+)",
+    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}][^>]*(?:href|src)=)'([^']*)'",
+    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}][^>]*(?:href|src)=)"
+    rf"([^\"'{WS_CHARS}>]+)",
 ]
 
 #: anchor pattern in the Java-regex/RE2 common subset: group 1 = the
@@ -73,6 +85,36 @@ HREF_NORMALIZE_PATTERNS: list[str] = [
 ANCHOR_PATTERN = (
     rf'(?is)<a[{WS_CHARS}][^>]*href="([^"]*)"[^>]*>(.*?)</a[{WS_CHARS}]*>'
 )
+
+#: tag -> URL-extraction pattern (group 1 = the URL).  ``a`` also
+#: carries the anchor text as group 2; the asset tags have no text.
+TAG_URL_PATTERNS: dict[str, str] = {
+    "a": ANCHOR_PATTERN,
+    "img": rf'(?is)<img[{WS_CHARS}][^>]*src="([^"]*)"[^>]*>',
+    "link": rf'(?is)<link[{WS_CHARS}][^>]*href="([^"]*)"[^>]*>',
+    "script": rf'(?is)<script[{WS_CHARS}][^>]*src="([^"]*)"[^>]*>',
+}
+
+#: RFC-3986-lite building blocks for :func:`resolve_url`, all in the
+#: Java-regex/RE2 common subset so the DuckDB oracle runs the SAME
+#: patterns.  SCHEME matches any absolute reference (``https:``,
+#: ``mailto:`` — a colon in the first segment means scheme per the
+#: RFC); ORIGIN captures ``scheme://authority``; BASE_DIR captures the
+#: base path up to and including its last slash (empty when the base
+#: has no path); BASE_PATH captures the full base path (for
+#: query-only references).
+URL_SCHEME_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+URL_ORIGIN_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+URL_BASE_DIR_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*/)?"
+URL_BASE_PATH_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+#: dot-segment collapse depth: ``/./`` and ``/seg/../`` are rewritten
+#: this many passes (each pass resolves one nesting level of ``..`` —
+#: real pages rarely exceed two; the oracle runs the identical passes
+#: so deeper chains, though left partially collapsed, can never drift
+#: between the engines).  Unresolvable leading ``/../`` is left in
+#: place (a browser would clamp it to the root).
+DOT_SEGMENT_PASSES = 4
 
 #: scheme://host extraction from a URL: group 1 = the registrable host
 #: with userinfo (``user@``) and port (``:443``) stripped; combined
@@ -98,26 +140,85 @@ def normalized_domain(url: Column) -> Column:
     )
 
 
+def resolve_url(url: Column, base: Column) -> Column:
+    """Resolve a link reference against its page URI (RFC 3986 §5, the
+    subset real crawls need) — entirely native column expressions, so
+    the resolution is map-side and the DuckDB oracle can run the SAME
+    patterns (:data:`URL_SCHEME_PATTERN` family):
+
+    - absolute references (any ``scheme:`` prefix) pass through;
+    - ``//host/...`` takes the base's scheme;
+    - ``/path`` takes the base's origin;
+    - ``#frag`` replaces the base's fragment; ``?query`` replaces its
+      query (path preserved);
+    - anything else is path-relative: origin + base directory + ref;
+    - ``/./`` and ``/seg/../`` collapse (:data:`DOT_SEGMENT_PASSES`
+      bounded passes over the path — never the authority, which is
+      split off first so ``host/../`` can never eat the hostname).
+
+    ``base`` must be an absolute URI (a crawl's WARC-Target-URI always
+    is).  Without resolution, every relative tracker pixel or
+    same-site link is invisible to domain analytics and the blocklist
+    — the r12 gap this closes."""
+    base_nofrag = F.regexp_replace(base, "#.*", "")
+    origin = F.regexp_extract(base, URL_ORIGIN_PATTERN, 1)
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    base_dir = F.regexp_extract(base, URL_BASE_DIR_PATTERN, 1)
+    base_path = F.regexp_extract(base, URL_BASE_PATH_PATTERN, 1)
+    resolved = (
+        F.when(url == "", base_nofrag)
+        .when(url.rlike(URL_SCHEME_PATTERN), url)
+        .when(url.startswith("//"), F.concat(scheme, F.lit(":"), url))
+        .when(url.startswith("/"), F.concat(origin, url))
+        .when(url.startswith("#"), F.concat(base_nofrag, url))
+        .when(url.startswith("?"),
+              F.concat(origin,
+                       F.coalesce(F.nullif(base_path, F.lit("")),
+                                  F.lit("/")),
+                       url))
+        .otherwise(
+            F.concat(origin,
+                     F.coalesce(F.nullif(base_dir, F.lit("")), F.lit("/")),
+                     url))
+    )
+    # dot-segment collapse on the origin-stripped remainder only
+    rest = F.regexp_replace(resolved, URL_ORIGIN_PATTERN, "")
+    for _ in range(DOT_SEGMENT_PASSES):
+        rest = F.regexp_replace(rest, r"/\./", "/")
+        rest = F.regexp_replace(rest, r"/[^/]+/\.\./", "/")
+    return F.concat(F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1), rest)
+
+
 def extract_links(
     df: DataFrame,
     text_col: str,
     id_col: str = "doc_id",
     blocklist: DataFrame | None = None,
+    base_col: str | None = None,
+    tags: tuple[str, ...] = tuple(t for t, _ in LINK_TAG_ATTRS),
 ) -> DataFrame:
-    """Extract every ``<a href>`` link from ``text_col``: one output row
-    per link — ``(id_col, link_pos, url, domain, anchor, is_blocked)``
-    — the crawl-graph stage in front of URL/domain filtering and
-    outlink-based quality signals.
+    """Extract every URL-bearing tag from ``text_col``: one output row
+    per link — ``(id_col, tag, link_pos, url, abs_url, domain, anchor,
+    is_blocked)`` — the crawl-graph stage in front of URL/domain
+    filtering and outlink-based quality signals.  ``tags`` selects
+    which of :data:`LINK_TAG_ATTRS` to extract: ``<a href>`` plus the
+    asset tags (``img src`` / ``link href`` / ``script src``) — the
+    graph a crawl pipeline actually filters on, since tracker pixels
+    live in ``img``, not anchors.
 
-    href quoting is NORMALIZED before extraction
+    href/src quoting is NORMALIZED before extraction
     (:data:`HREF_NORMALIZE_PATTERNS`): single-quoted and unquoted
-    hrefs rewrite to the double-quoted form, so a trivial quoting
+    values rewrite to the double-quoted form, so a trivial quoting
     variation cannot dodge the blocklist.  ``link_pos`` is the link's
-    1-based position within its document (document order,
-    deterministic).  ``domain`` is the NORMALIZED host: lowercased,
+    1-based position within its document PER TAG (document order,
+    deterministic).  ``abs_url`` is the reference resolved against
+    ``base_col`` (the page URI) via :func:`resolve_url` when given —
+    without resolution a relative tracker pixel is invisible to the
+    blocklist — and equals ``url`` when ``base_col`` is None.
+    ``domain`` is the NORMALIZED host OF THE RESOLVED URL: lowercased,
     userinfo and port stripped (so HTTPS://HOST, host:443, and
-    user@host all resolve to one key — a blocklist match must not be
-    dodgeable by trivial URL variation); ``is_blocked`` marks hosts in
+    user@host all resolve to one key); ``anchor`` is the anchor text
+    (``a`` only, NULL for asset tags); ``is_blocked`` marks hosts in
     :data:`BLOCKED_DOMAINS` (a literal IN-list — no join) OR, when
     ``blocklist`` is given, in that one-column (``domain``) DataFrame
     — the production shape, where the denylist is a TABLE: a
@@ -127,28 +228,59 @@ def extract_links(
     LEFT-join back to the corpus for a per-doc outlink count
     including zeros).
 
-    All native: two ``regexp_extract_all`` passes (URL group, anchor
-    group) zipped and exploded — map-side, no shuffle, whole-stage
-    codegen (plus the broadcast join when a blocklist table is given).
+    All native and SINGLE-PASS: per tag, two ``regexp_extract_all``
+    passes build an indexed struct array (``transform`` with the index
+    lambda), the per-tag arrays concatenate, and ONE ``explode`` emits
+    every link — map-side, no shuffle, no union of re-scans, whole-
+    stage codegen (plus the broadcast join when a blocklist table is
+    given).
     """
     html = F.col(text_col)
     for pat in HREF_NORMALIZE_PATTERNS:
         html = F.regexp_replace(html, pat, '$1"$2"')
-    urls = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 1)
-    anchors = F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), 2)
+    null_s = F.lit(None).cast("string")
+    parts = []
+    for tag in tags:
+        pat = F.lit(TAG_URL_PATTERNS[tag])
+        urls = F.regexp_extract_all(html, pat, 1)
+        anchors = (F.regexp_extract_all(html, pat, 2) if tag == "a"
+                   else F.transform(urls, lambda _u: null_s))
+        parts.append(F.zip_with(
+            urls, anchors,
+            lambda u, a: F.struct(u.alias("u"), a.alias("a")),
+        ))
+    links = None
+    for tag, arr in zip(tags, parts):
+        indexed = F.transform(
+            arr,
+            lambda x, i: F.struct(
+                F.lit(tag).alias("tag"),
+                (i + 1).cast("int").alias("link_pos"),
+                x["u"].alias("u"),
+                x["a"].alias("a"),
+            ),
+        )
+        links = indexed if links is None else F.concat(links, indexed)
     ex = df.select(
-        id_col, F.posexplode(F.arrays_zip(urls.alias("u"), anchors.alias("a")))
+        id_col,
+        (F.col(base_col) if base_col else null_s).alias("__base"),
+        F.explode(links).alias("l"),
     ).select(
         id_col,
-        (F.col("pos") + 1).cast("int").alias("link_pos"),
-        F.col("col.u").alias("url"),
-        F.trim(F.regexp_replace(F.col("col.a"), WS_PATTERN, " ")).alias("anchor"),
+        F.col("l.tag").alias("tag"),
+        F.col("l.link_pos").alias("link_pos"),
+        F.col("l.u").alias("url"),
+        (resolve_url(F.col("l.u"), F.col("__base")) if base_col
+         else F.col("l.u")).alias("abs_url"),
+        F.trim(F.regexp_replace(F.col("l.a"), WS_PATTERN, " ")).alias("anchor"),
     )
-    domain = normalized_domain(F.col("url"))
+    domain = normalized_domain(F.col("abs_url"))
     out = ex.select(
         id_col,
+        "tag",
         "link_pos",
         "url",
+        "abs_url",
         domain.alias("domain"),
         "anchor",
         domain.isin(*BLOCKED_DOMAINS).alias("is_blocked"),

@@ -1,6 +1,7 @@
 """strip_markup: HTML -> plain text chain semantics on planted cases."""
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from python_ctd_spark.operators.markup import strip_markup
 
@@ -122,6 +123,85 @@ def test_extract_links_quote_variants(spark):
     ]
     assert list(out.anchor) == ["sq", "bare", "sq2", "bare2"]
     assert list(out.is_blocked) == [True, True, False, False]
+
+
+def test_extract_links_asset_tags_and_resolution(spark):
+    """VERDICT r12 items 1c+8: img/link/script URLs extract with a tag
+    column (per-tag document-order link_pos), and references resolve
+    against the page URI — a protocol-relative tracker pixel must hit
+    the blocklist, dot-segments collapse, fragment/query references
+    keep the base path."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<a href="https://abs.example.com/x">abs</a>'
+        " <a href='page2.html'>rel</a>"
+        ' <a href="../up/a.html">up</a>'
+        ' <a href="#top">frag</a>'
+        ' <a href="?q=1">query</a>'
+        ' <a href="">empty</a>'
+        ' <a href="mailto:x@y.z">mail</a>'
+        " <img alt='px' src='//spam.example.net/px.gif'/>"
+        ' <link rel="stylesheet" href="/assets/site.css"/>'
+        " <script src=../static/app.js></script>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "html": [html],
+        "base": ["https://site1.example.org/w/5/index.html#old"],
+    }))
+    out = (
+        extract_links(df, "html", base_col="base")
+        .toPandas().set_index(["tag", "link_pos"]).sort_index()
+    )
+    base_nofrag = "https://site1.example.org/w/5/index.html"
+    a = out.loc["a"]
+    assert a.loc[1, "abs_url"] == "https://abs.example.com/x"
+    assert a.loc[2, "abs_url"] == "https://site1.example.org/w/5/page2.html"
+    assert a.loc[3, "abs_url"] == "https://site1.example.org/w/up/a.html"
+    assert a.loc[4, "abs_url"] == base_nofrag + "#top"
+    assert a.loc[5, "abs_url"] == base_nofrag + "?q=1"
+    assert a.loc[6, "abs_url"] == base_nofrag  # empty href = self, no frag
+    assert a.loc[7, "abs_url"] == "mailto:x@y.z"
+    assert a.loc[2, "url"] == "page2.html"  # raw reference preserved
+    img = out.loc["img"]
+    assert img.loc[1, "abs_url"] == "https://spam.example.net/px.gif"
+    assert bool(img.loc[1, "is_blocked"])  # pixel can't dodge via //
+    assert img.loc[1, "anchor"] is None or pd.isna(img.loc[1, "anchor"])
+    assert out.loc[("link", 1), "abs_url"] == (
+        "https://site1.example.org/assets/site.css")
+    assert out.loc[("script", 1), "abs_url"] == (
+        "https://site1.example.org/w/static/app.js")
+    # tags subset: only anchors come back
+    only_a = extract_links(df, "html", base_col="base", tags=("a",))
+    assert set(only_a.toPandas().tag) == {"a"}
+    # without a base, abs_url mirrors the raw reference
+    raw = extract_links(df, "html").toPandas()
+    assert list(raw.url) == list(raw.abs_url)
+
+
+def test_resolve_url_dot_segments(spark):
+    """resolve_url collapses /./ and /seg/../ inside the PATH only —
+    the authority can never be eaten by a leading dot-dot — and deep
+    chains collapse across the bounded passes."""
+    from python_ctd_spark.operators import markup
+
+    cases = [
+        ("./here.html", "https://h.org/a/b/index.html",
+         "https://h.org/a/b/here.html"),
+        ("../../x", "https://h.org/a/b/c/index.html", "https://h.org/a/x"),
+        ("a/./b/../c.html", "https://h.org/d/index.html",
+         "https://h.org/d/a/c.html"),
+        ("x.html", "https://h.org", "https://h.org/x.html"),  # no path
+        ("/../x", "https://h.org/a/", "https://h.org/../x"),  # clamped: kept
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(cases, columns=["u", "b", "want"])
+    )
+    out = df.select(
+        "want",
+        markup.resolve_url(F.col("u"), F.col("b")).alias("got"),
+    ).toPandas()
+    assert list(out.got) == list(out.want)
 
 
 def test_extract_links_blocklist_table(spark):

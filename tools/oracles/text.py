@@ -428,11 +428,15 @@ def _streaming_markup_sql() -> str:
 
 # -- extract_links -----------------------------------------------------
 # Deterministic link-bearing HTML synthesized inside the query in both
-# engines: every doc gets a per-doc ref link (double-quoted) and a
+# engines: every doc gets a per-doc ref link (double-quoted), a
 # blocklisted tracker link (SINGLE-quoted — the quoting variant that
-# must not dodge the blocklist, ADVICE r11); every third doc gets an
-# extra docs link (variable outlink counts exercise the explode) and
-# every fourth an UNQUOTED href (the other normalizer rule).
+# must not dodge the blocklist, ADVICE r11), a RELATIVE anchor, a
+# protocol-relative tracker PIXEL (img — blocked only if resolution
+# and asset-tag extraction both work, VERDICT r12 items 1c+8), a
+# root-relative stylesheet link; every second doc an UNQUOTED
+# dot-dot script src, every third an extra docs link (variable
+# outlink counts exercise the explode), every fourth an UNQUOTED
+# href, every sixth a fragment-only anchor.
 _LINKS_SYNTH_SPARK_EXPR = (
     "concat('<p>See <a href=\"https://site',"
     " CAST(coalesce(doc_id, 0) % 7 AS STRING),"
@@ -440,6 +444,8 @@ _LINKS_SYNTH_SPARK_EXPR = (
     " '\">ref  ', CAST(coalesce(doc_id, 0) AS STRING), '</a>',"
     " ' and <a class=\"x\" href=''https://spam.example.net/track?u=',"
     " CAST(coalesce(doc_id, 0) % 5 AS STRING), '''>offer</a>',"
+    " ' then <a href=\"page', CAST(coalesce(doc_id, 0) % 4 AS STRING),"
+    " '.html\">next page</a>',"
     " CASE WHEN coalesce(doc_id, 0) % 3 = 0 THEN"
     " concat(' plus <a href=\"http://docs.example.com/',"
     " CAST(coalesce(doc_id, 0) % 11 AS STRING), '\">docs\n',"
@@ -448,6 +454,17 @@ _LINKS_SYNTH_SPARK_EXPR = (
     " concat(' see <a href=http://u.example.net/',"
     " CAST(coalesce(doc_id, 0) % 13 AS STRING), '>bare</a>')"
     " ELSE '' END,"
+    " CASE WHEN coalesce(doc_id, 0) % 6 = 0 THEN"
+    " concat(' <a href=\"#sec-', CAST(coalesce(doc_id, 0) % 9 AS STRING),"
+    " '\">jump</a>') ELSE '' END,"
+    " '<img alt=\"px\" src=''//spam.example.net/px/',"
+    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '.gif''/>',"
+    " '<link rel=\"stylesheet\" href=\"/assets/site-',"
+    " CAST(coalesce(doc_id, 0) % 3 AS STRING), '.css\"/>',"
+    " CASE WHEN coalesce(doc_id, 0) % 2 = 0 THEN"
+    " concat('<script src=../static/app-',"
+    " CAST(coalesce(doc_id, 0) % 7 AS STRING), '.js></script>')"
+    " ELSE '' END,"
     " '</p><p>No links here: ', coalesce(text, ''), '</p>')"
 )
 
@@ -455,19 +472,69 @@ _LINKS_SYNTH_DUCKDB_EXPR = (
     _LINKS_SYNTH_SPARK_EXPR.replace("AS STRING", "AS VARCHAR")
 )
 
+#: the page URI each doc's links resolve against — the WARC-target-URI
+#: shape the crawl head produces (directory path, so relative refs
+#: exercise the base-dir rule)
+_LINKS_BASE_SPARK_EXPR = (
+    "concat('https://site', CAST(coalesce(doc_id, 0) % 7 AS STRING),"
+    " '.example.org/w/', CAST(coalesce(doc_id, 0) AS STRING),"
+    " '/index.html')"
+)
+
+_LINKS_BASE_DUCKDB_EXPR = (
+    _LINKS_BASE_SPARK_EXPR.replace("AS STRING", "AS VARCHAR")
+)
+
+
+def _resolve_url_sql(url: str, base: str) -> str:
+    """DuckDB twin of operators.markup.resolve_url — the SAME pattern
+    constants, the same CASE arms, the same bounded dot-segment
+    passes, so the two resolutions can never drift."""
+    from python_ctd_spark.operators.markup import (
+        DOT_SEGMENT_PASSES,
+        URL_BASE_DIR_PATTERN,
+        URL_BASE_PATH_PATTERN,
+        URL_ORIGIN_PATTERN,
+        URL_SCHEME_PATTERN,
+    )
+
+    origin_re = URL_ORIGIN_PATTERN.replace("'", "''")
+    base_nofrag = f"regexp_replace({base}, '#.*', '')"
+    origin = f"regexp_extract({base}, '{origin_re}', 1)"
+    scheme = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    bdir = (f"coalesce(nullif(regexp_extract({base},"
+            f" '{URL_BASE_DIR_PATTERN}', 1), ''), '/')")
+    bpath = (f"coalesce(nullif(regexp_extract({base},"
+             f" '{URL_BASE_PATH_PATTERN}', 1), ''), '/')")
+    resolved = f"""CASE
+      WHEN {url} = '' THEN {base_nofrag}
+      WHEN regexp_matches({url}, '{URL_SCHEME_PATTERN}') THEN {url}
+      WHEN starts_with({url}, '//') THEN {scheme} || ':' || {url}
+      WHEN starts_with({url}, '/') THEN {origin} || {url}
+      WHEN starts_with({url}, '#') THEN {base_nofrag} || {url}
+      WHEN starts_with({url}, '?') THEN {origin} || {bpath} || {url}
+      ELSE {origin} || {bdir} || {url} END"""
+    rest = f"regexp_replace({resolved}, '{origin_re}', '')"
+    for _ in range(DOT_SEGMENT_PASSES):
+        rest = f"regexp_replace({rest}, '/\\./', '/', 'g')"
+        rest = f"regexp_replace({rest}, '/[^/]+/\\.\\./', '/', 'g')"
+    return f"regexp_extract({resolved}, '{origin_re}', 1) || {rest}"
+
 
 def _extract_links_sql() -> str:
     """DuckDB twin of operators.markup.extract_links over the
-    synthesized column — same HREF_NORMALIZE_PATTERNS/ANCHOR_PATTERN/
-    DOMAIN_PATTERN/BLOCKED_DOMAINS/WS_PATTERN imported from the
-    package so the two can never drift (only the backreference
-    SYNTAX differs: Spark's ``$1`` is RE2's ``\\1``);
-    unnest-with-range replays posexplode's document order."""
+    synthesized column — same HREF_NORMALIZE_PATTERNS /
+    TAG_URL_PATTERNS / DOMAIN_PATTERN / BLOCKED_DOMAINS / WS_PATTERN /
+    resolve_url constants imported from the package so the two can
+    never drift (only the backreference SYNTAX differs: Spark's ``$1``
+    is RE2's ``\\1``); unnest-with-range replays the per-tag indexed
+    transform's document order, UNION ALL the array concat."""
     from python_ctd_spark.operators.markup import (
-        ANCHOR_PATTERN,
         BLOCKED_DOMAINS,
         DOMAIN_PATTERN,
         HREF_NORMALIZE_PATTERNS,
+        LINK_TAG_ATTRS,
+        TAG_URL_PATTERNS,
         WS_PATTERN,
     )
 
@@ -477,29 +544,44 @@ def _extract_links_sql() -> str:
         html = (
             f"regexp_replace({html}, '{esc}', '\\1\"\\2\"', 'g')"
         )
-    anchor = ANCHOR_PATTERN.replace("'", "''")
     dom = DOMAIN_PATTERN.replace("'", "''")
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    arms = []
+    for tag, _attr in LINK_TAG_ATTRS:
+        pat = TAG_URL_PATTERNS[tag].replace("'", "''")
+        anchor = (
+            f"trim(regexp_replace(a[i], '{WS_PATTERN}', ' ', 'g'))"
+            if tag == "a" else "CAST(NULL AS VARCHAR)"
+        )
+        a_col = (f"regexp_extract_all(html, '{pat}', 2) AS a,"
+                 if tag == "a" else "")
+        arms.append(f"""  SELECT doc_id, base, '{tag}' AS tag,
+         CAST(i AS INT) AS link_pos, u[i] AS url, {anchor} AS anchor
+  FROM (
+    SELECT doc_id, base, {a_col}
+           regexp_extract_all(html, '{pat}', 1) AS u
+    FROM n
+  ), LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix""")
+    union = "\nUNION ALL\n".join(arms)
+    resolve = _resolve_url_sql("url", "base")
     return f"""
-WITH h AS (
-  SELECT doc_id, {html} AS html FROM documents
-), arrs AS (
-  SELECT doc_id,
-         regexp_extract_all(html, '{anchor}', 1) AS u,
-         regexp_extract_all(html, '{anchor}', 2) AS a
-  FROM h
+WITH n AS (
+  SELECT doc_id, {_LINKS_BASE_DUCKDB_EXPR} AS base, {html} AS html
+  FROM documents
 ), ex AS (
-  SELECT doc_id, CAST(i AS INT) AS link_pos, u[i] AS url,
-         trim(regexp_replace(a[i], '{WS_PATTERN}', ' ', 'g')) AS anchor
-  FROM arrs, LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix
+{union}
+), res AS (
+  SELECT doc_id, tag, link_pos, url, anchor,
+         {resolve} AS abs_url
+  FROM ex
 )
-SELECT doc_id, link_pos, url, domain, anchor,
+SELECT doc_id, tag, link_pos, url, abs_url, domain, anchor,
        domain IN ({blocked}) AS is_blocked
 FROM (
-  SELECT doc_id, link_pos, url, anchor,
-         regexp_replace(lower(regexp_extract(url, '{dom}', 1)), '\\.$', '')
-           AS domain
-  FROM ex
+  SELECT doc_id, tag, link_pos, url, abs_url, anchor,
+         regexp_replace(lower(regexp_extract(abs_url, '{dom}', 1)),
+                        '\\.$', '') AS domain
+  FROM res
 )
 """
 

@@ -191,15 +191,20 @@ def _decode_table_cached(bits: list[int], vals: list[int]) -> tuple[list, dict]:
     return t
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded stream starting at ``pos`` into
     UNSTUFFED byte segments separated by RSTn markers (restart points
     are byte-aligned, so each interval decodes independently).  Doing
     the 0xFF00 unstuffing once up front lets the bit reader run
-    branch-free."""
+    branch-free.  Also returns the offset of the marker that ENDED the
+    scan (or ``len(data)``), so a multi-scan file — sequential
+    per-component scans or any progressive file — can resume the
+    marker loop there and decode the NEXT scan (the r12 silent-wrong
+    bug: returning after the first SOS dropped scans 2..n)."""
     segs: list[bytes] = []
     start = i = pos
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", i)
         if j < 0 or j + 1 >= n:
@@ -213,8 +218,9 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
         if 0xD0 <= m <= 0xD7:  # restart marker: next segment
             start = i = j + 2
             continue
+        end = j
         break  # a real marker (EOI / next header) ends the scan
-    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs], end
 
 
 class _FastBits:
@@ -278,11 +284,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG byte string to an (H, W, C) uint8 array
-    (C = 1 grayscale, 3 RGB).
+    """Decode a JPEG byte string to an (H, W, C) uint8 array (C = 1
+    grayscale, 3 RGB).  Supports baseline sequential SOF0/1 —
+    interleaved or one-scan-per-component — AND progressive SOF2
+    (spectral selection + successive approximation, DC and AC
+    refinement scans, EOB runs), i.e. the full Huffman-coded 8-bit
+    family real crawls contain.
 
     Raises ``ValueError`` on malformed input or unsupported shapes
-    (progressive SOF2, arithmetic coding, 12-bit precision, >3
+    (lossless SOF3, arithmetic coding, 12-bit precision, >3
     components) — ValueError is the WHOLE error contract: truncated
     segments and dangling table references (IndexError/KeyError/
     struct.error internally) are converted, so upstream "filter
@@ -307,7 +317,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (H, W, comps) where comps = [(cid, h, v, tq)]
+    progressive = False
     restart_interval = 0
+    coef = None  # per-component MCU-padded zig-zag coefficient arrays
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -338,7 +351,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _decode_table_cached(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -350,12 +363,14 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG supported (progressive/"
-                "arithmetic/hierarchical raise — same honesty policy as "
-                "png_numpy's interlace guard)"
+                "only baseline-sequential and progressive (Huffman) "
+                "JPEG supported (lossless/arithmetic/hierarchical "
+                "raise — same honesty policy as png_numpy's "
+                "interlace guard)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -368,69 +383,221 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * c]
                 tables = seg[2 + 2 * c]
                 scan_sel.append((cs, tables >> 4, tables & 0x0F))
-            pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if coef is None:
+                coef = _alloc_coef(frame)
+            pos = _decode_scan(
+                data, pos + seglen, frame, coef, scan_sel, huff_dc,
+                huff_ac, restart_interval, progressive, ss, se, ah, al,
             )
+            n_scans += 1
+            continue
         pos += seglen
-    raise ValueError("no SOS marker found")
+    if n_scans == 0:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(frame, coef, qt)
 
 
-def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+def _alloc_coef(frame) -> list[np.ndarray]:
+    """Per-component MCU-padded quantized-coefficient planes (zig-zag
+    order) — the accumulation target every scan of a multi-scan or
+    progressive file writes into."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    order = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
-    # per-component quantized coefficients, coef[c][by, bx, 64]
-    # (zig-zag order), MCU-padded
-    coef = [
+    return [
         np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
         for (_, ch, cv, _) in comps
     ]
-    segs = _entropy_segments(data, pos)
+
+
+def _blocks_of_scan(frame, scan_sel, order):
+    """Yield one UNIT per restart-accounting step: the ``(comp_idx,
+    block_y, block_x, dc_table, ac_table)`` tuples it codes.  An
+    interleaved scan's unit is the MCU (h x v blocks per component,
+    padding blocks included); a NON-interleaved scan's unit is a
+    single data unit of its one component, raster order over that
+    component's OWN block grid (T.81 A.2.2 — ceil(comp dim / 8), NOT
+    the MCU-padded grid: padding blocks are never coded), which is
+    what makes per-component sequential scans and progressive AC
+    scans frame-accurate."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(scan_sel) == 1:
+        cs, tdc, tac = scan_sel[0]
+        c = order[cs]
+        _, ch, cv, _ = comps[c]
+        cw = -(-(w * ch) // hmax)  # ceil(w * ch / hmax)
+        chh = -(-(h * cv) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-chh // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield ((c, by, bx, tdc, tac),)
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            unit = []
+            for cs, tdc, tac in scan_sel:
+                c = order[cs]
+                _, ch, cv, _ = comps[c]
+                for by in range(cv):
+                    for bx in range(ch):
+                        unit.append((c, my * cv + by, mx * ch + bx, tdc, tac))
+            yield unit
+
+
+def _decode_scan(data, pos, frame, coef, scan_sel, huff_dc, huff_ac,
+                 dri, progressive, ss, se, ah, al) -> int:
+    """Decode ONE scan's entropy data into ``coef`` and return the
+    offset of the marker that ended it (multi-scan files resume the
+    marker loop there)."""
+    order = {cid: i for i, (cid, _, _, _) in enumerate(frame[2])}
+    segs, end = _entropy_segments(data, pos)
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("bad spectral selection in a sequential scan")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if progressive and ss > 0 and (len(scan_sel) != 1 or se < ss or se > 63):
+        raise ValueError("progressive AC scan must be one component, "
+                         "1 <= Ss <= Se <= 63")
     seg_idx = 0
     r = _FastBits(segs[0])
-    pred = [0] * len(comps)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if dri and m and m % dri == 0:
+    pred: dict[int, int] = {}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    units = 0
+    for unit in _blocks_of_scan(frame, scan_sel, order):
+        if dri and units and units % dri == 0:
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise ValueError("missing restart marker")
             r = _FastBits(segs[seg_idx])
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for cs, tdc, tac in scan_sel:
-            c = order[cs]
-            _, ch, cv, _tq = comps[c]
-            for by in range(cv):
-                for bx in range(ch):
-                    blk = coef[c][my * cv + by, mx * ch + bx]
-                    # DC
+            pred = {}
+            eobrun = 0
+        units += 1
+        for c, by, bx, tdc, tac in unit:
+            blk = coef[c][by, bx]
+            if not progressive:
+                # DC
+                s = _huff_decode(r, huff_dc[tdc])
+                diff = _extend(r.take(s), s) if s else 0
+                pred[c] = pred.get(c, 0) + diff
+                blk[0] = pred[c]
+                # AC
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(r, huff_ac[tac])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = _extend(r.take(size), size)
+                    k += 1
+            elif ss == 0:
+                if ah == 0:  # DC first: diff at successive-approx level
                     s = _huff_decode(r, huff_dc[tdc])
                     diff = _extend(r.take(s), s) if s else 0
-                    pred[c] += diff
-                    blk[0] = pred[c]
-                    # AC
-                    k = 1
-                    while k < 64:
-                        sym = _huff_decode(r, huff_ac[tac])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
+                    pred[c] = pred.get(c, 0) + diff
+                    blk[0] = pred[c] << al
+                elif r.take(1):  # DC refinement: one appended bit
+                    blk[0] |= p1
+            elif ah == 0:  # AC first pass over band [ss, se]
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_decode(r, huff_ac[tac])
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:
                             k += 16  # ZRL
                             continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(r.take(size), size)
-                        k += 1
+                        eobrun = (1 << run) - 1  # EOBn: this block ends
+                        if run:
+                            eobrun += r.take(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(r.take(size), size) * p1
+                    k += 1
+            else:  # AC refinement pass (T.81 G.1.2.3)
+                eobrun = _refine_ac(r, blk, huff_ac[tac], ss, se,
+                                    p1, m1, eobrun)
+    return end
+
+
+def _refine_ac(r, blk, table, ss, se, p1, m1, eobrun) -> int:
+    """One block of an AC successive-approximation refinement scan:
+    every already-nonzero coefficient in the band receives ONE
+    correction bit (add ``1 << Al`` toward larger magnitude when set,
+    guarded against re-setting an already-present bit); newly-nonzero
+    coefficients arrive as (run-of-zero-HISTORY, +/-1<<Al) symbols;
+    ZRL passes over 16 zero-history positions; EOBn covers the rest of
+    this block plus ``eobrun`` following blocks (their nonzero
+    coefficients still consume correction bits)."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(r, table)
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:  # EOBn: INCLUDES this block — its
+                    # remaining nonzero coefficients still consume
+                    # correction bits (the loop below, which also
+                    # decrements), unlike the first-pass convention
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.take(run)
+                    break
+                # ZRL: run stays 15 -> pass over 16 zero-history coeffs
+            elif size == 1:
+                val = p1 if r.take(1) else m1
+            else:
+                raise ValueError("AC refinement size must be 1")
+            while k <= se:
+                if blk[k] != 0:
+                    if r.take(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region: correction bits only
+            if blk[k] != 0:
+                if r.take(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coef, qt) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     # dequantize + un-zigzag + IDCT, batched per component
     planes = []
     for c, (_, ch, cv, tq_id) in enumerate(comps):
@@ -544,16 +711,28 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    interleave: bool = True,
 ) -> bytes:
-    """Encode an (H, W) gray or (H, W, 3) RGB uint8 array as baseline
-    JFIF with the Annex K tables scaled by ``quality``.
+    """Encode an (H, W) gray or (H, W, 3) RGB uint8 array as JFIF with
+    the Annex K tables scaled by ``quality``.
 
     ``subsampling='420'`` emits the 2x2-chroma-subsampled layout real
     crawl JPEGs overwhelmingly use (Y sampling 2,2; box-mean chroma);
-    ``restart_interval=N`` inserts DRI/RSTn markers every N MCUs —
-    both exist mainly so the DECODER's general sampling-factor and
-    restart paths are exercised by round-trip tests without a foreign
-    encoder in the environment."""
+    ``restart_interval=N`` inserts DRI/RSTn markers every N units
+    (MCUs interleaved, data units otherwise); ``interleave=False``
+    writes baseline as ONE SEQUENTIAL SCAN PER COMPONENT (the legal
+    multi-SOS layout the r12 decoder silently mis-decoded — ADVICE
+    r12); ``progressive=True`` writes SOF2 with a spectral-selection +
+    successive-approximation scan script (interleaved DC first/refine,
+    per-component AC bands 1-5 and 6-63 at Al=1 then their refinement
+    to Al=0) using the standard tables, with EOB runs capped at one
+    block (always legal; the standard AC tables carry no EOBn>0
+    codes).  All of these exist mainly so the DECODER's scan paths are
+    exercised by round-trip tests without a foreign encoder in the
+    environment — decoding any of them at quality=100 must reproduce
+    the baseline-interleaved pixels bit-for-bit, since all layouts
+    carry the same quantized coefficients."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[..., None]
@@ -629,7 +808,8 @@ def encode_jpeg(
     for c in range(nc):
         ch, cv = factors[c]
         sof += bytes([c + 1, (ch << 4) | cv, tq_ids[c]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     def dht(tc, th, table):
         bits, vals = table
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
@@ -637,36 +817,155 @@ def encode_jpeg(
     out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
     if nc == 3:
         out += dht(0, 1, _DC_CHROM) + dht(1, 1, _AC_CHROM)
-    sos = bytearray([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, tsel[c]])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    # entropy-coded data: interleaved MCUs, h x v blocks per component
     dc_codes = [_canonical_codes(*t) for t in dcsel]
     ac_codes = [_canonical_codes(*t) for t in acsel]
-    wtr = _BitWriter()
-    pred = [0] * nc
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            out += wtr.flush()
-            wtr = _BitWriter()
-            out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            pred = [0] * nc
-        my, mx = divmod(m, mcux)
-        for c in range(nc):
-            ch, cv = factors[c]
-            for by in range(cv):
-                for bx in range(ch):
+    frame = (h, w, [(c + 1, *factors[c], tq_ids[c]) for c in range(nc)])
+    order = {c + 1: c for c in range(nc)}
+
+    def emit_scan(scan_comps: list[int], ss: int, se: int,
+                  ah: int, al: int) -> None:
+        sos = bytearray([len(scan_comps)])
+        for c in scan_comps:
+            sos += bytes([c + 1, tsel[c]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        scan_sel = [(c + 1, 0, 0) for c in scan_comps]
+        wtr = _BitWriter()
+        pred = [0] * nc
+        rst = units = 0
+        for unit in _blocks_of_scan(frame, scan_sel, order):
+            if restart_interval and units and units % restart_interval == 0:
+                out.extend(wtr.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                pred = [0] * nc
+            units += 1
+            for c, by, bx, _tdc, _tac in unit:
+                blk = qblocks[c][by, bx]
+                if not progressive:
                     pred[c] = _encode_block(
-                        wtr,
-                        qblocks[c][my * cv + by, mx * ch + bx],
-                        pred[c],
-                        dc_codes[c],
-                        ac_codes[c],
+                        wtr, blk, pred[c], dc_codes[c], ac_codes[c]
                     )
-    out += wtr.flush()
+                elif ss == 0 and ah == 0:
+                    pred[c] = _encode_dc_first(wtr, blk, pred[c],
+                                               dc_codes[c], al)
+                elif ss == 0:
+                    wtr.write((int(blk[0]) >> al) & 1, 1)  # DC refine
+                elif ah == 0:
+                    _encode_ac_first(wtr, blk, ac_codes[c], ss, se, al)
+                else:
+                    _encode_ac_refine(wtr, blk, ac_codes[c], ss, se, al)
+        out.extend(wtr.flush())
+
+    if progressive:
+        allc = list(range(nc))
+        emit_scan(allc, 0, 0, 0, 1)           # DC first, Al=1
+        for c in allc:
+            emit_scan([c], 1, 5, 0, 1)        # AC band 1 first
+            emit_scan([c], 6, 63, 0, 1)       # AC band 2 first
+        emit_scan(allc, 0, 0, 1, 0)           # DC refinement
+        for c in allc:
+            emit_scan([c], 1, 5, 1, 0)        # AC band 1 refinement
+            emit_scan([c], 6, 63, 1, 0)       # AC band 2 refinement
+    elif interleave:
+        emit_scan(list(range(nc)), 0, 63, 0, 0)
+    else:
+        for c in range(nc):                   # one sequential scan per comp
+            emit_scan([c], 0, 63, 0, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _encode_dc_first(w: _BitWriter, blk, pred: int, dc_codes: dict,
+                     al: int) -> int:
+    """Progressive DC first scan: diff-code the point-transformed DC
+    (arithmetic shift, matching the decoder's ``pred << Al``)."""
+    dc = int(blk[0]) >> al
+    diff = dc - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _encode_ac_first(w: _BitWriter, blk, ac_codes: dict,
+                     ss: int, se: int, al: int) -> None:
+    """Progressive AC first scan over one band: run-length code the
+    point-transformed magnitudes; trailing zeros fold into a plain EOB
+    (EOB-run length fixed at one block — always legal, and the only
+    EOBn the standard tables can express)."""
+    r = 0
+    coded_any = False
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        m = (v if v >= 0 else -v) >> al
+        if m == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            r -= 16
+        s = m.bit_length()
+        code, length = ac_codes[(r << 4) | s]
+        w.write(code, length)
+        w.write(m if v >= 0 else (-m) + (1 << s) - 1, s)
+        r = 0
+        coded_any = True
+    if r or not coded_any:
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+
+
+def _encode_ac_refine(w: _BitWriter, blk, ac_codes: dict,
+                      ss: int, se: int, al: int) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3 encoder side):
+    newly-visible coefficients (|v| >> Al == 1) emit (run-of-zero-
+    HISTORY, 1) symbols + a sign bit; already-nonzero coefficients
+    buffer one correction bit, flushed after the next symbol so the
+    decoder consumes them in position order during its run walk;
+    trailing state folds into a single-block EOB."""
+    mags = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+    try:
+        eob_rel = max(i for i, m in enumerate(mags) if m == 1)
+    except ValueError:
+        eob_rel = -1  # no newly-visible coefficient in this block
+    r = 0
+    br: list[int] = []
+    for i, m in enumerate(mags):
+        if m == 0:
+            r += 1
+            continue
+        # required ZRLs go out at EVERY nonzero position before its
+        # own coding (unless foldable into the trailing EOB) — a
+        # history coefficient sitting between the ZRL's 16-zero window
+        # and the next new coefficient must buffer its correction bit
+        # AFTER the ZRL flush, or the decoder's run walk reads it on
+        # the wrong side of the symbol
+        while r > 15 and i <= eob_rel:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if m > 1:  # history: one correction bit, buffered
+            br.append(m & 1)
+            continue
+        # m == 1: newly visible (r <= 15 here: i <= eob_rel, so the
+        # ZRL loop above has drained any longer run)
+        code, length = ac_codes[(r << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        r = 0
+    if r or br or eob_rel < 0:
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+        for b in br:
+            w.write(b, 1)

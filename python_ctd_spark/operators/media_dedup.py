@@ -136,14 +136,16 @@ def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     and the scale harness (tools/bench_scale.py), so both always
     measure the identical pipeline.
 
-    FORMAT-MIXED on purpose (even ids PNG, odd ids baseline JPEG at
-    quality 100): the oracle's golden hashes are computed from the
-    PRE-encode pixels, so the driver row's green proves BOTH codec
-    round trips AND that near-dup detection works across formats —
-    the crawl reality, where the same raster arrives in whatever
-    format the site served (JPEG q=100 error <= 2 gray levels vs the
-    fixture's 80-level cell margin, so the hashes are exactly the
-    pre-encode ones)."""
+    FORMAT-MIXED on purpose (even ids PNG; ``id % 4 == 1`` baseline
+    JPEG, ``id % 4 == 3`` PROGRESSIVE JPEG — the SOF2 spectral-
+    selection + successive-approximation layout real crawls serve,
+    r13 — both at quality 100): the oracle's golden hashes are
+    computed from the PRE-encode pixels, so the driver row's green
+    proves EVERY codec round trip AND that near-dup detection works
+    across formats — the crawl reality, where the same raster arrives
+    in whatever format the site served (JPEG q=100 error <= 2 gray
+    levels vs the fixture's 80-level cell margin, so the hashes are
+    exactly the pre-encode ones)."""
 
     def load_maker():
         from python_ctd_spark.functions.image_hash import make_image_blob
@@ -151,7 +153,9 @@ def synthesize_image_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def make(i: int) -> bytes:
             blob, px = make_image_blob(i)
-            return encode_jpeg(px, quality=100) if i % 2 else blob
+            if i % 2 == 0:
+                return blob
+            return encode_jpeg(px, quality=100, progressive=i % 4 == 3)
 
         return make
 

@@ -57,14 +57,93 @@ def test_round_trip_sampling_and_restart_layouts(subsampling, dri):
     assert (b"\xff\xd0" in blob or b"\xff\xd1" in blob) == bool(dri)
 
 
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_decodes_bit_identical_to_baseline(sub):
+    """Progressive (SOF2, spectral selection + successive
+    approximation: interleaved DC first/refine, per-component AC bands
+    at Al=1 refined to Al=0, EOB runs) carries the SAME quantized
+    coefficients as baseline, so decode must match the baseline decode
+    bit-for-bit — at any quality, with and without restart markers.
+    The 41x23 seed-7 noise image is the regression pin for the
+    ZRL-with-interleaved-history correction-bit ordering bug found
+    while building the encoder (T.81 G.1.2.3's subtlest corner)."""
+    rng = np.random.default_rng(7)
+    for img in (rng.integers(0, 256, (41, 23, 3), dtype=np.uint8),
+                _gradient(18, 49)):
+        for q in (100, 80):
+            ref = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            for dri in (0, 3):
+                out = decode_jpeg(encode_jpeg(
+                    img, quality=q, subsampling=sub,
+                    progressive=True, restart_interval=dri))
+                assert np.array_equal(out, ref), (q, dri)
+    # progressive q=100 on a DCT-friendly image: exact round trip
+    g = _gradient(16, 16)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=100, progressive=True)), g)
+
+
+def test_multi_scan_sequential_decodes_all_components():
+    """ADVICE r12 (medium): a LEGAL baseline file with one SOS per
+    component must decode every scan — the r12 decoder returned after
+    the first SOS, silently yielding a grayscale-ish image.  Also
+    covers the non-interleaved block grid (component-own dims, not the
+    MCU-padded grid) and per-scan restart intervals."""
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (18, 49, 3), dtype=np.uint8)  # the bug pin:
+    # 420 chroma grid ceil(25/8)=4 blocks — a floor here loses column 48
+    for sub in ("444", "420"):
+        ref = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        for dri in (0, 2):
+            out = decode_jpeg(encode_jpeg(
+                img, quality=85, subsampling=sub,
+                interleave=False, restart_interval=dri))
+            assert np.array_equal(out, ref), (sub, dri)
+    # the color actually survives (the r12 symptom was channel loss)
+    red = np.zeros((16, 16, 3), np.uint8)
+    red[..., 0] = 200
+    out = decode_jpeg(encode_jpeg(red, quality=95, interleave=False))
+    assert out[..., 0].mean() > 150 and out[..., 2].mean() < 80
+
+
+def test_progressive_stress_matrix():
+    """Randomized cross-check over shapes/qualities/layouts: the
+    progressive and per-component-sequential encodings always decode
+    bit-identical to the interleaved baseline (same coefficients, so
+    any difference is a scan-path bug)."""
+    rng = np.random.default_rng(42)
+    for t in range(12):
+        shape = (int(rng.integers(8, 60)), int(rng.integers(8, 60)))
+        if t % 2:
+            shape += (3,)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        q = int(rng.integers(40, 101))
+        sub = "420" if (t % 3 == 0 and img.ndim == 3) else "444"
+        dri = int(rng.integers(0, 4))
+        ref = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(
+            img, quality=q, subsampling=sub, progressive=True,
+            restart_interval=dri))
+        seq = decode_jpeg(encode_jpeg(
+            img, quality=q, subsampling=sub, interleave=False,
+            restart_interval=dri))
+        assert np.array_equal(prog, ref), (t, shape, q, sub, dri)
+        assert np.array_equal(seq, ref), (t, shape, q, sub, dri)
+
+
 def test_guards_are_loud():
-    """Honest capability edges: progressive (SOF2) and non-JPEG bytes
-    raise ValueError, never return garbage."""
+    """Honest capability edges: lossless (SOF3) and non-JPEG bytes
+    raise ValueError, never return garbage — and a BASELINE stream
+    mislabeled as progressive (SOF2) is rejected for its
+    sequential-only scan params rather than decoded silently wrong."""
     img = _gradient(8, 8)
     blob = bytearray(encode_jpeg(img, quality=90))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    blob[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="lossless|arithmetic"):
+        decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC2  # SOF2 label on a full-band sequential scan
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")

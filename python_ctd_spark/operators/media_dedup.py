@@ -49,21 +49,28 @@ def image_ahash(
     id_col: str = "doc_id",
     blob_col: str = "blob",
     hash_size: int = 8,
+    strict: bool = True,
 ) -> DataFrame:
     """Decode each image blob (real stdlib decoders — PNG via
-    :mod:`..functions.png_numpy`, baseline JPEG via
-    :mod:`..functions.jpeg_numpy`, dispatched on magic bytes) and emit
-    its 64-bit average-hash: ``(id, ahash, height, width)``.
+    :mod:`..functions.png_numpy`, JPEG — baseline, multi-scan or
+    progressive — via :mod:`..functions.jpeg_numpy`, dispatched on
+    magic bytes) and emit its 64-bit average-hash:
+    ``(id, ahash, height, width, error)``.
 
     Arrow-batched ``mapInPandas``; no shuffle — the blob column never
     leaves the scan stage's partitions, and downstream joins see only
     the ~16-byte fingerprint rows.  Color inputs are luma-averaged and
-    the alpha channel is DROPPED before pooling (:func:`_to_gray`); a
-    malformed blob raises (dedup must not silently skip corpus rows —
-    filter decodable rows explicitly upstream if the archive is dirty).
-    The hash input is the decoded raster, so near-dup detection works
-    ACROSS formats: a PNG and its JPEG re-encode land in the same
-    bucket (JPEG error is bounded far below the pooled-cell margin).
+    the alpha channel is DROPPED before pooling (:func:`_to_gray`).
+
+    Error contract (VERDICT r12 item 3): with ``strict=True`` (the
+    default — unchanged behavior) a malformed blob raises, because
+    dedup must not silently skip corpus rows.  With ``strict=False``
+    an undecodable blob becomes a QUARANTINE ROW — ``error`` set,
+    hash/dims NULL — mirroring the WARC reader's record-granular
+    quarantine: on a real archive, one arithmetic-coded JPEG must not
+    kill a 100 TB job, and silently dropping it is worse.  Filter
+    ``error IS NULL`` before :func:`ahash_pairs` (which also guards
+    itself) and audit the complement.
     """
 
     def fn(batches):
@@ -74,25 +81,39 @@ def image_ahash(
         from python_ctd_spark.functions.png_numpy import decode_png
 
         for pdf in batches:
-            ids, hashes, hs, ws = [], [], [], []
+            ids, hashes, hs, ws, errs = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob)
-                px = decode_jpeg(b) if b[:2] == b"\xff\xd8" else decode_png(b)
-                hashes.append(ahash64(_to_gray(px), hash_size))
+                try:
+                    px = (decode_jpeg(b) if b[:2] == b"\xff\xd8"
+                          else decode_png(b))
+                    h64 = ahash64(_to_gray(px), hash_size)
+                except ValueError as exc:
+                    if strict:
+                        raise
+                    ids.append(i)
+                    hashes.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    errs.append(str(exc))
+                    continue
                 ids.append(i)
+                hashes.append(h64)
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
-                    "ahash": pd.Series(hashes, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "width": pd.Series(ws, dtype="int32"),
+                    "ahash": pd.Series(hashes, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "error": pd.Series(errs, dtype="object"),
                 }
             )
 
     return df.select(id_col, blob_col).mapInPandas(
-        fn, "id long, ahash long, height int, width int"
+        fn, "id long, ahash long, height int, width int, error string"
     )
 
 
@@ -177,7 +198,13 @@ def ahash_pairs(
 
     Unlike the text row's best-effort 6-bit band, image near-dup here
     CONTRACTS losslessness (the oracle proves it with an exhaustive
-    all-pairs scan), so ``max_hamming < bands`` is enforced."""
+    all-pairs scan), so ``max_hamming < bands`` is enforced.
+
+    NULL hashes — the quarantine rows a ``strict=False`` fingerprint
+    pass emits for undecodable blobs — are excluded here BY KEY
+    SEMANTICS, not silently: the quarantine contract is that those ids
+    sit in the ``error IS NOT NULL`` audit stream, never in the join.
+    """
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_hamming >= bands:
@@ -185,7 +212,9 @@ def ahash_pairs(
             f"pigeonhole guarantee needs max_hamming < bands "
             f"({max_hamming} >= {bands})"
         )
-    base = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
+    base = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    )
     return banded_hamming_pairs(base, max_hamming, bands, materialize)
 
 
@@ -223,19 +252,23 @@ def audio_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
     blob_col: str = "blob",
+    strict: bool = True,
 ) -> DataFrame:
     """Decode each PCM WAV blob (real stdlib decoder —
     :mod:`..functions.wav_numpy`, multi-channel averaged to mono) and
     emit its 64-bit frame-energy fingerprint
     (:func:`..functions.audio_hash.energy_hash64`):
-    ``(id, afp, n_samples, rate)``.
+    ``(id, afp, n_samples, rate, error)``.
 
     Same shape discipline as :func:`image_ahash` — map-side
     ``mapInPandas``, samples never shuffle, and the fingerprint feeds
     the SAME :func:`..dedup.banded_hamming_pairs` join (pass
     ``hash_col="afp"`` to :func:`ahash_pairs`), so audio near-dup costs
     one more adapter, not a third engine.  Gain-changed copies collide
-    exactly (the hash is amplitude-scale-invariant)."""
+    exactly (the hash is amplitude-scale-invariant).  Same error
+    contract too: strict raises on a malformed blob; ``strict=False``
+    emits a quarantine row (``error`` set, fingerprint NULL) — a
+    compressed-codec WAV in a dirty archive must not kill the job."""
 
     def fn(batches):
         import pandas as pd
@@ -244,24 +277,37 @@ def audio_fingerprint(
         from python_ctd_spark.functions.wav_numpy import decode_wav
 
         for pdf in batches:
-            ids, fps, ns, rates = [], [], [], []
+            ids, fps, ns, rates, errs = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                samples, rate = decode_wav(bytes(blob))
-                fps.append(energy_hash64(samples))
+                try:
+                    samples, rate = decode_wav(bytes(blob))
+                    fp = energy_hash64(samples)
+                except (ValueError, NotImplementedError) as exc:
+                    if strict:
+                        raise
+                    ids.append(i)
+                    fps.append(None)
+                    ns.append(None)
+                    rates.append(None)
+                    errs.append(str(exc))
+                    continue
                 ids.append(i)
+                fps.append(fp)
                 ns.append(samples.shape[0])
                 rates.append(rate)
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
-                    "afp": pd.Series(fps, dtype="int64"),
-                    "n_samples": pd.Series(ns, dtype="int64"),
-                    "rate": pd.Series(rates, dtype="int32"),
+                    "afp": pd.Series(fps, dtype="Int64"),
+                    "n_samples": pd.Series(ns, dtype="Int64"),
+                    "rate": pd.Series(rates, dtype="Int32"),
+                    "error": pd.Series(errs, dtype="object"),
                 }
             )
 
     return df.select(id_col, blob_col).mapInPandas(
-        fn, "id long, afp long, n_samples long, rate int"
+        fn, "id long, afp long, n_samples long, rate int, error string"
     )
 
 
@@ -270,6 +316,7 @@ def gif_frame_hashes(
     id_col: str = "doc_id",
     blob_col: str = "blob",
     hash_size: int = 8,
+    strict: bool = True,
 ) -> DataFrame:
     """Decode each GIF blob (real stdlib decoder, disposal-composited
     full-canvas frames — :mod:`..functions.gif_numpy`) and emit one
@@ -280,7 +327,10 @@ def gif_frame_hashes(
     :func:`..dedup.banded_hamming_pairs` and aggregate matches per id
     pair).  Frames are luma-averaged; canvas sides must be multiples of
     ``hash_size`` (resize first otherwise — same contract as
-    :func:`image_ahash`)."""
+    :func:`image_ahash`).  Same error contract as the other
+    fingerprinters: strict raises; ``strict=False`` quarantines an
+    undecodable animation as ONE row (``frame_idx`` NULL, ``error``
+    set)."""
 
     def fn(batches):
         import pandas as pd
@@ -289,27 +339,42 @@ def gif_frame_hashes(
         from python_ctd_spark.functions.image_hash import ahash64
 
         for pdf in batches:
-            ids, idxs, hashes, hs, ws = [], [], [], [], []
+            ids, idxs, hashes, hs, ws, errs = [], [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames, _delays = decode_gif(bytes(blob))
+                try:
+                    frames, _delays = decode_gif(bytes(blob))
+                except ValueError as exc:
+                    if strict:
+                        raise
+                    ids.append(i)
+                    idxs.append(None)
+                    hashes.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    errs.append(str(exc))
+                    continue
                 for j, fr in enumerate(frames):
                     ids.append(i)
                     idxs.append(j)
                     hashes.append(ahash64(_to_gray(fr), hash_size))
                     hs.append(fr.shape[0])
                     ws.append(fr.shape[1])
+                    errs.append(None)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "ahash": pd.Series(hashes, dtype="int64"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "width": pd.Series(ws, dtype="int32"),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "ahash": pd.Series(hashes, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "error": pd.Series(errs, dtype="object"),
                 }
             )
 
     return df.select(id_col, blob_col).mapInPandas(
-        fn, "id long, frame_idx int, ahash long, height int, width int"
+        fn,
+        "id long, frame_idx int, ahash long, height int, width int,"
+        " error string",
     )
 
 
@@ -344,6 +409,11 @@ def gif_near_dup_pairs(
     only thing shuffled — 16 bytes per frame, never pixels."""
     if not 0.0 < min_match_frac <= 1.0:
         raise ValueError(f"min_match_frac in (0, 1], got {min_match_frac}")
+    # quarantine rows from a strict=False hash pass (NULL frame_idx /
+    # ahash, error set) belong to the audit stream, not the join —
+    # same exclusion-by-key-semantics as ahash_pairs
+    if "error" in frames.columns:
+        frames = frames.filter(F.col("ahash").isNotNull())
     # packed key = id * 2^20 + frame_idx must fit a signed 64-bit long:
     # ids are capped at 2^43 (enough for sequence ids; the repo's
     # 60-bit md5 doc_ids need a remap first — e.g. dense_rank — and

@@ -151,3 +151,75 @@ def test_gif_near_dup_pairs_rejects_oversized_ids(spark):
     )
     with pytest.raises(SparkRuntimeException, match="2\\^43"):
         gif_near_dup_pairs(df).collect()
+
+
+def test_decode_quarantine_path(spark):
+    """VERDICT r12 item 3: with strict=False every media fingerprinter
+    turns an undecodable blob into a quarantine ROW (error set, hash
+    NULL) instead of a dead 100 TB job — mirroring the WARC reader's
+    record-granular quarantine — while the strict default still
+    raises, and the downstream banded joins exclude quarantined ids by
+    key semantics."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from python_ctd_spark.functions.image_hash import make_image_blob
+    from python_ctd_spark.functions.jpeg_numpy import encode_jpeg
+    from python_ctd_spark.operators.media_dedup import (
+        ahash_pairs,
+        audio_fingerprint,
+        gif_frame_hashes,
+        gif_near_dup_pairs,
+        image_ahash,
+    )
+
+    _, px = make_image_blob(0)
+    good_png, _ = make_image_blob(2)
+    good_prog = encode_jpeg(px, quality=100, progressive=True)
+    arith = bytearray(encode_jpeg(px, quality=100))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic coding
+    imgs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "blob": [good_prog, bytes(arith), good_png,
+                     b"\xff\xd8garbage"],
+        })
+    )
+    out = image_ahash(imgs, strict=False).toPandas().set_index("id")
+    assert out.loc[0, "error"] is None and out.loc[2, "error"] is None
+    assert "arithmetic" in out.loc[1, "error"]
+    assert out.loc[3, "error"] and pd.isna(out.loc[3, "ahash"])
+    # quarantined ids never reach the banded join
+    pairs = ahash_pairs(image_ahash(imgs, strict=False), max_hamming=3)
+    ids = {i for r in pairs.collect() for i in (r.id_a, r.id_b)}
+    assert 1 not in ids and 3 not in ids
+    # strict default still raises (executor-side -> PythonException;
+    # whichever bad blob a partition hits first surfaces)
+    with pytest.raises(PythonException, match="ValueError"):
+        image_ahash(imgs).collect()
+
+    wav, _ = make_audio_blob(5)
+    auds = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6], "blob": [wav, b"RIFFnope"]})
+    )
+    a = audio_fingerprint(auds, strict=False).toPandas().set_index("id")
+    assert a.loc[5, "error"] is None and not pd.isna(a.loc[5, "afp"])
+    assert a.loc[6, "error"] and pd.isna(a.loc[6, "afp"])
+    with pytest.raises(PythonException):
+        audio_fingerprint(auds).collect()
+
+    gif, _ = make_gif_blob(7)
+    gifs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 8], "blob": [gif, b"GIF89a\x00"]})
+    )
+    g = gif_frame_hashes(gifs, strict=False).toPandas()
+    good = g[g.id == 7]
+    assert len(good) == GIF_FRAMES and good.error.isna().all()
+    bad = g[g.id == 8]
+    assert len(bad) == 1 and bad.error.notna().all()
+    assert bad.frame_idx.isna().all()
+    # the packed-key join must not trip its id-bounds raise_error on
+    # the quarantine row's NULL frame_idx
+    gif_near_dup_pairs(gif_frame_hashes(gifs, strict=False)).collect()
+    with pytest.raises(PythonException):
+        gif_frame_hashes(gifs).collect()

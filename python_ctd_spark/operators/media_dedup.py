@@ -311,6 +311,92 @@ def audio_fingerprint(
     )
 
 
+def synthesize_video_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic MJPEG AVI for every id: the SAME planted
+    frame rasters as the GIF fixtures
+    (:func:`..functions.media_dedup_fixtures.gif_fixture_frames`)
+    muxed through :func:`..functions.avi_numpy.encode_avi_mjpeg` at
+    quality 100 — so video near-dup over these blobs must reproduce
+    the GIF fixture's planted group structure exactly (JPEG q=100
+    error <= 2 gray levels vs the 80-level cell margin)."""
+
+    def load_maker():
+        from python_ctd_spark.functions.avi_numpy import encode_avi_mjpeg
+        from python_ctd_spark.functions.media_dedup_fixtures import (
+            gif_fixture_frames,
+        )
+
+        return lambda i: encode_avi_mjpeg(
+            gif_fixture_frames(i), fps=10.0, quality=100
+        )
+
+    return _synthesize_blobs(df, id_col, load_maker)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    hash_size: int = 8,
+    strict: bool = True,
+) -> DataFrame:
+    """Decode each Motion-JPEG AVI blob (real stdlib container walk +
+    the repo's own JPEG codec — :mod:`..functions.avi_numpy`) and emit
+    one perceptual hash PER FRAME: ``(id, frame_idx, ahash, height,
+    width, error)`` — the SAME schema as :func:`gif_frame_hashes`, so
+    :func:`gif_near_dup_pairs` aggregates video near-dups unchanged
+    (one banded join + per-pair frame-match aggregate serves GIF and
+    AVI alike; the codec is an adapter, per the design that makes each
+    new modality one map-side pass, never a new engine).  Same error
+    contract: strict raises on an undecodable blob or a non-MJPEG
+    fourcc; ``strict=False`` quarantines it as one row."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from python_ctd_spark.functions.avi_numpy import decode_avi
+        from python_ctd_spark.functions.image_hash import ahash64
+
+        for pdf in batches:
+            ids, idxs, hashes, hs, ws, errs = [], [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    frames, _fps = decode_avi(bytes(blob))
+                except ValueError as exc:
+                    if strict:
+                        raise
+                    ids.append(i)
+                    idxs.append(None)
+                    hashes.append(None)
+                    hs.append(None)
+                    ws.append(None)
+                    errs.append(str(exc))
+                    continue
+                for j, fr in enumerate(frames):
+                    ids.append(i)
+                    idxs.append(j)
+                    hashes.append(ahash64(_to_gray(fr), hash_size))
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "ahash": pd.Series(hashes, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "error": pd.Series(errs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        fn,
+        "id long, frame_idx int, ahash long, height int, width int,"
+        " error string",
+    )
+
+
 def gif_frame_hashes(
     df: DataFrame,
     id_col: str = "doc_id",

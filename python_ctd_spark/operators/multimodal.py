@@ -44,10 +44,14 @@ def attach_media_meta(
     size from length — pure JVM expressions."""
     blob = F.col(blob_col)
     head = F.hex(F.substring(blob, 1, 4))
+    riff_form = F.hex(F.substring(blob, 9, 4))  # RIFF form: WAVE / AVI\x20
     fmt = (
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8FF"), F.lit("jpeg"))
-        .when(head.startswith("52494646"), F.lit("wav"))
+        .when(head.startswith("52494646") & (riff_form == "57415645"),
+              F.lit("wav"))
+        .when(head.startswith("52494646") & (riff_form == "41564920"),
+              F.lit("avi"))
         .when(head.startswith("47494638"), F.lit("gif"))
         .otherwise(F.lit("unknown"))
     )
@@ -81,19 +85,22 @@ def decode_and_featurize(
     from pixel values), baseline JPEG blobs
     (:func:`python_ctd_spark.functions.jpeg_numpy.decode_jpeg` —
     clean-room T.81 decoder, the dominant crawl format) and PCM WAV
-    blobs (:func:`python_ctd_spark.functions.wav_numpy.decode_wav`;
-    features from mono samples) and animated GIF blobs
+    blobs (:func:`python_ctd_spark.functions.wav_numpy.decode_wav_any` —
+    PCM plus the compressed WAV variants: G.711 mu-law/A-law and
+    IMA ADPCM, r13; features from mono samples), animated GIF blobs
     (:func:`python_ctd_spark.functions.gif_numpy.decode_gif`; features
-    from all frames' pixels); other formats raise
-    ``NotImplementedError`` inside the worker — compressed-audio/
-    container-video codecs genuinely aren't in this environment, and
-    only that boundary stays stubbed.
+    from all frames' pixels) and Motion-JPEG AVI video
+    (:func:`python_ctd_spark.functions.avi_numpy.decode_avi`, r13);
+    other formats raise ``NotImplementedError`` inside the worker —
+    perceptual-audio (mp3/aac) and inter-coded video codecs genuinely
+    aren't in this environment, and only that boundary stays stubbed.
     """
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
+        from python_ctd_spark.functions.avi_numpy import decode_avi
         from python_ctd_spark.functions.gif_numpy import decode_gif
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.media_features import feature_fold
@@ -107,10 +114,12 @@ def decode_and_featurize(
                 is_png = b[:4] == b"\x89PNG"
                 is_jpg = b[:2] == b"\xff\xd8"
                 is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
                 is_gif = b[:4] == b"GIF8"
                 fmts.append(
                     "png" if is_png else "jpeg" if is_jpg
-                    else "wav" if is_wav else "gif" if is_gif else "raw"
+                    else "wav" if is_wav else "avi" if is_avi
+                    else "gif" if is_gif else "raw"
                 )
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
@@ -119,8 +128,13 @@ def decode_and_featurize(
                 elif is_jpg:
                     arr = decode_jpeg(b).astype(np.float64).ravel()
                 elif is_wav:
-                    # PCM via stdlib wave; G.711 mu-law/A-law via audioop
+                    # PCM via stdlib wave; G.711 / IMA ADPCM clean-room
                     arr, _rate = decode_wav_any(b)
+                elif is_avi:
+                    avi_frames, _fps = decode_avi(b)
+                    arr = np.concatenate(
+                        [f.astype(np.float64).ravel() for f in avi_frames]
+                    )
                 elif is_gif:
                     gif_frames, _delays = decode_gif(b)
                     arr = np.concatenate(
@@ -128,9 +142,10 @@ def decode_and_featurize(
                     )
                 else:
                     raise NotImplementedError(
-                        "real decode supports PNG, baseline JPEG, PCM WAV, "
-                        "and GIF only (no librosa/ffmpeg in this "
-                        "environment); pass fake=True for the "
+                        "real decode supports PNG, JPEG (baseline/"
+                        "progressive), WAV (PCM/G.711/IMA-ADPCM), GIF "
+                        "and MJPEG AVI (no librosa/ffmpeg here for "
+                        "mp3/aac/h264); pass fake=True for the "
                         "byte-statistics pseudo-decode"
                     )
                 # one shared fold definition with the kernel-golden
@@ -162,18 +177,22 @@ def frame_sample(
 
     ``fake=False`` REALLY decodes animated-GIF blobs
     (:func:`python_ctd_spark.functions.gif_numpy.decode_gif` — stdlib
-    LZW + disposal compositing) and emits every ``every_n``-th composed
-    frame as raw row-major RGB bytes (H*W*3; dimensions ride in
-    ``media_meta``/the blob header).  Container video (mp4/webm)
-    genuinely needs ffmpeg, which this environment lacks — non-GIF
-    blobs raise ``NotImplementedError``.  ``fake=True`` keeps the
-    deterministic byte-chunk fake (the oracle-checkable form): the blob
-    is treated as a concatenation of fixed-size frames."""
+    LZW + disposal compositing) AND Motion-JPEG AVI blobs
+    (:func:`python_ctd_spark.functions.avi_numpy.decode_avi` — RIFF
+    walk + the repo's own JPEG codec, r13), emitting every
+    ``every_n``-th composed frame as raw row-major RGB bytes (H*W*3;
+    dimensions ride in ``media_meta``/the blob header).  Inter-coded
+    container video (mp4/webm/h264) genuinely needs ffmpeg, which this
+    environment lacks — other blobs raise ``NotImplementedError``.
+    ``fake=True`` keeps the deterministic byte-chunk fake (the
+    oracle-checkable form): the blob is treated as a concatenation of
+    fixed-size frames."""
     schema = "id bigint, frame_idx int, frame binary"
 
     def fn(batches):
         import pandas as pd
 
+        from python_ctd_spark.functions.avi_numpy import decode_avi
         from python_ctd_spark.functions.gif_numpy import decode_gif
 
         for pdf in batches:
@@ -186,17 +205,23 @@ def frame_sample(
                         ids.append(int(i))
                         idxs.append(k)
                         frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
-                elif b[:4] == b"GIF8":
-                    gif_frames, _delays = decode_gif(b)
-                    for k in range(0, len(gif_frames), every_n):
+                elif b[:4] == b"GIF8" or (
+                    b[:4] == b"RIFF" and b[8:12] == b"AVI "
+                ):
+                    if b[:4] == b"GIF8":
+                        vid_frames, _delays = decode_gif(b)
+                    else:
+                        vid_frames, _fps = decode_avi(b)
+                    for k in range(0, len(vid_frames), every_n):
                         ids.append(int(i))
                         idxs.append(k)
-                        frames.append(gif_frames[k].tobytes())
+                        frames.append(vid_frames[k].tobytes())
                 else:
                     raise NotImplementedError(
-                        "real frame sampling supports animated GIF only "
-                        "(no ffmpeg in this environment); pass fake=True "
-                        "for the byte-chunk fake"
+                        "real frame sampling supports animated GIF and "
+                        "Motion-JPEG AVI (no ffmpeg in this environment "
+                        "for inter-coded video); pass fake=True for the "
+                        "byte-chunk fake"
                     )
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 

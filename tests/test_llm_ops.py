@@ -386,8 +386,10 @@ def test_cross_doc_ngram_stats_planted(spark):
 def blobs(spark):
     rows = [
         (0, b"\x89PNG\r\n" + bytes(range(250))),
-        (1, b"RIFF" + bytes(100)),
+        (1, b"RIFF\x00\x00\x00\x00WAVE" + bytes(92)),
         (2, bytes([7] * 64)),
+        (3, b"RIFF\x00\x00\x00\x00AVI " + bytes(92)),
+        (4, b"RIFF" + bytes(100)),  # RIFF with neither form: unknown
     ]
     return spark.createDataFrame(rows, "id long, blob binary")
 
@@ -398,19 +400,21 @@ def test_attach_media_meta(blobs):
     assert out.loc[1, "media_meta"]["format"] == "wav"
     assert out.loc[2, "media_meta"]["format"] == "unknown"
     assert out.loc[2, "media_meta"]["n_bytes"] == 64
+    assert out.loc[3, "media_meta"]["format"] == "avi"
+    assert out.loc[4, "media_meta"]["format"] == "unknown"
 
 
 def test_decode_real_gates_non_png_clearly(blobs):
-    """fake=False decodes PNG for real (tests/test_png_numpy.py); any
-    other format must fail loudly at execution — the codec boundary for
-    JPEG/audio/video is still env-blocked."""
-    with pytest.raises(Exception, match="PNG"):
+    """fake=False decodes PNG/WAV/AVI for real; truncated/garbage
+    bodies behind valid magic bytes must fail loudly at execution
+    (whichever task's codec error surfaces first names its format)."""
+    with pytest.raises(Exception, match="PNG|WAV|RIFF|AVI"):
         multimodal.decode_and_featurize(blobs).collect()
 
 
 def test_decode_fake_features(blobs):
     out = multimodal.decode_and_featurize(blobs, fake=True, n_features=4).toPandas()
-    assert len(out) == 3
+    assert len(out) == 5
     row = out[out.id == 2].iloc[0]
     assert row["format"] == "raw"
     np.testing.assert_allclose(row["feat"], [7.0, 7.0, 7.0, 7.0])

@@ -88,3 +88,48 @@ def test_g711_mulaw_alaw_roundtrip():
     np.testing.assert_array_equal(got, t.astype(np.float64))
     with pytest.raises(ValueError):
         decode_wav_any(b"RIFFxxxxWAVEjunk")
+
+
+def test_g711_luts_match_audioop_reference():
+    """The clean-room G.711 expansion LUTs (ITU-T segment layout, no
+    audioop — Python 3.13 removed it) reproduce the stdlib audioop
+    expansion byte-for-byte while it still exists to compare against."""
+    audioop = pytest.importorskip("audioop")
+    from python_ctd_spark.functions.wav_numpy import _g711_tables
+
+    ul, al = _g711_tables()
+    ref_u = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    np.testing.assert_array_equal(ul, ref_u)
+    np.testing.assert_array_equal(al, ref_a)
+
+
+def test_ima_adpcm_roundtrip_and_gates():
+    """IMA/DVI ADPCM (format code 17): block-header predictor + step
+    index, 4-bit nibbles low-first; decode(encode(x)) tracks within the
+    codec's quantization (a ~4-bit codec — bounded relative error, no
+    drift across block boundaries since each block header resyncs)."""
+    from python_ctd_spark.functions.wav_numpy import (
+        decode_wav_any, encode_wav_ima,
+    )
+
+    x = (np.sin(np.arange(1010) / 7.0) * 12000).astype(np.int16)
+    got, rate = decode_wav_any(encode_wav_ima(x, rate=22050))
+    assert rate == 22050
+    assert got.size == x.size  # 2 blocks of 505, no pad spill
+    err = np.abs(got - x.astype(np.float64))
+    assert err.max() <= 600  # quantization, not divergence
+    # block resync: error does not grow in the second block
+    assert err[505:].max() <= err[:505].max() + 100
+    # random-walk stress: relative error stays codec-bounded
+    rng = np.random.default_rng(5)
+    w = np.cumsum(rng.standard_normal(2020) * 300).clip(-30000, 30000)
+    w = w.astype(np.int16)
+    got, _ = decode_wav_any(encode_wav_ima(w))
+    rel = np.abs(got[: w.size] - w).max() / (np.abs(w).max() + 1)
+    assert rel < 0.08
+    # unknown format codes stay loudly gated
+    from python_ctd_spark.functions.wav_numpy import _wav_container
+
+    with pytest.raises(ValueError, match="format code 85"):
+        decode_wav_any(_wav_container(85, 1, 8000, 16, 2, b"\x00\x00"))

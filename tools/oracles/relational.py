@@ -24,7 +24,11 @@ SELECT doc_id,
        CAST((nf + 3) // 4 AS BIGINT) AS n_frames,
        CAST(CASE WHEN n < 16 THEN n ELSE ((nf + 3) // 4) * 16 END AS BIGINT) AS frame_bytes,
        CAST(n AS BIGINT) AS n_bytes,
-       CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'wav' ELSE 'unknown' END AS format
+       CASE WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE'
+              THEN 'wav'
+            WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'AVI '
+              THEN 'avi'
+            ELSE 'unknown' END AS format
 FROM m
 """
 

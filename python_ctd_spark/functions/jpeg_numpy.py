@@ -214,6 +214,12 @@ def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
         if m == 0x00:
             i = j + 2  # stuffed data byte
             continue
+        if m == 0xFF:
+            # 0xFF FILL byte before a marker (T.81 B.1.1.2 allows any
+            # number) — re-examine from the second 0xFF; the fill stays
+            # in the segment tail, past the bit padding, never read
+            i = j + 1
+            continue
         segs.append(data[start:j])
         if 0xD0 <= m <= 0xD7:  # restart marker: next segment
             start = i = j + 2
@@ -324,6 +330,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # FILL bytes — a multi-scan file with fill before its second
+        # SOS must not mis-read the fill as the marker id (and then
+        # eat the real SOS as a bogus segment length)
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

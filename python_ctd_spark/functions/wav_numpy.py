@@ -81,12 +81,18 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, width: int = 2) -> bytes:
 def _parse_riff(data: bytes):
     """Minimal RIFF/WAVE chunk walk for the formats the stdlib ``wave``
     module refuses (format codes other than PCM): returns
-    ``(fmt_code, n_channels, rate, bits, block_align, data_bytes)``."""
+    ``(fmt_code, n_channels, rate, bits, block_align, fmt_extra,
+    fact_samples, data_bytes)`` — ``fmt_extra`` is the format-specific
+    extension after cbSize (IMA ADPCM stores wSamplesPerBlock there);
+    ``fact_samples`` is the ``fact`` chunk's true per-channel sample
+    count (compressed formats carry it precisely because the final
+    block's padding nibbles must not decode into phantom samples), or
+    None when absent."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
-    pos, fmt, payload = 12, None, None
+    pos, fmt, payload, fact = 12, None, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
@@ -94,13 +100,15 @@ def _parse_riff(data: bytes):
         if cid == b"fmt ":
             code, n_ch, rate = struct.unpack("<HHI", body[:8])
             block_align, bits = struct.unpack("<HH", body[12:16])
-            fmt = (code, n_ch, rate, bits, block_align)
+            fmt = (code, n_ch, rate, bits, block_align, body[18:])
         elif cid == b"data":
             payload = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack("<I", body[:4])[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return (*fmt, payload)
+    return (*fmt, fact, payload)
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -184,13 +192,16 @@ def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
         return decode_wav(data)
     except ValueError:
         pass
-    code, n_ch, rate, _bits, block_align, payload = _parse_riff(data)
+    (code, n_ch, rate, _bits, block_align, fmt_extra, fact,
+     payload) = _parse_riff(data)
     if code in (6, 7):
         global _G711_LUTS
         if _G711_LUTS is None:
             _G711_LUTS = list(_g711_tables())
         lut = _G711_LUTS[0] if code == 7 else _G711_LUTS[1]
         arr = lut[np.frombuffer(payload, dtype=np.uint8)].astype(np.float64)
+        if fact is not None:
+            arr = arr[: fact * n_ch]
         if n_ch > 1:
             arr = arr[: (arr.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
         return arr, rate
@@ -200,9 +211,17 @@ def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
                              " 4-byte nibble groups per channel)")
         if block_align < 4:
             raise ValueError("IMA ADPCM: block align too small")
-        samples: list[int] = []
         import struct
 
+        # wSamplesPerBlock (fmt extension) bounds the FINAL block: its
+        # zero-padded nibbles must not decode into phantom trailing
+        # samples.  Absent, fall back to the block's nibble capacity.
+        per_block = 1 + (block_align - 4) * 2
+        if len(fmt_extra) >= 2:
+            declared = struct.unpack("<H", fmt_extra[:2])[0]
+            if declared:
+                per_block = min(per_block, declared)
+        samples: list[int] = []
         for off in range(0, len(payload) - 3, block_align):
             block = payload[off : off + block_align]
             pred, index = struct.unpack("<hB", block[:3])
@@ -213,20 +232,26 @@ def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
             nibs = np.empty(nib_bytes.size * 2, dtype=np.uint8)
             nibs[0::2] = nib_bytes & 0x0F  # low nibble first (IMA order)
             nibs[1::2] = nib_bytes >> 4
-            samples.extend(_ima_decode_block(nibs.tolist(), pred, index))
+            samples.extend(
+                _ima_decode_block(nibs.tolist()[: per_block - 1], pred, index)
+            )
+        if fact is not None:
+            samples = samples[:fact]
         return np.asarray(samples, dtype=np.float64), rate
     raise ValueError(f"unsupported WAV format code {code}")
 
 
 def _wav_container(code: int, n_ch: int, rate: int, bits: int,
                    block_align: int, payload: bytes,
-                   extra: bytes = b"") -> bytes:
+                   extra: bytes = b"", fact: int | None = None) -> bytes:
     import struct
 
     byte_rate = rate * block_align if code == 17 else rate * n_ch * (bits // 8 or 1)
     fmt = struct.pack("<HHIIHH", code, n_ch, rate, byte_rate,
                       block_align, bits) + extra
     out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        out += b"fact" + struct.pack("<II", 4, fact)
     out += b"data" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         out += b"\x00"
@@ -255,7 +280,8 @@ def encode_wav_g711(samples: np.ndarray, rate: int = 8000, ulaw: bool = True) ->
         np.minimum(idx, 255),
     )
     payload = order[pick].astype(np.uint8).tobytes()
-    return _wav_container(7 if ulaw else 6, 1, rate, 8, 1, payload)
+    return _wav_container(7 if ulaw else 6, 1, rate, 8, 1, payload,
+                          fact=x.size)
 
 
 def encode_wav_ima(samples: np.ndarray, rate: int = 8000,
@@ -317,4 +343,4 @@ def encode_wav_ima(samples: np.ndarray, rate: int = 8000,
         chunks.append(head + packed)
     extra = struct.pack("<HH", 2, block_samples)  # cbSize, samplesPerBlock
     return _wav_container(17, 1, rate, 4, block_align, b"".join(chunks),
-                          extra)
+                          extra, fact=x.size)

@@ -102,14 +102,19 @@ def _decode_declared(block: bytes, content_type: str | None) -> str | None:
     page lying about its encoding yields mojibake characters, never a
     dead task.  Non-text payloads return None (images stay bytes).
 
-    When the HTTP header declares NO charset, the HTML5 prescan
-    applies: the first :data:`_META_SNIFF_BYTES` bytes are scanned for
-    ``<meta charset=...>`` / ``<meta http-equiv="Content-Type"
-    content="...; charset=...">`` — real crawls are full of servers
-    that send a bare ``text/html`` while the page itself declares GBK
-    or ISO-8859-1; header-only decode turns those pages into mojibake
-    (same executor-side sniff discipline as the instrument readers'
-    cp1252 fallback, parsers.py)."""
+    When the HTTP header declares NO charset, the prescan applies, in
+    priority order: (1) a Unicode BOM (UTF-8/16/32 — the meta regex
+    can never match NUL-interleaved UTF-16 bytes, so the BOM must win
+    first); (2) the HTML5-style scan of the first
+    :data:`_META_SNIFF_BYTES` bytes for ``<meta charset=...>`` /
+    ``<meta http-equiv="Content-Type" content="...; charset=...">``
+    or — the XML-family twin, since this reader accepts
+    ``application/xhtml+xml`` — the ``<?xml ... encoding=...?>``
+    declaration.  Real crawls are full of servers that send a bare
+    ``text/html`` while the page itself declares GBK or ISO-8859-1;
+    header-only decode turns those pages into mojibake (same
+    executor-side sniff discipline as the instrument readers' cp1252
+    fallback, parsers.py)."""
     global _CHARSET_RE, _META_CHARSET_RE
     if not _is_textual_type(content_type):
         return None
@@ -118,13 +123,24 @@ def _decode_declared(block: bytes, content_type: str | None) -> str | None:
 
         _CHARSET_RE = re.compile(r"charset=[\"']?([\w.:-]+)", re.I)
         # the byte-level prescan form: attribute charset= inside a
-        # <meta ...> tag, which covers BOTH <meta charset="..."> and
-        # the http-equiv pragma (its content="text/html; charset=..."
-        # value contains the same charset= token)
+        # <meta ...> tag (covers BOTH <meta charset="..."> and the
+        # http-equiv pragma, whose content="...; charset=..." value
+        # contains the same charset= token) OR encoding= inside an
+        # <?xml ...?> declaration
         _META_CHARSET_RE = re.compile(
-            rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([\w.:-]+)", re.I
+            rb"(?:<meta[^>]{0,512}?charset|<\?xml[^>]{0,512}?encoding)"
+            rb"\s*=\s*[\"']?([\w.:-]+)",
+            re.I,
         )
     m = _CHARSET_RE.search(content_type)
+    if not m:
+        head = block[:4]
+        if head[:3] == b"\xef\xbb\xbf":
+            m = _CHARSET_RE.search("charset=utf-8-sig")
+        elif head in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+            m = _CHARSET_RE.search("charset=utf-32")
+        elif head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            m = _CHARSET_RE.search("charset=utf-16")
     if not m:
         bm = _META_CHARSET_RE.search(block[:_META_SNIFF_BYTES])
         if bm:

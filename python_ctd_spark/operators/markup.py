@@ -72,10 +72,20 @@ _LINK_TAG_ALT = "|".join(t for t, _ in LINK_TAG_ATTRS)
 #: shared).  The unquoted rule runs second and requires a non-quote
 #: first char, so it can never re-wrap an already-quoted (or
 #: just-rewritten) value.
+#: the char that must PRECEDE ``href``/``src`` for it to be the real
+#: attribute: whitespace or a closing quote — without the boundary,
+#: ``data-src="lazy"`` matches as ``src=`` (suffix of another
+#: attribute name) and, the pattern being greedy, REPLACES the real
+#: ``src`` — the exact blocklist-dodge lazy-load HTML would exploit.
+#: ``<img src=`` still matches: the tag's own trailing whitespace is
+#: the boundary when the attribute comes first.
+_ATTR_BOUNDARY = rf"[{WS_CHARS}\"']"
+
 HREF_NORMALIZE_PATTERNS: list[str] = [
-    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}][^>]*(?:href|src)=)'([^']*)'",
-    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}][^>]*(?:href|src)=)"
-    rf"([^\"'{WS_CHARS}>]+)",
+    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?"
+    rf"(?:href|src)=)'([^']*)'",
+    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?"
+    rf"(?:href|src)=)([^\"'{WS_CHARS}>]+)",
 ]
 
 #: anchor pattern in the Java-regex/RE2 common subset: group 1 = the
@@ -83,16 +93,22 @@ HREF_NORMALIZE_PATTERNS: list[str] = [
 #: anchors are invalid HTML and out of scope).  Double-quote-only by
 #: construction: extraction always runs on href-normalized text.
 ANCHOR_PATTERN = (
-    rf'(?is)<a[{WS_CHARS}][^>]*href="([^"]*)"[^>]*>(.*?)</a[{WS_CHARS}]*>'
+    rf'(?is)<a[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?href="([^"]*)"'
+    rf'[^>]*>(.*?)</a[{WS_CHARS}]*>'
 )
 
 #: tag -> URL-extraction pattern (group 1 = the URL).  ``a`` also
 #: carries the anchor text as group 2; the asset tags have no text.
+#: Every pattern requires the :data:`_ATTR_BOUNDARY` before the
+#: attribute name (see its note).
 TAG_URL_PATTERNS: dict[str, str] = {
     "a": ANCHOR_PATTERN,
-    "img": rf'(?is)<img[{WS_CHARS}][^>]*src="([^"]*)"[^>]*>',
-    "link": rf'(?is)<link[{WS_CHARS}][^>]*href="([^"]*)"[^>]*>',
-    "script": rf'(?is)<script[{WS_CHARS}][^>]*src="([^"]*)"[^>]*>',
+    "img": rf'(?is)<img[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
+           rf'src="([^"]*)"[^>]*>',
+    "link": rf'(?is)<link[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
+            rf'href="([^"]*)"[^>]*>',
+    "script": rf'(?is)<script[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
+              rf'src="([^"]*)"[^>]*>',
 }
 
 #: RFC-3986-lite building blocks for :func:`resolve_url`, all in the
@@ -181,12 +197,19 @@ def resolve_url(url: Column, base: Column) -> Column:
                      F.coalesce(F.nullif(base_dir, F.lit("")), F.lit("/")),
                      url))
     )
-    # dot-segment collapse on the origin-stripped remainder only
+    # dot-segment collapse on the PATH only (RFC 3986 §5.2.4): origin
+    # is split off first so ``host/../`` can never eat the hostname,
+    # and the query/fragment tail is split off so ``?next=/a/../b``
+    # keeps its value verbatim
     rest = F.regexp_replace(resolved, URL_ORIGIN_PATTERN, "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^?#]*", "")
     for _ in range(DOT_SEGMENT_PASSES):
-        rest = F.regexp_replace(rest, r"/\./", "/")
-        rest = F.regexp_replace(rest, r"/[^/]+/\.\./", "/")
-    return F.concat(F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1), rest)
+        path = F.regexp_replace(path, r"/\./", "/")
+        path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
+    return F.concat(
+        F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1), path, tail
+    )
 
 
 def extract_links(

@@ -254,9 +254,10 @@ def audio_fingerprint(
     blob_col: str = "blob",
     strict: bool = True,
 ) -> DataFrame:
-    """Decode each PCM WAV blob (real stdlib decoder —
-    :mod:`..functions.wav_numpy`, multi-channel averaged to mono) and
-    emit its 64-bit frame-energy fingerprint
+    """Decode each WAV blob — PCM plus the compressed variants
+    (G.711 mu-law/A-law, IMA ADPCM) via
+    :func:`..functions.wav_numpy.decode_wav_any`, multi-channel
+    averaged to mono — and emit its 64-bit frame-energy fingerprint
     (:func:`..functions.audio_hash.energy_hash64`):
     ``(id, afp, n_samples, rate, error)``.
 
@@ -274,13 +275,13 @@ def audio_fingerprint(
         import pandas as pd
 
         from python_ctd_spark.functions.audio_hash import energy_hash64
-        from python_ctd_spark.functions.wav_numpy import decode_wav
+        from python_ctd_spark.functions.wav_numpy import decode_wav_any
 
         for pdf in batches:
             ids, fps, ns, rates, errs = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    samples, rate = decode_wav(bytes(blob))
+                    samples, rate = decode_wav_any(bytes(blob))
                     fp = energy_hash64(samples)
                 except (ValueError, NotImplementedError) as exc:
                     if strict:

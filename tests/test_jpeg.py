@@ -239,3 +239,23 @@ def test_decode_table_cache_is_bounded():
         bits[7] = 1
         j._decode_table_cached(bits, [i % 256])
     assert len(j._DECODE_TABLE_CACHE) <= j._DECODE_TABLE_CACHE_MAX
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Self-review r13: T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker — a multi-scan file with fill before its
+    second SOS must decode every scan (the resumption previously read
+    the fill as the marker id and silently dropped scans 2..n)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    for kw in ({"interleave": False}, {"progressive": True}):
+        blob = encode_jpeg(img, quality=90, **kw)
+        ref = decode_jpeg(blob)
+        # insert fill bytes before EVERY SOS after the first
+        parts = blob.split(b"\xff\xda")
+        stuffed = parts[0] + b"\xff\xda" + (b"\xff\xff\xff\xda").join(
+            parts[1:]
+        )
+        assert stuffed != blob
+        out = decode_jpeg(stuffed)
+        assert np.array_equal(out, ref), kw

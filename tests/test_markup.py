@@ -264,3 +264,51 @@ def test_blocklist_table_entries_are_normalized(spark):
     )
     out = extract_links(df, "html", blocklist=bl).toPandas()
     assert list(out.is_blocked) == [True]
+
+
+def test_extract_links_attr_boundary_not_fooled_by_data_src(spark):
+    """Self-review r13: ``data-src``/``data-href`` must not match as
+    the real attribute — lazy-load HTML is ubiquitous, and the greedy
+    pattern previously extracted the benign data-src INSTEAD of the
+    blocklisted real src (the exact dodge this feature exists to
+    close)."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<img src="//spam.example.net/px.gif"'
+        ' data-src="https://cdn.ok.example.com/img.jpg"/>'
+        ' <a data-href="https://decoy.example.com/x"'
+        ' href="https://spam.example.net/t">offer</a>'
+        ' <img data-src="https://only-lazy.example.com/y.png"/>'
+    )
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "html": [html],
+        "base": ["https://site.example.org/p/index.html"],
+    }))
+    out = extract_links(df, "html", base_col="base").toPandas()
+    img = out[out.tag == "img"]
+    assert list(img.url) == ["//spam.example.net/px.gif"]  # not data-src,
+    # and the data-src-only img emits nothing
+    assert bool(img.iloc[0].is_blocked)
+    a = out[out.tag == "a"]
+    assert list(a.url) == ["https://spam.example.net/t"]
+    assert bool(a.iloc[0].is_blocked)
+
+
+def test_resolve_url_query_fragment_untouched_by_dot_collapse(spark):
+    """Self-review r13: dot-segment collapse is a PATH operation (RFC
+    3986 §5.2.4) — a query value like ?next=/a/../b must come through
+    verbatim."""
+    from python_ctd_spark.operators import markup
+
+    cases = [
+        ("p?next=/a/../b", "https://h.org/d/index.html",
+         "https://h.org/d/p?next=/a/../b"),
+        ("/x/./y?q=/./z#f/../g", "https://h.org/a/",
+         "https://h.org/x/y?q=/./z#f/../g"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["u", "b", "want"]))
+    out = df.select(
+        "want", markup.resolve_url(F.col("u"), F.col("b")).alias("got")
+    ).toPandas()
+    assert list(out.got) == list(out.want)

@@ -363,3 +363,35 @@ def test_warc_nontext_codec_charset_never_kills_task(spark, tmp_path):
     docs = warc_responses_to_documents(read_warc(spark, str(p))).toPandas()
     assert len(docs) == 5
     assert all("caf" in t for t in docs.text)  # utf-8-replace fallback
+
+
+def test_warc_bom_and_xml_declaration_sniff(spark, tmp_path):
+    """Self-review r13: when the header names no charset, a Unicode
+    BOM wins (the meta regex can never match NUL-interleaved UTF-16),
+    and an <?xml encoding=...?> declaration counts for the XML family
+    this reader now accepts."""
+    u16 = make_response_record(
+        "https://u16.example.org/",
+        "﻿<p>héllo utf-16</p>".encode("utf-16-le"),
+        "r-u16", http_content_type="text/html",
+    )
+    u8bom = make_response_record(
+        "https://u8b.example.org/",
+        b"\xef\xbb\xbf" + "café".encode("utf-8"),
+        "r-u8b", http_content_type="text/plain",
+    )
+    xmldecl = make_response_record(
+        "https://xd.example.org/",
+        ('<?xml version="1.0" encoding="ISO-8859-1"?>'
+         "<doc>voilà</doc>").encode("latin-1"),
+        "r-xd", http_content_type="application/xml",
+    )
+    p = tmp_path / "b.warc.gz"
+    p.write_bytes(build_warc([u16, u8bom, xmldecl], gz=True))
+    docs = (
+        warc_responses_to_documents(read_warc(spark, str(p)))
+        .toPandas().set_index("source")
+    )
+    assert docs.loc["u16.example.org", "text"] == "<p>héllo utf-16</p>"
+    assert docs.loc["u8b.example.org", "text"] == "café"  # BOM stripped
+    assert docs.loc["xd.example.org", "text"].endswith("voilà</doc>")

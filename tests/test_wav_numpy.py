@@ -133,3 +133,36 @@ def test_ima_adpcm_roundtrip_and_gates():
 
     with pytest.raises(ValueError, match="format code 85"):
         decode_wav_any(_wav_container(85, 1, 8000, 16, 2, b"\x00\x00"))
+
+
+def test_ima_partial_final_block_no_phantom_tail():
+    """Self-review r13: the fact chunk bounds the decode — a sample
+    count that is not a block multiple must come back EXACTLY, not
+    padded with decoded zero-nibbles."""
+    from python_ctd_spark.functions.wav_numpy import (
+        decode_wav_any, encode_wav_g711, encode_wav_ima,
+    )
+
+    x = (np.sin(np.arange(1000) / 9.0) * 9000).astype(np.int16)
+    got, _ = decode_wav_any(encode_wav_ima(x))
+    assert got.size == x.size
+    g, _ = decode_wav_any(encode_wav_g711(x))
+    assert g.size == x.size
+
+
+def test_audio_fingerprint_accepts_compressed_wav(spark):
+    """Self-review r13: audio dedup must accept the same WAV surface as
+    decode_and_featurize — a G.711 blob fingerprints instead of killing
+    the job under the strict default."""
+    import pandas as pd
+
+    from python_ctd_spark.functions.wav_numpy import encode_wav_g711
+    from python_ctd_spark.operators.media_dedup import audio_fingerprint
+
+    x = (np.sin(np.arange(4096) / 5.0) * 15000).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [encode_wav_g711(x)]})
+    )
+    out = audio_fingerprint(df).toPandas()
+    assert out.loc[0, "error"] is None and not pd.isna(out.loc[0, "afp"])
+    assert out.loc[0, "n_samples"] == 4096

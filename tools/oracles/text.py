@@ -515,10 +515,13 @@ def _resolve_url_sql(url: str, base: str) -> str:
       WHEN starts_with({url}, '?') THEN {origin} || {bpath} || {url}
       ELSE {origin} || {bdir} || {url} END"""
     rest = f"regexp_replace({resolved}, '{origin_re}', '')"
+    path = f"regexp_extract({rest}, '^([^?#]*)', 1)"
+    tail = f"regexp_replace({rest}, '^[^?#]*', '')"
     for _ in range(DOT_SEGMENT_PASSES):
-        rest = f"regexp_replace({rest}, '/\\./', '/', 'g')"
-        rest = f"regexp_replace({rest}, '/[^/]+/\\.\\./', '/', 'g')"
-    return f"regexp_extract({resolved}, '{origin_re}', 1) || {rest}"
+        path = f"regexp_replace({path}, '/\\./', '/', 'g')"
+        path = f"regexp_replace({path}, '/[^/]+/\\.\\./', '/', 'g')"
+    return (f"regexp_extract({resolved}, '{origin_re}', 1) || {path}"
+            f" || {tail}")
 
 
 def _extract_links_sql() -> str:

@@ -1670,10 +1670,14 @@ def _q_warc_documents(spark, sf_dir):
     charset-declared decode) -> canonical documents projection
     (engine-portable md5 doc_id, normalized source domain).  The
     fixture plants latin-1 bodies with declared ISO-8859-1 (their
-    accents must survive — the r11 charset fix) and 404 responses
-    (must be filtered); the DuckDB oracle rebuilds every projected
-    value, including the md5-derived ids, from the documents table
-    directly — no stored golden.  Zero shuffle end-to-end."""
+    accents must survive — the r11 charset fix), XHTML pages served as
+    application/xhtml+xml (the non-text/* acceptance path, r13), GBK
+    and ISO-8859-1 pages whose charset lives ONLY in <meta charset> /
+    the http-equiv pragma (the HTML5-prescan sniff path, r13), and
+    404 responses (must be filtered); the DuckDB oracle rebuilds every
+    projected value, including the md5-derived ids and the meta pages'
+    verbatim markup+suffixes, from the documents table directly — no
+    stored golden.  Zero shuffle end-to-end."""
     from python_ctd_spark.io.warc import read_warc, warc_responses_to_documents
 
     return warc_responses_to_documents(

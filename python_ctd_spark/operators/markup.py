@@ -176,11 +176,26 @@ def resolve_url(url: Column, base: Column) -> Column:
     is).  Without resolution, every relative tracker pixel or
     same-site link is invisible to domain analytics and the blocklist
     — the r12 gap this closes."""
-    base_nofrag = F.regexp_replace(base, "#.*", "")
-    origin = F.regexp_extract(base, URL_ORIGIN_PATTERN, 1)
-    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
-    base_dir = F.regexp_extract(base, URL_BASE_DIR_PATTERN, 1)
-    base_path = F.regexp_extract(base, URL_BASE_PATH_PATTERN, 1)
+    return _resolve_with_parts(url, _base_parts(base))
+
+
+def _base_parts(base: Column) -> tuple[Column, ...]:
+    """The base-URI derivations resolution needs — factored out so
+    :func:`extract_links` can compute them ONCE PER DOCUMENT (before
+    the link explode) instead of once per link: at ~7 links/doc that
+    hoist removes ~85% of the base-side regex work from the hot
+    per-link rows."""
+    return (
+        F.regexp_replace(base, "#.*", ""),                      # nofrag
+        F.regexp_extract(base, URL_ORIGIN_PATTERN, 1),          # origin
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1),
+        F.regexp_extract(base, URL_BASE_DIR_PATTERN, 1),
+        F.regexp_extract(base, URL_BASE_PATH_PATTERN, 1),
+    )
+
+
+def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
+    base_nofrag, origin, scheme, base_dir, base_path = parts
     resolved = (
         F.when(url == "", base_nofrag)
         .when(url.rlike(URL_SCHEME_PATTERN), url)
@@ -200,15 +215,23 @@ def resolve_url(url: Column, base: Column) -> Column:
     # dot-segment collapse on the PATH only (RFC 3986 §5.2.4): origin
     # is split off first so ``host/../`` can never eat the hostname,
     # and the query/fragment tail is split off so ``?next=/a/../b``
-    # keeps its value verbatim
+    # keeps its value verbatim.  The whole collapse is gated on a cheap
+    # substring test — for the overwhelming majority of links (no "/."
+    # anywhere) the ~10 per-link regex passes are skipped entirely, and
+    # collapse is a no-op on such URLs, so the gate is value-invisible
+    # (the oracle runs the unconditional form and must agree).
     rest = F.regexp_replace(resolved, URL_ORIGIN_PATTERN, "")
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     tail = F.regexp_replace(rest, r"^[^?#]*", "")
+    collapsed = path
     for _ in range(DOT_SEGMENT_PASSES):
-        path = F.regexp_replace(path, r"/\./", "/")
-        path = F.regexp_replace(path, r"/[^/]+/\.\./", "/")
-    return F.concat(
-        F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1), path, tail
+        collapsed = F.regexp_replace(collapsed, r"/\./", "/")
+        collapsed = F.regexp_replace(collapsed, r"/[^/]+/\.\./", "/")
+    return F.when(
+        ~resolved.contains("/."), resolved
+    ).otherwise(
+        F.concat(F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1),
+                 collapsed, tail)
     )
 
 
@@ -284,17 +307,25 @@ def extract_links(
             ),
         )
         links = indexed if links is None else F.concat(links, indexed)
+    # base-URI derivations are computed BEFORE the explode — once per
+    # document, not once per link (see _base_parts)
+    part_cols = (
+        _base_parts(F.col(base_col)) if base_col
+        else (null_s, null_s, null_s, null_s, null_s)
+    )
     ex = df.select(
         id_col,
-        (F.col(base_col) if base_col else null_s).alias("__base"),
+        *(p.alias(f"__bp{i}") for i, p in enumerate(part_cols)),
         F.explode(links).alias("l"),
     ).select(
         id_col,
         F.col("l.tag").alias("tag"),
         F.col("l.link_pos").alias("link_pos"),
         F.col("l.u").alias("url"),
-        (resolve_url(F.col("l.u"), F.col("__base")) if base_col
-         else F.col("l.u")).alias("abs_url"),
+        (_resolve_with_parts(
+            F.col("l.u"),
+            tuple(F.col(f"__bp{i}") for i in range(5)),
+        ) if base_col else F.col("l.u")).alias("abs_url"),
         F.trim(F.regexp_replace(F.col("l.a"), WS_PATTERN, " ")).alias("anchor"),
     )
     domain = normalized_domain(F.col("abs_url"))

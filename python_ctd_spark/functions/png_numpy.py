@@ -8,10 +8,11 @@ types of the PNG spec §9) -> (H, W, C) uint8 array.  This removes the
 honestly codec-gated.
 
 Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelmingly common
-shapes.  Un-filtering is O(pixels) with per-scanline NumPy ops (Sub and
-Paeth carry a sequential dependency along the line, walked per byte;
-fine for the feature-extraction batch sizes this backs).
+4 (gray+alpha), 6 (RGBA); both non-interlaced and Adam7-interlaced
+(spec §8.2 — seven filtered sub-images placed on the pixel lattice,
+r13) layouts.  Un-filtering is O(pixels) with per-scanline NumPy ops
+(Sub and Paeth carry a sequential dependency along the line, walked
+per byte; fine for the feature-extraction batch sizes this backs).
 """
 
 from __future__ import annotations
@@ -35,11 +36,63 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass
+#: (PNG spec §8.2 — published reference material)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, off: int, height: int, stride: int,
+              ch: int) -> tuple[np.ndarray, int]:
+    """Reconstruct ``height`` scanlines of ``stride`` bytes starting at
+    ``raw[off]`` (each prefixed by its filter-type byte, spec §9);
+    returns ``(array, next_offset)`` so Adam7 passes chain through one
+    inflate buffer."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    for y in range(height):
+        if off + 1 + stride > len(raw):
+            raise ValueError("decompressed size mismatch")
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
+            np.intp
+        )
+        off += 1 + stride
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub
+            recon = line.copy()
+            for i in range(ch, stride):
+                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (recon[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for i in range(stride):
+                left = int(recon[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                ul = int(prev[i - ch]) if i >= ch else 0
+                recon[i] = (recon[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out, off
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG byte string to an (H, W, C) uint8 array.
+    """Decode a PNG byte string to an (H, W, C) uint8 array
+    (non-interlaced or Adam7).
 
     Raises ``ValueError`` on malformed input or unsupported shapes
-    (bit depth != 8, interlaced).
+    (bit depth != 8).
     """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
@@ -67,51 +120,34 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported bit depth {depth} (8 only)")
-    if interlace != 0:
-        raise ValueError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported color type {color}")
     ch = _CHANNELS[color]
 
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("decompressed size mismatch")
-
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.intp)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
-            np.intp
-        )
-        if ftype == 0:  # None
-            recon = line
-        elif ftype == 1:  # Sub
-            recon = line.copy()
-            for i in range(ch, stride):
-                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            recon = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            recon = line.copy()
-            for i in range(stride):
-                left = recon[i - ch] if i >= ch else 0
-                recon[i] = (recon[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            recon = line.copy()
-            for i in range(stride):
-                left = int(recon[i - ch]) if i >= ch else 0
-                up = int(prev[i])
-                ul = int(prev[i - ch]) if i >= ch else 0
-                recon[i] = (recon[i] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype}")
-        out[y] = recon.astype(np.uint8)
-        prev = recon
-
-    img = out.reshape(height, width, ch)
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("decompressed size mismatch")
+        out, _ = _unfilter(raw, 0, height, stride, ch)
+        img = out.reshape(height, width, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, placed on
+        # the (y0 + ky*dy, x0 + kx*dx) lattice; empty passes are
+        # absent from the stream
+        img = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _unfilter(raw, off, ph, pw * ch, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("decompressed size mismatch")
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE chunk")
@@ -119,9 +155,10 @@ def decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def encode_png_gray(img: np.ndarray) -> bytes:
-    """Minimal PNG encoder (8-bit grayscale or RGB, filter 0) — enough to
-    build self-contained test fixtures without PIL."""
+def encode_png_gray(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (8-bit grayscale or RGB, filter 0; optional
+    Adam7 interlacing — the decoder's lattice run in reverse) — enough
+    to build self-contained test fixtures without PIL."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -131,8 +168,18 @@ def encode_png_gray(img: np.ndarray) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    if not interlace:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -178,3 +178,33 @@ def test_resize_image_real_gray_alpha_png(spark):
     out = resize_image(df, target_w=4, target_h=4, fake=False).toPandas()
     got = decode_png(bytes(out.iloc[0]["resized"]))
     assert got.shape == (4, 4, 1)
+
+
+def test_adam7_interlaced_round_trip():
+    """Adam7 interlacing (spec §8.2, r13): seven filtered sub-images on
+    the pass lattice decode to the identical pixels as the sequential
+    layout — including the degenerate shapes where trailing passes are
+    empty (1x1, single-column) — and a bogus interlace method is loud."""
+    import numpy as np
+    import pytest
+
+    from python_ctd_spark.functions.png_numpy import (
+        decode_png, encode_png_gray,
+    )
+
+    rng = np.random.default_rng(4)
+    for shape in [(16, 16), (13, 21), (7, 5, 3), (1, 1), (9, 1, 3),
+                  (2, 3), (33, 47, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        blob = encode_png_gray(img, interlace=True)
+        out = decode_png(blob)
+        want = img[..., None] if img.ndim == 2 else img
+        assert np.array_equal(out, want), shape
+        # the header really says Adam7 (byte 28 of the stream is the
+        # IHDR interlace field)
+        assert blob[28] == 1
+    bad = bytearray(encode_png_gray(rng.integers(0, 256, (4, 4),
+                                                 dtype=np.uint8)))
+    bad[28] = 7  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(bad))

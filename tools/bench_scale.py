@@ -1439,6 +1439,66 @@ def measure_warc(n_shards: int, per_shard: int = 500) -> dict:
         spark.stop()
 
 
+def measure_links(mult: int) -> dict:
+    """Scale evidence for the crawl link-graph stage (r13): the full
+    registered ``extract_links`` surface — four tag types, quoting
+    normalization, base-URI resolution, blocklist — over a
+    ``mult``-times map-side-staged sf0.1 documents table.  The plan is
+    project -> explode -> project (whole-stage codegen regex work):
+    wall should track input ~linearly and the stage should produce
+    (approximately) ZERO shuffle bytes — link rows never cross the
+    wire; at 100 TB the parallelism is the input splits'."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.markup import extract_links
+    from python_ctd_spark.session import get_spark
+    from tools.oracles.text import (
+        _LINKS_BASE_SPARK_EXPR, _LINKS_SYNTH_SPARK_EXPR,
+    )
+
+    spark = get_spark(
+        app_name=f"bench_links_{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        if mult > 1:
+            # map-side 1->N staging (explode, not a join): doc ids stay
+            # distinct and no stage shuffles
+            docs = docs.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            ).withColumn(
+                "doc_id", F.col("doc_id") * mult + F.col("rep")
+            ).drop("rep")
+        docs = docs.withColumn(
+            "html", F.expr(_LINKS_SYNTH_SPARK_EXPR)
+        ).withColumn("base_uri", F.expr(_LINKS_BASE_SPARK_EXPR))
+        base = _shuffle_bytes()
+        t0 = time.perf_counter()
+        links = extract_links(docs, "html", base_col="base_uri")
+        agg = links.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("abs_url")).alias("c"),
+            F.sum(F.col("is_blocked").cast("long")).alias("b"),
+        ).first()
+        wall = time.perf_counter() - t0
+        end = _shuffle_bytes()
+        return {
+            "mult": mult,
+            "n_links": int(agg["n"]),
+            "abs_url_chars": int(agg["c"]),
+            "n_blocked": int(agg["b"]),
+            "wall_s": round(wall, 2),
+            "shuffle_write_mb": round(
+                end["shuffle_write_mb"] - base["shuffle_write_mb"], 3
+            ),
+        }
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -1564,6 +1624,24 @@ if __name__ == "__main__":
         assert big["shard_mb_compressed"] >= 100, big
         assert big["decompressed_mb"] > 8 * big["shard_mb_compressed"], big
         assert big["worker_rss_peak_delta_mb"] < big["decompressed_mb"] / 2, big
+    if what == "links":
+        for m in (1, 10):
+            results[f"links_x{m}"] = measure_links(m)
+        l1, l10 = results["links_x1"], results["links_x10"]
+        # links scale with docs (the synth's per-doc CASE branches keep
+        # the same mod-residue mix at both scales): ~10x rows
+        nr = l10["n_links"] / max(l1["n_links"], 1)
+        assert 9.5 < nr < 10.5, f"link rows scaled {nr:.2f}x at 10x docs"
+        # ~linear wall, and every scale has blocked links (the tracker
+        # img resolves through the protocol-relative form — if
+        # resolution broke, this goes to zero)
+        r = l10["wall_s"] / max(l1["wall_s"], 1e-9)
+        assert r < 15.0, f"extract_links wall scaled {r:.1f}x at 10x docs"
+        results["links_wall_ratio_10x"] = round(r, 2)
+        assert l10["n_blocked"] > 10 * l1["n_blocked"] * 0.9 > 0
+        # map-side end-to-end: no shuffle at EITHER scale
+        assert l1["shuffle_write_mb"] < 1.0, l1
+        assert l10["shuffle_write_mb"] < 1.0, l10
     if what == "training-dataset":
         for m in (1, 10):
             results[f"training_dataset_x{m}"] = measure_training_dataset(m)

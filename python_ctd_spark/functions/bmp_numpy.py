@@ -1,0 +1,107 @@
+"""Pure stdlib+NumPy BMP (Windows DIB) decoding — the third raster
+format real crawls serve in volume after JPEG/PNG/GIF.
+
+Clean-room from the public BITMAPFILEHEADER/BITMAPINFOHEADER layout:
+'BM' magic, pixel-array offset at byte 10, a DIB header carrying
+dimensions/bit-depth/compression, 4-byte-aligned BGR(A) rows stored
+bottom-up (negative height = top-down).  Supported: uncompressed
+(BI_RGB) 24/32-bit true color and 8-bit palettized; RLE and bitfield
+compressions raise — the same honest-gate policy as the sibling
+codecs.  Decoding is a NumPy reshape+slice, O(pixels), no Python loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a BMP byte string to an (H, W, 3) uint8 RGB array.
+
+    Raises ``ValueError`` on malformed input or unsupported shapes
+    (RLE/bitfields compression, bit depths other than 8/24/32)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp != 0:  # BI_RGB only
+        raise ValueError(f"unsupported BMP compression {comp} "
+                         "(RLE/bitfields need a real gate, not garbage)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        )
+        if pal.size < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = pix_off + stride * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        data[pix_off : pix_off + stride * height], dtype=np.uint8
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        return np.ascontiguousarray(palette[px[:, :, 0]])
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
+
+
+def encode_bmp(img: np.ndarray, bpp: int = 24) -> bytes:
+    """Test-fixture encoder: (H, W)/(H, W, 3) uint8 -> BI_RGB BMP
+    (bottom-up, 4-byte row padding; ``bpp=8`` writes a grayscale
+    palette, 24/32 true color)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2) if bpp != 8 else img[:, :, None]
+    h, w = img.shape[:2]
+    if bpp == 8:
+        if img.shape[2] != 1:
+            img = img.mean(axis=2).astype(np.uint8)[:, :, None]
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = img[::-1, :, 0]
+        body = rows.tobytes()
+        pix_off = 14 + 40 + 1024
+    elif bpp in (24, 32):
+        ch = bpp // 8
+        bgr = img[:, :, [2, 1, 0]]
+        if ch == 4:
+            bgr = np.concatenate(
+                [bgr, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+        stride = (w * ch + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * ch] = bgr[::-1].reshape(h, w * ch)
+        body = rows.tobytes()
+        palette = b""
+        pix_off = 14 + 40
+    else:
+        raise ValueError(f"bpp must be 8/24/32, got {bpp}")
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body),
+                       2835, 2835, 256 if bpp == 8 else 0, 0)
+    head = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    return head + info + palette + body

@@ -76,6 +76,7 @@ def image_ahash(
     def fn(batches):
         import pandas as pd
 
+        from python_ctd_spark.functions.bmp_numpy import decode_bmp
         from python_ctd_spark.functions.image_hash import ahash64
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.png_numpy import decode_png
@@ -86,6 +87,7 @@ def image_ahash(
                 b = bytes(blob)
                 try:
                     px = (decode_jpeg(b) if b[:2] == b"\xff\xd8"
+                          else decode_bmp(b) if b[:2] == b"BM"
                           else decode_png(b))
                     h64 = ahash64(_to_gray(px), hash_size)
                 except ValueError as exc:

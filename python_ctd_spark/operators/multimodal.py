@@ -53,6 +53,7 @@ def attach_media_meta(
         .when(head.startswith("52494646") & (riff_form == "41564920"),
               F.lit("avi"))
         .when(head.startswith("47494638"), F.lit("gif"))
+        .when(head.startswith("424D"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
     )
     return df.withColumn(
@@ -90,8 +91,10 @@ def decode_and_featurize(
     IMA ADPCM, r13; features from mono samples), animated GIF blobs
     (:func:`python_ctd_spark.functions.gif_numpy.decode_gif`; features
     from all frames' pixels) and Motion-JPEG AVI video
-    (:func:`python_ctd_spark.functions.avi_numpy.decode_avi`, r13);
-    other formats raise ``NotImplementedError`` inside the worker —
+    (:func:`python_ctd_spark.functions.avi_numpy.decode_avi`, r13)
+    and BMP (:func:`python_ctd_spark.functions.bmp_numpy.decode_bmp`,
+    r13); other formats raise ``NotImplementedError`` inside the
+    worker —
     perceptual-audio (mp3/aac) and inter-coded video codecs genuinely
     aren't in this environment, and only that boundary stays stubbed.
     """
@@ -101,6 +104,7 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.avi_numpy import decode_avi
+        from python_ctd_spark.functions.bmp_numpy import decode_bmp
         from python_ctd_spark.functions.gif_numpy import decode_gif
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.media_features import feature_fold
@@ -116,10 +120,11 @@ def decode_and_featurize(
                 is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
                 is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
                 is_gif = b[:4] == b"GIF8"
+                is_bmp = b[:2] == b"BM"
                 fmts.append(
                     "png" if is_png else "jpeg" if is_jpg
                     else "wav" if is_wav else "avi" if is_avi
-                    else "gif" if is_gif else "raw"
+                    else "gif" if is_gif else "bmp" if is_bmp else "raw"
                 )
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
@@ -140,11 +145,13 @@ def decode_and_featurize(
                     arr = np.concatenate(
                         [f.astype(np.float64).ravel() for f in gif_frames]
                     )
+                elif is_bmp:
+                    arr = decode_bmp(b).astype(np.float64).ravel()
                 else:
                     raise NotImplementedError(
                         "real decode supports PNG, JPEG (baseline/"
-                        "progressive), WAV (PCM/G.711/IMA-ADPCM), GIF "
-                        "and MJPEG AVI (no librosa/ffmpeg here for "
+                        "progressive), BMP, WAV (PCM/G.711/IMA-ADPCM), "
+                        "GIF and MJPEG AVI (no librosa/ffmpeg here for "
                         "mp3/aac/h264); pass fake=True for the "
                         "byte-statistics pseudo-decode"
                     )
@@ -268,9 +275,16 @@ def resize_image(
                     else:
                         step = max(1, len(b) // n)
                         sampled = b[::step][:n]
-                elif b[:4] == b"\x89PNG" or b[:2] == b"\xff\xd8":
+                elif (b[:4] == b"\x89PNG" or b[:2] == b"\xff\xd8"
+                      or b[:2] == b"BM"):
+                    from python_ctd_spark.functions.bmp_numpy import (
+                        decode_bmp,
+                    )
+
                     img = (
-                        decode_png(b) if b[:4] == b"\x89PNG" else decode_jpeg(b)
+                        decode_png(b) if b[:4] == b"\x89PNG"
+                        else decode_bmp(b) if b[:2] == b"BM"
+                        else decode_jpeg(b)
                     )
                     small = resize_area(img, target_h, target_w)
                     if small.ndim == 3 and small.shape[2] == 2:

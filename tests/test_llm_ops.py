@@ -2348,3 +2348,33 @@ def test_count_min_sketch_properties(spark):
             assert est["never-seen"] == 0
     # the sketch table never exceeds depth x width cells
     assert count_min_table(df, "v", width=4, depth=4).count() <= 16
+
+
+def test_bmp_decode_through_the_media_family(spark):
+    """BMP (r13): round trips through the clean-room DIB codec, sniffs
+    as 'bmp' in attach_media_meta, featurizes for real, resizes, and
+    hashes identically to the same raster served as PNG (cross-format
+    near-dup, the image_dedup property extended to a third format)."""
+    import numpy as np
+
+    from python_ctd_spark.functions.bmp_numpy import decode_bmp, encode_bmp
+    from python_ctd_spark.functions.image_hash import (
+        ahash64, make_image_blob,
+    )
+    from python_ctd_spark.operators.media_dedup import image_ahash
+
+    png_blob, px = make_image_blob(3)
+    rgb = px[:, :, None].repeat(3, axis=2)
+    bmp_blob = encode_bmp(rgb, bpp=24)
+    assert np.array_equal(decode_bmp(bmp_blob), rgb)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1], "blob": [png_blob, bmp_blob]})
+    )
+    meta = multimodal.attach_media_meta(df).toPandas().set_index("id")
+    assert meta.loc[1, "media_meta"]["format"] == "bmp"
+    feats = multimodal.decode_and_featurize(df).toPandas().set_index("id")
+    assert feats.loc[1, "format"] == "bmp"
+    hashed = image_ahash(df, id_col="id").toPandas().set_index("id")
+    assert hashed.loc[0, "ahash"] == hashed.loc[1, "ahash"] == ahash64(px)
+    small = multimodal.resize_image(df, target_w=8, target_h=8).toPandas()
+    assert (small.width == 8).all() and len(small) == 2

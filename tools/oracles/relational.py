@@ -28,6 +28,8 @@ SELECT doc_id,
               THEN 'wav'
             WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'AVI '
               THEN 'avi'
+            WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
             ELSE 'unknown' END AS format
 FROM m
 """

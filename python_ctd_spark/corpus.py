@@ -120,6 +120,19 @@ class Corpus:
             self.df, self.text_col, id_col=self.id_col, base_col=base_col
         )
 
+    def robots_rules(self, domain_col: str = "source") -> DataFrame:
+        """Parse robots.txt payloads held in this corpus into the
+        per-(agent, directive) rules table
+        (:func:`..operators.robots.robots_rules`) — feed it to
+        ``apply_robots`` over an :meth:`extract_links` result to flag
+        disallowed URLs.  A point analysis (different row shape), so a
+        plain DataFrame."""
+        from python_ctd_spark.operators import robots
+
+        return robots.robots_rules(
+            self.df, text_col=self.text_col, domain_col=domain_col
+        )
+
     def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":
         """Cluster-balanced subset
         (:func:`..operators.curation.cluster_balanced_sample`): an equal

@@ -1,0 +1,202 @@
+"""robots.txt parsing and URL filtering — the crawl pipeline's
+gatekeeper stage (REP, the Robots Exclusion Protocol, RFC 9309).
+
+A polite-crawl corpus pipeline needs two operations the reference
+never had: turn the ``robots.txt`` payloads a crawl already captured
+(they arrive as ordinary WARC responses) into a RULES TABLE, and flag
+every extracted link against it.  Both are native column plans:
+
+- :func:`robots_rules` — lines explode map-side; group attribution
+  (a directive belongs to the most recent CONTIGUOUS block of
+  ``User-agent`` lines above it, RFC 9309 §2.1) is one window over
+  (domain, line order); agents join to their group's rules on the
+  derived group id.  One shuffle on domain — the natural key.
+- :func:`apply_robots` — longest-match semantics (the rule with the
+  most octets wins; ``allow`` wins length ties; a specific user-agent
+  group, when present for a domain, REPLACES the ``*`` group) via a
+  broadcast join of the tiny rules table onto the links and one
+  per-link window.  ``*`` wildcards and the ``$`` end anchor translate
+  to SQL LIKE patterns (escaped), evaluated JVM-side.
+
+Nothing here fetches anything: input is data the crawl already holds,
+so the operators scale like every other map+broadcast stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: directives that belong to a user-agent group (lowered)
+_GROUP_DIRECTIVES = ("allow", "disallow", "crawl-delay")
+
+
+def robots_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Parse robots.txt payloads into one row per (agent, directive):
+    ``(domain, agent, directive, value, line_no)``.
+
+    Lines split and explode map-side; comments (``#...``) strip; a
+    ``User-agent`` line opens (or extends) a group and every
+    allow/disallow/crawl-delay line joins the MOST RECENT group —
+    contiguous ``User-agent`` lines share their rules, per RFC 9309.
+    ``Sitemap`` directives are group-independent and come back with
+    ``agent = NULL``.  Unknown directives and blank lines drop.
+
+    Plan: explode -> window (group ids) -> self-join agents x rules on
+    (domain, group_id).  The window and join share one hash partition
+    on domain; robots files are tiny, so the join side auto-broadcasts
+    under AQE at any corpus scale."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).select(
+        "domain",
+        "line_no",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "domain",
+        "line_no",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("key") != "")
+    w = Window.partitionBy("domain").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a UA line PRECEDED by a non-UA line (or nothing) starts a group;
+    # the running sum of starts is the group id every line carries
+    starts = F.when(
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    grouped = parsed.withColumn("group_id", F.sum(starts).over(w))
+    agents = grouped.filter(F.col("key") == "user-agent").select(
+        "domain",
+        "group_id",
+        F.lower(F.col("value")).alias("agent"),
+    )
+    rules = grouped.filter(
+        F.col("key").isin(*_GROUP_DIRECTIVES) & (F.col("group_id") > 0)
+    ).select(
+        "domain",
+        "group_id",
+        F.col("key").alias("directive"),
+        "value",
+        "line_no",
+    )
+    per_agent = agents.join(rules, ["domain", "group_id"]).select(
+        "domain", "agent", "directive", "value", "line_no"
+    )
+    sitemaps = grouped.filter(F.col("key") == "sitemap").select(
+        "domain",
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("sitemap").alias("directive"),
+        "value",
+        "line_no",
+    )
+    return per_agent.unionByName(sitemaps)
+
+
+def _like_pattern(value):
+    """robots rule path -> SQL LIKE pattern: ``*`` is the only
+    wildcard (-> ``%``), a trailing ``$`` anchors the end (no trailing
+    ``%``), everything else is literal (``%``/``_``/``\\`` escaped)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(value), r"\\", r"\\\\"),
+            "%", r"\\%"),
+        "_", r"\\_")
+    anchored = esc.endswith("$")
+    esc_trimmed = F.when(
+        anchored, F.substring(esc, F.lit(1), F.length(esc) - 1)
+    ).otherwise(esc)
+    pat = F.replace(esc_trimmed, F.lit("*"), F.lit("%"))
+    return F.when(anchored, pat).otherwise(F.concat(pat, F.lit("%")))
+
+
+_RULE_STRUCT = "struct<directive:string,pat:string,rule_len:integer>"
+
+
+def apply_robots(
+    links: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "abs_url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Flag every link against a robots rules table
+    (:func:`robots_rules` output): adds ``is_robots_disallowed``.
+
+    RFC 9309 match semantics: rules from the crawler's OWN user-agent
+    group when the domain defines one, else the ``*`` group (a specific
+    group REPLACES the wildcard group, it does not merge); the matching
+    rule with the most octets wins; ``allow`` beats ``disallow`` on a
+    length tie; no matching rule (or no robots data for the domain)
+    means allowed.  Crawl-delay/sitemap rows are ignored here.
+
+    Plan — the 100 TB shape: the rules pre-aggregate to ONE array row
+    per domain (tiny — robots files are KBs), broadcast-LEFT-join 1:1
+    onto the links, and each link picks its winning rule with
+    higher-order array functions (filter + aggregate) entirely
+    map-side: the links never shuffle, never fan out per candidate
+    rule, and whole-stage codegen keeps the LIKE matching JVM-side."""
+    a = agent.lower()
+    cand = rules.filter(
+        F.col("directive").isin("allow", "disallow")
+        & F.lower(F.col("agent")).isin(a, "*")
+    )
+    # specific-group-replaces-wildcard: keep only the most specific
+    # agent tier present per domain
+    tier = F.when(F.lower(F.col("agent")) == a, 1).otherwise(0)
+    wd = Window.partitionBy("domain")
+    per_domain = (
+        cand.withColumn("__tier", tier)
+        .withColumn("__max_tier", F.max("__tier").over(wd))
+        .filter(F.col("__tier") == F.col("__max_tier"))
+        .groupBy(F.col("domain").alias("__r_domain"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("directive").alias("directive"),
+                    _like_pattern("value").alias("pat"),
+                    F.length("value").alias("rule_len"),
+                )
+            ).alias("__rules")
+        )
+    )
+    path = F.regexp_replace(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    keyed = links.withColumn(
+        "__path", F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
+    )
+    joined = keyed.join(
+        F.broadcast(per_domain),
+        keyed[domain_col] == per_domain["__r_domain"],
+        "left",
+    )
+    # a domain with no robots data has NULL __rules: filter/aggregate
+    # propagate the NULL and the final coalesce reads "allowed"
+    matches = F.filter(
+        F.col("__rules"), lambda r: F.like(F.col("__path"), r["pat"])
+    )
+    best = F.aggregate(
+        matches,
+        F.lit(None).cast(_RULE_STRUCT),
+        lambda acc, r: F.when(acc.isNull(), r)
+        .when(
+            (r["rule_len"] > acc["rule_len"])
+            | ((r["rule_len"] == acc["rule_len"])
+               & (r["directive"] == "allow")),
+            r,
+        )
+        .otherwise(acc),
+    )
+    return joined.withColumn(
+        "is_robots_disallowed",
+        F.coalesce(best["directive"] == "disallow", F.lit(False)),
+    ).drop("__r_domain", "__rules", "__path")

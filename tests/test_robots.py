@@ -1,0 +1,166 @@
+"""robots.txt parsing + URL filtering (operators/robots.py — RFC 9309
+semantics): group attribution, specific-agent-replaces-wildcard,
+longest-match with allow-wins-ties, * wildcards and $ anchors, and the
+zero-link-shuffle plan shape."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_ctd_spark.operators.robots import apply_robots, robots_rules
+
+ROBOTS_A = """# site a
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Crawl-delay: 2
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /only-good/
+
+Sitemap: https://a.example.org/sitemap.xml
+"""
+
+ROBOTS_B = """User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /*.pdf$
+Disallow: /tmp*
+"""
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "source": ["a.example.org", "b.example.org"],
+            "text": [ROBOTS_A, ROBOTS_B],
+        })
+    )
+    return robots_rules(docs).cache()
+
+
+def test_robots_rules_groups_and_sitemap(rules):
+    out = rules.toPandas()
+    a = out[out.domain == "a.example.org"]
+    # the * group carries its three directives
+    star = a[a.agent == "*"].set_index("directive")
+    assert star.loc["disallow", "value"] == "/private/"
+    assert star.loc["allow", "value"] == "/private/ok.html"
+    assert star.loc["crawl-delay", "value"] == "2"
+    # contiguous UA lines share ONE group's rules
+    for agent in ("goodbot", "otherbot"):
+        g = a[a.agent == agent]
+        assert list(g.directive) == ["disallow"]
+        assert list(g.value) == ["/only-good/"]
+    # sitemap is group-independent (NULL agent)
+    sm = a[a.directive == "sitemap"]
+    assert len(sm) == 1 and pd.isna(sm.iloc[0].agent)
+    assert sm.iloc[0].value == "https://a.example.org/sitemap.xml"
+
+
+def _links(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "abs_url", "domain"])
+    )
+
+
+def test_apply_robots_longest_match_and_wildcards(spark, rules):
+    links = _links(spark, [
+        (1, "https://a.example.org/public/x", "a.example.org"),
+        (2, "https://a.example.org/private/secret", "a.example.org"),
+        (3, "https://a.example.org/private/ok.html", "a.example.org"),
+        (4, "https://b.example.org/doc.pdf", "b.example.org"),
+        (5, "https://b.example.org/doc.pdf?x=1", "b.example.org"),
+        (6, "https://b.example.org/tmp/scratch", "b.example.org"),
+        (7, "https://b.example.org/fine.html", "b.example.org"),
+        (8, "https://norobots.example.org/a", "norobots.example.org"),
+        (9, "https://a.example.org", "a.example.org"),  # empty path -> /
+    ])
+    out = (
+        apply_robots(links, rules)
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert not out[1]
+    assert out[2]          # /private/ prefix
+    assert not out[3]      # longer Allow wins over shorter Disallow
+    assert out[4]          # /*.pdf$ anchored wildcard
+    assert not out[5]      # $ anchor: query-suffixed URL is NOT .pdf-final
+    assert out[6]          # /tmp* prefix wildcard
+    assert not out[7]
+    assert not out[8]      # no robots data -> allowed
+    assert not out[9]
+
+
+def test_apply_robots_specific_agent_replaces_wildcard(spark, rules):
+    links = _links(spark, [
+        (1, "https://a.example.org/private/secret", "a.example.org"),
+        (2, "https://a.example.org/only-good/page", "a.example.org"),
+        (3, "https://b.example.org/anything", "b.example.org"),
+    ])
+    out = (
+        apply_robots(links, rules, agent="goodbot")
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    # goodbot has its OWN group on a.example.org: the * group's
+    # /private/ rule does NOT apply (replace, not merge)...
+    assert not out[1]
+    assert out[2]          # ...but its own /only-good/ rule does
+    # on b.example.org goodbot has no group -> falls back to *
+    assert not bool(out[3])  # /anything is not matched by the * rules
+    # badbot's own group on b blocks everything
+    out_bad = (
+        apply_robots(links, rules, agent="BadBot")
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert bool(out_bad[3])
+
+
+def test_apply_robots_plan_is_broadcast_no_link_shuffle(spark, rules):
+    links = _links(spark, [
+        (1, "https://a.example.org/x", "a.example.org"),
+    ])
+    plan = (
+        apply_robots(links, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_robots_end_to_end_from_warc_and_links(spark, tmp_path):
+    """The composed crawl head: robots.txt payloads arrive as ordinary
+    WARC responses -> robots_rules; pages -> extract_links; the flag
+    joins them — no new I/O surface anywhere."""
+    from python_ctd_spark.io.warc import (
+        build_warc, make_response_record, read_warc,
+        warc_responses_to_documents,
+    )
+    from python_ctd_spark.operators.markup import extract_links
+
+    robots = make_response_record(
+        "https://site.example.org/robots.txt",
+        b"User-agent: *\nDisallow: /private/\n",
+        "r-robots", http_content_type="text/plain",
+    )
+    page = make_response_record(
+        "https://site.example.org/index.html",
+        (b'<a href="/private/a">hidden</a>'
+         b' <a href="/public/b">fine</a>'),
+        "r-page",
+    )
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(build_warc([robots, page], gz=True))
+    docs = warc_responses_to_documents(read_warc(spark, str(p)))
+    robots_docs = docs.filter(F.col("text").startswith("User-agent"))
+    rules = robots_rules(robots_docs)
+    pages = docs.filter(~F.col("text").startswith("User-agent")).withColumn(
+        "base_uri", F.lit("https://site.example.org/index.html")
+    )
+    links = extract_links(pages, "text", base_col="base_uri")
+    out = apply_robots(links, rules).toPandas().set_index("url")
+    assert bool(out.loc["/private/a", "is_robots_disallowed"])
+    assert not out.loc["/public/b", "is_robots_disallowed"]

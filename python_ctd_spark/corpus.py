@@ -120,7 +120,7 @@ class Corpus:
             self.df, self.text_col, id_col=self.id_col, base_col=base_col
         )
 
-    def robots_rules(self, domain_col: str = "source") -> DataFrame:
+    def robots_rules(self, domain_col: str | None = None) -> DataFrame:
         """Parse robots.txt payloads held in this corpus into the
         per-(agent, directive) rules table
         (:func:`..operators.robots.robots_rules`) — feed it to
@@ -130,7 +130,9 @@ class Corpus:
         from python_ctd_spark.operators import robots
 
         return robots.robots_rules(
-            self.df, text_col=self.text_col, domain_col=domain_col
+            self.df,
+            text_col=self.text_col,
+            domain_col=domain_col or self.domain_col,
         )
 
     def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":

@@ -99,6 +99,7 @@ CASES = {
     "domain_stats": lambda c, b: c.domain_stats(),
     "pack_sequences": lambda c, b: c.tokenize().pack_sequences(seq_len=128),
     "extract_links": lambda c, b: c.extract_links(),
+    "robots_rules": lambda c, b: c.robots_rules(),
 }
 
 

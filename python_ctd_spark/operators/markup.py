@@ -156,6 +156,62 @@ def normalized_domain(url: Column) -> Column:
     )
 
 
+#: query parameters that identify a CLICK, not a RESOURCE — stripped
+#: by :func:`canonical_url` (the usual analytics/click-id families;
+#: extend per deployment)
+TRACKING_PARAM_PATTERN = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|dclid|mc_[ce]id|igshid|ref_src)(=|$)"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """THE URL dedup key: scheme+host lowercase, userinfo and default
+    ports (:80 http / :443 https) and the fragment stripped, absolute-
+    FQDN trailing dot removed, tracking parameters
+    (:data:`TRACKING_PARAM_PATTERN`) dropped, remaining query
+    parameters SORTED (byte order) so parameter-order shuffles
+    collide; an emptied query loses its ``?``.  Path case and
+    non-default ports are preserved — they are resource-identifying.
+    Non-hierarchical URLs (no ``://``) pass through unchanged.
+
+    All native column expressions (regexp + higher-order array ops):
+    map-side at any scale, usable directly as an exact-dedup
+    ``groupBy`` key or a MinHash input on link corpora."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1
+    ))
+    # absolute-FQDN trailing dot: both bare ("host.") and before a
+    # port ("host.:8080") — spelled as two plain rules (no lookahead,
+    # keeping the pattern RE2-portable like the rest of this module)
+    hostport = F.regexp_replace(hostport, r"\.$", "")
+    hostport = F.regexp_replace(hostport, r"\.:", ":")
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"),
+               F.substring(hostport, F.lit(1), F.length(hostport) - 3))
+        .when((scheme == "https") & hostport.endswith(":443"),
+              F.substring(hostport, F.lit(1), F.length(hostport) - 4))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(url)
+
+
 def resolve_url(url: Column, base: Column) -> Column:
     """Resolve a link reference against its page URI (RFC 3986 §5, the
     subset real crawls need) — entirely native column expressions, so

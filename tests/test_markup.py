@@ -312,3 +312,39 @@ def test_resolve_url_query_fragment_untouched_by_dot_collapse(spark):
         "want", markup.resolve_url(F.col("u"), F.col("b")).alias("got")
     ).toPandas()
     assert list(out.got) == list(out.want)
+
+
+def test_canonical_url_dedup_key(spark):
+    """canonical_url (r13): scheme/host case, userinfo, default ports,
+    fragments, tracking params and query-parameter ORDER all collapse
+    to one key; resource-identifying parts (path case, non-default
+    ports, non-tracking params) survive."""
+    from python_ctd_spark.operators.markup import canonical_url
+
+    same = [
+        "https://Ex.ORG/Path?b=2&a=1",
+        "https://u:p@ex.org:443/Path?a=1&b=2#frag",
+        "HTTPS://ex.org./Path?utm_source=x&b=2&utm_campaign=y&a=1",
+        "https://ex.org/Path?fbclid=abc&gclid=1&a=1&b=2",
+    ]
+    diff = [
+        "https://ex.org/path?a=1&b=2",      # path case differs
+        "https://ex.org:8443/Path?a=1&b=2", # non-default port kept
+        "https://ex.org/Path?a=2&b=2",      # param value differs
+        "http://ex.org/Path?a=1&b=2",       # scheme differs
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": same + diff + ["mailto:a@b.c", "https://h/"]})
+    )
+    out = df.select("url", canonical_url(F.col("url")).alias("c")).toPandas()
+    canon = out.set_index("url").c
+    assert len(set(canon[u] for u in same)) == 1
+    assert canon[same[0]] == "https://ex.org/Path?a=1&b=2"
+    assert len({canon[u] for u in same + diff}) == 1 + len(diff)
+    assert canon["mailto:a@b.c"] == "mailto:a@b.c"  # non-hierarchical
+    assert canon["https://h/"] == "https://h/"
+    # http default port + bare host get a path
+    one = spark.createDataFrame(pd.DataFrame({"url": [
+        "HTTP://A.Example.COM:80?utm_medium=m"]}))
+    got = one.select(canonical_url(F.col("url")).alias("c")).toPandas().c[0]
+    assert got == "http://a.example.com/"

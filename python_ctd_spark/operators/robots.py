@@ -101,6 +101,49 @@ def robots_rules(
     return per_agent.unionByName(sitemaps)
 
 
+def sitemap_urls(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Extract the URL entries of sitemap XML payloads (sitemaps.org
+    protocol): ``(domain, kind, url, lastmod)`` — ``kind`` is ``url``
+    for page entries (``<urlset>``) and ``sitemap`` for nested index
+    entries (``<sitemapindex>``), so a frontier builder can recurse on
+    the latter.  ``<loc>`` values arrive XML-entity-decoded (the five
+    predefined entities — the protocol requires escaping them).
+
+    Native: one ``regexp_extract_all`` per container kind over the
+    payload, zipped with per-entry ``<lastmod>`` where present —
+    map-side, no shuffle; feed the output to
+    :func:`..markup.canonical_url` for frontier dedup."""
+    out = None
+    for kind, container in (("url", "url"), ("sitemap", "sitemap")):
+        # one <url>/<sitemap> element per entry; loc mandatory,
+        # lastmod optional — extract the ELEMENT first so loc/lastmod
+        # stay paired even when other tags interleave
+        elem_pat = rf"(?is)<{container}>(.*?)</{container}>"
+        elems = F.regexp_extract_all(F.col(text_col), F.lit(elem_pat), 1)
+        loc = r"(?is)<loc>\s*(.*?)\s*</loc>"
+        lastmod = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+        part = df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(elems).alias("e"),
+        ).select(
+            "domain",
+            F.lit(kind).alias("kind"),
+            F.regexp_extract("e", loc, 1).alias("url"),
+            F.nullif(F.regexp_extract("e", lastmod, 1), F.lit("")).alias(
+                "lastmod"
+            ),
+        ).filter(F.col("url") != "")
+        out = part if out is None else out.unionByName(part)
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        out = out.withColumn("url", F.replace("url", F.lit(ent), F.lit(rep)))
+    return out
+
+
 def _like_pattern(value):
     """robots rule path -> SQL LIKE pattern: ``*`` is the only
     wildcard (-> ``%``), a trailing ``$`` anchors the end (no trailing

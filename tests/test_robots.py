@@ -164,3 +164,38 @@ def test_robots_end_to_end_from_warc_and_links(spark, tmp_path):
     out = apply_robots(links, rules).toPandas().set_index("url")
     assert bool(out.loc["/private/a", "is_robots_disallowed"])
     assert not out.loc["/public/b", "is_robots_disallowed"]
+
+
+def test_sitemap_urls(spark):
+    """Sitemap XML (sitemaps.org): page entries and nested index
+    entries extract with per-entry lastmod pairing intact across
+    interleaved tags; <loc> XML entities decode; garbage payloads emit
+    nothing."""
+    from python_ctd_spark.operators.robots import sitemap_urls
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.example.org/p1</loc><lastmod>2024-01-02</lastmod></url>
+  <url><changefreq>daily</changefreq><loc> https://a.example.org/p2?x=1&amp;y=2 </loc></url>
+  <url><loc>https://a.example.org/p3</loc></url>
+</urlset>"""
+    index = """<sitemapindex>
+  <sitemap><loc>https://b.example.org/sitemap-a.xml</loc>
+    <lastmod>2023-12-31</lastmod></sitemap>
+</sitemapindex>"""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "source": ["a.example.org", "b.example.org", "junk.example.org"],
+        "text": [urlset, index, "not xml at all"],
+    }))
+    out = sitemap_urls(docs).toPandas()
+    a = out[out.domain == "a.example.org"].set_index("url")
+    assert len(a) == 3 and (a.kind == "url").all()
+    assert a.loc["https://a.example.org/p1", "lastmod"] == "2024-01-02"
+    # whitespace trimmed, entity decoded, lastmod NULL where absent
+    assert "https://a.example.org/p2?x=1&y=2" in a.index
+    assert pd.isna(a.loc["https://a.example.org/p3", "lastmod"])
+    b = out[out.domain == "b.example.org"]
+    assert list(b.kind) == ["sitemap"]
+    assert list(b.url) == ["https://b.example.org/sitemap-a.xml"]
+    assert list(b.lastmod) == ["2023-12-31"]
+    assert (out.domain != "junk.example.org").all()

@@ -65,6 +65,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         px = px[::-1]
     if bpp == 8:
+        if int(px.max(initial=0)) >= palette.shape[0]:
+            # the documented error contract is ValueError — a numpy
+            # IndexError here would dodge image_ahash's per-row
+            # quarantine and kill the whole task on one bad blob
+            raise ValueError(
+                f"BMP pixel index {int(px.max())} exceeds palette size "
+                f"{palette.shape[0]}"
+            )
         return np.ascontiguousarray(palette[px[:, :, 0]])
     return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
 

@@ -199,7 +199,12 @@ def canonical_url(url: Column) -> Column:
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
     path = F.coalesce(F.nullif(path, F.lit("")), F.lit("/"))
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query is extracted from the DEFRAGMENTED url: an unanchored
+    # \? would otherwise pull '?tab=1' out of an SPA fragment like
+    # '#!/route?tab=1' and leak fragment content into the dedup key
+    query = F.regexp_extract(
+        F.regexp_replace(url, "#.*", ""), r"\?(.*)", 1
+    )
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),

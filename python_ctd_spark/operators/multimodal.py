@@ -246,9 +246,10 @@ def resize_image(
     """Image-resize: blob in -> (smaller) PNG blob + new dims out, one
     row per input, via mapInPandas.
 
-    ``fake=False`` REALLY resizes PNG and baseline-JPEG blobs: stdlib
+    ``fake=False`` REALLY resizes PNG, JPEG and BMP blobs: stdlib
     decode (:func:`..functions.png_numpy.decode_png` /
-    :func:`..functions.jpeg_numpy.decode_jpeg`), exact box-mean area
+    :func:`..functions.jpeg_numpy.decode_jpeg` /
+    :func:`..functions.bmp_numpy.decode_bmp`), exact box-mean area
     average (:func:`..functions.png_numpy.resize_area` — integral
     image, nearest-neighbor on upscale), stdlib PNG re-encode — a true
     thumbnail pipeline with no PIL.  Other blobs raise
@@ -259,6 +260,7 @@ def resize_image(
     def fn(batches):
         import pandas as pd
 
+        from python_ctd_spark.functions.bmp_numpy import decode_bmp
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.png_numpy import (
             decode_png, encode_png_gray, resize_area,
@@ -277,10 +279,6 @@ def resize_image(
                         sampled = b[::step][:n]
                 elif (b[:4] == b"\x89PNG" or b[:2] == b"\xff\xd8"
                       or b[:2] == b"BM"):
-                    from python_ctd_spark.functions.bmp_numpy import (
-                        decode_bmp,
-                    )
-
                     img = (
                         decode_png(b) if b[:4] == b"\x89PNG"
                         else decode_bmp(b) if b[:2] == b"BM"
@@ -295,7 +293,7 @@ def resize_image(
                     sampled = encode_png_gray(small)
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG and baseline JPEG only "
+                        "real resize supports PNG, JPEG and BMP only "
                         "(no PIL in this environment); pass fake=True "
                         "for the byte-stride fake"
                     )

@@ -45,27 +45,43 @@ def robots_rules(
     ``Sitemap`` directives are group-independent and come back with
     ``agent = NULL``.  Unknown directives and blank lines drop.
 
-    Plan: explode -> window (group ids) -> self-join agents x rules on
-    (domain, group_id).  The window and join share one hash partition
-    on domain; robots files are tiny, so the join side auto-broadcasts
-    under AQE at any corpus scale."""
-    lines = df.select(
+    Plan: explode -> window (group ids) -> self-join agents x rules.
+    The window partitions on (domain, SOURCE DOCUMENT): a corpus
+    holding several robots.txt snapshots of one domain (a normal
+    recrawl shape) must never interleave their lines — line numbers
+    collide across documents and the groups would cross-contaminate.
+    Rules from every snapshot coexist in the output (dedupe upstream
+    to the newest snapshot if that is the policy); robots files are
+    tiny, so the join side auto-broadcasts under AQE at any scale."""
+    # the document id is materialized in its OWN projection BEFORE the
+    # explode: monotonically_increasing_id in the same select as a
+    # generator evaluates per OUTPUT line (measured), which would give
+    # every line its own partition and dissolve the groups
+    base = df.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+        F.col(text_col).alias("__text"),
+        F.monotonically_increasing_id().alias("__rid"),
+    )
+    lines = base.select(
+        "domain",
+        "__rid",
+        F.posexplode(F.split(F.col("__text"), "\n")).alias("line_no", "raw"),
     ).select(
         "domain",
+        "__rid",
         "line_no",
         F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
     )
     parsed = lines.select(
         "domain",
+        "__rid",
         "line_no",
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
             "value"
         ),
     ).filter(F.col("key") != "")
-    w = Window.partitionBy("domain").orderBy("line_no")
+    w = Window.partitionBy("domain", "__rid").orderBy("line_no")
     is_ua = (F.col("key") == "user-agent").cast("int")
     # a UA line PRECEDED by a non-UA line (or nothing) starts a group;
     # the running sum of starts is the group id every line carries
@@ -76,6 +92,7 @@ def robots_rules(
     grouped = parsed.withColumn("group_id", F.sum(starts).over(w))
     agents = grouped.filter(F.col("key") == "user-agent").select(
         "domain",
+        "__rid",
         "group_id",
         F.lower(F.col("value")).alias("agent"),
     )
@@ -83,12 +100,13 @@ def robots_rules(
         F.col("key").isin(*_GROUP_DIRECTIVES) & (F.col("group_id") > 0)
     ).select(
         "domain",
+        "__rid",
         "group_id",
         F.col("key").alias("directive"),
         "value",
         "line_no",
     )
-    per_agent = agents.join(rules, ["domain", "group_id"]).select(
+    per_agent = agents.join(rules, ["domain", "__rid", "group_id"]).select(
         "domain", "agent", "directive", "value", "line_no"
     )
     sitemaps = grouped.filter(F.col("key") == "sitemap").select(
@@ -188,19 +206,29 @@ def apply_robots(
     map-side: the links never shuffle, never fan out per candidate
     rule, and whole-stage codegen keeps the LIKE matching JVM-side."""
     a = agent.lower()
-    cand = rules.filter(
-        F.col("directive").isin("allow", "disallow")
-        & F.lower(F.col("agent")).isin(a, "*")
+    # specific-group-replaces-wildcard: the tier is decided by ANY
+    # directive in the agent's group (a group holding only Crawl-delay
+    # still EXISTS and still replaces '*' — RFC 9309 group semantics),
+    # so compute it before restricting to the matchable directives
+    scoped = rules.filter(
+        F.col("agent").isNotNull() & F.lower(F.col("agent")).isin(a, "*")
     )
-    # specific-group-replaces-wildcard: keep only the most specific
-    # agent tier present per domain
     tier = F.when(F.lower(F.col("agent")) == a, 1).otherwise(0)
     wd = Window.partitionBy("domain")
-    per_domain = (
-        cand.withColumn("__tier", tier)
+    cand = (
+        scoped.withColumn("__tier", tier)
         .withColumn("__max_tier", F.max("__tier").over(wd))
         .filter(F.col("__tier") == F.col("__max_tier"))
-        .groupBy(F.col("domain").alias("__r_domain"))
+        # only path rules match URLs, and an EMPTY value disallows (or
+        # allows) NOTHING per the RFC — 'Disallow:' is the canonical
+        # allow-all file, not a match-all pattern
+        .filter(
+            F.col("directive").isin("allow", "disallow")
+            & (F.col("value") != "")
+        )
+    )
+    per_domain = (
+        cand.groupBy(F.col("domain").alias("__r_domain"))
         .agg(
             F.collect_list(
                 F.struct(

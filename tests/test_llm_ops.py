@@ -2378,3 +2378,31 @@ def test_bmp_decode_through_the_media_family(spark):
     assert hashed.loc[0, "ahash"] == hashed.loc[1, "ahash"] == ahash64(px)
     small = multimodal.resize_image(df, target_w=8, target_h=8).toPandas()
     assert (small.width == 8).all() and len(small) == 2
+
+
+def test_bmp_truncated_palette_is_valueerror(spark):
+    """Second self-review pass: an 8-bit BMP whose pixels index past
+    its declared palette must raise the documented ValueError (so
+    image_ahash(strict=False) quarantines it), never numpy
+    IndexError (which would kill the whole task)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from python_ctd_spark.functions.bmp_numpy import decode_bmp, encode_bmp
+    from python_ctd_spark.operators.media_dedup import image_ahash
+
+    blob = bytearray(encode_bmp(np.full((4, 4), 5, np.uint8), bpp=8))
+    head, pal = bytes(blob[:54]), bytes(blob[54 : 54 + 8])
+    body = bytes(blob[54 + 1024 :])
+    bad = bytearray(head + pal + body)
+    bad[10:14] = struct.pack("<I", 54 + 8)      # pixel offset
+    bad[46:50] = struct.pack("<I", 2)           # biClrUsed = 2
+    with pytest.raises(ValueError, match="palette"):
+        decode_bmp(bytes(bad))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "blob": [bytes(bad)]})
+    )
+    out = image_ahash(df, strict=False).toPandas()
+    assert out.loc[0, "error"] and "palette" in out.loc[0, "error"]

@@ -348,3 +348,21 @@ def test_canonical_url_dedup_key(spark):
         "HTTP://A.Example.COM:80?utm_medium=m"]}))
     got = one.select(canonical_url(F.col("url")).alias("c")).toPandas().c[0]
     assert got == "http://a.example.com/"
+
+
+def test_canonical_url_fragment_query_does_not_leak(spark):
+    """Second self-review pass: a '?' INSIDE the fragment (SPA hash
+    routing, '#!/route?tab=1') must not leak fragment content into the
+    dedup key — the key equals the defragmented URL's key."""
+    from python_ctd_spark.operators.markup import canonical_url
+
+    df = spark.createDataFrame(pd.DataFrame({"url": [
+        "https://ex.org/p#frag?a=1",
+        "https://ex.org/p",
+        "https://ex.org/p?real=1#!/route?tab=2",
+    ]}))
+    c = df.select("url", canonical_url(F.col("url")).alias("c")).toPandas()
+    canon = c.set_index("url").c
+    assert canon["https://ex.org/p#frag?a=1"] == "https://ex.org/p"
+    assert canon["https://ex.org/p?real=1#!/route?tab=2"] == (
+        "https://ex.org/p?real=1")

@@ -199,3 +199,40 @@ def test_sitemap_urls(spark):
     assert list(b.url) == ["https://b.example.org/sitemap-a.xml"]
     assert list(b.lastmod) == ["2023-12-31"]
     assert (out.domain != "junk.example.org").all()
+
+
+def test_robots_review_findings_r13(spark):
+    """Second self-review pass: (1) an empty 'Disallow:' — the
+    canonical allow-ALL robots.txt — must disallow nothing, not
+    everything; (2) an agent group holding only Crawl-delay still
+    EXISTS and replaces the * group; (3) two snapshots of one domain's
+    robots.txt must never cross-contaminate their groups."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "source": ["e.org", "f.org", "y.org", "y.org"],
+        "text": [
+            "User-agent: *\nDisallow:\n",                       # allow-all
+            "User-agent: goodbot\nCrawl-delay: 5\n\n"
+            "User-agent: *\nDisallow: /\n",
+            "User-agent: a\nDisallow: /a-only/\n",              # snapshot 1
+            "User-agent: b\nDisallow: /b-only/\n",              # snapshot 2
+        ],
+    }))
+    rules = robots_rules(docs).cache()
+    # (3) no cross-contamination between same-domain documents
+    y = rules.filter(F.col("domain") == "y.org").toPandas()
+    got = {(r.agent, r.value) for r in y.itertuples()}
+    assert got == {("a", "/a-only/"), ("b", "/b-only/")}
+    links = _links(spark, [
+        (1, "https://e.org/anything", "e.org"),
+        (2, "https://f.org/page", "f.org"),
+    ])
+    # (1) empty Disallow never matches
+    star = apply_robots(links, rules).toPandas().set_index("doc_id")
+    assert not bool(star.loc[1, "is_robots_disallowed"])
+    assert bool(star.loc[2, "is_robots_disallowed"])  # f.org * blocks /
+    # (2) goodbot's crawl-delay-only group replaces * on f.org
+    good = (
+        apply_robots(links, rules, agent="goodbot")
+        .toPandas().set_index("doc_id")
+    )
+    assert not bool(good.loc[2, "is_robots_disallowed"])

@@ -366,3 +366,46 @@ def test_canonical_url_fragment_query_does_not_leak(spark):
     assert canon["https://ex.org/p#frag?a=1"] == "https://ex.org/p"
     assert canon["https://ex.org/p?real=1#!/route?tab=2"] == (
         "https://ex.org/p?real=1")
+
+
+def test_resolve_url_agrees_with_urljoin_reference(spark):
+    """Cross-implementation check: on the documented RFC-3986 subset
+    (absolute/protocol-relative/root-relative/fragment/query/path-
+    relative refs, dot-segments within the base depth), resolve_url
+    must agree with the stdlib's independent urljoin implementation
+    case-for-case.  Beyond-root '..' chains are the documented
+    divergence (urljoin clamps to the root, resolve_url leaves the
+    residue) and are excluded."""
+    from urllib.parse import urljoin
+
+    from python_ctd_spark.operators import markup
+
+    bases = [
+        "https://h.org/a/b/index.html",
+        "https://h.org/",
+        "https://h.org/a/x.html?q=0#z",
+        "http://user@h.org:8080/p/q/",
+    ]
+    # the empty reference is excluded: urllib returns the base VERBATIM
+    # (fragment included — a known urllib same-document quirk), while
+    # RFC 3986 §5.2.2 leaves the target fragment undefined; resolve_url
+    # follows the RFC (base without fragment, pinned in the dot-segment
+    # test above)
+    refs = [
+        "x", "./x", "../x", "x/y.html", "x/../y", "a/./b",
+        "/x", "/x/y?q=2", "//cdn.org/z", "#f", "?q=1",
+        "https://abs.org/p", "mailto:a@b.c",
+    ]
+    cases = []
+    for b in bases:
+        for r in refs:
+            if r == "../x" and b.count("/", 8) < 2:
+                continue  # beyond-root: documented divergence
+            cases.append((r, b, urljoin(b, r)))
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["u", "b", "want"]))
+    out = df.select(
+        "u", "b", "want",
+        markup.resolve_url(F.col("u"), F.col("b")).alias("got"),
+    ).toPandas()
+    bad = out[out.got != out.want]
+    assert bad.empty, bad.to_string()

@@ -5,6 +5,7 @@ import gzip
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from python_ctd_spark.io.warc import (
     build_warc,
@@ -395,3 +396,46 @@ def test_warc_bom_and_xml_declaration_sniff(spark, tmp_path):
     assert docs.loc["u16.example.org", "text"] == "<p>héllo utf-16</p>"
     assert docs.loc["u8b.example.org", "text"] == "café"  # BOM stripped
     assert docs.loc["xd.example.org", "text"].endswith("voilà</doc>")
+
+
+def test_streaming_crawl_head_composes_with_link_extraction(spark, tmp_path):
+    """The live-crawl composition law: read_warc_stream -> documents ->
+    extract_links (with per-page base URIs from the WARC target URI)
+    is stateless end-to-end, so a drained stream equals the batch
+    pipeline row-for-row — links, resolution, blocklist flags and all."""
+    from python_ctd_spark.operators.markup import extract_links
+    from python_ctd_spark.io.warc import read_warc_stream
+    from python_ctd_spark.streaming import run_to_memory
+
+    pages = [
+        make_response_record(
+            f"https://site{i}.example.org/d/index.html",
+            (f'<a href="page{i}.html">n</a>'
+             " <img src='//spam.example.net/px.gif'/>").encode(),
+            f"r-{i}",
+        )
+        for i in range(4)
+    ]
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s0.warc.gz").write_bytes(build_warc(pages[:2], gz=True))
+    (d / "s1.warc.gz").write_bytes(build_warc(pages[2:], gz=True))
+
+    def head(records):
+        docs = warc_responses_to_documents(records).withColumn(
+            "base_uri",
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit("/d/index.html")),
+        )
+        return extract_links(docs, "text", base_col="base_uri")
+
+    batch = head(read_warc(spark, str(d))).toPandas()
+    streamed = run_to_memory(
+        head(read_warc_stream(spark, str(d))), "stream_links_compose"
+    ).toPandas()
+    key = ["doc_id", "tag", "link_pos"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s)
+    assert s[s.tag == "img"].is_blocked.all()  # resolution in-stream too
+    assert len(s) == 8

@@ -77,6 +77,84 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB
 
 
+def decode_ico(data: bytes) -> np.ndarray:
+    """Decode the LARGEST image of an ICO container (favicons — a
+    crawl-ubiquitous blob type) to an (H, W, C) uint8 array.
+
+    Entries are either embedded PNGs (delegated to
+    :func:`..png_numpy.decode_png`) or headerless DIBs: a
+    BITMAPINFOHEADER whose height covers the XOR image PLUS the AND
+    mask (doubled), no BITMAPFILEHEADER.  DIB entries are rebuilt into
+    a standard BMP stream and decoded by :func:`decode_bmp` — one
+    pixel path, two containers; the 1-bit AND mask is dropped
+    (transparency is not brightness, same policy as PNG alpha in the
+    hash pipeline)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO: bad header")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0:
+        raise ValueError("ICO with no images")
+    best = None
+    for i in range(count):
+        e = data[6 + 16 * i : 6 + 16 * (i + 1)]
+        if len(e) < 16:
+            raise ValueError("truncated ICO directory")
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, size, off)
+    w, h, size, off = best
+    body = data[off : off + size]
+    if len(body) < size:
+        raise ValueError("truncated ICO image data")
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_numpy import decode_png
+
+        return decode_png(body)
+    # headerless DIB: height is doubled (XOR + AND mask); rebuild a BMP
+    # with the true height and let decode_bmp do the pixel work
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
+    (hdr_size,) = struct.unpack("<I", body[:4])
+    width, dheight = struct.unpack("<ii", body[4:12])
+    true_h = dheight // 2 if dheight > 0 else dheight
+    fixed = (
+        body[:4]
+        + struct.pack("<ii", width, true_h)
+        + body[12:]
+    )
+    pix_off = 14 + hdr_size
+    bpp = struct.unpack("<H", body[14:16])[0]
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", body[32:36])
+        pix_off += 4 * (n_colors or 256)
+    head = b"BM" + struct.pack("<IHHI", 14 + len(fixed), 0, 0, pix_off)
+    return decode_bmp(head + fixed)
+
+
+def encode_ico(img: np.ndarray) -> bytes:
+    """Test-fixture encoder: one-entry ICO wrapping a 32-bit DIB of
+    ``img`` (with an all-opaque AND mask, the doubled-height layout)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, axis=2)
+    h, w = img.shape[:2]
+    if h > 256 or w > 256:
+        raise ValueError("ICO entries cap at 256x256")
+    bmp = encode_bmp(img, bpp=32)
+    (pix_off,) = struct.unpack("<I", bmp[10:14])
+    dib = bytearray(bmp[14:])
+    # double the height field (XOR + AND) per the ICO DIB convention
+    dib[4:12] = struct.pack("<ii", w, h * 2)
+    mask_stride = ((w + 31) // 32) * 4  # 1-bit rows pad to 4 bytes
+    dib += b"\x00" * (mask_stride * h)  # all-zero mask = fully opaque
+    entry = struct.pack(
+        "<BBBBHHII",
+        w % 256, h % 256, 0, 0, 1, 32, len(dib), 6 + 16,
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + bytes(dib)
+
+
 def encode_bmp(img: np.ndarray, bpp: int = 24) -> bytes:
     """Test-fixture encoder: (H, W)/(H, W, 3) uint8 -> BI_RGB BMP
     (bottom-up, 4-byte row padding; ``bpp=8`` writes a grayscale

@@ -76,7 +76,9 @@ def image_ahash(
     def fn(batches):
         import pandas as pd
 
-        from python_ctd_spark.functions.bmp_numpy import decode_bmp
+        from python_ctd_spark.functions.bmp_numpy import (
+            decode_bmp, decode_ico,
+        )
         from python_ctd_spark.functions.image_hash import ahash64
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.png_numpy import decode_png
@@ -88,6 +90,8 @@ def image_ahash(
                 try:
                     px = (decode_jpeg(b) if b[:2] == b"\xff\xd8"
                           else decode_bmp(b) if b[:2] == b"BM"
+                          else decode_ico(b)
+                          if b[:4] == b"\x00\x00\x01\x00"
                           else decode_png(b))
                     h64 = ahash64(_to_gray(px), hash_size)
                 except ValueError as exc:

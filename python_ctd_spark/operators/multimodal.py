@@ -54,6 +54,7 @@ def attach_media_meta(
               F.lit("avi"))
         .when(head.startswith("47494638"), F.lit("gif"))
         .when(head.startswith("424D"), F.lit("bmp"))
+        .when(head == "00000100", F.lit("ico"))
         .otherwise(F.lit("unknown"))
     )
     return df.withColumn(
@@ -104,7 +105,7 @@ def decode_and_featurize(
         import pandas as pd
 
         from python_ctd_spark.functions.avi_numpy import decode_avi
-        from python_ctd_spark.functions.bmp_numpy import decode_bmp
+        from python_ctd_spark.functions.bmp_numpy import decode_bmp, decode_ico
         from python_ctd_spark.functions.gif_numpy import decode_gif
         from python_ctd_spark.functions.jpeg_numpy import decode_jpeg
         from python_ctd_spark.functions.media_features import feature_fold
@@ -121,10 +122,12 @@ def decode_and_featurize(
                 is_avi = b[:4] == b"RIFF" and b[8:12] == b"AVI "
                 is_gif = b[:4] == b"GIF8"
                 is_bmp = b[:2] == b"BM"
+                is_ico = b[:4] == b"\x00\x00\x01\x00"
                 fmts.append(
                     "png" if is_png else "jpeg" if is_jpg
                     else "wav" if is_wav else "avi" if is_avi
-                    else "gif" if is_gif else "bmp" if is_bmp else "raw"
+                    else "gif" if is_gif else "bmp" if is_bmp
+                    else "ico" if is_ico else "raw"
                 )
                 if fake:
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
@@ -147,6 +150,8 @@ def decode_and_featurize(
                     )
                 elif is_bmp:
                     arr = decode_bmp(b).astype(np.float64).ravel()
+                elif is_ico:
+                    arr = decode_ico(b).astype(np.float64).ravel()
                 else:
                     raise NotImplementedError(
                         "real decode supports PNG, JPEG (baseline/"

@@ -2406,3 +2406,32 @@ def test_bmp_truncated_palette_is_valueerror(spark):
     )
     out = image_ahash(df, strict=False).toPandas()
     assert out.loc[0, "error"] and "palette" in out.loc[0, "error"]
+
+
+def test_ico_decode_through_the_media_family(spark):
+    """ICO favicons (r13): both entry layouts decode — headerless DIB
+    (doubled-height XOR+AND) and embedded PNG — and the blob sniffs,
+    featurizes and hashes through the standard dispatch (the NUL-led
+    magic can never occur in document text, so the multimodal oracle
+    needs no mirror arm)."""
+    import numpy as np
+
+    from python_ctd_spark.functions.bmp_numpy import decode_ico, encode_ico
+    from python_ctd_spark.functions.image_hash import (
+        ahash64, make_image_blob,
+    )
+    from python_ctd_spark.operators.media_dedup import image_ahash
+
+    _png_blob, px = make_image_blob(9)
+    rgb = px[:, :, None].repeat(3, axis=2)
+    ico_blob = encode_ico(rgb)
+    assert np.array_equal(decode_ico(ico_blob), rgb)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0], "blob": [ico_blob]})
+    )
+    meta = multimodal.attach_media_meta(df).toPandas()
+    assert meta.loc[0, "media_meta"]["format"] == "ico"
+    feats = multimodal.decode_and_featurize(df).toPandas()
+    assert feats.loc[0, "format"] == "ico"
+    hashed = image_ahash(df, id_col="id").toPandas()
+    assert hashed.loc[0, "ahash"] == ahash64(px)

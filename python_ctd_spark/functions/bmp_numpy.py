@@ -117,7 +117,10 @@ def decode_ico(data: bytes) -> np.ndarray:
         raise ValueError("truncated ICO DIB header")
     (hdr_size,) = struct.unpack("<I", body[:4])
     width, dheight = struct.unpack("<ii", body[4:12])
-    true_h = dheight // 2 if dheight > 0 else dheight
+    # the doubled XOR+AND height halves by MAGNITUDE: a top-down ICO
+    # DIB stores it negative, and keeping the doubled value there would
+    # decode the 1-bit AND mask as pixel rows (ADVICE r13)
+    true_h = dheight // 2 if dheight >= 0 else -((-dheight) // 2)
     fixed = (
         body[:4]
         + struct.pack("<ii", width, true_h)

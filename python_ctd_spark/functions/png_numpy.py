@@ -126,7 +126,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported color type {color}")
     ch = _CHANNELS[color]
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # bit-rot in a crawled blob must surface as the module's ONE
+        # error type (ADVICE r13): a raw zlib.error would escape the
+        # ValueError-only strict=False quarantine in media_dedup and
+        # kill the task the quarantine exists to survive
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * ch
     if interlace == 0:
         if len(raw) != height * (stride + 1):

@@ -48,7 +48,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             width = w.getsampwidth()
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:  # non-PCM compression codes, truncated header
+    except (wave.Error, EOFError) as e:
+        # wave raises EOFError (not wave.Error) on a header that ends
+        # mid-chunk — e.g. a RIFF/WAVE with an 8-byte fmt chunk
+        # (ADVICE r13); both map to the module's ONE error type so the
+        # strict=False quarantine in media_dedup catches them
         raise ValueError(f"not a decodable PCM WAV: {e}") from e
     if width not in _DTYPES:
         raise ValueError(f"unsupported PCM sample width {width} (want 1/2/4)")
@@ -98,12 +102,17 @@ def _parse_riff(data: bytes):
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # a truncated fmt chunk must raise the module's ONE error
+            # type, not struct.error, or it escapes the strict=False
+            # quarantine in media_dedup (ADVICE r13)
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk ({len(body)} bytes)")
             code, n_ch, rate = struct.unpack("<HHI", body[:8])
             block_align, bits = struct.unpack("<HH", body[12:16])
             fmt = (code, n_ch, rate, bits, block_align, body[18:])
         elif cid == b"data":
             payload = body
-        elif cid == b"fact" and size >= 4:
+        elif cid == b"fact" and len(body) >= 4:
             fact = struct.unpack("<I", body[:4])[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:

@@ -2435,3 +2435,31 @@ def test_ico_decode_through_the_media_family(spark):
     assert feats.loc[0, "format"] == "ico"
     hashed = image_ahash(df, id_col="id").toPandas()
     assert hashed.loc[0, "ahash"] == ahash64(px)
+
+
+def test_ico_topdown_negative_height_halves_magnitude():
+    """ADVICE r13: a top-down ICO DIB stores the doubled XOR+AND height
+    NEGATIVE; halving must go by magnitude (sign preserved) or the
+    1-bit AND mask decodes as pixel rows — double height, garbage
+    bottom half."""
+    import numpy as np
+
+    import struct
+
+    from python_ctd_spark.functions.bmp_numpy import decode_ico, encode_ico
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    ico = bytearray(encode_ico(rgb))
+    h, w, stride = 4, 4, 4 * 4  # 32bpp rows, already 4-aligned
+    # ICO header (6) + one directory entry (16) = DIB at offset 22;
+    # height field is DIB bytes 8..12, pixel array starts after the
+    # 40-byte BITMAPINFOHEADER
+    ico[26:34] = struct.pack("<ii", w, -(2 * h))
+    pix0 = 22 + 40
+    rows = [
+        bytes(ico[pix0 + i * stride : pix0 + (i + 1) * stride])
+        for i in range(h)
+    ]
+    ico[pix0 : pix0 + stride * h] = b"".join(reversed(rows))
+    assert np.array_equal(decode_ico(bytes(ico)), rgb)

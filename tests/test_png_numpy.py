@@ -208,3 +208,17 @@ def test_adam7_interlaced_round_trip():
     bad[28] = 7  # IHDR interlace byte
     with pytest.raises(ValueError, match="interlace"):
         decode_png(bytes(bad))
+
+
+def test_corrupt_idat_raises_valueerror_not_zlib_error():
+    """ADVICE r13: one flipped IDAT byte must surface as ValueError —
+    the module's single error type, the one image_ahash's strict=False
+    quarantine catches — never a raw zlib.error."""
+    rng = np.random.default_rng(11)
+    blob = bytearray(
+        encode_png_gray(rng.integers(0, 256, (8, 8), dtype=np.uint8))
+    )
+    idx = bytes(blob).index(b"IDAT") + 8  # first byte of the deflate body
+    blob[idx] ^= 0xFF
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bytes(blob))

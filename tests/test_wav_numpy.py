@@ -166,3 +166,53 @@ def test_audio_fingerprint_accepts_compressed_wav(spark):
     out = audio_fingerprint(df).toPandas()
     assert out.loc[0, "error"] is None and not pd.isna(out.loc[0, "afp"])
     assert out.loc[0, "n_samples"] == 4096
+
+
+def test_malformed_wav_error_contract_is_valueerror():
+    """ADVICE r13: a truncated WAV raises EOFError from stdlib wave and
+    a short fmt chunk would hit struct.error in _parse_riff — both must
+    surface as ValueError, the one type audio_fingerprint's
+    strict=False quarantine catches, or one malformed blob in a dirty
+    archive kills the whole job."""
+    import struct
+
+    from python_ctd_spark.functions.wav_numpy import decode_wav_any
+
+    fmt8 = struct.pack("<HHI", 1, 1, 8000)  # 8-byte fmt chunk
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+    )
+    with pytest.raises(ValueError):
+        decode_wav_any(blob)
+    # truncated fact chunk (declared 4 bytes, body empty) + short data
+    blob2 = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fact" + struct.pack("<I", 4)
+    )
+    with pytest.raises(ValueError):
+        decode_wav_any(blob2)
+
+
+def test_truncated_wav_quarantines_not_kills(spark):
+    """The ADVICE r13 scenario end-to-end: the EOFError-shaped blob
+    flows through audio_fingerprint(strict=False) as a quarantine row
+    next to a good row, instead of killing the task."""
+    import struct
+
+    import pandas as pd
+
+    from python_ctd_spark.operators.media_dedup import audio_fingerprint
+
+    fmt8 = struct.pack("<HHI", 1, 1, 8000)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+    )
+    good = encode_wav((np.sin(np.arange(256) / 3.0) * 9000).astype(np.int16))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "blob": [bad, good]})
+    )
+    out = audio_fingerprint(df, strict=False).toPandas().set_index("id")
+    assert out.loc[1, "error"] and pd.isna(out.loc[1, "afp"])
+    assert out.loc[2, "error"] is None and not pd.isna(out.loc[2, "afp"])

@@ -236,3 +236,123 @@ def test_robots_review_findings_r13(spark):
         .toPandas().set_index("doc_id")
     )
     assert not bool(good.loc[2, "is_robots_disallowed"])
+
+
+def test_apply_robots_product_token_prefix_matching(spark, rules):
+    """RFC 9309 §2.2.1 product-token matching (VERDICT r13 item 6): a
+    versioned UA string strips its /version suffix, and a group whose
+    token PREFIXES the crawler's token applies — 'goodbot-images'
+    obeys the 'goodbot' group instead of silently falling back to *."""
+    links = _links(spark, [
+        (1, "https://a.example.org/private/secret", "a.example.org"),
+        (2, "https://a.example.org/only-good/page", "a.example.org"),
+    ])
+    for ua in ("GoodBot/1.2", "goodbot-images", "Goodbot-Images/2.0 xyz"):
+        out = (
+            apply_robots(links, rules, agent=ua)
+            .toPandas().set_index("doc_id").is_robots_disallowed
+        )
+        # the goodbot group replaces *: /private/ no longer applies,
+        # /only-good/ does
+        assert not bool(out[1]), ua
+        assert bool(out[2]), ua
+    # an unrelated token still falls back to the * group
+    out = (
+        apply_robots(links, rules, agent="otherbot2000/9")
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert not bool(out[1])  # otherbot group (prefix match) replaces *
+    assert bool(out[2])
+    out = (
+        apply_robots(links, rules, agent="randombot/1")
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert bool(out[1]) and not bool(out[2])  # * group applies
+
+
+def test_apply_robots_most_specific_prefix_group_wins(spark):
+    """When several groups prefix the crawler's token, the LONGEST
+    (most specific) one replaces the rest — never a merge."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "source": ["m.org"],
+        "text": [
+            "User-agent: good\nDisallow: /broad/\n\n"
+            "User-agent: goodbot\nDisallow: /narrow/\n\n"
+            "User-agent: *\nDisallow: /star/\n"
+        ],
+    }))
+    r = robots_rules(docs)
+    links = _links(spark, [
+        (1, "https://m.org/broad/x", "m.org"),
+        (2, "https://m.org/narrow/x", "m.org"),
+        (3, "https://m.org/star/x", "m.org"),
+    ])
+    out = (
+        apply_robots(links, r, agent="Goodbot-News/3")
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert not bool(out[1]) and bool(out[2]) and not bool(out[3])
+
+
+def test_apply_robots_matches_defragmented_url(spark, rules):
+    """ADVICE r13: matching is over path+query only — a resolved
+    '#sec-N' anchor must not defeat a '$'-anchored rule."""
+    links = _links(spark, [
+        (1, "https://b.example.org/doc.pdf#sec-2", "b.example.org"),
+        (2, "https://b.example.org/fine.html#frag", "b.example.org"),
+    ])
+    out = (
+        apply_robots(links, rules)
+        .toPandas().set_index("doc_id").is_robots_disallowed
+    )
+    assert bool(out[1])       # /*.pdf$ matches once the fragment drops
+    assert not bool(out[2])
+
+
+def test_robots_rules_retry_stable_key_and_duplicate_snapshots(spark):
+    """VERDICT r13 item 7: the snapshot discriminator is content-derived
+    (md5 halves), so byte-identical (domain, text) snapshots merge to
+    one — same output as a single copy, no quadratic agent x rule
+    fanout — while distinct snapshots still coexist uncontaminated."""
+    one = spark.createDataFrame(pd.DataFrame({
+        "source": ["d.org"],
+        "text": ["User-agent: a\nUser-agent: b\nDisallow: /x/\n"],
+    }))
+    dup = spark.createDataFrame(pd.DataFrame({
+        "source": ["d.org"] * 3,
+        "text": ["User-agent: a\nUser-agent: b\nDisallow: /x/\n"] * 3,
+    }))
+    want = robots_rules(one).toPandas().sort_values(
+        ["agent", "directive", "value"]).reset_index(drop=True)
+    got = robots_rules(dup).toPandas().sort_values(
+        ["agent", "directive", "value"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 2  # one row per UA in the shared group
+
+
+def test_sitemap_urls_gzipped_binary_payload(spark):
+    """VERDICT r13 item 5: sitemaps.org allows sitemap.xml.gz — a
+    BINARY payload column gunzips gzip-magic blobs and UTF-8-decodes
+    the rest; junk (binary garbage or corrupt gzip) still emits
+    nothing."""
+    import gzip
+
+    from python_ctd_spark.operators.robots import sitemap_urls
+
+    urlset = (b'<urlset><url><loc>https://gz.example.org/p1</loc>'
+              b'<lastmod>2024-06-01</lastmod></url></urlset>')
+    rows = pd.DataFrame({
+        "source": ["gz.example.org", "plain.example.org",
+                   "junk.example.org", "corrupt.example.org"],
+        "text": [gzip.compress(urlset),
+                 b"<urlset><url><loc>https://plain.example.org/q</loc></url></urlset>",
+                 b"\x00\x01binary-garbage",
+                 b"\x1f\x8bnot-really-gzip"],
+    })
+    out = sitemap_urls(spark.createDataFrame(rows)).toPandas()
+    got = out.set_index("domain")
+    assert got.loc["gz.example.org", "url"] == "https://gz.example.org/p1"
+    assert got.loc["gz.example.org", "lastmod"] == "2024-06-01"
+    assert got.loc["plain.example.org", "url"] == "https://plain.example.org/q"
+    assert "junk.example.org" not in got.index
+    assert "corrupt.example.org" not in got.index

@@ -53,26 +53,21 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_PATTERN = f"[{WS_CHARS}]+"
 
-#: the URL-bearing (tag, attribute) pairs :func:`extract_links`
+#: the URL-bearing (tag-label, attribute) pairs :func:`extract_links`
 #: extracts — anchors plus the ASSET tags a crawl pipeline filters on
 #: (tracker pixels live in ``img``, not anchors; stylesheet/script
-#: hosts are the third-party-dependency graph).
+#: hosts are the third-party-dependency graph) plus the responsive-
+#: image ``srcset`` attributes (VERDICT r13 item 3 — CDN and tracker
+#: URLs ride ``img srcset`` / ``<source srcset>`` invisibly to an
+#: src-only extractor).  The label is the output ``tag`` column value;
+#: ``link_pos`` numbers per label, so ``img`` (src) and ``img_srcset``
+#: keep independent document-order positions.
 LINK_TAG_ATTRS: tuple[tuple[str, str], ...] = (
     ("a", "href"), ("img", "src"), ("link", "href"), ("script", "src"),
+    ("img_srcset", "srcset"), ("source_srcset", "srcset"),
 )
 
-_LINK_TAG_ALT = "|".join(t for t, _ in LINK_TAG_ATTRS)
-
-#: URL-attribute normalizers applied BEFORE extraction, in order:
-#: single-quoted and unquoted ``href``/``src`` values on any link tag
-#: are rewritten to the double-quoted form (ADVICE r11 —
-#: ``href='...'`` / ``src=url`` must not dodge the blocklist).
-#: Replacement template is ``$1"$2"`` in Spark, ``\1"\2"`` in the
-#: DuckDB oracle (engine replacement syntax differs; the PATTERNS are
-#: shared).  The unquoted rule runs second and requires a non-quote
-#: first char, so it can never re-wrap an already-quoted (or
-#: just-rewritten) value.
-#: the char that must PRECEDE ``href``/``src`` for it to be the real
+#: the char that must PRECEDE the attribute name for it to be the real
 #: attribute: whitespace or a closing quote — without the boundary,
 #: ``data-src="lazy"`` matches as ``src=`` (suffix of another
 #: attribute name) and, the pattern being greedy, REPLACES the real
@@ -81,35 +76,82 @@ _LINK_TAG_ALT = "|".join(t for t, _ in LINK_TAG_ATTRS)
 #: the boundary when the attribute comes first.
 _ATTR_BOUNDARY = rf"[{WS_CHARS}\"']"
 
-HREF_NORMALIZE_PATTERNS: list[str] = [
-    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?"
-    rf"(?:href|src)=)'([^']*)'",
-    rf"(?is)(<(?:{_LINK_TAG_ALT})[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?"
-    rf"(?:href|src)=)([^\"'{WS_CHARS}>]+)",
-]
+#: one capture group = the attribute value WITH its quoting: double-
+#: quoted, single-quoted, or bare (VERDICT r13 item 8 — quoting used
+#: to be normalized by rewriting the WHOLE document up to 3x before
+#: extraction; folding the quote alternation into the per-tag patterns
+#: deletes those full-document passes, and :func:`_unquote_attr`
+#: strips the quotes per extracted value instead — per-link work on
+#: tiny strings, not per-document regex).  Alternation order means a
+#: value that opens a quote must close it — a dangling quote extracts
+#: nothing, exactly like the old normalize-then-extract chain.
+ATTR_VALUE_PATTERN = rf"(\"[^\"]*\"|'[^']*'|[^\"'{WS_CHARS}>]+)"
+
+
+def _attr_pattern(tag: str, attr: str, tail: str = "") -> str:
+    return (
+        rf"(?is)<{tag}[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?"
+        rf"{attr}={ATTR_VALUE_PATTERN}[^>]*>{tail}"
+    )
+
 
 #: anchor pattern in the Java-regex/RE2 common subset: group 1 = the
-#: href URL, group 2 = the anchor text (lazy, single-level — nested
-#: anchors are invalid HTML and out of scope).  Double-quote-only by
-#: construction: extraction always runs on href-normalized text.
-ANCHOR_PATTERN = (
-    rf'(?is)<a[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?href="([^"]*)"'
-    rf'[^>]*>(.*?)</a[{WS_CHARS}]*>'
-)
+#: href value (quoted), group 2 = the anchor text (lazy, single-level
+#: — nested anchors are invalid HTML and out of scope).
+ANCHOR_PATTERN = _attr_pattern("a", "href", rf"(.*?)</a[{WS_CHARS}]*>")
 
-#: tag -> URL-extraction pattern (group 1 = the URL).  ``a`` also
-#: carries the anchor text as group 2; the asset tags have no text.
-#: Every pattern requires the :data:`_ATTR_BOUNDARY` before the
-#: attribute name (see its note).
+#: tag label -> URL-extraction pattern (group 1 = the quoted value —
+#: strip with :func:`_unquote_attr`).  ``a`` also carries the anchor
+#: text as group 2; the asset tags have no text; the ``srcset``
+#: entries yield a CANDIDATE LIST value that :func:`_srcset_urls`
+#: splits.  Every pattern requires the :data:`_ATTR_BOUNDARY` before
+#: the attribute name (see its note).
 TAG_URL_PATTERNS: dict[str, str] = {
     "a": ANCHOR_PATTERN,
-    "img": rf'(?is)<img[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
-           rf'src="([^"]*)"[^>]*>',
-    "link": rf'(?is)<link[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
-            rf'href="([^"]*)"[^>]*>',
-    "script": rf'(?is)<script[{WS_CHARS}](?:[^>]*{_ATTR_BOUNDARY})?'
-              rf'src="([^"]*)"[^>]*>',
+    "img": _attr_pattern("img", "src"),
+    "link": _attr_pattern("link", "href"),
+    "script": _attr_pattern("script", "src"),
+    "img_srcset": _attr_pattern("img", "srcset"),
+    "source_srcset": _attr_pattern("source", "srcset"),
 }
+
+#: tag labels whose extracted value is a srcset candidate list
+SRCSET_TAGS: frozenset[str] = frozenset({"img_srcset", "source_srcset"})
+
+#: the FIRST ``<base href>`` of a document (HTML spec: the first base
+#: element wins) — its value, resolved against the retrieval URI,
+#: becomes the base for every link in the page (RFC 3986 §5.1.1: a
+#: base embedded in content takes priority over the retrieval URI;
+#: VERDICT r13 item 2 — ignoring it resolved every relative link on a
+#: ``<base>`` page to the wrong host/path).
+BASE_HREF_PATTERN = _attr_pattern("base", "href")
+
+
+def _unquote_attr(v: Column) -> Column:
+    """Strip one level of symmetric quoting from an extracted
+    attribute value (bare values pass through — the char class forbids
+    quotes inside them).  ``(?s)`` so a quoted value spanning a
+    newline still unwraps."""
+    v = F.regexp_replace(v, '(?s)^"(.*)"$', "$1")
+    return F.regexp_replace(v, "(?s)^'(.*)'$", "$1")
+
+
+def _srcset_urls(val: Column) -> Column:
+    """srcset candidate list -> array of URLs: comma-separated
+    candidates, each ``URL [descriptor]`` — the leading non-whitespace
+    token is the URL, descriptors drop, empty candidates (trailing
+    commas) drop.  Data-URI commas are out of scope (the usual
+    regex-parser approximation; such candidates require descriptors
+    precisely because of this ambiguity)."""
+    return F.filter(
+        F.transform(
+            F.split(val, ","),
+            lambda c: F.regexp_extract(
+                c, rf"^[{WS_CHARS}]*([^{WS_CHARS}]+)", 1
+            ),
+        ),
+        lambda u: u != "",
+    )
 
 #: RFC-3986-lite building blocks for :func:`resolve_url`, all in the
 #: Java-regex/RE2 common subset so the DuckDB oracle runs the SAME
@@ -163,6 +205,45 @@ TRACKING_PARAM_PATTERN = (
     r"^(utm_[^=]*|fbclid|gclid|msclkid|dclid|mc_[ce]id|igshid|ref_src)(=|$)"
 )
 
+#: percent-encoding normalization building blocks (RFC 3986
+#: §6.2.2.1-.2), shared with the DuckDB oracle twin: a split-on-``%``
+#: piece that STARTS a valid escape, and the single-char class of
+#: unreserved characters whose escapes decode (everything else keeps
+#: its escape, hex uppercased)
+PCT_HEX_PATTERN = r"^[0-9A-Fa-f]{2}"
+PCT_UNRESERVED_PATTERN = r"^[A-Za-z0-9._~-]$"
+
+
+def percent_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, fully native:
+    escape hex digits uppercase (§6.2.2.1 — ``%2f`` == ``%2F``) and
+    escapes of UNRESERVED characters decoded (§6.2.2.2 — ``%7Euser``
+    == ``~user``); reserved escapes (``%2F``...) stay encoded, and an
+    invalid ``%`` (not followed by two hex digits) passes through
+    verbatim.  Without this, trivially re-encoded URLs split the
+    frontier dedup key (VERDICT r13 item 4).
+
+    Shape: split on ``%``, transform each piece (decode-or-uppercase
+    its leading escape), re-join — one pass, no index-dependent
+    lambda.  The ``\\x01`` sentinel makes piece 0 (the text before the
+    first ``%``) self-identifying in BOTH engines: every piece gets a
+    ``%`` re-prefixed, and the constant 2-char ``%\\x01`` head is
+    sliced off at the end."""
+    parts = F.split(F.concat(F.lit("\x01"), url), "%")
+
+    def piece(p: Column) -> Column:
+        hh = F.substring(p, 1, 2)
+        ch = F.char(F.conv(hh, 16, 10).cast("int"))
+        rest = F.substring(p, 3, F.length(p))
+        return F.when(
+            p.rlike(PCT_HEX_PATTERN),
+            F.when(ch.rlike(PCT_UNRESERVED_PATTERN), F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(hh), rest)),
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    joined = F.array_join(F.transform(parts, piece), "")
+    return F.substring(joined, 3, F.length(joined))
+
 
 def canonical_url(url: Column) -> Column:
     """THE URL dedup key: scheme+host lowercase, userinfo and default
@@ -170,13 +251,23 @@ def canonical_url(url: Column) -> Column:
     FQDN trailing dot removed, tracking parameters
     (:data:`TRACKING_PARAM_PATTERN`) dropped, remaining query
     parameters SORTED (byte order) so parameter-order shuffles
-    collide; an emptied query loses its ``?``.  Path case and
-    non-default ports are preserved — they are resource-identifying.
-    Non-hierarchical URLs (no ``://``) pass through unchanged.
+    collide; an emptied query loses its ``?``.  Percent-encoding
+    normalizes FIRST (:func:`percent_normalize` — uppercase hex,
+    unreserved escapes decoded, so ``%7Euser`` and ``~user`` merge and
+    a ``%75tm_``-obfuscated tracking param is visible to the filter).
+    Path case and non-default ports are preserved — they are
+    resource-identifying.  Internationalized hostnames pass through
+    LOWERCASED ONLY: Unicode and ``xn--`` punycode forms of one host
+    stay distinct keys (full IDNA mapping is a documented gate — it
+    needs the UTS-46 tables, not a column expression; pre-encode hosts
+    upstream if the crawl mixes both forms).  Non-hierarchical URLs
+    (no ``://``) pass through unchanged.
 
     All native column expressions (regexp + higher-order array ops):
     map-side at any scale, usable directly as an exact-dedup
     ``groupBy`` key or a MinHash input on link corpora."""
+    raw = url
+    url = percent_normalize(url)
     scheme = F.lower(
         F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
@@ -214,7 +305,7 @@ def canonical_url(url: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
-    return F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(url)
+    return F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(raw)
 
 
 def resolve_url(url: Column, base: Column) -> Column:
@@ -255,9 +346,11 @@ def _base_parts(base: Column) -> tuple[Column, ...]:
     )
 
 
-def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
+def _resolve_case(url: Column, parts: tuple[Column, ...]) -> Column:
+    """The reference-type CASE of RFC 3986 §5.2.2 — merge without
+    dot-segment collapse (see :func:`_collapse_dots`)."""
     base_nofrag, origin, scheme, base_dir, base_path = parts
-    resolved = (
+    return (
         F.when(url == "", base_nofrag)
         .when(url.rlike(URL_SCHEME_PATTERN), url)
         .when(url.startswith("//"), F.concat(scheme, F.lit(":"), url))
@@ -273,14 +366,25 @@ def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
                      F.coalesce(F.nullif(base_dir, F.lit("")), F.lit("/")),
                      url))
     )
-    # dot-segment collapse on the PATH only (RFC 3986 §5.2.4): origin
-    # is split off first so ``host/../`` can never eat the hostname,
-    # and the query/fragment tail is split off so ``?next=/a/../b``
-    # keeps its value verbatim.  The whole collapse is gated on a cheap
-    # substring test — for the overwhelming majority of links (no "/."
-    # anywhere) the ~10 per-link regex passes are skipped entirely, and
-    # collapse is a no-op on such URLs, so the gate is value-invisible
-    # (the oracle runs the unconditional form and must agree).
+
+
+def _collapse_dots(resolved: Column) -> Column:
+    """Dot-segment collapse on the PATH only (RFC 3986 §5.2.4): origin
+    is split off first so ``host/../`` can never eat the hostname,
+    and the query/fragment tail is split off so ``?next=/a/../b``
+    keeps its value verbatim.  The whole collapse is gated on a cheap
+    substring test — for the overwhelming majority of links (no "/."
+    anywhere) the ~12 per-link regex passes are skipped entirely, and
+    collapse is a no-op on such URLs, so the gate is value-invisible
+    (the oracle runs the unconditional form and must agree).
+
+    ``resolved`` appears ~13x in the built expression tree (the nested
+    collapse chain), so CALLERS ON A HOT PATH MUST PASS A PLAIN COLUMN
+    REFERENCE, not a big expression — inlining the §5.2.2 CASE here
+    blew the generated projection past the JVM 64KB method limit and
+    dropped the stage to interpreted eval (measured in r14;
+    :func:`extract_links` stages the two halves through named
+    columns)."""
     rest = F.regexp_replace(resolved, URL_ORIGIN_PATTERN, "")
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     tail = F.regexp_replace(rest, r"^[^?#]*", "")
@@ -288,12 +392,24 @@ def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
     for _ in range(DOT_SEGMENT_PASSES):
         collapsed = F.regexp_replace(collapsed, r"/\./", "/")
         collapsed = F.regexp_replace(collapsed, r"/[^/]+/\.\./", "/")
+    # terminal dot segments (ADVICE r13): a reference ENDING in '..' or
+    # '.' has no trailing slash for the loop rules to see — href='..'
+    # against base '/w/5/index.html' left '/w/5/..' instead of
+    # urljoin's '/w/'.  RFC 3986 §5.2.4 steps 2C-2D output a trailing
+    # '/': one final pass each suffices, since the loop has already
+    # reduced every inner segment
+    collapsed = F.regexp_replace(collapsed, r"/[^/]+/\.\.$", "/")
+    collapsed = F.regexp_replace(collapsed, r"/\.$", "/")
     return F.when(
         ~resolved.contains("/."), resolved
     ).otherwise(
         F.concat(F.regexp_extract(resolved, URL_ORIGIN_PATTERN, 1),
                  collapsed, tail)
     )
+
+
+def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
+    return _collapse_dots(_resolve_case(url, parts))
 
 
 def extract_links(
@@ -311,17 +427,25 @@ def extract_links(
     which of :data:`LINK_TAG_ATTRS` to extract: ``<a href>`` plus the
     asset tags (``img src`` / ``link href`` / ``script src``) — the
     graph a crawl pipeline actually filters on, since tracker pixels
-    live in ``img``, not anchors.
+    live in ``img``, not anchors — plus the responsive-image
+    ``srcset`` candidate lists (``img_srcset`` / ``source_srcset``
+    rows: one row PER CANDIDATE URL, descriptors dropped).
 
-    href/src quoting is NORMALIZED before extraction
-    (:data:`HREF_NORMALIZE_PATTERNS`): single-quoted and unquoted
-    values rewrite to the double-quoted form, so a trivial quoting
-    variation cannot dodge the blocklist.  ``link_pos`` is the link's
-    1-based position within its document PER TAG (document order,
-    deterministic).  ``abs_url`` is the reference resolved against
-    ``base_col`` (the page URI) via :func:`resolve_url` when given —
-    without resolution a relative tracker pixel is invisible to the
-    blocklist — and equals ``url`` when ``base_col`` is None.
+    Quoting is handled IN the per-tag patterns
+    (:data:`ATTR_VALUE_PATTERN` alternation — double, single, bare),
+    so a trivial quoting variation cannot dodge the blocklist and no
+    full-document normalize pass runs (VERDICT r13 item 8: the old
+    rewrite-then-extract chain paid ~2 extra whole-document regex
+    passes).  ``link_pos`` is the link's 1-based position within its
+    document PER TAG (document order, deterministic).  ``abs_url`` is
+    the reference resolved via :func:`resolve_url` when ``base_col``
+    (the page URI) is given — without resolution a relative tracker
+    pixel is invisible to the blocklist — and equals ``url`` when
+    ``base_col`` is None.  The resolution base honors the document's
+    FIRST ``<base href>`` when present (RFC 3986 §5.1.1: content-
+    embedded base beats the retrieval URI; the base href itself, often
+    relative, first resolves against the page URI), else it is the
+    page URI.
     ``domain`` is the NORMALIZED host OF THE RESOLVED URL: lowercased,
     userinfo and port stripped (so HTTPS://HOST, host:443, and
     user@host all resolve to one key); ``anchor`` is the anchor text
@@ -343,13 +467,18 @@ def extract_links(
     given).
     """
     html = F.col(text_col)
-    for pat in HREF_NORMALIZE_PATTERNS:
-        html = F.regexp_replace(html, pat, '$1"$2"')
     null_s = F.lit(None).cast("string")
     parts = []
     for tag in tags:
         pat = F.lit(TAG_URL_PATTERNS[tag])
-        urls = F.regexp_extract_all(html, pat, 1)
+        raw = F.regexp_extract_all(html, pat, 1)
+        if tag in SRCSET_TAGS:
+            # one candidate list per attribute -> flatten to URLs
+            urls = F.flatten(
+                F.transform(raw, lambda v: _srcset_urls(_unquote_attr(v)))
+            )
+        else:
+            urls = F.transform(raw, _unquote_attr)
         anchors = (F.regexp_extract_all(html, pat, 2) if tag == "a"
                    else F.transform(urls, lambda _u: null_s))
         parts.append(F.zip_with(
@@ -369,12 +498,58 @@ def extract_links(
         )
         links = indexed if links is None else F.concat(links, indexed)
     # base-URI derivations are computed BEFORE the explode — once per
-    # document, not once per link (see _base_parts)
-    part_cols = (
-        _base_parts(F.col(base_col)) if base_col
-        else (null_s, null_s, null_s, null_s, null_s)
-    )
-    ex = df.select(
+    # document, not once per link (see _base_parts).  The effective
+    # base is the document's first <base href> (itself resolved
+    # against the page URI — it is routinely relative) when present,
+    # else the page URI; all still per-document work.  The effective
+    # base gets its OWN projection: inlining its resolve chain into
+    # each of the five part derivations blew the generated projection
+    # method past the JVM 64KB limit and dropped the whole stage to
+    # interpreted eval (measured — the fallback, not the regex work,
+    # was the slowdown); behind a named column the parts stay small
+    # and whole-stage codegen holds.
+    if base_col:
+        # staged through named columns — same reason as the per-link
+        # resolve staging below: _collapse_dots repeats its input ~13x
+        # and the §5.2.2 CASE repeats ITS inputs, so inlining the whole
+        # effective-base derivation into one projection blew the
+        # generated method past 64KB (measured r14)
+        # 1) the base-href pass, gated on a cheap case-blind literal
+        #    scan: most pages carry no <base> element, and the gate is
+        #    value-invisible (no '<base' substring -> the pattern
+        #    cannot match; the oracle runs the unconditional form)
+        src = df.select(
+            id_col,
+            F.col(text_col),
+            F.col(base_col).alias("__page"),
+            F.when(
+                F.lower(html).contains("<base"),
+                _unquote_attr(F.regexp_extract(html, BASE_HREF_PATTERN, 1)),
+            ).otherwise(F.lit("")).alias("__bh"),
+        )
+        # 2) §5.2.2 CASE of the base href against the page URI
+        src = src.select(
+            id_col, text_col, "__page",
+            (F.col("__bh") != "").alias("__has_base"),
+            _resolve_case(
+                F.col("__bh"), _base_parts(F.col("__page"))
+            ).alias("__bcase"),
+        )
+        # 3) collapse + pick the effective base
+        src = src.select(
+            id_col, text_col, "__page", "__has_base",
+            _collapse_dots(F.col("__bcase")).alias("__bres"),
+        ).select(
+            id_col,
+            text_col,
+            F.when(F.col("__has_base"), F.col("__bres"))
+            .otherwise(F.col("__page")).alias("__eff_base"),
+        )
+        part_cols = _base_parts(F.col("__eff_base"))
+    else:
+        src = df
+        part_cols = (null_s, null_s, null_s, null_s, null_s)
+    ex = src.select(
         id_col,
         *(p.alias(f"__bp{i}") for i, p in enumerate(part_cols)),
         F.explode(links).alias("l"),
@@ -383,12 +558,26 @@ def extract_links(
         F.col("l.tag").alias("tag"),
         F.col("l.link_pos").alias("link_pos"),
         F.col("l.u").alias("url"),
-        (_resolve_with_parts(
-            F.col("l.u"),
-            tuple(F.col(f"__bp{i}") for i in range(5)),
-        ) if base_col else F.col("l.u")).alias("abs_url"),
+        *((F.col(f"__bp{i}") for i in range(5)) if base_col else ()),
         F.trim(F.regexp_replace(F.col("l.a"), WS_PATTERN, " ")).alias("anchor"),
     )
+    # resolution runs in TWO staged projections (§5.2.2 CASE, then the
+    # dot-segment collapse over the named result): _collapse_dots
+    # repeats its input ~13x, and inlining the CASE chain there blew
+    # the generated stage method past the JVM 64KB limit — interpreted
+    # fallback cost more than every regex in the row (measured r14)
+    if base_col:
+        ex = ex.select(
+            id_col, "tag", "link_pos", "url", "anchor",
+            _resolve_case(
+                F.col("url"), tuple(F.col(f"__bp{i}") for i in range(5))
+            ).alias("__resolved"),
+        ).select(
+            id_col, "tag", "link_pos", "url", "anchor",
+            _collapse_dots(F.col("__resolved")).alias("abs_url"),
+        )
+    else:
+        ex = ex.withColumn("abs_url", F.col("url"))
     domain = normalized_domain(F.col("abs_url"))
     out = ex.select(
         id_col,

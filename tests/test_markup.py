@@ -409,3 +409,117 @@ def test_resolve_url_agrees_with_urljoin_reference(spark):
     ).toPandas()
     bad = out[out.got != out.want]
     assert bad.empty, bad.to_string()
+
+
+def test_extract_links_base_href_priority(spark):
+    """VERDICT r13 item 2 / RFC 3986 §5.1.1: the document's first
+    <base href> — absolute or itself relative — replaces the retrieval
+    URI as the resolution base for every link; pages without <base>
+    keep the page URI."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "html": [
+            # absolute base on another host: the relative link and the
+            # root-relative link both move to the base host
+            '<base href="https://cdn.example.org/lib/v2/">'
+            '<a href="page.html">a</a><img src="/px.gif"/>',
+            # relative base resolves against the page URI first
+            "<base href='../b/'><a href=\"x.html\">b</a>",
+            # no base: page URI applies
+            '<a href="x.html">c</a>',
+            # only the FIRST base element counts (HTML spec)
+            '<base href="https://first.example.org/f/">'
+            '<base href="https://second.example.org/s/">'
+            '<a href="y.html">d</a>',
+        ],
+        "base": ["https://site.example.org/w/9/index.html"] * 4,
+    })
+    out = (
+        extract_links(spark.createDataFrame(rows), "html", base_col="base")
+        .toPandas().set_index(["doc_id", "tag"]).sort_index()
+    )
+    assert out.loc[(1, "a"), "abs_url"] == (
+        "https://cdn.example.org/lib/v2/page.html")
+    # root-relative takes the BASE's origin, not the page's
+    assert out.loc[(1, "img"), "abs_url"] == "https://cdn.example.org/px.gif"
+    assert out.loc[(2, "a"), "abs_url"] == (
+        "https://site.example.org/w/b/x.html")
+    assert out.loc[(3, "a"), "abs_url"] == (
+        "https://site.example.org/w/9/x.html")
+    assert out.loc[(4, "a"), "abs_url"] == (
+        "https://first.example.org/f/y.html")
+
+
+def test_extract_links_srcset_candidates(spark):
+    """VERDICT r13 item 3: img/source srcset candidate lists extract —
+    one row per candidate URL, descriptors dropped, empty candidates
+    skipped, quoting alternation applies — and a protocol-relative
+    tracker in a 2x slot hits the blocklist."""
+    from python_ctd_spark.operators.markup import extract_links
+
+    html = (
+        '<img srcset="a.jpg 1x, //spam.example.net/b.jpg 2x," '
+        'src="main.png"/>'
+        "<source srcset='s1.webp 480w , s2.webp 800w'/>"
+        "<img srcset=bare.png/>"  # HTML5 unquoted-value tokenizer:
+        # '/' before '>' belongs to the value — pinned as 'bare.png/'
+    )
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0], "html": [html],
+        "base": ["https://site.example.org/p/index.html"],
+    }))
+    out = extract_links(df, "html", base_col="base").toPandas()
+    ss = out[out.tag == "img_srcset"]
+    assert list(ss.url) == ["a.jpg", "//spam.example.net/b.jpg",
+                            "bare.png/"]
+    assert list(ss.link_pos) == [1, 2, 3]
+    assert list(ss.is_blocked) == [False, True, False]
+    src = out[out.tag == "source_srcset"]
+    assert list(src.url) == ["s1.webp", "s2.webp"]
+    # the plain src on the same img still extracts independently
+    assert list(out[out.tag == "img"].url) == ["main.png"]
+
+
+def test_canonical_url_percent_encoding_normalization(spark):
+    """VERDICT r13 item 4 / RFC 3986 §6.2.2: escape hex uppercases,
+    unreserved escapes decode, reserved escapes stay, invalid '%'
+    passes through — so %7Euser and ~user share one dedup key."""
+    from python_ctd_spark.operators.markup import canonical_url
+
+    cases = [
+        ("https://h.org/%7euser/x", "https://h.org/~user/x"),
+        ("https://h.org/%7Euser/x", "https://h.org/~user/x"),
+        ("https://h.org/~user/x", "https://h.org/~user/x"),
+        ("https://h.org/a%2fb", "https://h.org/a%2Fb"),   # reserved stays
+        ("https://h.org/%41%31%2d", "https://h.org/A1-"),
+        ("https://h.org/100%25", "https://h.org/100%25"),
+        ("https://h.org/50%-off", "https://h.org/50%-off"),  # invalid %
+        # an obfuscated tracking param decodes, then drops
+        ("https://h.org/p?%75tm_source=x&k=1", "https://h.org/p?k=1"),
+        ("not-a-url %7e", "not-a-url %7e"),  # non-hierarchical untouched
+    ]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["u", "want"]))
+    out = df.select("u", "want",
+                    canonical_url(F.col("u")).alias("got")).toPandas()
+    bad = out[out.got != out.want]
+    assert bad.empty, bad.to_string()
+
+
+def test_resolve_url_terminal_dot_segments(spark):
+    """ADVICE r13: references ENDING in '..' or '.' collapse — '..'
+    against /w/5/index.html resolves to /w/, matching urljoin."""
+    from urllib.parse import urljoin
+
+    from python_ctd_spark.operators import markup
+
+    base = "https://h.org/w/5/index.html"
+    refs = ["..", ".", "x/..", "a/b/..", "./.", "../x/.."]
+    cases = [(r, base, urljoin(base, r)) for r in refs]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["u", "b", "want"]))
+    out = df.select(
+        "u", "want", markup.resolve_url(F.col("u"), F.col("b")).alias("got")
+    ).toPandas()
+    bad = out[out.got != out.want]
+    assert bad.empty, bad.to_string()

@@ -435,10 +435,25 @@ def _streaming_markup_sql() -> str:
 # and asset-tag extraction both work, VERDICT r12 items 1c+8), a
 # root-relative stylesheet link; every second doc an UNQUOTED
 # dot-dot script src, every third an extra docs link (variable
-# outlink counts exercise the explode), every fourth an UNQUOTED
-# href, every sixth a fragment-only anchor.
+# outlink counts exercise the explode) and a single-quoted <source
+# srcset> pair, every fourth an UNQUOTED href, every sixth a
+# fragment-only anchor.  r14: every doc carries an img srcset
+# candidate list (relative thumb + protocol-relative spam 2x — the
+# responsive-image blocklist dodge, VERDICT r13 item 3); every fifth
+# doc opens with an ABSOLUTE <base href> and every tenth with a
+# RELATIVE single-quoted one (RFC 3986 §5.1.1 priority — every
+# relative link in those docs must resolve against the base element,
+# not the page URI; VERDICT r13 item 2); every eighth doc ends with a
+# trailing-'..' anchor (the terminal dot-segment rule, ADVICE r13).
 _LINKS_SYNTH_SPARK_EXPR = (
-    "concat('<p>See <a href=\"https://site',"
+    "concat("
+    " CASE WHEN coalesce(doc_id, 0) % 10 = 5 THEN"
+    " '<base href=''../b/''>'"
+    " WHEN coalesce(doc_id, 0) % 5 = 0 THEN"
+    " concat('<base href=\"https://cdn',"
+    " CAST(coalesce(doc_id, 0) % 3 AS STRING), '.example.org/pages/\">')"
+    " ELSE '' END,"
+    " '<p>See <a href=\"https://site',"
     " CAST(coalesce(doc_id, 0) % 7 AS STRING),"
     " '.example.org/p/', CAST(coalesce(doc_id, 0) AS STRING),"
     " '\">ref  ', CAST(coalesce(doc_id, 0) AS STRING), '</a>',"
@@ -465,6 +480,18 @@ _LINKS_SYNTH_SPARK_EXPR = (
     " concat('<script src=../static/app-',"
     " CAST(coalesce(doc_id, 0) % 7 AS STRING), '.js></script>')"
     " ELSE '' END,"
+    " '<img alt=\"resp\" srcset=\"thumb-',"
+    " CAST(coalesce(doc_id, 0) % 7 AS STRING), '.jpg 1x,"
+    " //spam.example.net/big-', CAST(coalesce(doc_id, 0) % 5 AS STRING),"
+    " '.jpg 2x\" src=\"main-', CAST(coalesce(doc_id, 0) % 4 AS STRING),"
+    " '.png\"/>',"
+    " CASE WHEN coalesce(doc_id, 0) % 3 = 0 THEN"
+    " concat('<source srcset=''sm-',"
+    " CAST(coalesce(doc_id, 0) % 9 AS STRING), '.webp 480w , lg-',"
+    " CAST(coalesce(doc_id, 0) % 9 AS STRING), '.webp 800w''/>')"
+    " ELSE '' END,"
+    " CASE WHEN coalesce(doc_id, 0) % 8 = 0 THEN"
+    " ' <a href=\"..\">up</a>' ELSE '' END,"
     " '</p><p>No links here: ', coalesce(text, ''), '</p>')"
 )
 
@@ -520,33 +547,44 @@ def _resolve_url_sql(url: str, base: str) -> str:
     for _ in range(DOT_SEGMENT_PASSES):
         path = f"regexp_replace({path}, '/\\./', '/', 'g')"
         path = f"regexp_replace({path}, '/[^/]+/\\.\\./', '/', 'g')"
+    # terminal dot segments (ADVICE r13) — same two final passes as
+    # operators.markup._resolve_with_parts
+    path = f"regexp_replace({path}, '/[^/]+/\\.\\.$', '/')"
+    path = f"regexp_replace({path}, '/\\.$', '/')"
     return (f"regexp_extract({resolved}, '{origin_re}', 1) || {path}"
             f" || {tail}")
 
 
+def _unquote_attr_sql(v: str) -> str:
+    """DuckDB twin of operators.markup._unquote_attr — strip one level
+    of symmetric quoting from an extracted attribute value."""
+    return (f"regexp_replace(regexp_replace({v},"
+            " '(?s)^\"(.*)\"$', '\\1'), '(?s)^''(.*)''$', '\\1')")
+
+
 def _extract_links_sql() -> str:
     """DuckDB twin of operators.markup.extract_links over the
-    synthesized column — same HREF_NORMALIZE_PATTERNS /
-    TAG_URL_PATTERNS / DOMAIN_PATTERN / BLOCKED_DOMAINS / WS_PATTERN /
-    resolve_url constants imported from the package so the two can
-    never drift (only the backreference SYNTAX differs: Spark's ``$1``
-    is RE2's ``\\1``); unnest-with-range replays the per-tag indexed
-    transform's document order, UNION ALL the array concat."""
+    synthesized column — same TAG_URL_PATTERNS (quote-alternating) /
+    BASE_HREF_PATTERN / SRCSET split / DOMAIN_PATTERN /
+    BLOCKED_DOMAINS / WS_PATTERN / resolve_url constants imported from
+    the package so the two can never drift (only the backreference
+    SYNTAX differs: Spark's ``$1`` is RE2's ``\\1``); unnest-with-range
+    replays the per-tag indexed transform's document order, UNION ALL
+    the array concat; the ``nb`` CTE replays the effective-base rule
+    (first <base href>, resolved against the page URI, else the page
+    URI — RFC 3986 §5.1.1)."""
     from python_ctd_spark.operators.markup import (
+        BASE_HREF_PATTERN,
         BLOCKED_DOMAINS,
         DOMAIN_PATTERN,
-        HREF_NORMALIZE_PATTERNS,
         LINK_TAG_ATTRS,
+        SRCSET_TAGS,
         TAG_URL_PATTERNS,
+        WS_CHARS,
         WS_PATTERN,
     )
 
     html = _LINKS_SYNTH_DUCKDB_EXPR
-    for pat in HREF_NORMALIZE_PATTERNS:
-        esc = pat.replace("'", "''")
-        html = (
-            f"regexp_replace({html}, '{esc}', '\\1\"\\2\"', 'g')"
-        )
     dom = DOMAIN_PATTERN.replace("'", "''")
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
     arms = []
@@ -558,19 +596,44 @@ def _extract_links_sql() -> str:
         )
         a_col = (f"regexp_extract_all(html, '{pat}', 2) AS a,"
                  if tag == "a" else "")
+        if tag in SRCSET_TAGS:
+            # candidate list -> URLs: split each attr value on commas,
+            # first non-whitespace token per candidate, empties drop —
+            # the _srcset_urls twin, flattened across attributes
+            cand = (f"regexp_extract(c,"
+                    f" '^[{WS_CHARS}]*([^{WS_CHARS}]+)', 1)")
+            u_expr = (
+                f"flatten(list_transform("
+                f"regexp_extract_all(html, '{pat}', 1),"
+                f" v -> list_filter(list_transform("
+                f"str_split({_unquote_attr_sql('v')}, ','),"
+                f" c -> {cand}), u -> u <> '')))"
+            )
+        else:
+            u_expr = (
+                f"list_transform(regexp_extract_all(html, '{pat}', 1),"
+                f" v -> {_unquote_attr_sql('v')})"
+            )
         arms.append(f"""  SELECT doc_id, base, '{tag}' AS tag,
          CAST(i AS INT) AS link_pos, u[i] AS url, {anchor} AS anchor
   FROM (
     SELECT doc_id, base, {a_col}
-           regexp_extract_all(html, '{pat}', 1) AS u
-    FROM n
+           {u_expr} AS u
+    FROM nb
   ), LATERAL (SELECT unnest(range(1, len(u) + 1)) AS i) ix""")
     union = "\nUNION ALL\n".join(arms)
     resolve = _resolve_url_sql("url", "base")
+    base_pat = BASE_HREF_PATTERN.replace("'", "''")
+    bh = _unquote_attr_sql(f"regexp_extract(html, '{base_pat}', 1)")
+    base_resolve = _resolve_url_sql("bh", "base")
     return f"""
 WITH n AS (
   SELECT doc_id, {_LINKS_BASE_DUCKDB_EXPR} AS base, {html} AS html
   FROM documents
+), nb AS (
+  SELECT doc_id, html,
+         CASE WHEN bh <> '' THEN {base_resolve} ELSE base END AS base
+  FROM (SELECT doc_id, html, base, {bh} AS bh FROM n)
 ), ex AS (
 {union}
 ), res AS (

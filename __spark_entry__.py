@@ -81,6 +81,11 @@ from tools.oracles.ann import (
     _semantic_dedup_sql,
     _sq8_ann_sql,
 )
+from tools.oracles.crawl import (
+    _canonical_url_row_sql,
+    _robots_filter_sql,
+    _sitemap_urls_sql,
+)
 from tools.oracles.ctd import (
     _BARRIER_LAYER_SQL,
     _BINDATA_INTERP_SQL,
@@ -2686,6 +2691,87 @@ def _q_training_dataset(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_robots_filter(spark, sf_dir):
+    """The composed crawl gatekeeper (operators/robots.py:33 robots_rules
+    + :217 apply_robots — RFC 9309): deterministic per-domain robots.txt
+    payloads parse into a rules table (line explode, contiguous-UA group
+    attribution via one window, agents x rules join), and six synthetic
+    links per document are flagged with product-token prefix agent
+    matching ("GoodBot-News/2.1" uses the goodbot group where a domain
+    defines one, else *), longest-match-wins, allow-beats-disallow ties,
+    fragment-stripped path matching.  Plan: rules pre-aggregate to one
+    array row per domain and broadcast onto the links — the links never
+    shuffle (the 100 TB shape, plan-pinned in tests/test_robots.py)."""
+    from tools.oracles.crawl import (
+        ROBOTS_FILTER_AGENT,
+        _ROBOTS_DOMAIN_EXPR,
+        _ROBOTS_LINK_EXPRS,
+        _ROBOTS_TXT_EXPR,
+    )
+
+    from python_ctd_spark.operators.robots import apply_robots, robots_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = docs.select("source").distinct().select(
+        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+        F.expr(_ROBOTS_TXT_EXPR).alias("text"),
+    )
+    rules = robots_rules(robots, text_col="text", domain_col="domain")
+    links = docs.select(
+        "doc_id",
+        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+        F.posexplode(
+            F.array(*[F.expr(e) for e in _ROBOTS_LINK_EXPRS])
+        ).alias("__pos", "abs_url"),
+    ).select(
+        "doc_id",
+        (F.col("__pos") + 1).cast("int").alias("link_no"),
+        "domain",
+        "abs_url",
+    )
+    out = apply_robots(links, rules, agent=ROBOTS_FILTER_AGENT)
+    return out.select(
+        "doc_id", "link_no", "abs_url", "domain", "is_robots_disallowed"
+    )
+
+
+def _q_canonical_url(spark, sf_dir):
+    """The frontier URL dedup key (operators/markup.py canonical_url):
+    scheme/host case, userinfo, default ports, trailing FQDN dots,
+    RFC 3986 \u00a76.2.2 percent-encoding normalization (uppercase hex,
+    unreserved escapes decoded), tracking-param drop, byte-order query
+    sort, fragment drop — all native column expressions, map-side at
+    any scale.  Variants are synthesized per doc from the shared
+    expression so both engines canonicalize byte-identical inputs."""
+    from tools.oracles.crawl import _CANON_URL_EXPR
+
+    from python_ctd_spark.operators.markup import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select("doc_id", F.expr(_CANON_URL_EXPR).alias("url"))
+    return out.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon")
+    )
+
+
+def _q_sitemap_urls(spark, sf_dir):
+    """Sitemap XML parsing (operators/robots.py sitemap_urls,
+    sitemaps.org): page entries and nested index entries with per-entry
+    lastmod pairing across interleaved tags, <loc> whitespace trim and
+    XML entity decode; junk payloads emit nothing.  Map-side
+    regexp_extract_all + explode, no shuffle."""
+    from tools.oracles.crawl import _ROBOTS_DOMAIN_EXPR, _SITEMAP_XML_EXPR
+
+    from python_ctd_spark.operators.robots import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    sm = docs.select("source").distinct().select(
+        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+        F.expr(_SITEMAP_XML_EXPR).alias("xml"),
+    )
+    return sitemap_urls(sm, text_col="xml", domain_col="domain")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2717,11 +2803,14 @@ def _window_order(reg: dict) -> dict:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _window_order({
+        # -- r14: crawl-frontier pack (VERDICT r13 item 1) -------------
+        "robots_filter": _q_robots_filter,
+        "canonical_url": _q_canonical_url,
+        "sitemap_urls": _q_sitemap_urls,
         # -- r10 window: new in r10 ------------------------------------
         "bpe_train": _q_bpe_train,
         "strip_boilerplate": _q_strip_boilerplate,
         "heavy_hitters": _q_heavy_hitters,
-        "hh_by_source": _q_hh_by_source,
         "streaming_clean": _q_streaming_clean,
         "streaming_quality": _q_streaming_quality,
         "streaming_markup": _q_streaming_markup,
@@ -2793,7 +2882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5-stamped, import-closure byte-unchanged since the r5
         # -- stamp commit (verified via git log per closure file),
         # -- displaced by the r7 additions (see window comment) --------
-        "smooth_native": _q_smooth_native,
         "chunk_documents": _q_chunk_documents,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "domain_stats": _q_domain_stats,
@@ -2845,7 +2933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "movingaverage": _q_movingaverage,
         "nunique_rowtypes": _q_nunique,
         "pack_greedy": _q_pack_greedy,
-        "pii_redact": _q_pii_redact,
         "pii_redact_full": _q_pii_redact_full,
         "strip_markup": _q_strip_markup,
         "extract_links": _q_extract_links,
@@ -2864,7 +2951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_anti,
         "sessionize": _q_sessionize,
         "set_ops_users": _q_set_ops,
-        "sketch_accuracy": _q_sketch_accuracy,
         "stratified_sample": _q_stratified_sample,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_despike": _q_stateful_despike,
@@ -2882,13 +2968,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "robots_filter": _robots_filter_sql(),
+        "canonical_url": _canonical_url_row_sql(),
+        "sitemap_urls": _sitemap_urls_sql(),
         "bpe_train": _bpe_train_sql(),
         "strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "streaming_clean": _streaming_clean_sql(),
         "streaming_quality": _streaming_quality_sql(),
         "streaming_markup": _streaming_markup_sql(),
         "heavy_hitters": _HEAVY_HITTERS_SQL,
-        "hh_by_source": _HH_BY_SOURCE_SQL,
         "frequent_ngrams": _FREQUENT_NGRAMS_SQL,
         "q2_min_cost_supplier": _Q2_SQL,
         "q6_forecast_revenue": _Q6_SQL,
@@ -2922,7 +3010,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _GOPHER_SQL,
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "q5_local_supplier": _Q5_SQL,
-        "sketch_accuracy": _SKETCH_ACCURACY_SQL,
         "despike_closeout": _DESPIKE_CLOSEOUT_SQL,
         "q18_large_orders": _Q18_SQL,
         "q7_volume_shipping": _Q7_SQL,
@@ -3008,7 +3095,6 @@ def oracle_sql() -> dict[str, str]:
         "ctd_pipeline": _CTD_PIPELINE_SQL,
         "brand_nation_profit": _BRAND_NATION_SQL,
         "bindata_interpolate": _BINDATA_INTERP_SQL,
-        "smooth_native": _smooth_native_sql(),
         "barrier_layer_thickness": _BARRIER_LAYER_SQL,
         "streaming_windowed_stats": _STREAMING_WINDOWED_SQL,
         "streaming_bindata": _STREAMING_BINDATA_SQL,
@@ -3021,7 +3107,6 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": _UNPIVOT_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
-        "pii_redact": _PII_REDACT_SQL,
         "pii_redact_full": _pii_redact_full_sql(),
         "strip_markup": _strip_markup_sql(),
         "extract_links": _extract_links_sql(),
@@ -3041,4 +3126,33 @@ def oracle_sql() -> dict[str, str]:
         # from the vendor-validated NumPy kernels.
         "lp_filter": _golden_sql("lp_filter"),
         "smooth": _golden_sql("smooth"),
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rows retired from the driver registry in r14 (VERDICT r13 item 1
+    — near-twin consolidation freed audit-window slots for the
+    crawl-frontier pack).  The operators stay first-class package
+    surface; their DuckDB value parity is still enforced locally every
+    run by tests/test_retired_rows.py, using these exact pairs —
+    retirement moved the audit from the driver window to the local
+    gate, it did not weaken it.  Twin coverage: ``smooth`` audits the
+    same windowed-convolution path as ``smooth_native``;
+    ``pii_redact_full`` supersets ``pii_redact``'s digit-run scrub;
+    ``heavy_hitters`` shares ``hh_by_source``'s Misra-Gries core;
+    ``cms_accuracy`` shares ``sketch_accuracy``'s bound-audit shape."""
+    return {
+        "smooth_native": _q_smooth_native,
+        "pii_redact": _q_pii_redact,
+        "hh_by_source": _q_hh_by_source,
+        "sketch_accuracy": _q_sketch_accuracy,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        "smooth_native": _smooth_native_sql(),
+        "pii_redact": _PII_REDACT_SQL,
+        "hh_by_source": _HH_BY_SOURCE_SQL,
+        "sketch_accuracy": _SKETCH_ACCURACY_SQL,
     }

@@ -1499,6 +1499,78 @@ def measure_links(mult: int) -> dict:
         spark.stop()
 
 
+def measure_robots(mult: int) -> dict:
+    """Scale evidence for the crawl gatekeeper (r14, the registered
+    ``robots_filter`` composition): the RULES side is fixed (one
+    robots.txt per domain — at any crawl scale it is bounded by the
+    domain count and KB-sized), while the LINKS side grows ``mult``x
+    via map-side staging.  The 100 TB contract: per-domain rule arrays
+    broadcast onto the links, the winner picked with higher-order
+    array functions — link rows never cross the wire, so shuffle bytes
+    must stay ~FLAT (rules-side only) while wall tracks the link
+    count."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.robots import apply_robots, robots_rules
+    from python_ctd_spark.session import get_spark
+    from tools.oracles.crawl import (
+        ROBOTS_FILTER_AGENT,
+        _ROBOTS_DOMAIN_EXPR,
+        _ROBOTS_LINK_EXPRS,
+        _ROBOTS_TXT_EXPR,
+    )
+
+    spark = get_spark(
+        app_name=f"bench_robots_{mult}",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        if mult > 1:
+            docs = docs.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            ).withColumn(
+                "doc_id", F.col("doc_id") * mult + F.col("rep")
+            ).drop("rep")
+        robots = docs.select("source").distinct().select(
+            F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+            F.expr(_ROBOTS_TXT_EXPR).alias("text"),
+        )
+        rules = robots_rules(robots, text_col="text", domain_col="domain")
+        links = docs.select(
+            "doc_id",
+            F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+            F.posexplode(
+                F.array(*[F.expr(e) for e in _ROBOTS_LINK_EXPRS])
+            ).alias("__pos", "abs_url"),
+        ).select(
+            "doc_id", (F.col("__pos") + 1).alias("link_no"),
+            "domain", "abs_url",
+        )
+        base = _shuffle_bytes()
+        t0 = time.perf_counter()
+        out = apply_robots(links, rules, agent=ROBOTS_FILTER_AGENT)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_robots_disallowed").cast("long")).alias("d"),
+        ).first()
+        wall = time.perf_counter() - t0
+        end = _shuffle_bytes()
+        return {
+            "mult": mult,
+            "n_links": int(agg["n"]),
+            "n_disallowed": int(agg["d"]),
+            "wall_s": round(wall, 2),
+            "shuffle_write_mb": round(
+                end["shuffle_write_mb"] - base["shuffle_write_mb"], 3
+            ),
+        }
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "docs"
     results = {}
@@ -1563,6 +1635,28 @@ if __name__ == "__main__":
         ), (w1, w10)
         results["clf_shuffle_x1_mb"] = w1["clf_shuffle_write_mb"]
         results["clf_shuffle_x10_mb"] = w10["clf_shuffle_write_mb"]
+    if what == "robots":
+        for m in (1, 10):
+            results[f"robots_x{m}"] = measure_robots(m)
+        w1, w10 = results["robots_x1"], results["robots_x10"]
+        r = w10["wall_s"] / max(w1["wall_s"], 1e-9)
+        assert r < 20.0, f"robots wall scaled {r:.1f}x at 10x links"
+        results["robots_wall_ratio_10x"] = round(r, 2)
+        # links never shuffle: the delta is the tiny rules-side prep
+        # and must not scale with the link count
+        assert w10["shuffle_write_mb"] < max(
+            4 * w1["shuffle_write_mb"], 2.0
+        ), (w1, w10)
+        # the flag must follow the links: 10x links, and the disallow
+        # FRACTION stays in the same band (doc ids shift under staging,
+        # so per-id mod arms differ slightly — rate, not count, is the
+        # invariant)
+        assert w10["n_links"] == 10 * w1["n_links"]
+        f1 = w1["n_disallowed"] / max(w1["n_links"], 1)
+        f10 = w10["n_disallowed"] / max(w10["n_links"], 1)
+        assert abs(f10 - f1) < 0.1, (f1, f10)
+        results["disallow_frac_x1"] = round(f1, 4)
+        results["disallow_frac_x10"] = round(f10, 4)
     if what == "media":
         for m in (1, 10):
             results[f"media_x{m}"] = measure_media(m)

@@ -83,6 +83,7 @@ from tools.oracles.ann import (
 )
 from tools.oracles.crawl import (
     _canonical_url_row_sql,
+    _meta_refresh_sql,
     _robots_filter_sql,
     _sitemap_urls_sql,
 )
@@ -2772,6 +2773,32 @@ def _q_sitemap_urls(spark, sf_dir):
     return sitemap_urls(sm, text_col="xml", domain_col="domain")
 
 
+def _q_meta_refresh(spark, sf_dir):
+    """Client-side redirect extraction (operators/markup.py
+    extract_meta_refresh): one row per <meta http-equiv=refresh> tag
+    with a target — (doc_id, delay_s, url, abs_url, domain) — the
+    frontier edges redirect pages carry.  Variant matrix synthesized
+    per doc (quoting/case/whitespace arms, inner-quoted targets,
+    URL-less reload timers that must emit nothing, a decoy meta);
+    targets resolve against the page URI through the staged RFC-3986
+    chain.  One full-document scan; per-tag work on matched strings;
+    map-side, no shuffle."""
+    from tools.oracles.crawl import (
+        _META_REFRESH_BASE_EXPR,
+        _META_REFRESH_SYNTH_EXPR,
+    )
+
+    from python_ctd_spark.operators.markup import extract_meta_refresh
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_meta_refresh(
+        docs.withColumn("html", F.expr(_META_REFRESH_SYNTH_EXPR))
+            .withColumn("base_uri", F.expr(_META_REFRESH_BASE_EXPR)),
+        "html",
+        base_col="base_uri",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2805,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _window_order({
         # -- r14: crawl-frontier pack (VERDICT r13 item 1) -------------
         "robots_filter": _q_robots_filter,
+        "meta_refresh": _q_meta_refresh,
         "canonical_url": _q_canonical_url,
         "sitemap_urls": _q_sitemap_urls,
         # -- r10 window: new in r10 ------------------------------------
@@ -2969,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "robots_filter": _robots_filter_sql(),
+        "meta_refresh": _meta_refresh_sql(),
         "canonical_url": _canonical_url_row_sql(),
         "sitemap_urls": _sitemap_urls_sql(),
         "bpe_train": _bpe_train_sql(),

@@ -612,6 +612,89 @@ def extract_links(
     return out
 
 
+#: all meta tags (group 0 per match); the refresh discriminator and
+#: the content attribute are then matched PER TAG on the tiny matched
+#: strings — one full-document scan total
+META_TAG_PATTERN = rf"(?is)<meta[{WS_CHARS}][^>]*>"
+META_REFRESH_TEST_PATTERN = rf"(?is){_ATTR_BOUNDARY}http-equiv=[\"']?refresh"
+META_CONTENT_PATTERN = rf"(?is){_ATTR_BOUNDARY}content={ATTR_VALUE_PATTERN}"
+#: refresh content value: delay, then optionally ';' or ',' and a
+#: url= clause whose value may carry one more quoting level
+#: (browsers accept content="0; url='/x'")
+META_REFRESH_CONTENT_PATTERN = (
+    rf"^[{WS_CHARS}]*([0-9]+(?:\.[0-9]+)?)[{WS_CHARS}]*"
+    rf"(?:[;,][{WS_CHARS}]*[Uu][Rr][Ll][{WS_CHARS}]*=[{WS_CHARS}]*(.*))?$"
+)
+
+
+def extract_meta_refresh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    base_col: str | None = None,
+) -> DataFrame:
+    """Extract ``<meta http-equiv=refresh>`` client-side redirects: one
+    row per refresh tag — ``(id_col, delay_s, url, abs_url, domain)``
+    — the redirect edges a crawl frontier must follow (soft-404 pages,
+    moved content, and redirect spam all ride meta refresh; a frontier
+    that ignores them silently drops the targets).
+
+    Semantics: the HTML ``refresh`` pragma — ``content="DELAY"`` or
+    ``content="DELAY; url=TARGET"`` (``;`` or ``,`` separator,
+    case-insensitive ``url=``, optional inner quoting of the target).
+    URL-less refreshes (same-page reload timers) emit no row — they
+    carry no frontier edge.  ``abs_url`` resolves against ``base_col``
+    (the page URI) via the same staged RFC-3986 chain as
+    :func:`extract_links`; ``domain`` is the normalized host of the
+    resolved target.
+
+    Plan: ONE full-document scan collects the meta tags
+    (:data:`META_TAG_PATTERN`); the refresh test, content extraction,
+    and delay/url split all run per matched tag on tiny strings —
+    map-side, no shuffle, whole-stage codegen."""
+    html = F.col(text_col)
+    metas = F.regexp_extract_all(html, F.lit(META_TAG_PATTERN), 0)
+    refr = F.filter(metas, lambda m: m.rlike(META_REFRESH_TEST_PATTERN))
+    contents = F.transform(
+        refr,
+        lambda m: _unquote_attr(
+            F.regexp_extract(m, META_CONTENT_PATTERN, 1)
+        ),
+    )
+    null_s = F.lit(None).cast("string")
+    src = df.select(
+        id_col,
+        F.explode(contents).alias("__content"),
+        *((F.col(base_col).alias("__page"),) if base_col else ()),
+    ).select(
+        id_col,
+        *(("__page",) if base_col else ()),
+        F.regexp_extract(
+            "__content", META_REFRESH_CONTENT_PATTERN, 1
+        ).cast("double").alias("delay_s"),
+        _unquote_attr(F.trim(F.regexp_extract(
+            "__content", META_REFRESH_CONTENT_PATTERN, 2
+        ))).alias("url"),
+    ).filter(F.col("url") != "")
+    if base_col:
+        src = src.select(
+            id_col, "delay_s", "url",
+            _resolve_case(
+                F.col("url"), _base_parts(F.col("__page"))
+            ).alias("__resolved"),
+        ).select(
+            id_col, "delay_s", "url",
+            _collapse_dots(F.col("__resolved")).alias("abs_url"),
+        )
+    else:
+        src = src.select(id_col, "delay_s", "url",
+                         F.col("url").alias("abs_url"))
+    return src.select(
+        id_col, "delay_s", "url", "abs_url",
+        normalized_domain(F.col("abs_url")).alias("domain"),
+    )
+
+
 def strip_markup(
     df: DataFrame, text_col: str, out_col: str = "text_plain"
 ) -> DataFrame:

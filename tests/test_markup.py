@@ -523,3 +523,50 @@ def test_resolve_url_terminal_dot_segments(spark):
     ).toPandas()
     bad = out[out.got != out.want]
     assert bad.empty, bad.to_string()
+
+
+def test_extract_meta_refresh(spark):
+    """Client-side redirects (r14): quoting/case/whitespace variants
+    parse, inner-quoted targets unwrap, URL-less reload timers and
+    non-refresh metas emit nothing, targets resolve against the page
+    URI."""
+    from python_ctd_spark.operators.markup import extract_meta_refresh
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "html": [
+            '<meta http-equiv="refresh" content="0; url=/moved">x',
+            "<META HTTP-EQUIV='REFRESH' CONTENT='5 ; URL = next.html'>",
+            '<meta http-equiv=refresh '
+            'content="3;url=\'https://other.example.net/x\'">',
+            '<meta http-equiv="refresh" content="30">',   # reload timer
+            '<meta name="viewport" content="width=1">',   # decoy
+            '<meta http-equiv="refresh" content="1.5, url=../up">',
+        ],
+        "base": ["https://site.example.org/w/5/index.html"] * 6,
+    })
+    out = (
+        extract_meta_refresh(spark.createDataFrame(rows), "html",
+                             base_col="base")
+        .toPandas().set_index("doc_id")
+    )
+    assert set(out.index) == {1, 2, 3, 6}
+    assert out.loc[1, "delay_s"] == 0.0
+    assert out.loc[1, "abs_url"] == "https://site.example.org/moved"
+    assert out.loc[2, "delay_s"] == 5.0
+    assert out.loc[2, "abs_url"] == "https://site.example.org/w/5/next.html"
+    assert out.loc[3, "url"] == "https://other.example.net/x"
+    assert out.loc[3, "domain"] == "other.example.net"
+    assert out.loc[6, "delay_s"] == 1.5  # ',' separator, fractional
+    assert out.loc[6, "abs_url"] == "https://site.example.org/w/up"
+
+
+def test_extract_meta_refresh_no_base(spark):
+    from python_ctd_spark.operators.markup import extract_meta_refresh
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "html": ['<meta http-equiv="refresh" content="0;url=/a">'],
+    }))
+    out = extract_meta_refresh(df, "html").toPandas()
+    assert list(out.url) == ["/a"] and list(out.abs_url) == ["/a"]

@@ -348,3 +348,87 @@ WITH sm AS (
 SELECT domain, kind, {dec} AS url, lastmod
 FROM ex WHERE url <> ''
 """
+
+
+# -- meta_refresh ------------------------------------------------------
+
+#: per-doc HTML with a meta-refresh variant matrix: double-quoted
+#: zero-delay root-relative, upper-case single-quoted with spaced
+#: ``URL =``, bare http-equiv with an inner-quoted absolute target,
+#: and a URL-LESS reload timer (must emit nothing) — plus a decoy
+#: viewport meta and the document text
+_META_REFRESH_SYNTH_EXPR = (
+    "concat("
+    " CASE WHEN coalesce(doc_id, 0) % 4 = 0 THEN"
+    " concat('<meta http-equiv=\"refresh\" content=\"0; url=/moved-',"
+    " CAST(coalesce(doc_id, 0) % 7 AS STRING), '\">')"
+    " WHEN coalesce(doc_id, 0) % 4 = 1 THEN"
+    " concat('<META HTTP-EQUIV=''REFRESH'' CONTENT=''5 ; URL = next-',"
+    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '.html''>')"
+    " WHEN coalesce(doc_id, 0) % 4 = 2 THEN"
+    " concat('<meta http-equiv=refresh content=\"3;url=''https://r',"
+    " CAST(coalesce(doc_id, 0) % 3 AS STRING), '.example.net/x''\">')"
+    " ELSE '<meta http-equiv=\"refresh\" content=\"30\">' END,"
+    " '<meta name=\"viewport\" content=\"width=device-width\">',"
+    " '<p>', coalesce(text, ''), '</p>')"
+)
+
+_META_REFRESH_BASE_EXPR = (
+    "concat('https://site', CAST(coalesce(doc_id, 0) % 7 AS STRING),"
+    " '.example.org/a/', CAST(coalesce(doc_id, 0) AS STRING),"
+    " '/page.html')"
+)
+
+
+def _meta_refresh_sql() -> str:
+    """DuckDB twin of operators.markup.extract_meta_refresh: one
+    meta-tag scan, per-tag refresh test + content extraction +
+    delay/url split on the matched strings, the shared resolve twin,
+    the shared domain key — patterns imported from the package."""
+    from tools.oracles.text import _resolve_url_sql
+    from python_ctd_spark.operators.markup import (
+        DOMAIN_PATTERN,
+        META_CONTENT_PATTERN,
+        META_REFRESH_CONTENT_PATTERN,
+        META_REFRESH_TEST_PATTERN,
+        META_TAG_PATTERN,
+    )
+
+    def unq(v):
+        return (f"regexp_replace(regexp_replace({v},"
+                " '(?s)^\"(.*)\"$', '\\1'), '(?s)^''(.*)''$', '\\1')")
+
+    tag_pat = META_TAG_PATTERN.replace("'", "''")
+    test_pat = META_REFRESH_TEST_PATTERN.replace("'", "''")
+    content_pat = META_CONTENT_PATTERN.replace("'", "''")
+    split_pat = META_REFRESH_CONTENT_PATTERN.replace("'", "''")
+    dom = DOMAIN_PATTERN.replace("'", "''")
+    html = _duck(_META_REFRESH_SYNTH_EXPR)
+    base = _duck(_META_REFRESH_BASE_EXPR)
+    resolve = _resolve_url_sql("url", "base")
+    return f"""
+WITH n AS (
+  SELECT doc_id, {base} AS base, {html} AS html FROM documents
+), m AS (
+  SELECT doc_id, base,
+         unnest(regexp_extract_all(html, '{tag_pat}', 0)) AS tag
+  FROM n
+), r AS (
+  SELECT doc_id, base,
+         {unq(f"regexp_extract(tag, '{content_pat}', 1)")} AS content
+  FROM m WHERE regexp_matches(tag, '{test_pat}')
+), p AS (
+  SELECT doc_id, base,
+         CAST(regexp_extract(content, '{split_pat}', 1) AS DOUBLE)
+           AS delay_s,
+         {unq(f"trim(regexp_extract(content, '{split_pat}', 2))")} AS url
+  FROM r
+), res AS (
+  SELECT doc_id, delay_s, url, {resolve} AS abs_url
+  FROM p WHERE url <> ''
+)
+SELECT doc_id, delay_s, url, abs_url,
+       regexp_replace(lower(regexp_extract(abs_url, '{dom}', 1)),
+                      '\\.$', '') AS domain
+FROM res
+"""

@@ -2703,33 +2703,12 @@ def _q_robots_filter(spark, sf_dir):
     fragment-stripped path matching.  Plan: rules pre-aggregate to one
     array row per domain and broadcast onto the links — the links never
     shuffle (the 100 TB shape, plan-pinned in tests/test_robots.py)."""
-    from tools.oracles.crawl import (
-        ROBOTS_FILTER_AGENT,
-        _ROBOTS_DOMAIN_EXPR,
-        _ROBOTS_LINK_EXPRS,
-        _ROBOTS_TXT_EXPR,
-    )
+    from tools.oracles.crawl import ROBOTS_FILTER_AGENT, robots_fixture_frames
 
-    from python_ctd_spark.operators.robots import apply_robots, robots_rules
+    from python_ctd_spark.operators.robots import apply_robots
 
     docs = _t(spark, sf_dir, "documents")
-    robots = docs.select("source").distinct().select(
-        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
-        F.expr(_ROBOTS_TXT_EXPR).alias("text"),
-    )
-    rules = robots_rules(robots, text_col="text", domain_col="domain")
-    links = docs.select(
-        "doc_id",
-        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
-        F.posexplode(
-            F.array(*[F.expr(e) for e in _ROBOTS_LINK_EXPRS])
-        ).alias("__pos", "abs_url"),
-    ).select(
-        "doc_id",
-        (F.col("__pos") + 1).cast("int").alias("link_no"),
-        "domain",
-        "abs_url",
-    )
+    rules, links = robots_fixture_frames(docs)
     out = apply_robots(links, rules, agent=ROBOTS_FILTER_AGENT)
     return out.select(
         "doc_id", "link_no", "abs_url", "domain", "is_robots_disallowed"

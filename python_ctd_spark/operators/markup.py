@@ -305,7 +305,12 @@ def canonical_url(url: Column) -> Column:
         scheme, F.lit("://"), host, path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
-    return F.when(url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(raw)
+    # the hierarchical gate tests the RAW input (review r14): gating on
+    # the normalized form would let a scheme-obfuscated 'h%74tp://...'
+    # slip into the canonical arm on this side only — the DuckDB twin
+    # gates on raw, and RFC 3986 gives percent escapes no meaning in
+    # the scheme, so such strings are not hierarchical URIs at all
+    return F.when(raw.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), canon).otherwise(raw)
 
 
 def resolve_url(url: Column, base: Column) -> Column:

@@ -162,6 +162,7 @@ def sitemap_urls(
         @F.pandas_udf("string")
         def _gunzip_or_decode(s):
             import gzip
+            import zlib
 
             def one(b):
                 if b is None:
@@ -170,8 +171,13 @@ def sitemap_urls(
                 if b[:2] == b"\x1f\x8b":
                     try:
                         b = gzip.decompress(b)
-                    except OSError:
-                        return ""  # corrupt gzip: no entries, not a crash
+                    except (OSError, EOFError, zlib.error):
+                        # corrupt gzip: no entries, not a crash.  A
+                        # TRUNCATED member raises EOFError and a bad
+                        # deflate stream zlib.error — neither is an
+                        # OSError subclass (review r14), and a partial
+                        # fetch is routine in a crawl
+                        return ""
                 return b.decode("utf-8", errors="replace")
 
             return s.map(one)

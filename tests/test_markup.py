@@ -570,3 +570,22 @@ def test_extract_meta_refresh_no_base(spark):
     }))
     out = extract_meta_refresh(df, "html").toPandas()
     assert list(out.url) == ["/a"] and list(out.abs_url) == ["/a"]
+
+
+def test_canonical_url_scheme_obfuscation_and_nonascii_escapes(spark):
+    """Review r14: (1) the hierarchical gate tests the RAW input — a
+    percent-obfuscated scheme ('h%74tp://...') is not a URI and passes
+    through unchanged (matching the oracle's raw-side gate); (2)
+    non-ASCII escapes (%C3%A9 — every UTF-8 URL path on the web) keep
+    their escapes, hex uppercased."""
+    from python_ctd_spark.operators.markup import canonical_url
+
+    cases = [
+        ("h%74tp://Host.example/x", "h%74tp://Host.example/x"),
+        ("https://h.org/caf%c3%a9", "https://h.org/caf%C3%A9"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["u", "want"]))
+    out = df.select("u", "want",
+                    canonical_url(F.col("u")).alias("got")).toPandas()
+    bad = out[out.got != out.want]
+    assert bad.empty, bad.to_string()

@@ -4,27 +4,14 @@ audit window, not the correctness contract — every retired row still
 runs against its DuckDB oracle at sf0.01 on every local test run,
 through the same compare the live registry uses."""
 
-import os
-
-import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-from test_oracle_parity import _compare
-
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
-
-
-@pytest.fixture(scope="module")
-def ddb():
-    con = duckdb.connect()
-    for t in entrymod.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
-    yield con
-    con.close()
+# the parity harness's compare, sf dir, AND DuckDB-view fixture are
+# imported, not copied (review r14): a future change to how parity
+# tests mount the parquet views must flow through here automatically
+from test_oracle_parity import SF_DIR, _compare, ddb  # noqa: F401
 
 
 RETIRED = sorted(entrymod.retired_queries().keys())

@@ -356,3 +356,21 @@ def test_sitemap_urls_gzipped_binary_payload(spark):
     assert got.loc["plain.example.org", "url"] == "https://plain.example.org/q"
     assert "junk.example.org" not in got.index
     assert "corrupt.example.org" not in got.index
+
+
+def test_sitemap_truncated_gzip_quarantines_not_kills(spark):
+    """Review r14: a TRUNCATED gzip member raises EOFError (not
+    OSError) from gzip.decompress — a routine partial fetch must emit
+    zero rows next to a good payload, not kill the task."""
+    import gzip
+
+    from python_ctd_spark.operators.robots import sitemap_urls
+
+    xml = (b"<urlset><url><loc>https://ok.example.org/p</loc></url>"
+           b"</urlset>")
+    rows = pd.DataFrame({
+        "source": ["trunc.example.org", "ok.example.org"],
+        "text": [gzip.compress(xml)[:20], xml],
+    })
+    out = sitemap_urls(spark.createDataFrame(rows)).toPandas()
+    assert list(out.domain) == ["ok.example.org"]

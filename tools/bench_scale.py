@@ -1511,14 +1511,9 @@ def measure_robots(mult: int) -> dict:
     count."""
     from pyspark.sql import functions as F
 
-    from python_ctd_spark.operators.robots import apply_robots, robots_rules
+    from python_ctd_spark.operators.robots import apply_robots
     from python_ctd_spark.session import get_spark
-    from tools.oracles.crawl import (
-        ROBOTS_FILTER_AGENT,
-        _ROBOTS_DOMAIN_EXPR,
-        _ROBOTS_LINK_EXPRS,
-        _ROBOTS_TXT_EXPR,
-    )
+    from tools.oracles.crawl import ROBOTS_FILTER_AGENT, robots_fixture_frames
 
     spark = get_spark(
         app_name=f"bench_robots_{mult}",
@@ -1534,21 +1529,7 @@ def measure_robots(mult: int) -> dict:
             ).withColumn(
                 "doc_id", F.col("doc_id") * mult + F.col("rep")
             ).drop("rep")
-        robots = docs.select("source").distinct().select(
-            F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
-            F.expr(_ROBOTS_TXT_EXPR).alias("text"),
-        )
-        rules = robots_rules(robots, text_col="text", domain_col="domain")
-        links = docs.select(
-            "doc_id",
-            F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
-            F.posexplode(
-                F.array(*[F.expr(e) for e in _ROBOTS_LINK_EXPRS])
-            ).alias("__pos", "abs_url"),
-        ).select(
-            "doc_id", (F.col("__pos") + 1).alias("link_no"),
-            "domain", "abs_url",
-        )
+        rules, links = robots_fixture_frames(docs)
         base = _shuffle_bytes()
         t0 = time.perf_counter()
         out = apply_robots(links, rules, agent=ROBOTS_FILTER_AGENT)

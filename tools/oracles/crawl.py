@@ -209,6 +209,7 @@ _CANON_URL_EXPR = (
     " WHEN coalesce(doc_id, 0) % 4 = 2 THEN '.:443'"
     " ELSE '' END,"
     " '/Pg%7e', CAST(coalesce(doc_id, 0) % 7 AS STRING), '%2f%41%25',"
+    " CASE WHEN coalesce(doc_id, 0) % 7 = 0 THEN '/caf%c3%a9' ELSE '' END,"
     " CASE WHEN coalesce(doc_id, 0) % 2 = 0 THEN"
     " concat('?b=2&utm_source=x&a=%3', CAST(coalesce(doc_id, 0) % 8 AS STRING))"
     " ELSE concat('?a=%3', CAST(coalesce(doc_id, 0) % 8 AS STRING), '&b=2')"
@@ -228,13 +229,21 @@ def _pct_normalize_sql(u: str) -> str:
     )
 
     ch = "decode(from_hex(substr(p, 1, 2)))"
+    keep = "'%' || upper(substr(p, 1, 2)) || substr(p, 3)"
+    # decode() is guarded to ASCII bytes (leading hex digit 0-7):
+    # DuckDB's decode throws on a lone non-UTF8 byte like %C3, while
+    # the Spark side's char(195) simply fails the unreserved test —
+    # escapes >= 0x80 can never be unreserved, so routing them straight
+    # to the uppercase-keep arm is value-identical (review r14)
     return (
         f"substr(array_to_string(list_transform("
         f"str_split(chr(1) || {u}, '%'),"
         f" p -> CASE WHEN regexp_matches(p, '{PCT_HEX_PATTERN}')"
+        f" THEN CASE WHEN regexp_matches(p, '^[0-7]')"
         f" THEN CASE WHEN regexp_matches({ch}, '{PCT_UNRESERVED_PATTERN}')"
         f" THEN {ch} || substr(p, 3)"
-        f" ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END"
+        f" ELSE {keep} END"
+        f" ELSE {keep} END"
         f" ELSE '%' || p END), ''), 3)"
     )
 
@@ -432,3 +441,34 @@ SELECT doc_id, delay_s, url, abs_url,
                       '\\.$', '') AS domain
 FROM res
 """
+
+
+def robots_fixture_frames(docs):
+    """Shared Spark-side fixture construction for the ``robots_filter``
+    registered row AND ``bench_scale robots`` (review r14: the two
+    previously duplicated these ~25 lines and could drift — the scale
+    evidence must measure the exact plan the registry audits): returns
+    ``(rules, links)`` — robots.txt payloads parsed per distinct
+    domain, and six links per document staged through one posexplode."""
+    from pyspark.sql import functions as F
+
+    from python_ctd_spark.operators.robots import robots_rules
+
+    robots = docs.select("source").distinct().select(
+        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+        F.expr(_ROBOTS_TXT_EXPR).alias("text"),
+    )
+    rules = robots_rules(robots, text_col="text", domain_col="domain")
+    links = docs.select(
+        "doc_id",
+        F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
+        F.posexplode(
+            F.array(*[F.expr(e) for e in _ROBOTS_LINK_EXPRS])
+        ).alias("__pos", "abs_url"),
+    ).select(
+        "doc_id",
+        (F.col("__pos") + 1).cast("int").alias("link_no"),
+        "domain",
+        "abs_url",
+    )
+    return rules, links

@@ -135,6 +135,32 @@ class Corpus:
             domain_col=domain_col or self.domain_col,
         )
 
+    def sitemap_urls(self, domain_col: str | None = None) -> DataFrame:
+        """Parse sitemap XML payloads held in this corpus into the
+        ``(domain, kind, url, lastmod)`` entry table
+        (:func:`..operators.robots.sitemap_urls`; ``sitemap`` rows are
+        nested index entries a frontier builder recurses on).  A point
+        analysis (different row shape), so a plain DataFrame."""
+        from python_ctd_spark.operators import robots
+
+        return robots.sitemap_urls(
+            self.df,
+            text_col=self.text_col,
+            domain_col=domain_col or self.domain_col,
+        )
+
+    def extract_meta_refresh(self, base_col: str | None = None) -> DataFrame:
+        """Client-side redirect edges
+        (:func:`..operators.markup.extract_meta_refresh`): one row per
+        ``<meta http-equiv=refresh>`` tag carrying a target, resolved
+        against ``base_col`` (the page-URI column) when given.  Run
+        BEFORE :meth:`strip_markup` removes the tags."""
+        from python_ctd_spark.operators import markup
+
+        return markup.extract_meta_refresh(
+            self.df, self.text_col, id_col=self.id_col, base_col=base_col
+        )
+
     def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":
         """Cluster-balanced subset
         (:func:`..operators.curation.cluster_balanced_sample`): an equal

@@ -100,6 +100,8 @@ CASES = {
     "pack_sequences": lambda c, b: c.tokenize().pack_sequences(seq_len=128),
     "extract_links": lambda c, b: c.extract_links(),
     "robots_rules": lambda c, b: c.robots_rules(),
+    "sitemap_urls": lambda c, b: c.sitemap_urls(),
+    "extract_meta_refresh": lambda c, b: c.extract_meta_refresh(),
 }
 
 

@@ -632,6 +632,83 @@ META_REFRESH_CONTENT_PATTERN = (
 )
 
 
+#: all <link ...> tags (group 0 per match) — the rel/href pair is then
+#: matched PER TAG, the same one-scan shape as the meta-refresh path
+LINK_TAG_PATTERN = rf"(?is)<link[{WS_CHARS}][^>]*>"
+LINK_REL_PATTERN = rf"(?is){_ATTR_BOUNDARY}rel={ATTR_VALUE_PATTERN}"
+LINK_HREF_PATTERN = rf"(?is){_ATTR_BOUNDARY}href={ATTR_VALUE_PATTERN}"
+
+
+def extract_link_rels(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    base_col: str | None = None,
+    rels: tuple[str, ...] = ("canonical", "alternate", "amphtml",
+                             "prev", "next"),
+) -> DataFrame:
+    """Extract typed ``<link rel=... href=...>`` relations: one row per
+    matching tag — ``(id_col, rel, url, abs_url, domain)`` — the
+    page-relation edges a frontier dedups and recrawls on:
+    ``rel=canonical`` is the author's own dedup key (feed ``abs_url``
+    to :func:`canonical_url` and prefer it over the fetch URL),
+    ``prev``/``next`` stitch paginated series, ``alternate``/
+    ``amphtml`` point at language and AMP variants.
+
+    ``rels`` filters to the relation types of interest (lowercased
+    exact match on the rel token; multi-token rel values match on any
+    whitespace-separated token).  Same plan shape as
+    :func:`extract_meta_refresh`: ONE full-document scan collects the
+    link tags, rel/href extraction runs per matched tag on tiny
+    strings, resolution is the staged RFC-3986 chain — map-side, no
+    shuffle."""
+    html = F.col(text_col)
+    tags = F.regexp_extract_all(html, F.lit(LINK_TAG_PATTERN), 0)
+    pairs = F.transform(
+        tags,
+        lambda m: F.struct(
+            F.lower(_unquote_attr(
+                F.regexp_extract(m, LINK_REL_PATTERN, 1)
+            )).alias("rel"),
+            _unquote_attr(
+                F.regexp_extract(m, LINK_HREF_PATTERN, 1)
+            ).alias("url"),
+        ),
+    )
+    want = F.array(*[F.lit(r.lower()) for r in rels])
+    keep = F.filter(
+        pairs,
+        lambda x: (x["url"] != "")
+        & F.arrays_overlap(F.split(x["rel"], WS_PATTERN), want),
+    )
+    src = df.select(
+        id_col,
+        F.explode(keep).alias("l"),
+        *((F.col(base_col).alias("__page"),) if base_col else ()),
+    ).select(
+        id_col,
+        *(("__page",) if base_col else ()),
+        F.col("l.rel").alias("rel"),
+        F.col("l.url").alias("url"),
+    )
+    if base_col:
+        src = src.select(
+            id_col, "rel", "url",
+            _resolve_case(
+                F.col("url"), _base_parts(F.col("__page"))
+            ).alias("__resolved"),
+        ).select(
+            id_col, "rel", "url",
+            _collapse_dots(F.col("__resolved")).alias("abs_url"),
+        )
+    else:
+        src = src.withColumn("abs_url", F.col("url"))
+    return src.select(
+        id_col, "rel", "url", "abs_url",
+        normalized_domain(F.col("abs_url")).alias("domain"),
+    )
+
+
 def extract_meta_refresh(
     df: DataFrame,
     text_col: str,

@@ -337,3 +337,75 @@ def apply_robots(
         "is_robots_disallowed",
         F.coalesce(best["directive"] == "disallow", F.lit(False)),
     ).drop("__r_domain", "__rules", "__path")
+
+def frontier_schedule(
+    links: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "abs_url",
+    domain_col: str = "domain",
+    default_delay_s: float = 1.0,
+    per_domain_budget: int | None = None,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Politeness-schedule a link frontier: adds ``fetch_rank`` (the
+    link's 1-based position within its domain's fetch queue) and
+    ``fetch_offset_s`` (``(rank - 1) x`` the domain's effective
+    ``Crawl-delay``) — the per-domain pacing every polite fetcher
+    needs, derived from the SAME rules table :func:`robots_rules`
+    already produces (the Crawl-delay directives were parsed but
+    unused downstream until now).
+
+    The delay comes from the crawler's matched agent group (the same
+    RFC 9309 product-token prefix tiering as :func:`apply_robots` —
+    a specific group's delay replaces ``*``'s); several surviving
+    values (multi-snapshot corpora) take the MAX (the conservative,
+    politest reading); domains with no numeric Crawl-delay use
+    ``default_delay_s``.  ``order_cols`` fixes the queue order
+    (defaults to ``url_col`` — deterministic under retry);
+    ``per_domain_budget`` caps each domain's queue.
+
+    Plan — the scale shape: ONE window partitioned on the domain (the
+    politeness key is inherently sequential per domain, so this
+    shuffle is the problem's own structure, not overhead) plus a
+    broadcast of the KB-sized per-domain delay table.  A mega-domain
+    makes a hot partition; ``per_domain_budget`` is the lever — cap
+    the queue per scheduling round and the partition is bounded by
+    the budget, not the crawl."""
+    a = agent.lower().split("/", 1)[0].strip()
+    gtok = F.regexp_replace(F.lower(F.col("agent")), "/.*", "")
+    scoped = rules.filter(
+        F.col("agent").isNotNull()
+        & ((gtok == "*") | F.lit(a).startswith(gtok))
+    )
+    tier = F.when(gtok == "*", 0).otherwise(F.length(gtok))
+    wd = Window.partitionBy("domain")
+    delays = (
+        scoped.withColumn("__tier", tier)
+        .withColumn("__max_tier", F.max("__tier").over(wd))
+        .filter(F.col("__tier") == F.col("__max_tier"))
+        .filter(
+            (F.col("directive") == "crawl-delay")
+            & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .groupBy(F.col("domain").alias("__d"))
+        .agg(F.max(F.col("value").cast("double")).alias("__delay"))
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        *(list(order_cols) or [url_col])
+    )
+    out = (
+        links.join(
+            F.broadcast(delays), links[domain_col] == delays["__d"], "left"
+        )
+        .withColumn("fetch_rank", F.row_number().over(w))
+        .withColumn(
+            "fetch_offset_s",
+            (F.col("fetch_rank") - 1).cast("double")
+            * F.coalesce(F.col("__delay"), F.lit(float(default_delay_s))),
+        )
+        .drop("__d", "__delay")
+    )
+    if per_domain_budget is not None:
+        out = out.filter(F.col("fetch_rank") <= int(per_domain_budget))
+    return out

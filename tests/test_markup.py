@@ -589,3 +589,40 @@ def test_canonical_url_scheme_obfuscation_and_nonascii_escapes(spark):
                     canonical_url(F.col("u")).alias("got")).toPandas()
     bad = out[out.got != out.want]
     assert bad.empty, bad.to_string()
+
+
+def test_extract_link_rels(spark):
+    """Typed link relations (r14): rel filtering incl. multi-token rel
+    values and attribute order, staged resolution, canonical edges."""
+    from python_ctd_spark.operators.markup import extract_link_rels
+
+    rows = pd.DataFrame({
+        "doc_id": [1, 2],
+        "html": [
+            '<link rel="canonical" href="https://a.org/page"/>'
+            "<link rel='stylesheet alternate' href='alt.css'>"
+            '<link rel=next href=/p2>'
+            '<link rel="icon" href="/favicon.ico">',
+            '<link href="/x" rel="CANONICAL">rel-after-href',
+        ],
+        "base": ["https://site.org/w/index.html"] * 2,
+    })
+    out = (
+        extract_link_rels(spark.createDataFrame(rows), "html",
+                          base_col="base")
+        .toPandas().sort_values(["doc_id", "rel"]).reset_index(drop=True)
+    )
+    # icon filtered out; multi-token 'stylesheet alternate' kept via
+    # its alternate token; rel AFTER href still matches
+    assert list(out.rel) == ["canonical", "next", "stylesheet alternate",
+                             "canonical"]
+    assert out.loc[0, "abs_url"] == "https://a.org/page"
+    assert out.loc[1, "abs_url"] == "https://site.org/p2"
+    assert out.loc[2, "abs_url"] == "https://site.org/w/alt.css"
+    assert out.loc[3, "abs_url"] == "https://site.org/x"
+    # rels filter narrows
+    only = extract_link_rels(
+        spark.createDataFrame(rows), "html", base_col="base",
+        rels=("canonical",),
+    ).toPandas()
+    assert set(only.rel) == {"canonical"} and len(only) == 2

@@ -374,3 +374,53 @@ def test_sitemap_truncated_gzip_quarantines_not_kills(spark):
     })
     out = sitemap_urls(spark.createDataFrame(rows)).toPandas()
     assert list(out.domain) == ["ok.example.org"]
+
+
+def test_frontier_schedule_crawl_delay_pacing(spark):
+    """frontier_schedule (r14): the parsed Crawl-delay paces each
+    domain's queue — agent-group tiering picks the right delay, the
+    max of surviving values wins, no-delay domains use the default,
+    budgets cap the queue, ordering is deterministic."""
+    from python_ctd_spark.operators.robots import (
+        frontier_schedule, robots_rules,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "source": ["d.org", "e.org"],
+        "text": [
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /x/\n\n"
+            "User-agent: goodbot\nCrawl-delay: 5\nDisallow: /y/\n",
+            "User-agent: *\nDisallow: /z/\n",   # no delay -> default
+        ],
+    }))
+    rules = robots_rules(docs).cache()
+    links = _links(spark, [
+        (1, "https://d.org/a", "d.org"),
+        (2, "https://d.org/b", "d.org"),
+        (3, "https://d.org/c", "d.org"),
+        (4, "https://e.org/a", "e.org"),
+        (5, "https://e.org/b", "e.org"),
+    ])
+    # * group: delay 2
+    out = (
+        frontier_schedule(links, rules, default_delay_s=1.0)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.loc[[1, 2, 3], "fetch_rank"]) == [1, 2, 3]
+    assert list(out.loc[[1, 2, 3], "fetch_offset_s"]) == [0.0, 2.0, 4.0]
+    assert list(out.loc[[4, 5], "fetch_offset_s"]) == [0.0, 1.0]  # default
+    # goodbot's own group replaces *: delay 5, via a versioned UA
+    good = (
+        frontier_schedule(links, rules, agent="GoodBot-News/9")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(good.loc[[1, 2, 3], "fetch_offset_s"]) == [0.0, 5.0, 10.0]
+    # budget caps the per-domain queue
+    capped = frontier_schedule(links, rules, per_domain_budget=2).toPandas()
+    assert len(capped[capped.domain == "d.org"]) == 2
+    # plan: delay table broadcasts; links shuffle ONCE on the domain
+    plan = (
+        frontier_schedule(links, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -83,6 +83,8 @@ from tools.oracles.ann import (
 )
 from tools.oracles.crawl import (
     _canonical_url_row_sql,
+    _frontier_schedule_sql,
+    _link_rels_sql,
     _meta_refresh_sql,
     _robots_filter_sql,
     _sitemap_urls_sql,
@@ -2778,6 +2780,55 @@ def _q_meta_refresh(spark, sf_dir):
     )
 
 
+def _q_link_rels(spark, sf_dir):
+    """Typed link relations (operators/markup.py extract_link_rels):
+    rel=canonical/alternate/amphtml/prev/next edges — the author's own
+    dedup key plus pagination/variant edges — over a synthesized
+    variant matrix (quoting/case/attr-order, multi-token rel matching
+    via any whitespace token, decoys that must not extract); targets
+    resolve through the staged RFC-3986 chain.  One link-tag scan,
+    per-tag work on matched strings, map-side, no shuffle."""
+    from tools.oracles.crawl import (
+        _LINK_RELS_BASE_EXPR,
+        _LINK_RELS_SYNTH_EXPR,
+        LINK_RELS_WANTED,
+    )
+
+    from python_ctd_spark.operators.markup import extract_link_rels
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_link_rels(
+        docs.withColumn("html", F.expr(_LINK_RELS_SYNTH_EXPR))
+            .withColumn("base_uri", F.expr(_LINK_RELS_BASE_EXPR)),
+        "html",
+        base_col="base_uri",
+        rels=LINK_RELS_WANTED,
+    )
+
+
+def _q_frontier_schedule(spark, sf_dir):
+    """Politeness scheduling (operators/robots.py frontier_schedule):
+    per-domain fetch_rank + fetch_offset_s from the parsed Crawl-delay
+    directives over the shared robots fixture — agent-group tiering
+    (the versioned UA's goodbot group carries delay 2 on even domains;
+    odd domains have no delay and take the default), MAX of surviving
+    values, deterministic (abs_url, doc_id, link_no) queue order.
+    Plan: ONE domain-partitioned window (politeness is inherently
+    sequential per domain) + a broadcast KB-sized delay table."""
+    from tools.oracles.crawl import ROBOTS_FILTER_AGENT, robots_fixture_frames
+
+    from python_ctd_spark.operators.robots import frontier_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    rules, links = robots_fixture_frames(docs)
+    return frontier_schedule(
+        links,
+        rules,
+        agent=ROBOTS_FILTER_AGENT,
+        order_cols=("abs_url", "doc_id", "link_no"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2812,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r14: crawl-frontier pack (VERDICT r13 item 1) -------------
         "robots_filter": _q_robots_filter,
         "meta_refresh": _q_meta_refresh,
+        "link_rels": _q_link_rels,
+        "frontier_schedule": _q_frontier_schedule,
         "canonical_url": _q_canonical_url,
         "sitemap_urls": _q_sitemap_urls,
         # -- r10 window: new in r10 ------------------------------------
@@ -2977,6 +3030,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "robots_filter": _robots_filter_sql(),
         "meta_refresh": _meta_refresh_sql(),
+        "link_rels": _link_rels_sql(),
+        "frontier_schedule": _frontier_schedule_sql(),
         "canonical_url": _canonical_url_row_sql(),
         "sitemap_urls": _sitemap_urls_sql(),
         "bpe_train": _bpe_train_sql(),

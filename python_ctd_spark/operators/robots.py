@@ -362,7 +362,11 @@ def frontier_schedule(
     values (multi-snapshot corpora) take the MAX (the conservative,
     politest reading); domains with no numeric Crawl-delay use
     ``default_delay_s``.  ``order_cols`` fixes the queue order
-    (defaults to ``url_col`` — deterministic under retry);
+    (defaults to ``url_col`` — deterministic under retry ONLY when
+    URLs are unique per domain, the post-frontier-dedup shape; a
+    corpus with repeated URLs must include a unique tie-breaker, e.g.
+    ``order_cols=("abs_url", "doc_id", "link_no")``, or rank
+    assignment across the duplicates is retry-unstable);
     ``per_domain_budget`` caps each domain's queue.
 
     Plan — the scale shape: ONE window partitioned on the domain (the

@@ -472,3 +472,184 @@ def robots_fixture_frames(docs):
         "abs_url",
     )
     return rules, links
+
+
+# -- link_rels ---------------------------------------------------------
+
+#: per-doc HTML with a typed-link-relation matrix: canonical
+#: (quoting/case/attr-order variants), rel-after-href, a multi-token
+#: rel (matches via its alternate token), next/prev pagination on
+#: alternating docs, and decoys (icon, rel-less, href-less) that must
+#: not extract
+_LINK_RELS_SYNTH_EXPR = (
+    "concat("
+    " '<link rel=\"canonical\" href=\"/canon-',"
+    " CAST(coalesce(doc_id, 0) % 9 AS STRING), '\"/>',"
+    " CASE WHEN coalesce(doc_id, 0) % 2 = 0 THEN"
+    " concat('<link href=''/n-', CAST(coalesce(doc_id, 0) % 5 AS STRING),"
+    " ''' rel=NEXT>') ELSE"
+    " concat('<link rel=\"prev\" href=p-',"
+    " CAST(coalesce(doc_id, 0) % 5 AS STRING), '>') END,"
+    " CASE WHEN coalesce(doc_id, 0) % 3 = 0 THEN"
+    " concat('<link rel=''stylesheet alternate'' href=\"alt-',"
+    " CAST(coalesce(doc_id, 0) % 4 AS STRING), '.css\">') ELSE '' END,"
+    " '<link rel=\"icon\" href=\"/favicon.ico\">',"
+    " '<link rel=\"search\">',"
+    " '<p>', coalesce(text, ''), '</p>')"
+)
+
+_LINK_RELS_BASE_EXPR = (
+    "concat('https://site', CAST(coalesce(doc_id, 0) % 7 AS STRING),"
+    " '.example.org/s/', CAST(coalesce(doc_id, 0) AS STRING),"
+    " '/index.html')"
+)
+
+#: the rel filter the registered row uses (the extract_link_rels
+#: default, spelled out so the oracle shares it)
+LINK_RELS_WANTED = ("canonical", "alternate", "amphtml", "prev", "next")
+
+
+def _link_rels_sql() -> str:
+    """DuckDB twin of operators.markup.extract_link_rels: one link-tag
+    scan, per-tag rel/href extraction (patterns imported from the
+    package), token-overlap rel filtering (list_has_any over the
+    WS_PATTERN split — Spark's arrays_overlap twin), the shared
+    resolve and domain key."""
+    from tools.oracles.text import _resolve_url_sql
+    from python_ctd_spark.operators.markup import (
+        DOMAIN_PATTERN,
+        LINK_HREF_PATTERN,
+        LINK_REL_PATTERN,
+        LINK_TAG_PATTERN,
+        WS_PATTERN,
+    )
+
+    def unq(v):
+        return (f"regexp_replace(regexp_replace({v},"
+                " '(?s)^\"(.*)\"$', '\\1'), '(?s)^''(.*)''$', '\\1')")
+
+    tag_pat = LINK_TAG_PATTERN.replace("'", "''")
+    rel_pat = LINK_REL_PATTERN.replace("'", "''")
+    href_pat = LINK_HREF_PATTERN.replace("'", "''")
+    dom = DOMAIN_PATTERN.replace("'", "''")
+    want = ", ".join(f"'{r}'" for r in LINK_RELS_WANTED)
+    html = _duck(_LINK_RELS_SYNTH_EXPR)
+    base = _duck(_LINK_RELS_BASE_EXPR)
+    resolve = _resolve_url_sql("url", "base")
+    return f"""
+WITH n AS (
+  SELECT doc_id, {base} AS base, {html} AS html FROM documents
+), m AS (
+  SELECT doc_id, base,
+         unnest(regexp_extract_all(html, '{tag_pat}', 0)) AS tag
+  FROM n
+), p AS (
+  SELECT doc_id, base,
+         lower({unq(f"regexp_extract(tag, '{rel_pat}', 1)")}) AS rel,
+         {unq(f"regexp_extract(tag, '{href_pat}', 1)")} AS url
+  FROM m
+), f AS (
+  SELECT doc_id, base, rel, url FROM p
+  WHERE url <> ''
+    AND list_has_any(regexp_split_to_array(rel, '{WS_PATTERN}'),
+                     [{want}])
+), res AS (
+  SELECT doc_id, rel, url, {resolve} AS abs_url FROM f
+)
+SELECT doc_id, rel, url, abs_url,
+       regexp_replace(lower(regexp_extract(abs_url, '{dom}', 1)),
+                      '\\.$', '') AS domain
+FROM res
+"""
+
+
+# -- frontier_schedule -------------------------------------------------
+
+def _frontier_schedule_sql() -> str:
+    """DuckDB twin of operators.robots.frontier_schedule over the
+    shared robots fixture: the same agent scoping/tiering CTEs as
+    _robots_filter_sql reduced to the Crawl-delay directive (MAX of
+    survivors per domain), then a domain-partitioned ROW_NUMBER over
+    the deterministic (abs_url, doc_id, link_no) queue order and the
+    (rank-1) x delay offset; delay-less domains take the default."""
+    agent_token = ROBOTS_FILTER_AGENT.lower().split("/", 1)[0].strip()
+    dom = _duck(_ROBOTS_DOMAIN_EXPR)
+    txt = _duck(_ROBOTS_TXT_EXPR)
+    link_arms = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS link_no, {dom} AS domain,"
+        f" {_duck(e)} AS abs_url FROM documents"
+        for i, e in enumerate(_ROBOTS_LINK_EXPRS, 1)
+    )
+    return f"""
+WITH doms AS (SELECT DISTINCT source FROM documents),
+robots AS (SELECT {dom} AS domain, {txt} AS txt FROM doms),
+lines AS (
+  SELECT domain, CAST(i - 1 AS BIGINT) AS line_no,
+         trim(regexp_replace(parts[i], '#.*', '')) AS line
+  FROM (SELECT domain, str_split(txt, chr(10)) AS parts FROM robots),
+       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ix
+),
+parsed AS (
+  SELECT domain, line_no,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM lines
+  WHERE regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1) <> ''
+),
+marks AS (
+  SELECT *, CASE WHEN key = 'user-agent' AND coalesce(
+      LAG(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY domain ORDER BY line_no), 0) = 0
+    THEN 1 ELSE 0 END AS is_start
+  FROM parsed
+),
+grouped AS (
+  SELECT *, SUM(is_start)
+      OVER (PARTITION BY domain ORDER BY line_no) AS group_id
+  FROM marks
+),
+agents AS (
+  SELECT domain, group_id, lower(value) AS agent
+  FROM grouped WHERE key = 'user-agent'
+),
+rules AS (
+  SELECT domain, group_id, key AS directive, value
+  FROM grouped
+  WHERE key IN ('allow', 'disallow', 'crawl-delay') AND group_id > 0
+),
+scoped AS (
+  SELECT a.domain, r.directive, r.value,
+         regexp_replace(a.agent, '/.*', '') AS gtok
+  FROM agents a JOIN rules r USING (domain, group_id)
+),
+tiered AS (
+  SELECT *, CASE WHEN gtok = '*' THEN 0 ELSE length(gtok) END AS tier
+  FROM scoped
+  WHERE gtok = '*' OR starts_with('{agent_token}', gtok)
+),
+maxt AS (
+  SELECT *, MAX(tier) OVER (PARTITION BY domain) AS max_tier FROM tiered
+),
+delays AS (
+  SELECT domain, MAX(CAST(value AS DOUBLE)) AS delay
+  FROM maxt
+  WHERE tier = max_tier AND directive = 'crawl-delay'
+    AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')
+  GROUP BY domain
+),
+links AS (
+{link_arms}
+),
+ranked AS (
+  SELECT l.doc_id, l.link_no, l.domain, l.abs_url,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l.domain
+           ORDER BY l.abs_url, l.doc_id, l.link_no) AS INT) AS fetch_rank,
+         d.delay
+  FROM links l LEFT JOIN delays d ON l.domain = d.domain
+)
+SELECT doc_id, link_no, domain, abs_url, fetch_rank,
+       CAST(fetch_rank - 1 AS DOUBLE) * coalesce(delay, 1.0)
+         AS fetch_offset_s
+FROM ranked
+"""

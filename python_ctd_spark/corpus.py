@@ -161,6 +161,18 @@ class Corpus:
             self.df, self.text_col, id_col=self.id_col, base_col=base_col
         )
 
+    def extract_link_rels(self, base_col: str | None = None) -> DataFrame:
+        """Typed ``<link rel=...>`` relations
+        (:func:`..operators.markup.extract_link_rels`):
+        canonical/alternate/amphtml/prev/next edges resolved against
+        ``base_col`` (the page-URI column) when given.  Run BEFORE
+        :meth:`strip_markup` removes the tags."""
+        from python_ctd_spark.operators import markup
+
+        return markup.extract_link_rels(
+            self.df, self.text_col, id_col=self.id_col, base_col=base_col
+        )
+
     def diversity_sample(self, assignments: DataFrame, per_cell: int) -> "Corpus":
         """Cluster-balanced subset
         (:func:`..operators.curation.cluster_balanced_sample`): an equal

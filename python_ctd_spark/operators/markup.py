@@ -417,6 +417,53 @@ def _resolve_with_parts(url: Column, parts: tuple[Column, ...]) -> Column:
     return _collapse_dots(_resolve_case(url, parts))
 
 
+def _effective_base_select(
+    df: DataFrame, text_col: str, base_col: str, id_col: str
+) -> DataFrame:
+    """Project ``(id_col, text_col, __eff_base)`` — the document's
+    RFC 3986 §5.1.1 effective base: the first ``<base href>`` (itself
+    resolved against the page URI — it is routinely relative) when
+    present, else the page URI.  Shared by :func:`extract_links`,
+    :func:`extract_meta_refresh`, and :func:`extract_link_rels` so
+    every extractor resolves against the SAME base (review r14: the
+    rel/refresh extractors initially ignored ``<base>`` — the exact
+    defect VERDICT r13 item 2 fixed for links).
+
+    Staged through named columns: _collapse_dots repeats its input
+    ~13x and the §5.2.2 CASE repeats ITS inputs, so inlining the whole
+    derivation into one projection blew the generated method past the
+    JVM 64KB limit and silently dropped the stage to interpreted eval
+    (measured r14).  The base-href pass is gated on a cheap case-blind
+    literal scan — value-invisible (no ``<base`` substring means the
+    pattern cannot match; the oracle runs the unconditional form)."""
+    html = F.col(text_col)
+    src = df.select(
+        id_col,
+        F.col(text_col),
+        F.col(base_col).alias("__page"),
+        F.when(
+            F.lower(html).contains("<base"),
+            _unquote_attr(F.regexp_extract(html, BASE_HREF_PATTERN, 1)),
+        ).otherwise(F.lit("")).alias("__bh"),
+    )
+    src = src.select(
+        id_col, text_col, "__page",
+        (F.col("__bh") != "").alias("__has_base"),
+        _resolve_case(
+            F.col("__bh"), _base_parts(F.col("__page"))
+        ).alias("__bcase"),
+    )
+    return src.select(
+        id_col, text_col, "__page", "__has_base",
+        _collapse_dots(F.col("__bcase")).alias("__bres"),
+    ).select(
+        id_col,
+        text_col,
+        F.when(F.col("__has_base"), F.col("__bres"))
+        .otherwise(F.col("__page")).alias("__eff_base"),
+    )
+
+
 def extract_links(
     df: DataFrame,
     text_col: str,
@@ -514,42 +561,7 @@ def extract_links(
     # was the slowdown); behind a named column the parts stay small
     # and whole-stage codegen holds.
     if base_col:
-        # staged through named columns — same reason as the per-link
-        # resolve staging below: _collapse_dots repeats its input ~13x
-        # and the §5.2.2 CASE repeats ITS inputs, so inlining the whole
-        # effective-base derivation into one projection blew the
-        # generated method past 64KB (measured r14)
-        # 1) the base-href pass, gated on a cheap case-blind literal
-        #    scan: most pages carry no <base> element, and the gate is
-        #    value-invisible (no '<base' substring -> the pattern
-        #    cannot match; the oracle runs the unconditional form)
-        src = df.select(
-            id_col,
-            F.col(text_col),
-            F.col(base_col).alias("__page"),
-            F.when(
-                F.lower(html).contains("<base"),
-                _unquote_attr(F.regexp_extract(html, BASE_HREF_PATTERN, 1)),
-            ).otherwise(F.lit("")).alias("__bh"),
-        )
-        # 2) §5.2.2 CASE of the base href against the page URI
-        src = src.select(
-            id_col, text_col, "__page",
-            (F.col("__bh") != "").alias("__has_base"),
-            _resolve_case(
-                F.col("__bh"), _base_parts(F.col("__page"))
-            ).alias("__bcase"),
-        )
-        # 3) collapse + pick the effective base
-        src = src.select(
-            id_col, text_col, "__page", "__has_base",
-            _collapse_dots(F.col("__bcase")).alias("__bres"),
-        ).select(
-            id_col,
-            text_col,
-            F.when(F.col("__has_base"), F.col("__bres"))
-            .otherwise(F.col("__page")).alias("__eff_base"),
-        )
+        src = _effective_base_select(df, text_col, base_col, id_col)
         part_cols = _base_parts(F.col("__eff_base"))
     else:
         src = df
@@ -681,13 +693,21 @@ def extract_link_rels(
         lambda x: (x["url"] != "")
         & F.arrays_overlap(F.split(x["rel"], WS_PATTERN), want),
     )
-    src = df.select(
+    # the resolution base honors the document's <base href> and its
+    # parts hoist BEFORE the explode — once per document, not once per
+    # link relation (review r14: rel tags routinely fan out 10-50x, so
+    # per-link base parts multiplied the resolve cost)
+    base = (_effective_base_select(df, text_col, base_col, id_col)
+            if base_col else df)
+    src = base.select(
         id_col,
+        *((p.alias(f"__bp{i}")
+           for i, p in enumerate(_base_parts(F.col("__eff_base"))))
+          if base_col else ()),
         F.explode(keep).alias("l"),
-        *((F.col(base_col).alias("__page"),) if base_col else ()),
     ).select(
         id_col,
-        *(("__page",) if base_col else ()),
+        *((f"__bp{i}" for i in range(5)) if base_col else ()),
         F.col("l.rel").alias("rel"),
         F.col("l.url").alias("url"),
     )
@@ -695,7 +715,7 @@ def extract_link_rels(
         src = src.select(
             id_col, "rel", "url",
             _resolve_case(
-                F.col("url"), _base_parts(F.col("__page"))
+                F.col("url"), tuple(F.col(f"__bp{i}") for i in range(5))
             ).alias("__resolved"),
         ).select(
             id_col, "rel", "url",
@@ -743,14 +763,20 @@ def extract_meta_refresh(
             F.regexp_extract(m, META_CONTENT_PATTERN, 1)
         ),
     )
-    null_s = F.lit(None).cast("string")
-    src = df.select(
+    # the resolution base honors the document's <base href> and its
+    # parts hoist BEFORE the explode — once per document, not once per
+    # tag — exactly like extract_links (review r14)
+    base = (_effective_base_select(df, text_col, base_col, id_col)
+            if base_col else df)
+    src = base.select(
         id_col,
+        *((p.alias(f"__bp{i}")
+           for i, p in enumerate(_base_parts(F.col("__eff_base"))))
+          if base_col else ()),
         F.explode(contents).alias("__content"),
-        *((F.col(base_col).alias("__page"),) if base_col else ()),
     ).select(
         id_col,
-        *(("__page",) if base_col else ()),
+        *((f"__bp{i}" for i in range(5)) if base_col else ()),
         F.regexp_extract(
             "__content", META_REFRESH_CONTENT_PATTERN, 1
         ).cast("double").alias("delay_s"),
@@ -762,7 +788,7 @@ def extract_meta_refresh(
         src = src.select(
             id_col, "delay_s", "url",
             _resolve_case(
-                F.col("url"), _base_parts(F.col("__page"))
+                F.col("url"), tuple(F.col(f"__bp{i}") for i in range(5))
             ).alias("__resolved"),
         ).select(
             id_col, "delay_s", "url",

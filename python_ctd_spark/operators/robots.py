@@ -230,6 +230,33 @@ def _like_pattern(value):
 _RULE_STRUCT = "struct<directive:string,pat:string,rule_len:integer>"
 
 
+def _agent_scoped_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """The RFC 9309 group-selection core shared by :func:`apply_robots`
+    and :func:`frontier_schedule` (review r14 — previously duplicated):
+    restrict a :func:`robots_rules` table to the rule rows of the
+    crawler's GOVERNING group per domain.  The crawler's product token
+    (lowercased, ``/version`` stripped) matches a group whose token
+    prefixes it; tier = token length (``*`` at 0) and only the
+    max-tier group per domain survives — the most specific group
+    REPLACES every less-specific one, never merges.  The tier is
+    decided by ANY directive in the group (a Crawl-delay-only group
+    still EXISTS and still replaces ``*``), so callers filter to their
+    directive of interest AFTER this."""
+    a = agent.lower().split("/", 1)[0].strip()
+    gtok = F.regexp_replace(F.lower(F.col("agent")), "/.*", "")
+    scoped = rules.filter(
+        F.col("agent").isNotNull()
+        & ((gtok == "*") | F.lit(a).startswith(gtok))
+    )
+    tier = F.when(gtok == "*", 0).otherwise(F.length(gtok))
+    wd = Window.partitionBy("domain")
+    return (
+        scoped.withColumn("__tier", tier)
+        .withColumn("__max_tier", F.max("__tier").over(wd))
+        .filter(F.col("__tier") == F.col("__max_tier"))
+    )
+
+
 def apply_robots(
     links: DataFrame,
     rules: DataFrame,
@@ -260,33 +287,13 @@ def apply_robots(
     higher-order array functions (filter + aggregate) entirely
     map-side: the links never shuffle, never fan out per candidate
     rule, and whole-stage codegen keeps the LIKE matching JVM-side."""
-    # the crawler's product token: lowercase, version suffix stripped
-    a = agent.lower().split("/", 1)[0].strip()
-    # specific-group-replaces-wildcard: the tier is decided by ANY
-    # directive in the agent's group (a group holding only Crawl-delay
-    # still EXISTS and still replaces '*' — RFC 9309 group semantics),
-    # so compute it before restricting to the matchable directives.
-    # Group tokens also version-strip; a group matches when its token
-    # prefixes the crawler's token, and tier = token length puts the
-    # most specific group on top ('*' sits at tier 0).
-    gtok = F.regexp_replace(F.lower(F.col("agent")), "/.*", "")
-    scoped = rules.filter(
-        F.col("agent").isNotNull()
-        & ((gtok == "*") | F.lit(a).startswith(gtok))
-    )
-    tier = F.when(gtok == "*", 0).otherwise(F.length(gtok))
-    wd = Window.partitionBy("domain")
-    cand = (
-        scoped.withColumn("__tier", tier)
-        .withColumn("__max_tier", F.max("__tier").over(wd))
-        .filter(F.col("__tier") == F.col("__max_tier"))
-        # only path rules match URLs, and an EMPTY value disallows (or
-        # allows) NOTHING per the RFC — 'Disallow:' is the canonical
-        # allow-all file, not a match-all pattern
-        .filter(
-            F.col("directive").isin("allow", "disallow")
-            & (F.col("value") != "")
-        )
+    # group selection is the shared core (_agent_scoped_rules); only
+    # path rules match URLs, and an EMPTY value disallows (or allows)
+    # NOTHING per the RFC — 'Disallow:' is the canonical allow-all
+    # file, not a match-all pattern
+    cand = _agent_scoped_rules(rules, agent).filter(
+        F.col("directive").isin("allow", "disallow")
+        & (F.col("value") != "")
     )
     per_domain = (
         cand.groupBy(F.col("domain").alias("__r_domain"))
@@ -376,18 +383,8 @@ def frontier_schedule(
     makes a hot partition; ``per_domain_budget`` is the lever — cap
     the queue per scheduling round and the partition is bounded by
     the budget, not the crawl."""
-    a = agent.lower().split("/", 1)[0].strip()
-    gtok = F.regexp_replace(F.lower(F.col("agent")), "/.*", "")
-    scoped = rules.filter(
-        F.col("agent").isNotNull()
-        & ((gtok == "*") | F.lit(a).startswith(gtok))
-    )
-    tier = F.when(gtok == "*", 0).otherwise(F.length(gtok))
-    wd = Window.partitionBy("domain")
     delays = (
-        scoped.withColumn("__tier", tier)
-        .withColumn("__max_tier", F.max("__tier").over(wd))
-        .filter(F.col("__tier") == F.col("__max_tier"))
+        _agent_scoped_rules(rules, agent)
         .filter(
             (F.col("directive") == "crawl-delay")
             & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")

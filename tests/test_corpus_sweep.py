@@ -102,6 +102,7 @@ CASES = {
     "robots_rules": lambda c, b: c.robots_rules(),
     "sitemap_urls": lambda c, b: c.sitemap_urls(),
     "extract_meta_refresh": lambda c, b: c.extract_meta_refresh(),
+    "extract_link_rels": lambda c, b: c.extract_link_rels(),
 }
 
 

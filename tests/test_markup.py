@@ -626,3 +626,30 @@ def test_extract_link_rels(spark):
         rels=("canonical",),
     ).toPandas()
     assert set(only.rel) == {"canonical"} and len(only) == 2
+
+
+def test_refresh_and_rels_honor_base_href(spark):
+    """Review r14: the meta-refresh and link-rel extractors resolve
+    against the document's EFFECTIVE base — the first <base href>
+    (RFC 3986 §5.1.1) — exactly like extract_links; previously they
+    used the retrieval URI only, the defect VERDICT r13 item 2 closed
+    for links."""
+    from python_ctd_spark.operators.markup import (
+        extract_link_rels, extract_meta_refresh,
+    )
+
+    rows = pd.DataFrame({
+        "doc_id": [1],
+        "html": [
+            '<base href="https://cdn.example.org/lib/">'
+            '<meta http-equiv="refresh" content="0; url=go.html">'
+            '<link rel="canonical" href="c.html">'
+        ],
+        "base": ["https://site.example.org/w/index.html"],
+    })
+    df = spark.createDataFrame(rows)
+    mr = extract_meta_refresh(df, "html", base_col="base").toPandas()
+    assert list(mr.abs_url) == ["https://cdn.example.org/lib/go.html"]
+    lr = extract_link_rels(df, "html", base_col="base").toPandas()
+    assert list(lr.abs_url) == ["https://cdn.example.org/lib/c.html"]
+    assert list(lr.domain) == ["cdn.example.org"]

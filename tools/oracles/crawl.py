@@ -80,16 +80,13 @@ def _duck(expr: str) -> str:
     return expr.replace("AS STRING", "AS VARCHAR")
 
 
-def _robots_filter_sql() -> str:
-    """DuckDB twin of robots_rules + apply_robots on the synthesized
-    corpus: line explode -> contiguous-UA group attribution (marks +
-    running sum — the same two-step window as operators/robots.py:95,
-    split into two CTEs because DuckDB rejects nested window
-    functions) -> agents x rules join -> product-token prefix scoping
-    (operators/robots.py:232) -> per-link longest-match with
-    allow-wins-ties expressed as MAX(disallow len) > MAX(allow len)
-    (equivalent to the Spark fold at operators/robots.py:300: disallow
-    wins only when strictly longer than the best allow)."""
+def _robots_scoped_ctes() -> tuple[str, str]:
+    """The robots-parsing + agent-scoping CTE prefix shared by
+    _robots_filter_sql and _frontier_schedule_sql (review r14 — the
+    two previously duplicated ~45 lines of group-attribution SQL that
+    could drift): returns ``(cte_prefix, link_arms)``.  The prefix
+    ends at ``maxt`` (rule rows of the governing group per domain,
+    RFC 9309 tiering); callers restrict to their directive."""
     agent_token = ROBOTS_FILTER_AGENT.lower().split("/", 1)[0].strip()
     dom = _duck(_ROBOTS_DOMAIN_EXPR)
     txt = _duck(_ROBOTS_TXT_EXPR)
@@ -98,12 +95,7 @@ def _robots_filter_sql() -> str:
         f" {_duck(e)} AS abs_url FROM documents"
         for i, e in enumerate(_ROBOTS_LINK_EXPRS, 1)
     )
-    # _like_pattern twin: escape \ % _, honor the $ end anchor, * -> %
-    esc = ("regexp_replace(regexp_replace(regexp_replace(value,"
-           " '\\\\', '\\\\\\\\', 'g'), '%', '\\\\%', 'g'),"
-           " '_', '\\\\_', 'g')")
-    return f"""
-WITH doms AS (SELECT DISTINCT source FROM documents),
+    prefix = f"""WITH doms AS (SELECT DISTINCT source FROM documents),
 robots AS (SELECT {dom} AS domain, {txt} AS txt FROM doms),
 lines AS (
   SELECT domain, CAST(i - 1 AS BIGINT) AS line_no,
@@ -151,7 +143,26 @@ tiered AS (
 ),
 maxt AS (
   SELECT *, MAX(tier) OVER (PARTITION BY domain) AS max_tier FROM tiered
-),
+)"""
+    return prefix, link_arms
+
+
+def _robots_filter_sql() -> str:
+    """DuckDB twin of robots_rules + apply_robots on the synthesized
+    corpus: the shared parse/scope CTE prefix (_robots_scoped_ctes —
+    line explode, contiguous-UA group attribution as two window CTEs
+    because DuckDB rejects nested window functions, product-token
+    prefix scoping mirroring operators/robots.py), then the per-link
+    longest-match with allow-wins-ties expressed as MAX(disallow len)
+    > MAX(allow len) — equivalent to the Spark fold: disallow wins
+    only when strictly longer than the best allow."""
+    prefix, link_arms = _robots_scoped_ctes()
+    # _like_pattern twin: escape \ % _, honor the $ end anchor, * -> %
+    esc = ("regexp_replace(regexp_replace(regexp_replace(value,"
+           " '\\\\', '\\\\\\\\', 'g'), '%', '\\\\%', 'g'),"
+           " '_', '\\\\_', 'g')")
+    return f"""
+{prefix},
 esc AS (
   SELECT domain, directive, value, {esc} AS esc_val,
          CAST(length(value) AS INT) AS rule_len
@@ -368,6 +379,9 @@ FROM ex WHERE url <> ''
 #: viewport meta and the document text
 _META_REFRESH_SYNTH_EXPR = (
     "concat("
+    " CASE WHEN coalesce(doc_id, 0) % 5 = 0 THEN"
+    " concat('<base href=\"https://mb', CAST(coalesce(doc_id, 0) % 3"
+    " AS STRING), '.example.org/r/\">') ELSE '' END,"
     " CASE WHEN coalesce(doc_id, 0) % 4 = 0 THEN"
     " concat('<meta http-equiv=\"refresh\" content=\"0; url=/moved-',"
     " CAST(coalesce(doc_id, 0) % 7 AS STRING), '\">')"
@@ -387,6 +401,28 @@ _META_REFRESH_BASE_EXPR = (
     " '.example.org/a/', CAST(coalesce(doc_id, 0) AS STRING),"
     " '/page.html')"
 )
+
+
+def _effective_base_cte(html: str, page: str) -> str:
+    """The ``nb`` CTE body shared by every extractor twin (review r14):
+    the document's first <base href> (unquoted, resolved against the
+    page URI) replaces the page URI as the resolution base — the
+    DuckDB mirror of operators.markup._effective_base_select."""
+    from tools.oracles.text import _resolve_url_sql
+    from python_ctd_spark.operators.markup import BASE_HREF_PATTERN
+
+    def unq(v):
+        return (f"regexp_replace(regexp_replace({v},"
+                " '(?s)^\"(.*)\"$', '\\1'), '(?s)^''(.*)''$', '\\1')")
+
+    base_pat = BASE_HREF_PATTERN.replace("'", "''")
+    bh = unq(f"regexp_extract(html, '{base_pat}', 1)")
+    base_resolve = _resolve_url_sql("bh", "base")
+    return f"""
+  SELECT doc_id, html,
+         CASE WHEN bh <> '' THEN {base_resolve} ELSE base END AS base
+  FROM (SELECT doc_id, html, {page} AS base, {bh} AS bh
+        FROM (SELECT doc_id, {html} AS html FROM documents))"""
 
 
 def _meta_refresh_sql() -> str:
@@ -414,10 +450,9 @@ def _meta_refresh_sql() -> str:
     dom = DOMAIN_PATTERN.replace("'", "''")
     html = _duck(_META_REFRESH_SYNTH_EXPR)
     base = _duck(_META_REFRESH_BASE_EXPR)
-    resolve = _resolve_url_sql("url", "base")
+    resolve = _resolve_url_sql("url", "base")  # base = the EFFECTIVE base
     return f"""
-WITH n AS (
-  SELECT doc_id, {base} AS base, {html} AS html FROM documents
+WITH n AS ({_effective_base_cte(html, base)}
 ), m AS (
   SELECT doc_id, base,
          unnest(regexp_extract_all(html, '{tag_pat}', 0)) AS tag
@@ -483,6 +518,9 @@ def robots_fixture_frames(docs):
 #: not extract
 _LINK_RELS_SYNTH_EXPR = (
     "concat("
+    " CASE WHEN coalesce(doc_id, 0) % 5 = 0 THEN"
+    " concat('<base href=''/lib', CAST(coalesce(doc_id, 0) % 4"
+    " AS STRING), '/''>') ELSE '' END,"
     " '<link rel=\"canonical\" href=\"/canon-',"
     " CAST(coalesce(doc_id, 0) % 9 AS STRING), '\"/>',"
     " CASE WHEN coalesce(doc_id, 0) % 2 = 0 THEN"
@@ -537,8 +575,7 @@ def _link_rels_sql() -> str:
     base = _duck(_LINK_RELS_BASE_EXPR)
     resolve = _resolve_url_sql("url", "base")
     return f"""
-WITH n AS (
-  SELECT doc_id, {base} AS base, {html} AS html FROM documents
+WITH n AS ({_effective_base_cte(html, base)}
 ), m AS (
   SELECT doc_id, base,
          unnest(regexp_extract_all(html, '{tag_pat}', 0)) AS tag
@@ -567,69 +604,15 @@ FROM res
 
 def _frontier_schedule_sql() -> str:
     """DuckDB twin of operators.robots.frontier_schedule over the
-    shared robots fixture: the same agent scoping/tiering CTEs as
-    _robots_filter_sql reduced to the Crawl-delay directive (MAX of
-    survivors per domain), then a domain-partitioned ROW_NUMBER over
-    the deterministic (abs_url, doc_id, link_no) queue order and the
-    (rank-1) x delay offset; delay-less domains take the default."""
-    agent_token = ROBOTS_FILTER_AGENT.lower().split("/", 1)[0].strip()
-    dom = _duck(_ROBOTS_DOMAIN_EXPR)
-    txt = _duck(_ROBOTS_TXT_EXPR)
-    link_arms = "\nUNION ALL\n".join(
-        f"  SELECT doc_id, {i} AS link_no, {dom} AS domain,"
-        f" {_duck(e)} AS abs_url FROM documents"
-        for i, e in enumerate(_ROBOTS_LINK_EXPRS, 1)
-    )
+    shared robots fixture: the SAME parse/scope CTE prefix as
+    _robots_filter_sql (_robots_scoped_ctes) reduced to the
+    Crawl-delay directive (MAX of survivors per domain), then a
+    domain-partitioned ROW_NUMBER over the deterministic
+    (abs_url, doc_id, link_no) queue order and the (rank-1) x delay
+    offset; delay-less domains take the default."""
+    prefix, link_arms = _robots_scoped_ctes()
     return f"""
-WITH doms AS (SELECT DISTINCT source FROM documents),
-robots AS (SELECT {dom} AS domain, {txt} AS txt FROM doms),
-lines AS (
-  SELECT domain, CAST(i - 1 AS BIGINT) AS line_no,
-         trim(regexp_replace(parts[i], '#.*', '')) AS line
-  FROM (SELECT domain, str_split(txt, chr(10)) AS parts FROM robots),
-       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ix
-),
-parsed AS (
-  SELECT domain, line_no,
-         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
-         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
-  FROM lines
-  WHERE regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1) <> ''
-),
-marks AS (
-  SELECT *, CASE WHEN key = 'user-agent' AND coalesce(
-      LAG(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
-        OVER (PARTITION BY domain ORDER BY line_no), 0) = 0
-    THEN 1 ELSE 0 END AS is_start
-  FROM parsed
-),
-grouped AS (
-  SELECT *, SUM(is_start)
-      OVER (PARTITION BY domain ORDER BY line_no) AS group_id
-  FROM marks
-),
-agents AS (
-  SELECT domain, group_id, lower(value) AS agent
-  FROM grouped WHERE key = 'user-agent'
-),
-rules AS (
-  SELECT domain, group_id, key AS directive, value
-  FROM grouped
-  WHERE key IN ('allow', 'disallow', 'crawl-delay') AND group_id > 0
-),
-scoped AS (
-  SELECT a.domain, r.directive, r.value,
-         regexp_replace(a.agent, '/.*', '') AS gtok
-  FROM agents a JOIN rules r USING (domain, group_id)
-),
-tiered AS (
-  SELECT *, CASE WHEN gtok = '*' THEN 0 ELSE length(gtok) END AS tier
-  FROM scoped
-  WHERE gtok = '*' OR starts_with('{agent_token}', gtok)
-),
-maxt AS (
-  SELECT *, MAX(tier) OVER (PARTITION BY domain) AS max_tier FROM tiered
-),
+{prefix},
 delays AS (
   SELECT domain, MAX(CAST(value AS DOUBLE)) AS delay
   FROM maxt

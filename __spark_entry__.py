@@ -532,7 +532,11 @@ def _q_pivot_event_counts(spark, sf_dir):
 
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup via content hash: keeper = min doc_id per md5(text)."""
-    docs = _t(spark, sf_dir, "documents")
+    # parallel=False: the first operator is a cheap md5+groupBy whose
+    # partial aggregation is already map-side; shuffling the text column
+    # for scan parallelism costs more than the hash work it spreads
+    # (0.26s -> 0.73s measured, OPTIMIZATION_r14.md)
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     return (
         docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -889,7 +893,11 @@ def _q_heavy_hitters(spark, sf_dir):
     from python_ctd_spark.operators.sketches import heavy_hitters
     from python_ctd_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    # parallel=False: the Misra-Gries candidate pass is one bounded
+    # map pass per partition; fanning the scan 32-way multiplies the
+    # candidate union and re-shuffles text for little map work
+    # (1.08s -> 2.01s measured)
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
     return heavy_hitters(toks, "tok", threshold_frac=0.01)
 
@@ -2512,7 +2520,10 @@ def _q_pack_documents(spark, sf_dir):
     end and cut into 2048-token windows; one exchange + one sort."""
     from python_ctd_spark.operators.assemble import pack_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    # parallel=False: pack_documents narrows to (source, id, n_tokens)
+    # and range-partitions immediately — the added doc_id exchange is a
+    # second shuffle of the same rows (0.93s -> 1.27s measured)
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     return pack_documents(docs, max_tokens=2048)
 
 
@@ -2746,7 +2757,10 @@ def _q_sitemap_urls(spark, sf_dir):
 
     from python_ctd_spark.operators.robots import sitemap_urls
 
-    docs = _t(spark, sf_dir, "documents")
+    # parallel=False: only source DISTINCT feeds the synthesized
+    # sitemaps — the scan repartition would shuffle rows just to
+    # deduplicate 71 sources (0.41s -> 0.69s measured)
+    docs = _t(spark, sf_dir, "documents", parallel=False)
     sm = docs.select("source").distinct().select(
         F.expr(_ROBOTS_DOMAIN_EXPR).alias("domain"),
         F.expr(_SITEMAP_XML_EXPR).alias("xml"),

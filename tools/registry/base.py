@@ -10,8 +10,87 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+#: Scan-parallelism repair (optimization guide §2.5 "input skew: one huge
+#: unsplittable file ... otherwise repartition immediately after the
+#: read", §6 "minPartitionNum sets a floor on scan parallelism"): the
+#: sf-series parquet files are written as a SINGLE row group each, and a
+#: parquet row group is indivisible — Spark assigns it to the one split
+#: holding its midpoint, so `events` (100k rows) and `documents` (5k
+#: long texts) scan as ONE task no matter how the file-split knobs are
+#: set (measured: every map-heavy row in the suite ran on 1 of 32
+#: cores; pii_redact_full spent 5.4s single-threaded).  The repair is a
+#: hash repartition straight after the scan — keyed, not round-robin,
+#: so there is no sort-before-repartition pass and no retry hazard
+#: (guide §2.5), and keyed on each table's DOMINANT downstream
+#: partitioning so the inserted exchange is one the plan was going to
+#: pay anyway (events -> user_id: the CTD window family partitions by
+#: cast; lineitem/orders -> orderkey: the TPC-H join key), letting
+#: EnsureRequirements reuse it instead of adding a second shuffle.
+#:
+#: Scale-adaptive by construction, not a local[32] constant: the
+#: repartition fires ONLY when the planner's own estimate of scan
+#: splits (file bytes / maxPartitionBytes) is below the session's
+#: defaultParallelism AND the table is big enough for single-task map
+#: work to matter.  At fleet scale every table has orders of magnitude
+#: more row groups than cores, the condition is false, and the plan is
+#: byte-identical to the pre-repair one (no exchange inserted).
+_SCAN_REPARTITION_KEY = {
+    "events": ["user_id"],
+    "documents": ["doc_id"],
+}
+_SCAN_REPARTITION_MIN_BYTES = 256 << 10
+
+
+def _scan_splits_estimate(spark: SparkSession, df: DataFrame) -> tuple[int, int]:
+    """(estimated scan tasks, total bytes) from file metadata alone —
+    mirrors FilePartition packing: a file yields ~ceil(size/maxPB)
+    splits.  Local files only; anything else returns a huge estimate so
+    the repartition never fires on storage we cannot stat."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        max_pb = int(
+            "".join(
+                ch
+                for ch in str(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                )
+                if ch.isdigit()
+            )
+            or "134217728"
+        )
+        splits = 0
+        total = 0
+        for f in df.inputFiles():
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return (1 << 30, 1 << 50)
+            size = os.path.getsize(unquote(parsed.path))
+            total += size
+            splits += max(1, -(-size // max_pb))
+        return (splits, total)
+    except Exception:
+        return (1 << 30, 1 << 50)
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
+    """``parallel=False`` opts a caller out of the adaptive scan
+    repartition: right for queries whose first post-scan operator is a
+    cheap aggregation/hash (the shuffled text bytes cost more than the
+    map parallelism buys — measured per-row, see OPTIMIZATION_r14.md);
+    the default serves the map-heavy majority."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    keys = _SCAN_REPARTITION_KEY.get(name)
+    if keys is None or not parallel:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    splits, total = _scan_splits_estimate(spark, df)
+    if splits >= par or total < _SCAN_REPARTITION_MIN_BYTES:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
 
 def dsum(c) -> F.Column:
     """Order-independent (exact) sum of a double expression."""

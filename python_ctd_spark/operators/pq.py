@@ -37,17 +37,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _as_double, _dot_exact, _norm_exact
+from .similarity import _arr_lit, _as_double, _dot_exact, _norm_exact
 
 
 def _subspaces(dim: int, m: int) -> int:
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
     return dim // m
-
-
-def _dlit(x: float) -> str:
-    return f"{float(x)!r}D"
 
 
 def _dec_fold(prods: str) -> str:
@@ -63,8 +59,8 @@ def _dec_norm2(vec_sql: str) -> str:
     return _dec_fold(f"transform({vec_sql}, x -> CAST(x * x AS DECIMAL(30,15)))")
 
 
-def _dec_norm2_lits(lits: str) -> str:
-    return _dec_norm2(f"array({lits})")
+def _dec_norm2_arr(cv) -> str:
+    return _dec_norm2(_arr_lit(cv))
 
 
 def pq_seed_codebooks(
@@ -102,7 +98,7 @@ def _norm2_decimals(spark, codebooks: list[list[list[float]]]) -> list[list]:
     downstream are bit-identical to what an in-plan fold — and the SQL
     oracle's SUM(CAST(cv*cv AS DECIMAL(30,15))) — would produce."""
     exprs = [
-        f"{_dec_norm2_lits(', '.join(_dlit(x) for x in cv))} AS n_{j}_{ci}"
+        f"{_dec_norm2_arr(cv)} AS n_{j}_{ci}"
         for j, book in enumerate(codebooks)
         for ci, cv in enumerate(book)
     ]
@@ -173,7 +169,7 @@ def _pq_assign(
         o = j * d + 1
         scores = ", ".join(
             f"aggregate(zip_with(slice(xq, {o}, {d}), "
-            f"array({', '.join(f'{2 * _qlit(x)}L' for x in cv)}), "
+            f"{_arr_lit([2 * _qlit(x) for x in cv], 'BIGINT')}, "
             "(x, c) -> x * c), 0L, (acc, x) -> acc + x)"
             f" - {sum(_qlit(x) ** 2 for x in cv)}L"
             for cv in book
@@ -207,9 +203,7 @@ def _pq_assign(
     # row (measured: 3s of a 3.7s encode at sf0.1)
     n2 = _norm2_decimals(c.sparkSession, codebooks)
     n2_terms = " , ".join(
-        "element_at(array("
-        + ", ".join(f"CAST('{v}' AS DECIMAL(38,15))" for v in n2[j])
-        + f"), __c{j} + 1)"
+        f"element_at({_arr_lit(n2[j], 'DECIMAL(38,15)')}, __c{j} + 1)"
         for j in range(m)
     )
     pqnorm = (
@@ -332,7 +326,7 @@ def _query_lut(
     lut_entries = ", ".join(
         _dec_fold(
             f"zip_with(slice(qe, {j * d + 1}, {d}), "
-            f"array({', '.join(_dlit(x) for x in cv)}), "
+            f"{_arr_lit(cv)}, "
             "(x, c) -> CAST(x * c AS DECIMAL(30,15)))"
         )
         for j, book in enumerate(codebooks)
@@ -519,7 +513,7 @@ def _cell_centroid_expr(cent_rows: list[tuple[int, list[float]]]) -> str:
     as a literal double array — ``element_at(map(...), cell)``, bounded
     by n_centroids (the quantizer is driver state by contract)."""
     entries = ", ".join(
-        f"{int(cid)}, array({', '.join(_dlit(x) for x in ce)})"
+        f"{int(cid)}, {_arr_lit(ce)}"
         for cid, ce in cent_rows
     )
     return f"element_at(map({entries}), cell)"
@@ -531,9 +525,7 @@ def _recon_expr(codebooks: list[list[list[float]]], codes_col: str = "__codes") 
     ``element_at`` over the literal codebook."""
     subs = []
     for j, book in enumerate(codebooks):
-        arrays = ", ".join(
-            f"array({', '.join(_dlit(x) for x in cv)})" for cv in book
-        )
+        arrays = ", ".join(_arr_lit(cv) for cv in book)
         subs.append(
             f"element_at(array({arrays}), "
             f"CAST(element_at({codes_col}, {j + 1}) AS INT) + 1)"

@@ -21,6 +21,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _arr_lit(vals, typ: str = "DOUBLE") -> str:
+    """A literal array as ONE parser token:
+    ``CAST(split('v1,v2,...', ',') AS ARRAY<typ>)``.
+
+    Catalyst constant-folds the whole expression to the identical
+    ``Literal`` array the inline ``array(v1, v2, ...)`` form produced
+    (verified on the optimized plan), so runtime per-row cost is
+    byte-identical — but the parser sees one string token instead of
+    ``len(vals)`` literal nodes, which cuts plan-construction time of
+    the codebook/centroid-laden ANN probes ~5-8x (guide §7.3: planning
+    time is driver-side, serial, and INSIDE every query's wall).  The
+    string round-trip is exact: ``repr(float)`` is shortest-round-trip
+    and both the SQL literal and the ANSI string cast parse through
+    Java ``Double.parseDouble``.  Non-finite doubles (no registered
+    corpus produces them) fall back to the inline form, whose ``'NaN'``
+    / ``'Infinity'`` literal spellings Spark accepts."""
+    import math
+
+    if typ == "DOUBLE":
+        xs = [float(x) for x in vals]
+        if not all(math.isfinite(x) for x in xs):
+            return "array(" + ", ".join(f"{x!r}D" for x in xs) + ")"
+        body = ",".join(repr(x) for x in xs)
+    elif typ == "BIGINT":
+        body = ",".join(str(int(x)) for x in vals)
+    else:  # DECIMAL(p,s) strings — already exact decimal text
+        body = ",".join(str(v) for v in vals)
+    return f"CAST(split('{body}', ',') AS ARRAY<{typ}>)"
+
+
 def _dot_exact(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(30,15)"))
     return F.aggregate(
@@ -545,9 +575,8 @@ def _kmeans_centroids(
     for _ in range(int(iters)):
         cnorms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cvecs]
         dots = ", ".join(
-            "aggregate(zip_with(e, array("
-            + ", ".join(f"{x!r}D" for x in cv)
-            + "), (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+            f"aggregate(zip_with(e, {_arr_lit(cv)}, "
+            "(x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
             f" / (__enorm * {cn!r}D)"
             for cv, cn in zip(cvecs, cnorms)
         )
@@ -710,9 +739,8 @@ def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> Da
         return f"{x!r}D"
 
     dots = ", ".join(
-        "aggregate(zip_with(e, array("
-        + ", ".join(_dlit(x) for x in cv)
-        + "), (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+        f"aggregate(zip_with(e, {_arr_lit(cv)}, "
+        "(x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
         f" / (__enorm * {_dlit(cn)})"
         for cv, cn in zip(cvecs, cnorms)
     )
@@ -720,7 +748,7 @@ def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> Da
     staged = c.selectExpr("id", "e", f"{enorm_sql} AS __enorm").selectExpr(
         "id", "e", f"array({dots}) AS __farr"
     )
-    cids_arr = "array(" + ", ".join(f"{cid}L" for cid in cids) + ")"
+    cids_arr = _arr_lit(cids, "BIGINT")
     flagged = staged.selectExpr(
         "id", "e", "__farr", "array_max(__farr) AS __fmax"
     ).selectExpr(
@@ -737,8 +765,8 @@ def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> Da
     # branch plants a Filter(__nband > 1) that predicate pushdown
     # rewrites through the projections, re-inlining the whole fold array
     # into a per-row filter condition (measured 6s for a 0-row sliver).
-    def _dec_dot(vec_sql: str, lits: str) -> str:
-        prods = f"zip_with({vec_sql}, array({lits}), (x, c) -> CAST(x * c AS DECIMAL(30,15)))"
+    def _dec_dot(vec_sql: str, arr_sql: str) -> str:
+        prods = f"zip_with({vec_sql}, {arr_sql}, (x, c) -> CAST(x * c AS DECIMAL(30,15)))"
         return (
             f"CAST(aggregate({prods}, CAST(0 AS DECIMAL(38,15)), "
             "(acc, x) -> CAST(acc + x AS DECIMAL(38,15))) AS DOUBLE)"
@@ -752,8 +780,8 @@ def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> Da
         )
 
     dec_cosines = ", ".join(
-        f"{_dec_dot('e', ', '.join(_dlit(x) for x in cv))}"
-        f" / (__dne * {_dec_norm('array(' + ', '.join(_dlit(x) for x in cv) + ')')})"
+        f"{_dec_dot('e', _arr_lit(cv))}"
+        f" / (__dne * {_dec_norm(_arr_lit(cv))})"
         for cv in cvecs
     )
     return (
@@ -768,13 +796,25 @@ def _assign_cells(c: DataFrame, cids: list[int], cvecs: list[list[float]]) -> Da
         .selectExpr(
             "id",
             "e",
-            "CASE WHEN __darr IS NULL THEN __cfast ELSE "
+            # coalesce sentinel: cell is non-null by construction (both
+            # CASE arms are element_at over a valid 1-based position),
+            # but the _arr_lit split-cast arrays carry
+            # containsNull=true (a CAST target type cannot declare
+            # ARRAY<.. NOT NULL>), which would make this attribute
+            # NULLABLE — and a nullable equi-join key gets an inferred
+            # isnotnull(cell) constraint that predicate pushdown
+            # rewrites through these projections, re-inlining the whole
+            # fold tree into a per-row Filter above the scan (measured:
+            # ivf_ann_topk 2.1s -> 24.6s, optimized plan 88 KB ->
+            # 2.5 MB).  The -1 sentinel never fires and no cid is
+            # negative, so values are unchanged.
+            "coalesce(CASE WHEN __darr IS NULL THEN __cfast ELSE "
             f"element_at({cids_arr}, CAST(array_position(__darr, array_max(__darr)) AS INT)) "
-            "END AS cell",
+            "END, -1L) AS cell",
             # non-deterministic barrier: keeps downstream inferred filters
-            # (isnotnull(cell), join-key pushdowns) from being rewritten
-            # through these projections, which would clone the fold
-            # expressions into per-row filter conditions
+            # (join-key pushdowns) from being rewritten through these
+            # projections, which would clone the fold expressions into
+            # per-row filter conditions
             "rand() AS __nd",
         )
         .select("id", "e", "cell")

@@ -760,7 +760,14 @@ def _q_incremental_dedup(spark, sf_dir):
     from python_ctd_spark.operators.dedup import incremental_dedup, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    index = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0))
+    # the operator reads ``index`` twice (band-key derivation + the
+    # hsh-array fetch for verification); in production it is a STORED
+    # table read twice from parquet, but this in-plan derivation would
+    # re-run the whole scan -> shingle -> signature chain per reference
+    # (Catalyst shares no subtrees across join branches — guide §7.2).
+    # Persisting the O(docs) signature table mirrors the stored-index
+    # contract: 3 full text scans in the r14 plan dump, now 2.
+    index = minhash_signatures(docs.filter(F.col("doc_id") % 5 != 0)).persist()
     return incremental_dedup(
         docs.filter(F.col("doc_id") % 5 == 0), index, threshold=0.5
     )
@@ -2259,6 +2266,13 @@ def _q_cms_accuracy(spark, sf_dir):
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), "tok").limit(50)
     )
+    # the <=50-row exact table is referenced twice (probe keys + the
+    # final join); checkpoint the bounded result so the second
+    # reference does not re-run the scan -> explode -> count -> top-50
+    # chain (Catalyst shares no subtrees across join branches — guide
+    # §7.2; 3 full text scans in the r14 plan dump, now 2, which is
+    # the audit's honest floor: sketch pass + exact pass)
+    exact = exact.localCheckpoint(eager=False)
     est = count_min_estimate(cms, exact.select("tok"), "tok", 2048, 4)
     return exact.join(est, exact["tok"] == est["value"]).select(
         "value",

@@ -1061,12 +1061,18 @@ def cross_doc_ngram_stats(
     Scale shape: the n-gram stream is hashed to 64-bit before it ever
     shuffles (8-byte keys, not 30-byte strings; xxhash64 collisions at
     corpus scale are ~|grams|^2 / 2^65 — immaterial for counting).  Plan
-    is aggregate-first: positional grams partially combine map-side into
-    per-(gram, doc) counts (shuffle 1, the only full-stream exchange),
-    the gram->doc-frequency table reduces from that (shuffle 2, distinct
-    grams only), and the join back runs on the already-(gram)-keyed
-    tables before the final per-doc reduce.  No O(n^2) stage, no driver
-    state; every exchange is keyed and combine happens before the wire.
+    is aggregate-first: ONE explicit hash exchange on the gram key
+    feeds both the per-(gram, doc) count (HashPartitioning(h) satisfies
+    the (h, doc) clustered distribution, so the aggregate inserts no
+    second exchange) and the gram->doc-frequency COUNT window over the
+    same partitioning.  The window spelling replaces the old
+    ``per_doc_gram.groupBy(h)`` + join-back, which — because Catalyst
+    does not share common subtrees across join branches — re-ran the
+    whole scan -> tokenize -> gram-explode -> aggregate chain a second
+    time just to build the doc-frequency table (guide §7.2 "duplicated
+    subtrees"; 2 full text scans in the r14 plan dump, now 1).  No
+    O(n^2) stage, no driver state; partial aggregation combines
+    map-side before the one full-stream wire.
     """
     toks = F.col("__toks")
     idx = F.when(
@@ -1085,11 +1091,18 @@ def cross_doc_ngram_stats(
         .withColumn("__idx", idx)
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("h"))
     )
-    per_doc_gram = pos.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    gram_df = per_doc_gram.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc_gram = (
+        pos.repartition(F.col("h"))
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # doc frequency per gram: one row per (h, doc) above, so a COUNT
+    # window over h IS the distinct-doc count — same integer the old
+    # groupBy(h) + join computed, without re-reading the gram lineage
+    n_docs_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
     shared = F.when(F.col("n_docs") >= min_docs, F.col("c")).otherwise(F.lit(0))
     return (
-        per_doc_gram.join(gram_df, "h")
+        per_doc_gram.withColumn("n_docs", n_docs_w)
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_ngrams"),
@@ -1130,11 +1143,13 @@ def remove_dup_passages(
     unique.
 
     Plan shape (the 100 TB shape; no driver state, no O(n^2) stage):
-    positional gram hashes (xxhash64, 8-byte shuffle keys) -> two-level
-    distinct doc-frequency aggregate -> semi join flags duplicated gram
-    STARTS -> explode each start into its ``n`` covered positions,
-    distinct -> (doc, pos) join onto the exploded tokens -> one
-    order-preserving per-doc rebuild (``array_sort(collect_list)``).
+    positional gram hashes (xxhash64, 8-byte shuffle keys) -> ONE hash
+    exchange on the gram key feeding the per-(gram, doc) start-list
+    aggregate AND the doc-frequency COUNT window (same partitioning) ->
+    filter + explode flags duplicated gram STARTS -> explode each start
+    into its ``n`` covered positions, distinct -> (doc, pos) join onto
+    the exploded tokens -> one order-preserving per-doc rebuild
+    (``array_sort(collect_list)``).
     Every exchange is keyed on uniform hashes, (doc, pos) pairs, or the
     doc id; partial aggregation runs before each wire.
 
@@ -1187,15 +1202,27 @@ def remove_dup_passages(
         .select("__doc", F.explode(grams).alias("g"))
         .select("__doc", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
     )
-    dup = (
-        pos.select("h", "__doc")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
+    # duplicated-gram starts in ONE pass over the gram stream: group the
+    # positional grams to one row per (gram, doc) carrying the start
+    # multiset, count docs per gram as a window over the same hash
+    # partitioning (HashPartitioning(h) satisfies both the (h, doc)
+    # aggregate and the (h) window, so the explicit repartition is the
+    # single full-stream exchange), filter, and explode the starts back
+    # out.  The old distinct -> groupBy(h) -> semi-join spelling
+    # re-computed the scan -> tokenize -> gram-explode lineage on BOTH
+    # sides of the join (Catalyst shares no subtrees across join
+    # branches; guide §7.2) — 2 of this row's former 6 full text scans.
+    pg = (
+        pos.repartition(F.col("h"))
+        .groupBy("h", "__doc")
+        .agg(F.collect_list("s").alias("__ss"))
     )
-    starts = pos.join(dup, "h", "left_semi")
+    nd_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    starts = (
+        pg.withColumn("__nd", nd_w)
+        .filter(F.col("__nd") >= min_docs)
+        .select("__doc", F.explode("__ss").alias("s"))
+    )
     covered = (
         starts.select(
             "__doc",

@@ -282,10 +282,15 @@ def tfidf_top_terms(
     """Top-``k`` TF-IDF terms per document over a corpus.
 
     Plan: explode tokens -> (doc, term) counts (one shuffle, map-side
-    combine) -> document frequency per term (aggregate of the *already
-    aggregated* tf table, so the second shuffle moves one row per
-    distinct (doc, term), not one per token) -> score -> per-doc top-k
-    window.  The idf is the **rational** form ``tf * N / df`` rather than
+    combine) -> document frequency per term as a COUNT window over the
+    tf table partitioned by term (one row per distinct (doc, term) —
+    and, unlike a ``tf.groupBy(term)`` + join back, the window reads
+    the tf subtree ONCE: Catalyst does not share common subtrees across
+    join branches, so the aggregate-and-rejoin spelling re-ran the
+    whole scan -> explode -> count chain a second time just to build
+    the df table; guide §7.2 "duplicated subtrees", measured as 2 full
+    text scans in the r14 plan dump) -> score -> per-doc top-k window.
+    The idf is the **rational** form ``tf * N / df`` rather than
     a logarithm: same ranking for fixed N, and exactly reproducible
     across engines (libm log implementations differ in the last ulp,
     which is enough to flip a rank tie).
@@ -295,14 +300,18 @@ def tfidf_top_terms(
     eager ``collect`` at plan-construction time, no extra driver-side
     job; the id-only count scans a single pruned column.
     """
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df(term) = number of (id, term) rows sharing the term — the same
+    # integer the groupBy+join computed, attached in one pass
+    dfreq_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq_w)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -310,7 +319,6 @@ def tfidf_top_terms(
         )
         .drop("__n_docs")
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -591,8 +599,21 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("__tok")
     )
+    from pyspark.sql import Window
+
     counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
-    total = counts.agg(F.sum("__c").cast("double").alias("__t"))
+    # total corpus tokens = sum of the count table, attached to every
+    # vocabulary row by a global window instead of a separate
+    # ``counts.agg(sum)`` + cross join: Catalyst shares no subtrees
+    # across join branches, so the aggregate spelling re-ran the whole
+    # scan -> explode -> count chain a second time for ONE number
+    # (guide §7.2 "duplicated subtrees"; 3 full text scans in the r14
+    # plan dump, now 2).  The single-partition window pass is bounded
+    # by the same design assumption that lets ``counts`` broadcast:
+    # the vocabulary is orders of magnitude smaller than the stream.
+    counts = counts.withColumn(
+        "__t", F.sum("__c").over(Window.partitionBy()).cast("double")
+    )
     scored = (
         toks.join(F.broadcast(counts), "__tok")
         .groupBy(id_col)
@@ -601,11 +622,11 @@ def unigram_logprob(
             F.sum(F.log(F.col("__c").cast("double")).cast("decimal(25,12)"))
             .cast("double")
             .alias("__slc"),
+            F.max("__t").alias("__t"),
         )
     )
     return (
-        scored.crossJoin(F.broadcast(total))
-        .select(
+        scored.select(
             id_col,
             "n_tokens",
             F.round(
@@ -684,7 +705,6 @@ def bigram_logprob(
             .select(F.col("__b.p").alias("__p"), F.col("__b.g").alias("__g"))
         )
     counts = lm_big.groupBy("__g", "__p").agg(F.count(F.lit(1)).alias("__c"))
-    prev_tot = counts.groupBy("__p").agg(F.sum("__c").alias("__cp"))
     vocab = (
         lm.select(F.explode(lt).alias("__tok"))
         .agg(F.countDistinct("__tok").cast("double").alias("__v"))
@@ -697,16 +717,43 @@ def bigram_logprob(
             F.coalesce(F.col("__cp"), F.lit(0)).cast("double") + F.col("__v")
         )
     ).cast("decimal(25,12)")
-    scored = (
-        big.join(F.broadcast(counts.drop("__p")), "__g", "left")
-        .join(F.broadcast(prev_tot), "__p", "left")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(term).cast("double").alias("__s"),
+    if ref is None:
+        # self-scoring: every scored bigram exists in its own count
+        # table, so the prefix total can ride the SAME broadcast row as
+        # the bigram count — a SUM window over __p on the count table
+        # replaces the ``counts.groupBy(__p)`` + second join, which
+        # (Catalyst sharing no subtrees across join branches) re-ran
+        # the whole scan -> tokenize -> bigram-explode -> count chain
+        # a second time (guide §7.2; 4 full text scans in the r14 plan
+        # dump, now 3).  With a reference LM this fusion would be
+        # WRONG: a probe bigram missing from ``counts`` must still
+        # find its prefix total, so the two-join shape stays below.
+        from pyspark.sql import Window
+
+        counts_cp = counts.withColumn(
+            "__cp", F.sum("__c").over(Window.partitionBy("__p"))
+        ).drop("__p")
+        scored = (
+            big.join(F.broadcast(counts_cp), "__g", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(term).cast("double").alias("__s"),
+            )
         )
-    )
+    else:
+        prev_tot = counts.groupBy("__p").agg(F.sum("__c").alias("__cp"))
+        scored = (
+            big.join(F.broadcast(counts.drop("__p")), "__g", "left")
+            .join(F.broadcast(prev_tot), "__p", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(term).cast("double").alias("__s"),
+            )
+        )
     return scored.select(
         id_col,
         "n_bigrams",

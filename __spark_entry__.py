@@ -2267,12 +2267,14 @@ def _q_cms_accuracy(spark, sf_dir):
         .orderBy(F.col("n_exact").desc(), "tok").limit(50)
     )
     # the <=50-row exact table is referenced twice (probe keys + the
-    # final join); checkpoint the bounded result so the second
-    # reference does not re-run the scan -> explode -> count -> top-50
-    # chain (Catalyst shares no subtrees across join branches — guide
-    # §7.2; 3 full text scans in the r14 plan dump, now 2, which is
-    # the audit's honest floor: sketch pass + exact pass)
-    exact = exact.localCheckpoint(eager=False)
+    # final join); persist the bounded result so the second reference
+    # does not re-run the scan -> explode -> count -> top-50 chain
+    # (Catalyst shares no subtrees across join branches — guide §7.2;
+    # 3 full text scans in the r14 plan dump, now 2 — the audit's
+    # honest floor: sketch pass + exact pass).  persist, not
+    # localCheckpoint: lazy, so the first consumer materializes it
+    # in-flow instead of a separate blocking construction job.
+    exact = exact.persist()
     est = count_min_estimate(cms, exact.select("tok"), "tok", 2048, 4)
     return exact.join(est, exact["tok"] == est["value"]).select(
         "value",

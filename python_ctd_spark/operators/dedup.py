@@ -1143,13 +1143,11 @@ def remove_dup_passages(
     unique.
 
     Plan shape (the 100 TB shape; no driver state, no O(n^2) stage):
-    positional gram hashes (xxhash64, 8-byte shuffle keys) -> ONE hash
-    exchange on the gram key feeding the per-(gram, doc) start-list
-    aggregate AND the doc-frequency COUNT window (same partitioning) ->
-    filter + explode flags duplicated gram STARTS -> explode each start
-    into its ``n`` covered positions, distinct -> (doc, pos) join onto
-    the exploded tokens -> one order-preserving per-doc rebuild
-    (``array_sort(collect_list)``).
+    positional gram hashes (xxhash64, 8-byte shuffle keys) -> two-level
+    distinct doc-frequency aggregate -> semi join flags duplicated gram
+    STARTS -> explode each start into its ``n`` covered positions,
+    distinct -> (doc, pos) join onto the exploded tokens -> one
+    order-preserving per-doc rebuild (``array_sort(collect_list)``).
     Every exchange is keyed on uniform hashes, (doc, pos) pairs, or the
     doc id; partial aggregation runs before each wire.
 
@@ -1202,27 +1200,30 @@ def remove_dup_passages(
         .select("__doc", F.explode(grams).alias("g"))
         .select("__doc", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
     )
-    # duplicated-gram starts in ONE pass over the gram stream: group the
-    # positional grams to one row per (gram, doc) carrying the start
-    # multiset, count docs per gram as a window over the same hash
-    # partitioning (HashPartitioning(h) satisfies both the (h, doc)
-    # aggregate and the (h) window, so the explicit repartition is the
-    # single full-stream exchange), filter, and explode the starts back
-    # out.  The old distinct -> groupBy(h) -> semi-join spelling
-    # re-computed the scan -> tokenize -> gram-explode lineage on BOTH
-    # sides of the join (Catalyst shares no subtrees across join
-    # branches; guide §7.2) — 2 of this row's former 6 full text scans.
-    pg = (
-        pos.repartition(F.col("h"))
-        .groupBy("h", "__doc")
-        .agg(F.collect_list("s").alias("__ss"))
+    # NOTE (r14 optimization round, measured dead end kept on purpose):
+    # the doc-frequency side below re-runs pos's scan -> tokenize ->
+    # gram-explode lineage (Catalyst shares no subtrees across join
+    # branches), and two rewrites that "fix" the duplicate scan were
+    # BOTH slower — (a) repartition(h) + reused exchange feeding both
+    # sides (interleaved A/B at sf0.1: old 1.5-1.8s vs 1.7-2.4s) and
+    # (b) collect_list + COUNT window (1.34s -> ~2s).  First-principles
+    # reason: this shape never shuffles ``pos`` at all — only the
+    # map-side-combined (h, doc) distinct crosses the wire (~16 B/gram)
+    # and the duplicated-gram keys broadcast back; both rewrites traded
+    # a cheap embarrassingly-parallel text re-scan for an extra
+    # full-gram-stream exchange (~20 B/gram) read once or twice.  At
+    # 100 TB text bytes/token (~6 B) < gram metadata bytes/token, so
+    # the trade is wrong at scale too (guide §2.3: the shuffle is the
+    # expensive currency, the scan is not).
+    dup = (
+        pos.select("h", "__doc")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
     )
-    nd_w = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    starts = (
-        pg.withColumn("__nd", nd_w)
-        .filter(F.col("__nd") >= min_docs)
-        .select("__doc", F.explode("__ss").alias("s"))
-    )
+    starts = pos.join(dup, "h", "left_semi")
     covered = (
         starts.select(
             "__doc",

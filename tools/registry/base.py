@@ -75,15 +75,31 @@ def _scan_splits_estimate(spark: SparkSession, df: DataFrame) -> tuple[int, int]
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallel: bool = True,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """``parallel=False`` opts a caller out of the adaptive scan
     repartition: right for queries whose first post-scan operator is a
     cheap aggregation/hash (the shuffled text bytes cost more than the
     map parallelism buys — measured per-row, see OPTIMIZATION_r14.md);
-    the default serves the map-heavy majority."""
+    the default serves the map-heavy majority.
+
+    ``keys=[...]`` opts a caller IN for a table with no default key —
+    same scale-adaptive condition (fires only when the planner's split
+    estimate is below defaultParallelism, a no-op at fleet scale).
+    Used by the aggregation-heavy TPC-H rows whose map-side partial
+    aggregate / probe work otherwise runs on lineitem's 3 row-group
+    splits: keying lineitem FAMILY-WIDE measured net-negative
+    (interleaved A/B, min-of-3: 19.0s -> 22.4s over the 24 relational
+    rows — the broadcast-join spine pays the exchange for nothing),
+    but q1/q18/q21/region_revenue each win 0.3-0.6s (the exchange
+    feeds their own aggregate or join key), so the opt-in is per-row."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    keys = _SCAN_REPARTITION_KEY.get(name)
+    if keys is None:
+        keys = _SCAN_REPARTITION_KEY.get(name)
     if keys is None or not parallel:
         return df
     par = spark.sparkContext.defaultParallelism

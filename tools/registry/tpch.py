@@ -7,7 +7,7 @@ from tools.oracles.tpch import _CORRELATED_SQL
 from tools.registry.base import _t, davg, dsum
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", keys=["l_orderkey"])
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -141,7 +141,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-aggregated sliver, never raw lineitem; customer broadcasts;
     the top-100 rides a TakeOrderedAndProject (no global sort
     materialization)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", keys=["l_orderkey"])
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     big = (
@@ -163,7 +163,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> orders -> customer -> nation -> region star join;
     nation/region are broadcast dimensions."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", keys=["l_orderkey"])
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -613,7 +613,7 @@ def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates joined back — two hash aggs and one join, no correlated
     re-execution."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", keys=["l_orderkey"])
     supp = _t(spark, sf_dir, "supplier")
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")

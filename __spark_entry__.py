@@ -2648,6 +2648,18 @@ def _q_training_dataset(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept = docs.join(gopher_rules(docs).filter("keep").select("doc_id"), "doc_id")
+    # the cleaned corpus is referenced by BOTH the dedup chain below and
+    # the keeper/split chain — Catalyst shares no subtrees across join
+    # branches, so without a materialization point the scan + gopher
+    # feature pass is re-inlined per reference (and multiplied through
+    # the LSH/CC chain: 654 parquet scans across the downstream
+    # checkpoint-input plans vs 4 with it — plans/r14/
+    # training_dataset_{before,after}.txt).  Interleaved A/B at sf0.1:
+    # 7.5-17.5s plain vs 6.1-7.1s checkpointed, checkpoint faster every
+    # round (tools/ab_td.py).  A real pipeline materializes exactly here
+    # too: the post-cleaning corpus is the cleaning stage's output
+    # artifact.
+    kept = kept.localCheckpoint(eager=False)
     # the cluster table is referenced TWICE (keeper filter + the split
     # mapping) — checkpoint it so the LSH/CC chain runs once, same
     # rationale (and same measured persist-vs-checkpoint ordering) as

@@ -247,7 +247,10 @@ def main() -> None:
     # also writes BENCH_full_r{N}.json (N inferred as 1 + the highest
     # committed driver round) — bench_diff prefers it when pointed at
     # the matching BENCH_r{N}.json, comparing whole suites.
-    if only_marker is None:
+    # ... but only a run at the driver's bench scale may write it: an
+    # sf0.001 smoke overwriting the sf0.1 archive silently breaks every
+    # cross-round bench_diff (this clobbered the r14 archive once).
+    if only_marker is None and abs(sf - 0.1) < 1e-9:
         rounds = [
             int(m.group(1))
             for f_ in os.listdir(repo_dir)

@@ -530,7 +530,17 @@ def gif_near_dup_pairs(
         ).alias("id"),
         F.col("ahash").alias("sh"),
     )
-    pairs = banded_hamming_pairs(base, max_hamming, bands, materialize=True)
+    # ONE shared fingerprint materialization: the banded core's two
+    # self-join branches AND the two per-id frame-count broadcasts below
+    # all consume this table.  Deriving `counts` from `frames` instead
+    # (the pre-r14opt spelling) missed the banded core's internal cache
+    # (different logical plan), so the full synthesize+decode chain ran
+    # THREE times per query — once cached for the join, once per count
+    # broadcast (gif_dedup plan: two extra uncached MapInPandas chains).
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = banded_hamming_pairs(base, max_hamming, bands, materialize=False)
     same_frame = pairs.filter(
         F.col("id_a") % _MAX_FRAMES == F.col("id_b") % _MAX_FRAMES
     ).select(
@@ -539,7 +549,11 @@ def gif_near_dup_pairs(
         F.expr(f"id_a div {_MAX_FRAMES}").alias("id_a"),
         F.expr(f"id_b div {_MAX_FRAMES}").alias("id_b"),
     )
-    counts = frames.groupBy(F.col(id_col).alias("__id")).agg(
+    # per-id frame count off the SAME persisted rows (base is 1:1 with
+    # the filtered frames: the packing either emits or raise_errors)
+    counts = base.groupBy(
+        F.expr(f"id div {_MAX_FRAMES}").alias("__id")
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("__nf")
     )
     matched = same_frame.groupBy("id_a", "id_b").agg(

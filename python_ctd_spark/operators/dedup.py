@@ -38,6 +38,17 @@ def _md5_long(col: Column) -> Column:
 MH_PRIME = 2147483647
 
 
+def _sh_md5() -> Column:
+    """60-bit md5 hash of every staged shingle (``sh`` column), as one
+    parsed expression — the per-element twin of :func:`_md5_long` (same
+    bytes, same value in DuckDB); see the ``with_shingles`` note on
+    expr-vs-lambda construction cost."""
+    return F.expr(
+        "transform(sh, s -> "
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
 def mh_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs for the affine permutation family
     ``h_i(x) = (a_i * x + b_i) mod MH_PRIME``.  ``a`` is forced odd (so
@@ -62,18 +73,21 @@ def with_shingles(
     an inline ``split(...)`` expression Spark re-evaluates the split on
     every lambda call (~20x slower on 100-token docs — measured 8.3s vs
     0.36s for 5k docs)."""
-    toks = F.col("__toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     # try_element_at, not element_at: Spark 4 runs ANSI mode by default, so
     # an index past the end (any doc shorter than n tokens) would abort the
     # whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  try_element_at
     # yields NULL there and concat_ws skips it, so a short doc produces a
     # single shingle of all its tokens.
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    # One expr() parse instead of a Python-lambda transform with n
+    # try_element_at subtrees: the lambda form costs dozens of py4j
+    # round-trips per build (same finding as similarity's kernel SQL —
+    # identical optimized plan, construction ~5x cheaper).
+    elems = ", ".join(
+        f"try_element_at(__toks, CAST(i + {j + 1} AS INT))" for j in range(n)
+    )
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(__toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', {elems}))"
     )
     return (
         df.withColumn("__toks", _tokens(text_col))
@@ -116,9 +130,23 @@ def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
     return minhash_sig_from_hashes(hm, k)
 
 
-def minhash_sig_from_hashes(hash_col: Column, k: int = 16) -> Column:
+def minhash_sig_from_hashes(hash_col: Column | str, k: int = 16) -> Column:
     """MinHash signature from pre-reduced base hashes (values in
-    ``[0, MH_PRIME)``): ``sig[i] = min over h of (a_i*h + b_i) % MH_PRIME``."""
+    ``[0, MH_PRIME)``): ``sig[i] = min over h of (a_i*h + b_i) % MH_PRIME``.
+
+    Pass the hash array as a SQL fragment (str) to get the whole
+    k-permutation array as ONE parsed expression — the Column form
+    builds k higher-order functions through py4j (~16 ms each on a
+    loaded driver), the str form one parse; optimized plans identical
+    modulo lambda-variable names."""
+    if isinstance(hash_col, str):
+        mins = ", ".join(
+            f"array_min(transform({hash_col}, "
+            f"x -> (({a} * x + {b}) % {MH_PRIME})))"
+            for a, b in mh_coeffs(k)
+        )
+        return F.expr(f"array({mins})")
+
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)
 
@@ -200,9 +228,9 @@ def minhash_signatures(
     shard arrives."""
     return (
         with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
-        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn("hsh", _sh_md5())
         .withColumn("sig", minhash_sig_from_hashes(
-            F.transform(F.col("hsh"), lambda h: h % MH_PRIME), k
+            "transform(hsh, h -> h % 2147483647)", k
         ))
         .select("id", "hsh", "sig")
     )
@@ -452,7 +480,7 @@ def ngram_jaccard_pairs(
     # ~4x faster and the exploded index rows are fixed-width.
     base = (
         with_shingles(ids, text_col, n)
-        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn("hsh", _sh_md5())
         .select("id", "hsh")
     )
     # explode_outer, not explode: shingle arrays are never empty (>=1 gram
@@ -535,7 +563,7 @@ def containment_pairs(
     ids = df.select(F.col(id_col).alias("id"), text_col)
     base = (
         with_shingles(ids, text_col, n)
-        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn("hsh", _sh_md5())
         .select("id", "hsh")
     )
     from pyspark import StorageLevel
@@ -587,13 +615,13 @@ def contamination_report(
     corp = (
         with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
         .select("id", F.explode_outer(
-            F.transform(F.col("sh"), lambda s: _md5_long(s))
+            _sh_md5()
         ).alias("g"))
     )
     bench_g = (
         with_shingles(benchmark.select(text_col), text_col, n)
         .select(F.explode_outer(
-            F.transform(F.col("sh"), lambda s: _md5_long(s))
+            _sh_md5()
         ).alias("g"))
         .distinct()
     )

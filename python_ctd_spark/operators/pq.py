@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _arr_lit, _as_double, _dot_exact, _norm_exact
+from .similarity import _arr_lit, _as_double, _cos_exact
 
 
 def _subspaces(dim: int, m: int) -> int:
@@ -368,9 +368,7 @@ def _exact_rerank(
     ``(qid, id, qcos, cos, rk)``."""
     cv = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     qv_raw = q_raw.select("qid", F.col("qe").alias("qe2"))
-    cos = _dot_exact(F.col("qe2"), F.col("e")) / (
-        _norm_exact(F.col("qe2")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe2", "e")
     rescored = (
         cands.join(cv, "id")
         .join(F.broadcast(qv_raw), "qid")

@@ -51,38 +51,68 @@ def _arr_lit(vals, typ: str = "DOUBLE") -> str:
     return f"CAST(split('{body}', ',') AS ARRAY<{typ}>)"
 
 
-def _dot_exact(a: Column, b: Column) -> Column:
-    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(30,15)"))
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(38,15)"),
-        lambda acc, x: (acc + x).cast("decimal(38,15)"),
-    ).cast("double")
+# The array-fold kernels below are spelled as SQL TEXT and parsed with
+# ONE F.expr() call each (the lambda-construction twin of _arr_lit):
+# building the same fold through F.zip_with/F.aggregate Python lambdas
+# costs a dozen-plus py4j round-trips per higher-order function — ~186ms
+# per composed cosine on a loaded host vs ~35ms for the one-shot parse
+# (measured, 20-rep micro-bench; the optimized plans are identical
+# modulo lambda-variable names, values byte-identical).  Construction
+# is inside every query's wall (guide §7.3), and the ANN family builds
+# these kernels dozens of times per probe row.  Callers pass SQL
+# fragments (column names); the composed helpers return Columns.
+
+_DOT_EXACT_SQL = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x * y AS DECIMAL(30,15))), "
+    "CAST(0 AS DECIMAL(38,15)), (acc, x) -> CAST(acc + x AS DECIMAL(38,15))) "
+    "AS DOUBLE)"
+)
+_NORM_EXACT_SQL = (
+    "SQRT(CAST(aggregate(transform({a}, x -> CAST(x * x AS DECIMAL(30,15))), "
+    "CAST(0 AS DECIMAL(38,15)), (acc, x) -> CAST(acc + x AS DECIMAL(38,15))) "
+    "AS DOUBLE))"
+)
+_DOT_FAST_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+)
+_NORM_FAST_SQL = (
+    "SQRT(aggregate(transform({a}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+)
 
 
-def _norm_exact(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("decimal(30,15)")),
-            F.lit(0).cast("decimal(38,15)"),
-            lambda acc, x: (acc + x).cast("decimal(38,15)"),
-        ).cast("double")
+def _dot_exact(a: str, b: str) -> Column:
+    return F.expr(_DOT_EXACT_SQL.format(a=a, b=b))
+
+
+def _norm_exact(a: str) -> Column:
+    return F.expr(_NORM_EXACT_SQL.format(a=a))
+
+
+def _cos_exact(a: str, b: str) -> Column:
+    """Decimal-exact cosine as one parsed expression."""
+    return F.expr(
+        f"({_DOT_EXACT_SQL.format(a=a, b=b)}) / "
+        f"(({_NORM_EXACT_SQL.format(a=a)}) * ({_NORM_EXACT_SQL.format(a=b)}))"
     )
 
 
 def _as_double(col: str) -> Column:
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
 
 
-def _dot_fast(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _dot_fast(a: str, b: str) -> Column:
+    return F.expr(_DOT_FAST_SQL.format(a=a, b=b))
 
 
-def _norm_fast(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+def _norm_fast(a: str) -> Column:
+    return F.expr(_NORM_FAST_SQL.format(a=a))
+
+
+def _cos_fast(a: str, b: str) -> Column:
+    """Double-precision cosine as one parsed expression."""
+    return F.expr(
+        f"({_DOT_FAST_SQL.format(a=a, b=b)}) / "
+        f"(({_NORM_FAST_SQL.format(a=a)}) * ({_NORM_FAST_SQL.format(a=b)}))"
     )
 
 
@@ -130,20 +160,18 @@ def cosine_topk(
     """
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast("e"))
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
+    q = q.withColumn("fqnorm", _norm_fast("qe"))
     pairs = c.join(F.broadcast(q), F.col("id") != F.col("qid"))
     # phase 1: double-precision scores over every pair (JVM fold, cheap);
     # phase 2: decimal-exact cosine on the ~k survivors per query only —
     # the decimal fold is ~100x the double fold, so it must not see the
     # full |corpus| x |queries| cross product.
-    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
+    fcos = _dot_fast("qe", "e") / (F.col("fqnorm") * F.col("fnorm"))
     scored = pairs.select("qid", "id", "qe", "e", fcos.alias("fcos"))
     survivors = _rerank_topk(scored, k)
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     rescored = survivors.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
@@ -177,7 +205,7 @@ def quantize_vectors(
     qmax = float(2 ** (bits - 1) - 1)
     base = (
         df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-        .withColumn("__amax", F.array_max(F.transform(F.col("e"), F.abs)))
+        .withColumn("__amax", F.expr("array_max(transform(e, x -> abs(x)))"))
         .withColumn(
             "qscale",
             F.when(F.col("__amax") > 0.0, F.col("__amax") / qmax).otherwise(
@@ -185,13 +213,12 @@ def quantize_vectors(
             ),
         )
     )
-    qv = F.transform(
-        F.col("e"), lambda x: F.floor(x / F.col("qscale") + F.lit(0.5)).cast("tinyint")
+    qv = F.expr(
+        "transform(e, x -> CAST(FLOOR((x / qscale) + 0.5) AS TINYINT))"
     )
-    qnorm = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x.cast("bigint") * x.cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    qnorm = F.expr(
+        "aggregate(transform(qv, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     return base.select("id", qv.alias("qv"), "qscale").withColumn("qnorm", qnorm)
 
@@ -201,12 +228,9 @@ def _sq8_cos() -> Column:
     and ``qu``/``qunorm`` (query side): BIGINT-exact dot — the candidate
     cut this drives is bit-identical in any engine at any parallelism —
     over the exact integer norm product."""
-    dot_int = F.aggregate(
-        F.zip_with(
-            F.col("qv"), F.col("qu"), lambda x, y: x.cast("bigint") * y.cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    dot_int = F.expr(
+        "aggregate(zip_with(qv, qu, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     return dot_int.cast("double") / F.sqrt(
         (F.col("qnorm") * F.col("qunorm")).cast("double")
@@ -264,9 +288,7 @@ def quantized_topk(
     qv_raw = queries.select(
         F.col(qid_col).alias("qid"), _as_double(vec_col).alias("qe")
     )
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     rescored = (
         cands.join(cv, "id")
         .join(F.broadcast(qv_raw), "qid")
@@ -382,12 +404,10 @@ def _exact_rerank_pairs(
     :func:`cosine_topk`: double fold scores all candidates, decimal
     decides only the per-query top-k sliver."""
     verified = cand.join(c, "id").join(F.broadcast(q), "qid")
-    fcos = _dot_fast(F.col("qe"), F.col("e")) / (F.col("fqnorm") * F.col("fnorm"))
+    fcos = _dot_fast("qe", "e") / (F.col("fqnorm") * F.col("fnorm"))
     scored = verified.select("qid", "id", "qe", "e", fcos.alias("fcos"))
     survivors = _rerank_topk(scored, k)
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     rescored = survivors.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
@@ -452,9 +472,9 @@ def lsh_probe(
     is the point: recall rises without rebuilding or widening the index.
     """
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast("e"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
+    q = q.withColumn("fqnorm", _norm_fast("qe"))
 
     qb = signature_table(q, ["qid"], "qe", n_planes, n_tables, dim)
     if n_probe_bits > 0:
@@ -827,16 +847,12 @@ def _nearest_cells(
     """Top-n centroids per (small) query row, two-phase: double-fold
     scores all ``n_centroids``, the decimal-exact cosine decides only
     the rows inside the epsilon band of the fast nth score."""
-    fcos = _dot_fast(F.col(vec), F.col("ce")) / (
-        _norm_fast(F.col(vec)) * _norm_fast(F.col("ce"))
-    )
+    fcos = _cos_fast(vec, "ce")
     scored = side.join(F.broadcast(cent), F.lit(True)).select(
         key, vec, "cid", "ce", fcos.alias("fcos")
     )
     band = _rerank_topk(scored, n, part=key, ident="cid")
-    cos = _dot_exact(F.col(vec), F.col("ce")) / (
-        _norm_exact(F.col(vec)) * _norm_exact(F.col("ce"))
-    )
+    cos = _cos_exact(vec, "ce")
     w = Window.partitionBy(key).orderBy(F.col("__cos").desc(), F.col("cid"))
     return (
         band.withColumn("__cos", cos)
@@ -932,9 +948,9 @@ def ivf_probe(
     ``corpus`` is touched only to fetch candidate vectors by id."""
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast("e"))
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
-    q = q.withColumn("fqnorm", _norm_fast(F.col("qe")))
+    q = q.withColumn("fqnorm", _norm_fast("qe"))
     probes = _nearest_cells(
         q.select("qid", "qe"), "qid", "qe", n_probe, cent
     ).select("qid", "cell")
@@ -1014,9 +1030,7 @@ def ivf_sq_probe(
         F.col("__rkq") <= margin * k
     )
     c_raw = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     rescored = (
         sliver.join(c_raw, "id")
         .join(F.broadcast(q_raw), "qid")
@@ -1080,16 +1094,12 @@ def ivf_topk(
     q = queries.select(F.col(qid).alias("qid"), _as_double(vec_col).alias("qe"))
     probes = _nearest_cells(q, "qid", "qe", n_probe, cent)
     pairs = assigned.join(F.broadcast(probes), "cell").filter(F.col("id") != F.col("qid"))
-    fcos = _dot_fast(F.col("qe"), F.col("e")) / (
-        _norm_fast(F.col("qe")) * _norm_fast(F.col("e"))
-    )
+    fcos = _cos_fast("qe", "e")
     scored = pairs.select("qid", "id", "qe", "e", fcos.alias("fcos")).dropDuplicates(
         ["qid", "id"]
     )
     survivors = _rerank_topk(scored, k)
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     rescored = survivors.select("qid", "id", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id"))
     return (
@@ -1114,7 +1124,7 @@ def embedding_neardup_pairs(
     (same bucket in any table) with exact verification — the embedding
     analog of MinHash-LSH dedup."""
     c = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("enorm", _norm_fast(F.col("e")))
+    c = c.withColumn("enorm", _norm_fast("e"))
     # dedupe bare id pairs first (a pair surfaces once per shared table),
     # then re-join the vectors for verification — don't shuffle the
     # embedding arrays through the dropDuplicates; the persisted
@@ -1145,11 +1155,9 @@ def embedding_neardup_pairs(
     # ~1e-13, the margin is 1e-6, so no true pair is ever dropped); the
     # decimal-exact dot and norms — ~100x costlier — then decide only the
     # survivors, matching the oracle's decimal arithmetic bit-for-bit.
-    fast_cos = _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    fast_cos = _dot_fast("ea", "eb") / (F.col("na") * F.col("nb"))
     survivors = verified.filter(fast_cos >= F.lit(threshold - 1e-6))
-    cos = _dot_exact(F.col("ea"), F.col("eb")) / (
-        _norm_exact(F.col("ea")) * _norm_exact(F.col("eb"))
-    )
+    cos = _cos_exact("ea", "eb")
     return (
         survivors.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
@@ -1245,7 +1253,7 @@ def semantic_dedup(
     (pair count <= max_cell_rows * n_rows on the planted-skew fixture).
     """
     c = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    c = c.withColumn("fnorm", _norm_fast(F.col("e")))
+    c = c.withColumn("fnorm", _norm_fast("e"))
     a = assignments.select("id", "cell").join(c, "id")
     join_key = ["cell"]
     if max_cell_rows is not None:
@@ -1294,11 +1302,9 @@ def semantic_dedup(
         stats["n_candidate_pairs"] = int(occ_stats["p"] or 0)
         stats["n_cells"] = int(occ_stats["k"])
         stats["max_cell"] = int(occ_stats["m"] or 0)
-    fast_cos = _dot_fast(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    fast_cos = _dot_fast("ea", "eb") / (F.col("na") * F.col("nb"))
     survivors = pairs.filter(fast_cos >= F.lit(threshold - 1e-6))
-    cos = _dot_exact(F.col("ea"), F.col("eb")) / (
-        _norm_exact(F.col("ea")) * _norm_exact(F.col("eb"))
-    )
+    cos = _cos_exact("ea", "eb")
     dup_pairs = (
         survivors.withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)

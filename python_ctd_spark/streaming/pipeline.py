@@ -607,7 +607,7 @@ def streaming_ann_probe(
     top-k (streaming == batch twin law; pinned in
     tests/test_streaming.py)."""
     from python_ctd_spark.operators.similarity import (
-        _as_double, _dot_exact, _norm_exact, probe_masks, signature_table,
+        _as_double, _cos_exact, probe_masks, signature_table,
     )
 
     q = q_stream.select(
@@ -643,9 +643,7 @@ def streaming_ann_probe(
         .dropDuplicatesWithinWatermark(["qid", "id"])
         .join(c, "id")
     )
-    cos = _dot_exact(F.col("qe"), F.col("e")) / (
-        _norm_exact(F.col("qe")) * _norm_exact(F.col("e"))
-    )
+    cos = _cos_exact("qe", "e")
     # rank on the UNROUNDED cosine (the batch side rounds only on
     # output — rounding before the sort would turn near-ties at the
     # 6th decimal into real ties and flip ids at the k boundary)
@@ -721,7 +719,7 @@ def streaming_incremental_dedup(
     the values the stored index was banded with — same contract as the
     batch op."""
     from python_ctd_spark.operators.dedup import (
-        MH_PRIME, _md5_long, band_rows, minhash_sig_from_hashes, with_shingles,
+        _sh_md5, band_rows, minhash_sig_from_hashes, with_shingles,
     )
 
     if k % bands != 0:
@@ -737,12 +735,10 @@ def streaming_incremental_dedup(
     ).withWatermark("event_time", watermark)
     sigs = (
         with_shingles(base, "text", n)
-        .withColumn("hsh", F.transform(F.col("sh"), lambda s: _md5_long(s)))
+        .withColumn("hsh", _sh_md5())
         .withColumn(
             "sig",
-            minhash_sig_from_hashes(
-                F.transform(F.col("hsh"), lambda h: h % MH_PRIME), k
-            ),
+            minhash_sig_from_hashes("transform(hsh, h -> h % 2147483647)", k),
         )
         .select("id", "event_time", "hsh", "sig")
     )

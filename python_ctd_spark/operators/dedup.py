@@ -245,21 +245,21 @@ def band_rows(
     make repeated probes exchange-free.  ``keep`` defaults to the bare
     id (the stored-index shape); streaming probes pass extra columns
     (event_time, the hsh verification array) to ride along."""
+    # one expr() parse for the bands x r band-key structs (the Column
+    # form costs ~10 py4j round-trips per band to build; see the
+    # with_shingles note on expr-vs-lambda construction cost)
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bsig', concat_ws(',', {cells}))".format(
+            b=b,
+            cells=", ".join(
+                f"CAST(sig[{b * r + j}] AS STRING)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         *keep,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({structs}))").alias("bk"),
     ).select(
         *keep, F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
     )

@@ -205,6 +205,7 @@ def main() -> None:
     # mark BOTH the persisted record and the stdout line with the
     # explicit query list so BENCH_r* consumers can tell them apart
     only_marker = sorted(only) if only is not None else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     full_record = {
         "metric": "query_suite_runtime",
         "value": total,
@@ -212,6 +213,7 @@ def main() -> None:
         "queries": timings,
         "passes": passes,
         "canary": canary,
+        "cpus": cpus,
         "sf": sf,
     }
     if only_marker is not None:
@@ -247,10 +249,15 @@ def main() -> None:
     # also writes BENCH_full_r{N}.json (N inferred as 1 + the highest
     # committed driver round) — bench_diff prefers it when pointed at
     # the matching BENCH_r{N}.json, comparing whole suites.
-    # ... but only a run at the driver's bench scale may write it: an
-    # sf0.001 smoke overwriting the sf0.1 archive silently breaks every
-    # cross-round bench_diff (this clobbered the r14 archive once).
-    if only_marker is None and abs(sf - 0.1) < 1e-9:
+    # ... but only a run at the driver's bench scale AND the full core
+    # count may write it: an sf0.001 smoke overwriting the sf0.1 archive
+    # silently breaks every cross-round bench_diff (this clobbered the
+    # r14 archive once), and the driver's LOW-core scaling rerun did the
+    # same to the r15 archive (an 8-cpu map masquerading as the 32-cpu
+    # round record).  The stdout line and BENCH_out.json are unaffected
+    # — every run still reports normally; only the cross-round archive
+    # is pinned to the comparable configuration.
+    if only_marker is None and abs(sf - 0.1) < 1e-9 and cpus == "32":
         rounds = [
             int(m.group(1))
             for f_ in os.listdir(repo_dir)

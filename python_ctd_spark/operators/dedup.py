@@ -38,13 +38,15 @@ def _md5_long(col: Column) -> Column:
 MH_PRIME = 2147483647
 
 
-def _sh_md5() -> Column:
-    """60-bit md5 hash of every staged shingle (``sh`` column), as one
-    parsed expression — the per-element twin of :func:`_md5_long` (same
-    bytes, same value in DuckDB); see the ``with_shingles`` note on
-    expr-vs-lambda construction cost."""
+def _sh_md5(col: str = "sh") -> Column:
+    """60-bit md5 hash of every staged shingle (the ``col`` column,
+    default the ``with_shingles`` output), as one parsed expression —
+    the per-element twin of :func:`_md5_long` (same bytes, same value
+    in DuckDB); see the ``with_shingles`` note on expr-vs-lambda
+    construction cost."""
+    quoted = "`" + col.replace("`", "``") + "`"
     return F.expr(
-        "transform(sh, s -> "
+        f"transform({quoted}, s -> "
         "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
     )
 
@@ -230,7 +232,7 @@ def minhash_signatures(
         with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col, n)
         .withColumn("hsh", _sh_md5())
         .withColumn("sig", minhash_sig_from_hashes(
-            "transform(hsh, h -> h % 2147483647)", k
+            f"transform(hsh, h -> h % {MH_PRIME})", k
         ))
         .select("id", "hsh", "sig")
     )

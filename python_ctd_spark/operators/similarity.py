@@ -97,7 +97,12 @@ def _cos_exact(a: str, b: str) -> Column:
 
 
 def _as_double(col: str) -> Column:
-    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+    # Every call site passes a bare column NAME (the user-facing
+    # ``vec_col`` or an internal alias) — backtick-quote it so names
+    # that are not plain SQL identifiers (spaces, hyphens, reserved
+    # words) keep working as they did under F.col (ADVICE r14).
+    quoted = "`" + col.replace("`", "``") + "`"
+    return F.expr(f"transform({quoted}, x -> CAST(x AS DOUBLE))")
 
 
 def _dot_fast(a: str, b: str) -> Column:

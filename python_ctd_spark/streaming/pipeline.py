@@ -719,7 +719,7 @@ def streaming_incremental_dedup(
     the values the stored index was banded with — same contract as the
     batch op."""
     from python_ctd_spark.operators.dedup import (
-        _sh_md5, band_rows, minhash_sig_from_hashes, with_shingles,
+        MH_PRIME, _sh_md5, band_rows, minhash_sig_from_hashes, with_shingles,
     )
 
     if k % bands != 0:
@@ -738,7 +738,7 @@ def streaming_incremental_dedup(
         .withColumn("hsh", _sh_md5())
         .withColumn(
             "sig",
-            minhash_sig_from_hashes("transform(hsh, h -> h % 2147483647)", k),
+            minhash_sig_from_hashes(f"transform(hsh, h -> h % {MH_PRIME})", k),
         )
         .select("id", "event_time", "hsh", "sig")
     )
